@@ -1,0 +1,125 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types._
+
+/** Whole-stage-codegen'd vector distance kernels over `ARRAY<FLOAT>`.
+  *
+  * The reference engine's distance kernel is hnswlib's SIMD L2/IP loop
+  * (see /root/reference/acorn.py:29 `hnswlib.Index(space='l2', dim=2048)`).
+  * Spark-first equivalent: a native Catalyst `BinaryExpression` whose
+  * `doGenCode` emits a tight primitive `float` loop directly inside the
+  * generated stage — no boxing, no UDF serialization, stays inside
+  * WholeStageCodegen so the scan → score → TakeOrdered pipeline fuses.
+  *
+  * Accumulation is in `double` (matches DuckDB's list_distance /
+  * list_cosine_similarity semantics used by the correctness oracle).
+  */
+abstract class VectorKernel extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<float>, array<float>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  /** Emit the scalar loop: read arrays `a`,`b` of length `n`, assign `result`. */
+  protected def loopBody(ctx: CodegenContext, a: String, b: String, n: String, result: String): String
+  protected def evalArrays(a: ArrayData, b: ArrayData): Double
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    evalArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      s"""
+         |final int $n = $a.numElements();
+         |${loopBody(ctx, a, b, n, ev.value)}
+       """.stripMargin
+    })
+}
+
+/** dot(a, b) */
+case class DotProduct(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "vec_dot"
+  override protected def loopBody(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) { $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i); }
+       |$result = $acc;
+     """.stripMargin
+  }
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    acc
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Euclidean distance sqrt(sum((a-b)^2)) */
+case class L2Distance(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "vec_l2"
+  override protected def loopBody(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val acc = ctx.freshName("acc"); val i = ctx.freshName("i"); val d = ctx.freshName("d")
+    s"""
+       |double $acc = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+       |  $acc += $d * $d;
+       |}
+       |$result = java.lang.Math.sqrt($acc);
+     """.stripMargin
+  }
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    var acc = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; acc += d * d; i += 1 }
+    math.sqrt(acc)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** cosine similarity dot/(|a||b|), one fused pass */
+case class CosineSimilarity(left: Expression, right: Expression) extends VectorKernel {
+  override def prettyName: String = "vec_cosine"
+  override protected def loopBody(ctx: CodegenContext, a: String, b: String, n: String, result: String): String = {
+    val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+    val i = ctx.freshName("i"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    s"""
+       |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+       |for (int $i = 0; $i < $n; $i++) {
+       |  double $x = (double)$a.getFloat($i); double $y = (double)$b.getFloat($i);
+       |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+       |}
+       |$result = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+     """.stripMargin
+  }
+  override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = a.numElements()
+    while (i < n) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Column-level API for the vector kernels. */
+object vectors {
+  def dot(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def l2(a: Column, b: Column): Column =
+    Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{scaled, vectors}
+
+/** Distributed k-nearest-neighbor search over an embedding column.
+  *
+  * Spark-first re-expression of the reference's three strategies
+  * (/root/reference/pre-filter.py, /root/reference/acorn.py):
+  *
+  *  - exact / pre-filter: one scan, score with a codegen'd kernel, then
+  *    `orderBy(score).limit(k)` → Catalyst plans `TakeOrderedAndProject`
+  *    (per-partition O(n·log k) heap + driver merge of k·P rows — no full
+  *    sort, no shuffle of the corpus). At 100 TB this is scan-bound, and
+  *    the scan reads only (id, vec) thanks to column pruning.
+  *  - post-filter: vector top-`largeK` first (cheap, no filter), then join
+  *    metadata + filter, then top-k — recall loss under selective filters,
+  *    exactly like the reference's `post_filter_search`.
+  *  - batch: queries are small → `broadcast()` cross join, per-query top-k
+  *    via window rank partitioned by query id (shuffle keyed by query id
+  *    only over the k·|Q|-bounded candidate set when `largeK` pre-cut is
+  *    applied; at full scale prefer `TakeOrdered` per query via salting).
+  */
+object Knn {
+
+  sealed trait Metric {
+    def score(a: Column, b: Column): Column
+    /** ordering: best first */
+    def order(score: Column): Column
+  }
+  case object Cosine extends Metric {
+    def score(a: Column, b: Column): Column = vectors.cosine(a, b)
+    def order(s: Column): Column = s.desc
+  }
+  case object L2 extends Metric {
+    def score(a: Column, b: Column): Column = vectors.l2(a, b)
+    def order(s: Column): Column = s.asc
+  }
+
+  /** Ranking happens on the decimal-scaled score (`scaled(score, digits)`)
+    * with id tie-break, so results are bit-deterministic across engines and
+    * summation orders. */
+  val ScoreDigits = 4
+
+  /** Exact brute-force top-k of `query` (single-row DF: [q_id, q_vec]) against
+    * `corpus` [id, vec]. Ties broken by id for determinism. */
+  def topK(corpus: DataFrame, query: DataFrame, k: Int, metric: Metric,
+           idCol: String = "vec_id", vecCol: String = "embedding",
+           qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(query))
+      .withColumn("score", scaled(metric.score(col(vecCol), col(qVecCol)), ScoreDigits))
+    scored
+      .orderBy(metric.order(col("score")), col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Pre-filter search: metadata predicate first, exact kNN on survivors.
+    * Perfect accuracy; cost scales with filter selectivity — the predicate
+    * is pushed to the scan, so a selective filter reads less data. */
+  def prefilterKnn(corpus: DataFrame, meta: DataFrame, pred: Column,
+                   query: DataFrame, k: Int, metric: Metric,
+                   idCol: String = "vec_id", metaIdCol: String = "doc_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val filtered = corpus.join(meta.filter(pred), corpus(idCol) === meta(metaIdCol))
+    topK(filtered, query, k, metric, idCol, vecCol)
+  }
+
+  /** Post-filter search: vector top-`largeK` first, then metadata filter,
+    * then top-k of what survives (may return < k — same recall collapse the
+    * reference documents for selective filters). */
+  def postfilterKnn(corpus: DataFrame, meta: DataFrame, pred: Column,
+                    query: DataFrame, k: Int, largeK: Int, metric: Metric,
+                    idCol: String = "vec_id", metaIdCol: String = "doc_id",
+                    vecCol: String = "embedding"): DataFrame = {
+    val candidates = topK(corpus, query, largeK, metric, idCol, vecCol)
+    candidates
+      .join(meta.filter(pred), candidates(idCol) === meta(metaIdCol))
+      .orderBy(metric.order(col("score")), col(idCol).asc)
+      .limit(k)
+      .select(candidates.columns.map(col).toIndexedSeq: _*)
+  }
+
+  /** Batch kNN: top-k per query for a (small, broadcast) query set.
+    * Returns [q_id, id, rank, score]. */
+  def batchKnn(corpus: DataFrame, queries: DataFrame, k: Int, metric: Metric,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               qIdCol: String = "q_id", qVecCol: String = "q_vec",
+               excludeSelf: Boolean = true): DataFrame = {
+    var scored = corpus
+      .crossJoin(broadcast(queries))
+      .withColumn("score", scaled(metric.score(col(vecCol), col(qVecCol)), ScoreDigits))
+    if (excludeSelf) scored = scored.filter(col(idCol) =!= col(qIdCol))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(metric.order(col("score")), col(idCol).asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("rank"), col("score"))
+  }
+}

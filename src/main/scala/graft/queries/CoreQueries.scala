@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.scaled
+
+/** §2.C — general analytics: the engine is a full query engine, not only a
+  * vector-search library. Shapes chosen for their scale behavior: partial
+  * (map-side) aggregation, broadcastable dims, multi-join shuffle keying,
+  * window top-N, time-window aggregation, semi-structured extraction. */
+object CoreQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = Tables(s, dir, name)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1: pricing summary — hash agg with map-side combine; one shuffle on
+    // the (tiny-cardinality) group keys.
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          scaled(sum("l_quantity"), 2).as("sum_qty"),
+          scaled(sum("l_extendedprice"), 2).as("sum_base_price"),
+          scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          scaled(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // C2: shuffle joins on orderkey/custkey; revenue top-10. At 100 TB the
+    // customer side is bucketable; AQE picks broadcast when a side is small.
+    "q3_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1996-07-01").cast("timestamp"))
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .groupBy(ord("o_orderkey"), ord("o_orderdate"), ord("o_orderpriority"))
+        .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey").asc)
+        .limit(10)
+    }),
+
+    // C3: six-table join; region/nation broadcast (tiny dims), the rest
+    // shuffle on their keys; local-supplier condition c_nationkey=s_nationkey.
+    "q5_multijoin" -> ((s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val supp = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val li = t(s, dir, "lineitem")
+      li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(supp, li("l_suppkey") === supp("s_suppkey") &&
+                    cust("c_nationkey") === supp("s_nationkey"))
+        .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(nation("n_name"))
+        .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // C4: window top-N per group (rank on stored values — no fp arithmetic)
+    "topn_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").desc, col("p_partkey").asc)
+      t(s, dir, "part")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("p_brand"), col("p_partkey"), col("rank"), scaled(col("p_retailprice"), 2).as("price"))
+    }),
+
+    // C5: tumbling time-window agg — batch mirror of the streaming pipeline
+    // (graft.streaming.EventsStream uses the identical plan over readStream).
+    "events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), scaled(sum("value"), 2).as("sum_value"))
+        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("sum_value"))),
+
+    // B12: semi-structured props JSON extraction + agg
+    "events_json" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), scaled(avg("k"), 4).as("avg_k")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(round(sum(l_quantity) * 100.0, 0) AS BIGINT) AS sum_qty,
+        | CAST(round(sum(l_extendedprice) * 100.0, 0) AS BIGINT) AS sum_base_price,
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0, 0) AS BIGINT) AS sum_disc_price,
+        | CAST(round(avg(l_discount) * 10000.0, 0) AS BIGINT) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0, 0) AS BIGINT) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0, 0) AS BIGINT) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "topn_per_group" ->
+      """SELECT p_brand, p_partkey, rank, price FROM (
+        | SELECT p_brand, p_partkey,
+        |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rank,
+        |  CAST(round(p_retailprice * 100.0, 0) AS BIGINT) AS price
+        | FROM part
+        |) WHERE rank <= 3""".stripMargin,
+
+    "events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        | count(*) AS n, CAST(round(sum(value) * 100.0, 0) AS BIGINT) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_json" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        | CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000.0, 0) AS BIGINT) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Narrow bridge into `private[sql]` Column <-> Expression conversion.
+  * Spark 4's `Column` no longer exposes `.expr` publicly; this is the
+  * supported-internal path (`org.apache.spark.sql.classic.ExpressionUtils`)
+  * used to mount custom Catalyst expressions as user-facing `Column`s.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
