@@ -1,0 +1,123 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** §2.B7–B10 — text analysis for training-data curation. All shuffle-free
+  * narrow scans (per-document expressions) except the final fingerprint
+  * group-count; every score is deterministic integer-scaled arithmetic so
+  * the DuckDB oracle hash-matches. */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private val sTok = "filter(split(text, '\\\\s+'), x -> x != '')"
+  private val dTok = """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
+  private def sH(v: String) = s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
+  private def dH(v: String) = s"CAST('0x'||substr(md5($v), 1, 15) AS BIGINT)"
+
+  // marker tokens per language for the n-gram/marker language-ID heuristic
+  private val EnMarkers = Seq("the", "a", "data")
+  private val ZhMarkers = Seq("table", "row")
+  private val EsMarkers = Seq("query", "scan")
+  private def inList(v: String, ms: Seq[String]) = ms.map(m => s"$v = '$m'").mkString("(", " OR ", ")")
+
+  private val Stopwords = Seq("the", "a", "of", "and")
+
+  // BPE-ish pieces: letter runs, digit runs, single non-alnum non-space
+  private val sBpe = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
+  private val dBpe = """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B7: language-ID via marker-token scoring, argmax with fixed tie order
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "lang", s"$sTok AS tk")
+        .selectExpr("doc_id", "lang",
+          s"CAST(size(filter(tk, x -> ${inList("x", EnMarkers)})) AS BIGINT) AS en_score",
+          s"CAST(size(filter(tk, x -> ${inList("x", ZhMarkers)})) AS BIGINT) AS zh_score",
+          s"CAST(size(filter(tk, x -> ${inList("x", EsMarkers)})) AS BIGINT) AS es_score")
+        .selectExpr("doc_id", "lang", "en_score", "zh_score", "es_score",
+          """CASE WHEN en_score >= zh_score AND en_score >= es_score THEN 'en'
+            |     WHEN zh_score >= es_score THEN 'zh' ELSE 'es' END AS pred""".stripMargin)),
+
+    // B8: quality scoring — length, punctuation ratio, stopword ratio,
+    // mean word length, combined into a [0,1] score (scaled ×10⁴)
+    "text_quality" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "n_chars", "text", s"$sTok AS tk")
+        .selectExpr("doc_id",
+          "CAST(size(tk) AS BIGINT) AS ntok",
+          s"CAST(size(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct",
+          s"CAST(size(filter(tk, x -> ${inList("x", Stopwords)})) AS BIGINT) AS stop",
+          "aggregate(tk, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) AS totchars",
+          "n_chars")
+        // all-integer scoring (scale ×10⁴): each term ∈ [0, 2500]; integer
+        // division keeps both engines bit-identical (no fp .5 boundaries)
+        .selectExpr("doc_id", "ntok", "punct", "stop",
+          """( (5 * least(n_chars, 500))
+            |+ ((2500 * (ntok - least(punct, ntok))) div ntok)
+            |+ (least(5000 * stop, 2500 * ntok) div ntok)
+            |+ (least(2500 * totchars, 20000 * ntok) div (8 * ntok)) ) AS quality""".stripMargin)),
+
+    // B9: token counting — whitespace tokens + BPE-ish regex pieces
+    "text_tokens" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          s"CAST(size($sTok) AS BIGINT) AS n_ws",
+          s"CAST($sBpe AS BIGINT) AS n_bpe")),
+
+    // B10: document fingerprint — hash of the sorted distinct token set
+    // (rolling/bag fingerprint); grouped to show collision-based dedup
+    "text_fingerprint" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"$sTok AS tk")
+        .selectExpr("doc_id",
+          s"${sH("concat_ws(' ', array_sort(array_distinct(tk)))")} AS fp")
+        .groupBy("fp")
+        .agg(org.apache.spark.sql.functions.expr("min(doc_id) AS first_doc"),
+          org.apache.spark.sql.functions.expr("count(*) AS n")))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
+         |sc AS (SELECT doc_id, lang,
+         |  CAST(len(list_filter(tk, x -> ${inList("x", EnMarkers)})) AS BIGINT) AS en_score,
+         |  CAST(len(list_filter(tk, x -> ${inList("x", ZhMarkers)})) AS BIGINT) AS zh_score,
+         |  CAST(len(list_filter(tk, x -> ${inList("x", EsMarkers)})) AS BIGINT) AS es_score
+         |  FROM t)
+         |SELECT doc_id, lang, en_score, zh_score, es_score,
+         |  CASE WHEN en_score >= zh_score AND en_score >= es_score THEN 'en'
+         |       WHEN zh_score >= es_score THEN 'zh' ELSE 'es' END AS pred
+         |FROM sc""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, text, $dTok AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS ntok,
+         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
+         |  CAST(len(list_filter(tk, x -> ${inList("x", Stopwords)})) AS BIGINT) AS stop,
+         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS totchars,
+         |  n_chars
+         |  FROM t)
+         |SELECT doc_id, ntok, punct, stop,
+         |  ( (5 * least(n_chars, 500))
+         |  + ((2500 * (ntok - least(punct, ntok))) // ntok)
+         |  + (least(5000 * stop, 2500 * ntok) // ntok)
+         |  + (least(2500 * totchars, 20000 * ntok) // (8 * ntok)) ) AS quality
+         |FROM m""".stripMargin,
+
+    "text_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(len($dTok) AS BIGINT) AS n_ws,
+         |  CAST($dBpe AS BIGINT) AS n_bpe
+         |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |f AS (SELECT doc_id,
+         |  ${dH("array_to_string(list_sort(list_distinct(tk)), ' ')")} AS fp FROM t)
+         |SELECT fp, min(doc_id) AS first_doc, count(*) AS n FROM f GROUP BY fp""".stripMargin
+  )
+}
