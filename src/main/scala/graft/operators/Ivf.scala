@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{scaled, vectors}
+
+/** IVF-style clustered index — the Spark-first re-expression of the
+  * reference's ACORN-1 hybrid traversal (/root/reference/acorn.py:149
+  * `acorn_search`).
+  *
+  * The reference walks an HNSW graph, blocking filter-failing nodes and
+  * widening `max_visits` until enough survivors accumulate. A graph walk is
+  * inherently sequential; the scalable Spark equivalent is coarse
+  * quantization: partition the corpus by nearest centroid, probe only the
+  * `nProbe` clusters nearest the query, and push the metadata predicate
+  * INTO the pruned scan (filter evaluated before the distance kernel).
+  *
+  * At 100 TB the corpus is written partitioned by cluster id
+  * (`write.partitionBy("label")`), so probing reads nProbe/C of the data
+  * via partition pruning; centroids (C rows) always broadcast.
+  */
+object Ivf {
+
+  /** Per-cluster mean vectors, computed distributively: explode to
+    * (label, dim, v), partial-agg per partition, final agg per (label,dim)
+    * — one shuffle keyed by (label, dim), never a driver collect.
+    * Result is cast to array<float> (the corpus element type). */
+  def centroids(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
+                clusterCol: String = "label"): DataFrame =
+    emb
+      .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(clusterCol, "dim")
+      .agg(avg(col("v").cast("double")).as("cv"))
+      .groupBy(clusterCol)
+      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent_d"))
+      .select(col(clusterCol), col("cent_d").cast("array<float>").as("cent"))
+
+  /** The `nProbe` cluster ids nearest the query (by cosine, deterministic
+    * tie-break on cluster id). Centroid set is tiny → broadcast. */
+  def probe(cent: DataFrame, query: DataFrame, nProbe: Int,
+            clusterCol: String = "label", qVecCol: String = "q_vec"): DataFrame =
+    cent.crossJoin(broadcast(query))
+      .withColumn("cscore", scaled(vectors.cosine(col("cent"), col(qVecCol)), Knn.ScoreDigits))
+      .orderBy(col("cscore").desc, col(clusterCol).asc)
+      .limit(nProbe)
+      .select(clusterCol)
+
+  /** ACORN-style hybrid search: metadata-aware pruned probe.
+    * `pred` is evaluated inside the pruned scan — rows failing the filter
+    * never reach the distance kernel (the reference's "blocked set"). */
+  def hybridKnn(emb: DataFrame, meta: DataFrame, pred: Column, query: DataFrame,
+                k: Int, nProbe: Int, metric: Knn.Metric = Knn.Cosine,
+                idCol: String = "vec_id", metaIdCol: String = "doc_id",
+                vecCol: String = "embedding", clusterCol: String = "label"): DataFrame = {
+    val probed = probe(centroids(emb), query, nProbe)
+    val pruned = emb
+      .join(broadcast(probed), clusterCol)
+      .join(meta.filter(pred), col(idCol) === col(metaIdCol))
+      .select(col(idCol), col(vecCol))
+    Knn.topK(pruned, query, k, metric, idCol, vecCol)
+  }
+}

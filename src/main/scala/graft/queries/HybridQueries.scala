@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{scaled, vectors}
+import graft.operators.{Ivf, Knn, Lsh, MetaPredicate}
+
+/** §2.A10/A11/A13/A14/A15/A16 + B6 — clustered (IVF) hybrid search, the
+  * ACORN analogue, plus LSH ANN and the evaluation/ingest surface. */
+object HybridQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private def cosSql(a: String, b: String) =
+    s"CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+
+  /** DuckDB mirror of Ivf.centroids over source relation `src` (needs cols
+    * label, embedding). */
+  private def centSql(src: String) =
+    s"""SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+       |    SELECT e.label AS label, d.dim AS dim, avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) AS cv
+       |    FROM $src e CROSS JOIN range(64) d(dim)
+       |    GROUP BY e.label, d.dim)
+       |  GROUP BY label""".stripMargin
+
+  private val NumPlanes = 4
+  private val Dims = 64
+
+  private def planeSqlLit(j: Int): String =
+    Lsh.planeWeights(j, Dims).map(w => s"${w.toInt}.0").mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  private def bucketSql(vec: String): String =
+    (0 until NumPlanes).map { j =>
+      s"(CASE WHEN list_inner_product(CAST($vec AS DOUBLE[]), ${planeSqlLit(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A14: IVF index build — per-cluster centroids, one shuffle on (label,dim)
+    "ivf_build" -> ((s, dir) =>
+      emb(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(avg(col("v").cast("double")).as("cv"), count(lit(1)).as("n"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          scaled(col("cv"), 4).as("cvs"), col("n"))),
+
+    // A10: ACORN-style hybrid search — probe 2 nearest clusters, metadata
+    // predicate pushed into the pruned scan
+    "hybrid_knn" -> ((s, dir) => {
+      val q = emb(s, dir).filter(col("vec_id") === 5).select(col("embedding").as("q_vec"))
+      Ivf.hybridKnn(
+        emb(s, dir), docs(s, dir),
+        MetaPredicate("n_chars" -> ("leq", 400)) && (col("doc_id") =!= 5),
+        q, k = 5, nProbe = 2)
+        .select("vec_id", "score")
+    }),
+
+    // A11: attribute-specific index — the clustered index is built ONLY
+    // over rows possessing the attribute (reference: model_year subset)
+    "attr_specific_knn" -> ((s, dir) => {
+      val sub = emb(s, dir)
+        .join(docs(s, dir).filter(MetaPredicate("lang" -> ("exact", "zh"))),
+          col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding", "label")
+      val q = emb(s, dir).filter(col("vec_id") === 7).select(col("embedding").as("q_vec"))
+      Ivf.hybridKnn(sub, docs(s, dir), col("doc_id") =!= 7, q, k = 5, nProbe = 2)
+        .select("vec_id", "score")
+    }),
+
+    // B6: LSH-bucketed ANN — deterministic hyperplanes, in-bucket search
+    "ann_lsh" -> ((s, dir) => {
+      val corpus = emb(s, dir).filter(col("vec_id") =!= 3).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      Lsh.annSearch(corpus, q, 5, NumPlanes, Dims).select("vec_id", "score")
+    }),
+
+    // A13: recall@10 of the probe-2 IVF search vs exact kNN, queries 0..4
+    "recall_eval" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Knn.batchKnn(e.select("vec_id", "embedding"), qs, 10, Knn.Cosine)
+      val cent = Ivf.centroids(e)
+      val pw = Window.partitionBy("q_id").orderBy(col("cscore").desc, col("label").asc)
+      val probes = cent.crossJoin(broadcast(qs))
+        .withColumn("cscore", scaled(vectors.cosine(col("cent"), col("q_vec")), Knn.ScoreDigits))
+        .withColumn("pr", row_number().over(pw))
+        .filter(col("pr") <= 2)
+        .select("q_id", "label")
+      val pruned = e.join(probes, "label")
+        .join(broadcast(qs.withColumnRenamed("q_id", "qq_id")), col("q_id") === col("qq_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+      val aw = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
+      val approx = pruned
+        .withColumn("score", scaled(vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .withColumn("rnk", row_number().over(aw))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "vec_id")
+      val hits = approx.join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("h"))
+      qs.select("q_id").join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
+    }),
+
+    // A16: per-predicate selectivity classing (README query classes 1/2/3)
+    "selectivity_classes" -> ((s, dir) =>
+      docs(s, dir)
+        .agg(
+          sum(when(col("lang").isNotNull && col("lang") === "en", 1L).otherwise(0L)).as("m1"),
+          sum(when(col("source").isNotNull && col("source").contains("src1"), 1L).otherwise(0L)).as("m2"),
+          sum(when(col("n_chars").isNotNull && col("n_chars") < 200, 1L).otherwise(0L)).as("m3"),
+          sum(when(col("n_chars").isNotNull && col("n_chars") < 120, 1L).otherwise(0L)).as("m4"),
+          count(lit(1)).as("total"))
+        .selectExpr(
+          "stack(4, 'lang_en', m1, 'src1_substr', m2, 'nchars_lt200', m3, 'nchars_lt120', m4) AS (pred, n_match)",
+          "total")
+        .selectExpr("pred", "n_match", "(n_match * 1000000) div total AS sel",
+          """CASE WHEN (n_match * 1000000) div total >= 300000 THEN 'class3_broad'
+            |     WHEN (n_match * 1000000) div total >= 50000 THEN 'class2_mid'
+            |     ELSE 'class1_selective' END AS cls""".stripMargin)),
+
+    // A15: JSONL metadata ingest — typed from_json (parse-json.py analogue)
+    "metadata_parse" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType))))
+            .getField("k").as("k"))
+        .filter(col("k").isNotNull))
+  )
+
+  val oracle: Map[String, String] = Map(
+    "ivf_build" ->
+      """SELECT e.label, d.dim AS dim,
+        | CAST(round(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) * 10000, 0) AS BIGINT) AS cvs,
+        | count(*) AS n
+        |FROM embeddings e CROSS JOIN range(64) d(dim)
+        |GROUP BY e.label, d.dim""".stripMargin,
+
+    "hybrid_knn" ->
+      s"""WITH cent AS (${centSql("embeddings")}),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e
+         |JOIN probes p ON e.label = p.label
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN q
+         |WHERE d.n_chars IS NOT NULL AND d.n_chars <= 400 AND d.doc_id <> 5
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    "attr_specific_knn" ->
+      s"""WITH sub AS (
+         |  SELECT e.vec_id, e.embedding, e.label FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang IS NOT NULL AND d.lang = 'zh'),
+         |cent AS (${centSql("sub")}),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2)
+         |SELECT s.vec_id, ${cosSql("s.embedding", "q.embedding")} AS score
+         |FROM sub s JOIN probes p ON s.label = p.label CROSS JOIN q
+         |WHERE s.vec_id <> 7
+         |ORDER BY score DESC, s.vec_id ASC LIMIT 5""".stripMargin,
+
+    "ann_lsh" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding, bucket FROM b WHERE vec_id = 3)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM b e CROSS JOIN q
+         |WHERE e.vec_id <> 3 AND e.bucket = q.bucket
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    "recall_eval" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id <= 4),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) WHERE rnk <= 10),
+         |cent AS (${centSql("embeddings")}),
+         |probes AS (SELECT q_id, label FROM (
+         |  SELECT q.q_id, c.label,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("c.cent", "q.q_vec")} DESC, c.label ASC) AS pr
+         |  FROM cent c CROSS JOIN qs q) WHERE pr <= 2),
+         |approx AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e
+         |  JOIN probes p ON e.label = p.label
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  WHERE e.vec_id <> q.q_id) WHERE rnk <= 10)
+         |SELECT q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+         |FROM qs q LEFT JOIN (
+         |  SELECT a.q_id, count(*) AS n_hit
+         |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+         |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
+
+    "selectivity_classes" ->
+      """WITH m AS (SELECT
+        |  CAST(sum(CASE WHEN lang IS NOT NULL AND lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |  CAST(sum(CASE WHEN source IS NOT NULL AND position('src1' IN source) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS m3,
+        |  CAST(sum(CASE WHEN n_chars IS NOT NULL AND n_chars < 120 THEN 1 ELSE 0 END) AS BIGINT) AS m4,
+        |  count(*) AS total FROM documents),
+        |u AS (
+        |  SELECT 'lang_en' AS pred, m1 AS n_match, total FROM m
+        |  UNION ALL SELECT 'src1_substr', m2, total FROM m
+        |  UNION ALL SELECT 'nchars_lt200', m3, total FROM m
+        |  UNION ALL SELECT 'nchars_lt120', m4, total FROM m)
+        |SELECT pred, n_match, (n_match * 1000000) // total AS sel,
+        |  CASE WHEN (n_match * 1000000) // total >= 300000 THEN 'class3_broad'
+        |       WHEN (n_match * 1000000) // total >= 50000 THEN 'class2_mid'
+        |       ELSE 'class1_selective' END AS cls
+        |FROM u""".stripMargin,
+
+    "metadata_parse" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND json_extract_string(props, '$.k') IS NOT NULL""".stripMargin
+  )
+}
