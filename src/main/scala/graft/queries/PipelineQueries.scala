@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.sources.Multimodal
+
+/** §2.B11 + C6 — multimodal ingest plumbing and gap-based sessionization. */
+object PipelineQueries {
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B11: binary media column → sha256 identity + stub decode via typed
+    // mapPartitions (schema/partitioning/batching real; decode stubbed)
+    "multimodal_ingest" -> ((s, dir) => {
+      val media = Multimodal.asMedia(s, Tables(s, dir, "documents"))
+      Multimodal.decode(s, media).toDF()
+        .select("media_id", "content_sha", "n_bytes", "width", "height", "mime")
+    }),
+
+    // C6: sessionize events per user on 30-minute inactivity gaps —
+    // lag + cumulative sum over a (user_id, ts) window; one shuffle keyed
+    // by user_id (the natural partitioning for clickstream state)
+    "events_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      Tables(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess_idx")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    // width/height mirror Multimodal.stubDecode; sha over the utf8 bytes
+    "multimodal_ingest" ->
+      """SELECT doc_id AS media_id, sha256(text) AS content_sha,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | CAST(octet_length(CAST(text AS BLOB)) % 1024 AS BIGINT) AS width,
+        | CAST((octet_length(CAST(text AS BLOB)) * 7) % 768 AS BIGINT) AS height,
+        | 'application/x-' || lang AS mime
+        |FROM documents""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+        |  FROM g)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |FROM sess GROUP BY user_id, sess_idx""".stripMargin
+  )
+}

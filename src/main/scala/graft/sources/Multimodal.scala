@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal (image/audio/video) column plumbing — SURVEY §2 B11.
+  *
+  * The reference embeds images through ResNet-50
+  * (/root/reference/vector_embeddings.py:65); this container has no
+  * image/tensor libraries, so the DECODE step is a clearly-marked
+  * deterministic stub. Everything Spark-side is real and scale-shaped:
+  *
+  *  - media lives as an opaque `binary` column + typed metadata columns;
+  *  - content identity is `sha2(bytes, 256)` (codegen'd, scan-local);
+  *  - decode/feature-extract runs via typed `mapPartitions` — the Scala
+  *    analogue of `mapInPandas`: per-partition batching, no driver
+  *    round-trip, output schema declared by the case class Encoder. On a
+  *    real cluster each partition would feed a native decoder in-process.
+  */
+object Multimodal {
+
+  /** Opaque blob + the metadata a media lake tracks per object. */
+  final case class MediaRecord(media_id: Long, bytes: Array[Byte], mime: String, source: String)
+
+  /** Decoded/stub features. */
+  final case class DecodedMedia(media_id: Long, content_sha: String, n_bytes: Long,
+                                width: Long, height: Long, mime: String)
+
+  final case class MediaWithSha(media_id: Long, bytes: Array[Byte], mime: String,
+                                source: String, content_sha: String)
+
+  /** STUB decode: a real pipeline would decode image bytes here
+    * (e.g. JPEG → WxH + pixel tensor). Deterministic fake derived from the
+    * byte length so results are reproducible and oracle-checkable. */
+  def stubDecode(nBytes: Long): (Long, Long) = (nBytes % 1024, (nBytes * 7) % 768)
+
+  /** Wrap a text corpus as a media table (the testdata has no binary
+    * column; text bytes stand in for the blob). */
+  def asMedia(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs.select(
+      col("doc_id").as("media_id"),
+      col("text").cast("binary").as("bytes"),
+      concat(lit("application/x-"), col("lang")).as("mime"),
+      col("source"))
+      .as[MediaRecord]
+  }
+
+  /** The decode stage: sha2 fingerprint stays a codegen'd Column (cheap,
+    * scan-local); the stub decode exercises the mapPartitions path. */
+  def decode(spark: SparkSession, media: Dataset[MediaRecord]): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media
+      .withColumn("content_sha", sha2(col("bytes"), 256))
+      .as[MediaWithSha]
+      .mapPartitions { it =>
+        it.map { m =>
+          val n = m.bytes.length.toLong
+          val (w, h) = stubDecode(n)
+          DecodedMedia(m.media_id, m.content_sha, n, w, h, m.mime)
+        }
+      }
+  }
+}

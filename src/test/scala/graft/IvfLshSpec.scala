@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Knn, Lsh}
+
+class IvfLshSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight clusters around (1,0) and (0,1)
+  private lazy val emb = Seq(
+    (1L, Array(1.0f, 0.1f), 0), (2L, Array(1.0f, -0.1f), 0), (3L, Array(0.9f, 0.0f), 0),
+    (4L, Array(0.1f, 1.0f), 1), (5L, Array(-0.1f, 1.0f), 1), (6L, Array(0.0f, 0.9f), 1)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("centroids average per cluster, ordered by dim") {
+    val c = Ivf.centroids(emb).orderBy("label")
+      .select("cent").as[Array[Float]].collect()
+    assert(math.abs(c(0)(0) - (1.0f + 1.0f + 0.9f) / 3) < 1e-6)
+    assert(math.abs(c(1)(1) - (1.0f + 1.0f + 0.9f) / 3) < 1e-6)
+  }
+
+  test("probe picks the cluster nearest the query") {
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val p = Ivf.probe(Ivf.centroids(emb), q, 1).as[Int].collect()
+    assert(p.toSeq == Seq(0))
+  }
+
+  test("hybridKnn searches only probed clusters with the filter applied") {
+    val meta = Seq((1L, 50), (2L, 500), (3L, 50), (4L, 50), (5L, 50), (6L, 50))
+      .toDF("doc_id", "n_chars")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val r = Ivf.hybridKnn(emb, meta, col("n_chars") < 100, q, k = 5, nProbe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r == Set(1L, 3L)) // cluster 0 only, id 2 filtered out
+  }
+
+  test("lsh bucket is deterministic and md5 matches the column hash") {
+    // Scala-side md5Hash60 must agree with the SQL-side conv(md5) column
+    val s = "plane_0_0"
+    val colVal = Seq(Tuple1(s)).toDF("s")
+      .select(graft.functions.md5Hash60(col("s"))).head().getLong(0)
+    assert(Lsh.md5Hash60(s) == colVal)
+  }
+
+  test("lsh annSearch returns in-bucket neighbors") {
+    val corpus = emb.select("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.05f))).toDF("q_vec")
+    val r = Lsh.annSearch(corpus, q, 3, numPlanes = 2, dims = 2)
+    // query's bucket contains at least its own cluster's vectors
+    assert(r.count() >= 1)
+    val top = r.select("vec_id").as[Long].head()
+    assert(Set(1L, 2L, 3L).contains(top))
+  }
+}

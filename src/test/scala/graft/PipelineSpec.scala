@@ -1,0 +1,49 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.sources.Multimodal
+import graft.streaming.EventsStream
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, event_type: String, value: Double)
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("multimodal decode: sha identity + stub features, via mapPartitions") {
+    val docs = Seq((1L, "hello world", "en", "src0", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Multimodal.decode(spark, Multimodal.asMedia(spark, docs)).collect()
+    assert(out.length == 1)
+    val d = out.head
+    assert(d.n_bytes == 11L)
+    assert(d.width == 11L % 1024 && d.height == (11L * 7) % 768)
+    assert(d.content_sha == "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+    assert(d.mime == "application/x-en")
+  }
+
+  private def ev(id: Long, minute: Int, typ: String, v: Double) =
+    Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, typ, v)
+
+  test("streaming windowed agg matches the batch transform") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq(ev(1, 5, "click", 1.0), ev(2, 15, "click", 2.0),
+      ev(3, 45, "view", 3.0), ev(4, 59, "click", 4.0))
+
+    val stream = MemoryStream[Ev]
+    stream.addData(events)
+    val sq = EventsStream.windowedAgg(stream.toDF(), watermark = Some("2 hours"))
+      .writeStream.format("memory").queryName("agg_out").outputMode("complete").start()
+    try {
+      sq.processAllAvailable()
+      val streamed = spark.table("agg_out")
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      val batch = EventsStream.windowedAgg(events.toDF())
+        .select("window_start", "event_type", "n", "sum_value")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch)
+      assert(batch.exists { case (_, t, n, s) => t == "click" && n == 3 && s == 7.0 })
+    } finally sq.stop()
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+
+class VectorKernelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val a = Array(1.0f, 2.0f, 3.0f)
+  private val b = Array(4.0f, -5.0f, 6.0f)
+
+  private def one(colFn: => org.apache.spark.sql.Column): Double =
+    Seq((a, b)).toDF("a", "b").select(colFn.as("r")).as[Double].head()
+
+  test("dot product matches scalar math") {
+    assert(math.abs(one(vectors.dot(col("a"), col("b"))) - (4.0 - 10.0 + 18.0)) < 1e-12)
+  }
+
+  test("l2 distance matches scalar math") {
+    val expected = math.sqrt(9.0 + 49.0 + 9.0)
+    assert(math.abs(one(vectors.l2(col("a"), col("b"))) - expected) < 1e-12)
+  }
+
+  test("cosine similarity matches scalar math") {
+    val dot = 12.0
+    val na = math.sqrt(1 + 4 + 9); val nb = math.sqrt(16 + 25 + 36)
+    assert(math.abs(one(vectors.cosine(col("a"), col("b"))) - dot / (na * nb)) < 1e-12)
+  }
+
+  test("cosine of identical vectors is 1") {
+    assert(math.abs(one(vectors.cosine(col("a"), col("a"))) - 1.0) < 1e-12)
+  }
+
+  test("null input yields null") {
+    val df = Seq((Some(a), Option.empty[Array[Float]])).toDF("a", "b")
+    val r = df.select(vectors.cosine(col("a"), col("b")).as("r")).collect().head
+    assert(r.isNullAt(0))
+  }
+
+  test("kernel agrees between codegen and interpreted paths") {
+    val df = Seq((a, b)).toDF("a", "b")
+    val gen = df.select(vectors.cosine(col("a"), col("b"))).head().getDouble(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(vectors.cosine(col("a"), col("b"))).head().getDouble(0)
+      assert(gen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+}
