@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{scaled, vectors}
+
+/** Deduplication operators for training-data pipelines (SURVEY §2 B1–B5).
+  *
+  * All variants key their shuffles on content-derived values (hash, LSH
+  * bucket, shared shingle) — no O(n²) cross joins on the scale path. The
+  * shared 60-bit md5 hash (`graft.functions.md5Hash60` SQL form) keeps
+  * results reproducible across engines.
+  */
+object Dedup {
+
+  // Spark SQL dialect fragments (shared with the oracle-generating queries)
+  val TokExpr = "filter(split(text, '\\\\s+'), x -> x != '')"
+  def hashExpr(v: String) = s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
+  val ShinglesExpr =
+    "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3))))"
+
+  val P = 1000000007L
+  def minhashA(j: Int): Long = (2654435761L * (j + 1)) % (P - 1) + 1
+  def minhashB(j: Int): Long = (40503L * (j + 1) % P) * 2654435761L % P
+
+  /** B1: exact dedup by content hash; keeps the smallest id per group. */
+  def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("h"))
+      .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
+
+  /** (doc_id, sh: array<string>) distinct word-3-gram shingles. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"$TokExpr AS tk")
+      .where("size(tk) >= 3")
+      .selectExpr("doc_id", s"$ShinglesExpr AS sh")
+
+  /** B2: pairs with Jaccard(shingles) ≥ tauScaled/10^6. Candidates come
+    * from an equi-join on the shingle (superset of any positive-Jaccard
+    * pair), so the shuffle is keyed by shingle. */
+  def ngramJaccard(docs: DataFrame, tauScaled: Long): DataFrame = {
+    val sh = shingled(docs).cache()
+    val sizes = sh.selectExpr("doc_id", "size(sh) AS n")
+    val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jac", scaled(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= tauScaled)
+      .select("a_id", "b_id", "jac")
+  }
+
+  /** MinHash signatures: explode shingles, hash once, then `numHashes`
+    * permutation minima in ONE codegen'd hash aggregate (map-side partial
+    * min, single shuffle keyed by doc_id). */
+  def minhashSignatures(docs: DataFrame, numHashes: Int): DataFrame = {
+    val minExprs = (0 until numHashes).map { j =>
+      s"min((${minhashA(j)}L * h + ${minhashB(j)}L) % $P) AS m$j"
+    }
+    shingled(docs)
+      .selectExpr("doc_id", "explode(sh) AS g")
+      .selectExpr("doc_id", s"${hashExpr("g")} % $P AS h")
+      .groupBy("doc_id")
+      .agg(expr(minExprs.head), minExprs.tail.map(expr): _*)
+  }
+
+  /** B3: banded-LSH candidate pairs; shuffle keyed by (band, bucket). */
+  def minhashLsh(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandExprs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"$b, concat_ws('_', $cols)"
+    }.mkString(", ")
+    val banded = minhashSignatures(docs, numHashes)
+      .selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
+      .cache()
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** 32-bit SimHash signatures via explode + 32 conditional bit-sums in one
+    * codegen'd aggregate. */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val bitSums = (0 until 32).map { b =>
+      s"sum(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    }
+    val compose = (0 until 32).map { b =>
+      s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)"
+    }.mkString(" + ")
+    docs.selectExpr("doc_id", s"explode($TokExpr) AS tok")
+      .selectExpr("doc_id", s"${hashExpr("tok")} AS h")
+      .groupBy("doc_id")
+      .agg(expr(bitSums.head), bitSums.tail.map(expr): _*)
+      .selectExpr("doc_id", s"$compose AS sg")
+  }
+
+  /** B4: pairs with hamming(simhash) ≤ maxHamming. The small-corpus form
+    * is all-pairs; at scale, band the signature bits and bucket-join like
+    * minhashLsh. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhashSignatures(docs).cache()
+    sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        expr("CAST(bit_count(a.sg ^ b.sg) AS BIGINT)").as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
+
+  /** B5: embedding-cosine near-dup pairs ≥ tauScaled/10^4 (exact all-pairs
+    * baseline; LSH-bucket via graft.operators.Lsh at scale). */
+  def embeddingPairs(emb: DataFrame, tauScaled: Long): DataFrame =
+    emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", scaled(
+        vectors.cosine(col("a.embedding"), col("b.embedding")), Knn.ScoreDigits))
+      .filter(col("cs") >= tauScaled)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cs"))
+}

@@ -3,8 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.scaled
-import graft.operators.Knn
+import graft.operators.Dedup
 
 /** §2.B1–B5 — deduplication for LLM-training-data pipelines.
   *
@@ -21,24 +20,19 @@ object DedupQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  // ---- shared expression fragments -------------------------------------
-  // Spark SQL dialect
-  private val sTok = "filter(split(text, '\\\\s+'), x -> x != '')"
-  private def sH(v: String) = s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
-  private val sShingles =
-    "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3))))"
-  // DuckDB dialect
+  // ---- DuckDB dialect fragments (Spark dialect lives in operators.Dedup)
   private val dTok = """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
   private def dH(v: String) = s"CAST('0x'||substr(md5($v), 1, 15) AS BIGINT)"
   private val dShingles =
     "list_distinct(list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))"
 
-  // ---- minhash constants (embedded identically in both dialects) -------
-  private val P = 1000000007L
+  // minhash constants — single source of truth in operators.Dedup, embedded
+  // identically into both dialects
+  private val P = Dedup.P
   private val NumHashes = 12
   private val Bands = 3 // 4 rows per band
-  private def aj(j: Int): Long = (2654435761L * (j + 1)) % (P - 1) + 1
-  private def bj(j: Int): Long = (40503L * (j + 1) % P) * 2654435761L % P
+  private def aj(j: Int): Long = Dedup.minhashA(j)
+  private def bj(j: Int): Long = Dedup.minhashB(j)
 
   private val JaccardTauScaled = 800000L // 0.8 at scale 6
   private val CosineTauScaled = 4500L    // 0.45 at scale 4
@@ -46,85 +40,25 @@ object DedupQueries {
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: exact dedup — one shuffle on the content hash
-    "dedup_exact" -> ((s, dir) =>
-      docs(s, dir)
-        .groupBy(md5(col("text")).as("h"))
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))),
+    "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    // B2: n-gram Jaccard near-dup. Candidates = pairs sharing ≥1 shingle
-    // (a superset of Jaccard ≥ τ for τ>0), generated by an equi-join on the
-    // shingle — shuffle keyed by shingle, never n².
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = docs(s, dir)
-        .selectExpr("doc_id", s"$sTok AS tk")
-        .where("size(tk) >= 3")
-        .selectExpr("doc_id", s"$sShingles AS sh")
-      val sizes = sh.selectExpr("doc_id", "size(sh) AS n")
-      val exploded = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-      val inter = exploded.as("a")
-        .join(exploded.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-        .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-        .withColumn("jac", scaled(col("inter") / (col("na") + col("nb") - col("inter")), 6))
-        .filter(col("jac") >= JaccardTauScaled)
-        .select("a_id", "b_id", "jac")
-    }),
+    // B2: n-gram Jaccard near-dup — candidates via shingle equi-join
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(docs(s, dir), JaccardTauScaled)),
 
     // B3: MinHash + banded LSH — shuffle keyed by (band, bucket) only
-    "dedup_minhash_lsh" -> ((s, dir) => {
-      val sigExprs = (0 until NumHashes).map { j =>
-        s"array_min(transform(sh, g -> (${aj(j)}L * (${sH("g")} % $P) + ${bj(j)}L) % $P)) AS m$j"
-      }
-      val bandExprs = (0 until Bands).map { b =>
-        val cols = (0 until 4).map(r => s"m${b * 4 + r}").mkString(", ")
-        s"$b, concat_ws('_', $cols)"
-      }.mkString(", ")
-      val sig = docs(s, dir)
-        .selectExpr("doc_id", s"$sTok AS tk")
-        .where("size(tk) >= 3")
-        .selectExpr(Seq("doc_id", s"$sShingles AS sh"): _*)
-        .selectExpr("doc_id" +: sigExprs: _*)
-      val bands = sig.selectExpr("doc_id", s"stack($Bands, $bandExprs) AS (band, bkey)")
-      bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .distinct()
-    }),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLsh(docs(s, dir), NumHashes, Bands)),
 
-    // B4: SimHash — 32-bit signature from token hashes (with multiplicity),
-    // near-dup = hamming ≤ 1. Signature is one narrow shuffle-free scan;
-    // pair generation at scale buckets by signature bands (same LSH trick).
-    "dedup_simhash" -> ((s, dir) => {
-      val sigExpr =
-        s"""aggregate(transform(sequence(0, 31), b ->
-           |  CASE WHEN aggregate(tk, CAST(0 AS BIGINT), (acc, tok) ->
-           |    acc + (CASE WHEN (shiftright(${sH("tok")}, b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
-           |  THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END),
-           |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin
-      val sig = docs(s, dir)
-        .selectExpr("doc_id", s"$sTok AS tk")
-        .selectExpr("doc_id", s"$sigExpr AS sg")
-      sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-          expr("CAST(bit_count(a.sg ^ b.sg) AS BIGINT)").as("ham"))
-        .filter(col("ham") <= SimhashMaxHamming)
-    }),
+    // B4: SimHash near-dup, hamming ≤ 1
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), SimhashMaxHamming)),
 
-    // B5: embedding-cosine near-dup — exact all-pairs baseline (τ=0.45);
-    // the 100 TB path replaces the cross join with ann_lsh buckets.
-    "dedup_embedding" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-      e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cs", scaled(
-          graft.functions.vectors.cosine(col("a.embedding"), col("b.embedding")), Knn.ScoreDigits))
-        .filter(col("cs") >= CosineTauScaled)
-        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cs"))
-    })
+    // B5: embedding-cosine near-dup pairs (exact all-pairs baseline;
+    // the 100 TB path replaces the cross join with ann_lsh buckets)
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(
+        Tables(s, dir, "embeddings").select("vec_id", "embedding"), CosineTauScaled))
   )
 
   val oracle: Map[String, String] = {
