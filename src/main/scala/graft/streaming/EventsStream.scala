@@ -1,7 +1,15 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Open-session state carried between micro-batches. */
+case class SessionAgg(startMs: Long, lastMs: Long, n: Long)
+
+/** A closed (gap-expired) session. */
+case class ClosedSession(user_id: Long, n_events: Long, sess_start: Timestamp, sess_end: Timestamp)
 
 /** Structured Streaming pipeline over the events schema — SURVEY §2 C7.
   *
@@ -30,4 +38,51 @@ object EventsStream {
   /** End-to-end: stream → watermark → windowed agg, ready for writeStream. */
   def pipeline(spark: SparkSession, path: String): DataFrame =
     windowedAgg(readEvents(spark, path), watermark = Some("2 hours"))
+
+  /** Stateful streaming sessionization: per-user custom state via
+    * `flatMapGroupsWithState` with event-time timeout. A session closes
+    * when the watermark passes last-event + gap; state is bounded by open
+    * sessions only (the streaming mirror of the batch `events_sessionize`
+    * query). Shuffle keyed by user_id — clickstream's natural key. */
+  def sessionizeStream(spark: SparkSession, events: DataFrame,
+                       gapSeconds: Long, watermarkDelay: String = "1 minute"): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapSeconds * 1000L
+
+    def close(user: Long, s: SessionAgg): ClosedSession =
+      ClosedSession(user, s.n, new Timestamp(s.startMs), new Timestamp(s.lastMs))
+
+    events.select(col("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, Timestamp)], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val done = close(user, state.get)
+            state.remove()
+            Iterator.single(done)
+          } else {
+            var closed = List.empty[ClosedSession]
+            var cur = state.getOption
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= close(user, s)
+                  cur = Some(SessionAgg(t, t, 1))
+                case None =>
+                  cur = Some(SessionAgg(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
 }

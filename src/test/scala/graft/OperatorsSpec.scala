@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators.{KMeans, Salting}
+import graft.streaming.EventsStream
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kmeans recovers well-separated clusters") {
+    val emb = Seq(
+      (1L, Array(10f, 0f)), (2L, Array(11f, 0f)), (3L, Array(10.5f, 0.5f)),
+      (4L, Array(0f, 10f)), (5L, Array(0f, 11f)), (6L, Array(0.5f, 10.5f))
+    ).toDF("vec_id", "embedding")
+    val cent = KMeans.fit(spark, emb, k = 2, iters = 5)
+    val assigned = KMeans.assign(emb, cent)
+      .as[(Long, Int)].collect().toMap
+    assert(assigned(1L) == assigned(2L) && assigned(2L) == assigned(3L))
+    assert(assigned(4L) == assigned(5L) && assigned(5L) == assigned(6L))
+    assert(assigned(1L) != assigned(4L))
+  }
+
+  test("kmeans assignment tie-breaks to lower cluster id deterministically") {
+    val emb = Seq((1L, Array(0f, 0f))).toDF("vec_id", "embedding")
+    val cent = Seq((0, Array(1f, 0f)), (1, Array(-1f, 0f))).toDF("cluster", "cent")
+    assert(KMeans.assign(emb, cent).as[(Long, Int)].head()._2 == 0)
+  }
+
+  test("salted aggregation matches direct groupBy") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
+      .toDF("key", "v")
+    val salted = Salting.saltedCounts(df, col("key"), salts = 8, Some(col("v")))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val direct = df.groupBy("key").agg(count(lit(1)), sum("v"))
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(salted == direct)
+  }
+
+  test("streaming sessionization closes sessions past the gap via event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, user: Long, hhmm: String) =
+      Ev(id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), user, "click", 1.0)
+
+    val stream = MemoryStream[Ev]
+    val out = EventsStream.sessionizeStream(spark, stream.toDF(), gapSeconds = 1800)
+    val sq = out.writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      // user 1: two events 5 min apart => one session
+      stream.addData(ev(1, 1L, "10:00"), ev(2, 1L, "10:05"))
+      sq.processAllAvailable()
+      // a much later event pushes the watermark past 10:05 + 30min
+      stream.addData(ev(3, 2L, "12:00"))
+      sq.processAllAvailable()
+      // one more batch so the timeout fires after watermark advancement
+      stream.addData(ev(4, 2L, "12:01"))
+      sq.processAllAvailable()
+
+      val sessions = spark.table("sess_out").as[(Long, Long, Timestamp, Timestamp)].collect()
+      val u1 = sessions.filter(_._1 == 1L)
+      assert(u1.length == 1)
+      assert(u1.head._2 == 2L)
+      assert(u1.head._3 == Timestamp.valueOf("2024-01-01 10:00:00"))
+      assert(u1.head._4 == Timestamp.valueOf("2024-01-01 10:05:00"))
+    } finally sq.stop()
+  }
+}
