@@ -18,6 +18,18 @@ object PipelineQueries {
         .select("media_id", "content_sha", "n_bytes", "width", "height", "mime")
     }),
 
+    // B11b: stub feature extraction — content-deterministic pseudo-vectors
+    // through the real mapPartitions/Encoder path; output as integer
+    // weights per (media, dim) so the oracle compare is exact
+    "multimodal_embed" -> ((s, dir) => {
+      val media = Multimodal.asMedia(s, Tables(s, dir, "documents"))
+      val emb = Multimodal.embedStub(s, Multimodal.decode(s, media))
+      emb.toDF()
+        .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("media_id"), col("dim").cast("long").as("dim"),
+          round(col("v") * 1000).cast("long").as("w"))
+    }),
+
     // C6: sessionize events per user on 30-minute inactivity gaps —
     // lag + cumulative sum over a (user_id, ts) window; one shuffle keyed
     // by user_id (the natural partitioning for clickstream state)
@@ -47,6 +59,11 @@ object PipelineQueries {
         | CAST((octet_length(CAST(text AS BLOB)) * 7) % 768 AS BIGINT) AS height,
         | 'application/x-' || lang AS mime
         |FROM documents""".stripMargin,
+
+    "multimodal_embed" ->
+      """SELECT doc_id AS media_id, d.dim AS dim,
+        | (CAST('0x'||substr(md5(sha256(text) || '_' || d.dim), 1, 15) AS BIGINT) % 2001) - 1000 AS w
+        |FROM documents CROSS JOIN range(8) d(dim)""".stripMargin,
 
     "events_sessionize" ->
       """WITH g AS (

@@ -29,6 +29,9 @@ object Multimodal {
   final case class MediaWithSha(media_id: Long, bytes: Array[Byte], mime: String,
                                 source: String, content_sha: String)
 
+  /** Stub "feature extraction" output (ResNet-50 stand-in). */
+  final case class MediaEmbedding(media_id: Long, embedding: Array[Float])
+
   /** STUB decode: a real pipeline would decode image bytes here
     * (e.g. JPEG → WxH + pixel tensor). Deterministic fake derived from the
     * byte length so results are reproducible and oracle-checkable. */
@@ -60,5 +63,23 @@ object Multimodal {
           DecodedMedia(m.media_id, m.content_sha, n, w, h, m.mime)
         }
       }
+  }
+
+  /** STUB embedder (the reference's ResNet-50 forward pass,
+    * /root/reference/vector_embeddings.py:65): a real pipeline would batch
+    * decoded tensors through a model per partition. The fake is
+    * content-deterministic — dim d of the vector derives from
+    * md5(content_sha ++ "_" ++ d) — so downstream ANN/dedup operators run
+    * on reproducible, oracle-checkable vectors. */
+  def embedStub(spark: SparkSession, decoded: Dataset[DecodedMedia], dims: Int = 8): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val vec = Array.tabulate(dims) { i =>
+          ((graft.operators.Lsh.md5Hash60(s"${d.content_sha}_$i") % 2001L) - 1000L) / 1000.0f
+        }
+        MediaEmbedding(d.media_id, vec)
+      }
+    }
   }
 }
