@@ -45,6 +45,18 @@ object Ivf {
       .limit(nProbe)
       .select(clusterCol)
 
+  /** Materialize the corpus partitioned by cluster id — the 100 TB index
+    * layout. Probing then PRUNES PARTITIONS at the file source (visible as
+    * `PartitionFilters` in the scan), reading only nProbe/C of the data. */
+  def writeClustered(emb: DataFrame, path: String, clusterCol: String = "label"): Unit =
+    emb.write.mode("overwrite").partitionBy(clusterCol).parquet(path)
+
+  /** Probe a clustered layout: the `isin(probedClusters)` filter on the
+    * partition column prunes directories before any IO. */
+  def readProbed(spark: org.apache.spark.sql.SparkSession, path: String,
+                 probedClusters: Seq[Int], clusterCol: String = "label"): DataFrame =
+    spark.read.parquet(path).filter(col(clusterCol).isin(probedClusters: _*))
+
   /** ACORN-style hybrid search: metadata-aware pruned probe.
     * `pred` is evaluated inside the pruned scan — rows failing the filter
     * never reach the distance kernel (the reference's "blocked set"). */
