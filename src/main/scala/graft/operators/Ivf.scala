@@ -45,6 +45,37 @@ object Ivf {
       .limit(nProbe)
       .select(clusterCol)
 
+  /** The reference's ACORN loop widens traversal until enough
+    * filter-passing survivors accumulate (/root/reference/acorn.py:162,
+    * `while visits <= meta_search`). Batch analogue: double the probed
+    * cluster count until ≥ k results pass the metadata filter or every
+    * cluster is probed. The driver-side loop is bounded by log2(C)
+    * iterations; centroids stay cached across widenings. */
+  def adaptiveHybridKnn(emb: DataFrame, meta: DataFrame, pred: Column, query: DataFrame,
+                        k: Int, metric: Knn.Metric = Knn.Cosine,
+                        idCol: String = "vec_id", metaIdCol: String = "doc_id",
+                        vecCol: String = "embedding", clusterCol: String = "label"): DataFrame = {
+    val cent = centroids(emb, idCol, vecCol, clusterCol).cache()
+    val totalClusters = cent.count().toInt
+
+    def searchAt(nProbe: Int): DataFrame = {
+      val probed = probe(cent, query, nProbe, clusterCol)
+      val pruned = emb
+        .join(broadcast(probed), clusterCol)
+        .join(meta.filter(pred), col(idCol) === col(metaIdCol))
+        .select(col(idCol), col(vecCol))
+      Knn.topK(pruned, query, k, metric, idCol, vecCol)
+    }
+
+    var nProbe = 1
+    var res = searchAt(nProbe)
+    while (nProbe < totalClusters && res.count() < k) {
+      nProbe = math.min(nProbe * 2, totalClusters)
+      res = searchAt(nProbe)
+    }
+    res
+  }
+
   /** Materialize the corpus partitioned by cluster id — the 100 TB index
     * layout. Probing then PRUNES PARTITIONS at the file source (visible as
     * `PartitionFilters` in the scan), reading only nProbe/C of the data. */

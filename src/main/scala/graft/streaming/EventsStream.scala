@@ -29,11 +29,18 @@ object EventsStream {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
   }
 
-  /** File-source stream over a directory of parquet events. */
-  def readEvents(spark: SparkSession, path: String): DataFrame =
-    spark.readStream
-      .schema(spark.read.parquet(path).schema)
-      .parquet(path)
+  /** File-source stream over a directory of parquet events. Applies the
+    * same TIMESTAMP(NANOS) → micros conversion as the batch loader
+    * (graft.Tables) so `ts` is a timestamp on both paths. */
+  def readEvents(spark: SparkSession, path: String): DataFrame = {
+    val batchSchema = spark.read.parquet(path).schema
+    val raw = spark.readStream.schema(batchSchema).parquet(path)
+    batchSchema.fields.foldLeft(raw) {
+      case (d, f) if graft.Tables.NanoTimestampCols(f.name) && f.dataType == org.apache.spark.sql.types.LongType =>
+        d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+      case (d, _) => d
+    }
+  }
 
   /** End-to-end: stream → watermark → windowed agg, ready for writeStream. */
   def pipeline(spark: SparkSession, path: String): DataFrame =

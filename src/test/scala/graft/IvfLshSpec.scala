@@ -34,6 +34,16 @@ class IvfLshSpec extends SparkSpec {
     assert(r == Set(1L, 3L)) // cluster 0 only, id 2 filtered out
   }
 
+  test("adaptiveHybridKnn widens probes until k filter-passing results") {
+    // filter excludes ALL of cluster 0 (nearest) => must widen to cluster 1
+    val meta = Seq((1L, 500), (2L, 500), (3L, 500), (4L, 50), (5L, 50), (6L, 50))
+      .toDF("doc_id", "n_chars")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val r = Ivf.adaptiveHybridKnn(emb, meta, col("n_chars") < 100, q, k = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r.subsetOf(Set(4L, 5L, 6L)) && r.size == 2)
+  }
+
   test("lsh bucket is deterministic and md5 matches the column hash") {
     // Scala-side md5Hash60 must agree with the SQL-side conv(md5) column
     val s = "plane_0_0"

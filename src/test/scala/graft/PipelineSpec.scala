@@ -25,6 +25,25 @@ class PipelineSpec extends SparkSpec {
   private def ev(id: Long, minute: Int, typ: String, v: Double) =
     Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, typ, v)
 
+  test("file-source streaming pipeline runs on real testdata (nanos ts handled)") {
+    // file streams need a directory; stage the single-file table into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(dir, "events.parquet"))
+    val out = EventsStream.pipeline(spark, dir)
+    val sq = out.writeStream.format("memory").queryName("pipe_out").outputMode("complete").start()
+    try {
+      sq.processAllAvailable()
+      val n = spark.table("pipe_out").count()
+      assert(n > 0)
+      // must agree with the batch path over the same files
+      val batch = EventsStream.windowedAgg(
+        Tables(spark, "/root/testdata/sf0.001", "events")).count()
+      assert(n == batch)
+    } finally sq.stop()
+  }
+
   test("streaming windowed agg matches the batch transform") {
     implicit val sqlCtx = spark.sqlContext
     val events = Seq(ev(1, 5, "click", 1.0), ev(2, 15, "click", 2.0),
