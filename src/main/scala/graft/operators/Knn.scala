@@ -8,7 +8,9 @@ import graft.functions.{scaled, vectors}
 /** Distributed k-nearest-neighbor search over an embedding column.
   *
   * Spark-first re-expression of the reference's three strategies
-  * (/root/reference/pre-filter.py, /root/reference/acorn.py):
+  * (pre-filter: /root/reference/pre-filter.py:183 `prefilter_search`;
+  * post-filter: /root/reference/acorn.py:52 `post_filter_search`;
+  * exact scan: /root/reference/pre-filter.py:63 `ann_naive`):
   *
   *  - exact / pre-filter: one scan, score with a codegen'd kernel, then
   *    `orderBy(score).limit(k)` → Catalyst plans `TakeOrderedAndProject`

@@ -8,7 +8,10 @@ import graft.operators.{Knn, MetaPredicate}
 
 /** §2.A — the reference's hybrid-vector-search surface.
   * Data mapping (SURVEY.md §3): embeddings.vec_id joins documents.doc_id;
-  * documents(lang, source, n_chars) stand in for the ABO metadata attrs. */
+  * documents(lang, source, n_chars) stand in for the ABO metadata attrs.
+  * Reference anchors: metadata survey /root/reference/survey_metadata.py:27;
+  * predicate semantics /root/reference/pre-filter.py:102 `metadata_matches`;
+  * query classes /root/reference/acorn.py:296. */
 object SearchQueries {
 
   private def emb(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "embeddings")

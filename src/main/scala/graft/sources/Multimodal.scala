@@ -65,6 +65,50 @@ object Multimodal {
       }
   }
 
+  /** A resized rendition's tracked metadata. */
+  final case class ResizedMedia(media_id: Long, content_sha: String,
+                                width: Long, height: Long, scale_num: Long, scale_den: Long)
+
+  /** Sampled "frame" descriptor (video stand-in: fixed-stride byte windows). */
+  final case class MediaFrame(media_id: Long, frame_idx: Long, offset: Long, frame_sha: String)
+
+  /** STUB resize (reference preprocessing resizes to 224×224,
+    * /root/reference/vector_embeddings.py:28): a real pipeline rescales
+    * pixels per partition; here only the tracked geometry changes —
+    * deterministic target-box fit with integer arithmetic. */
+  def resizeStub(spark: SparkSession, decoded: Dataset[DecodedMedia],
+                 maxSide: Long = 224L): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    decoded.mapPartitions { it =>
+      it.map { d =>
+        val side = math.max(math.max(d.width, d.height), 1L)
+        val (num, den) = if (side <= maxSide) (1L, 1L) else (maxSide, side)
+        ResizedMedia(d.media_id, d.content_sha,
+          d.width * num / den, d.height * num / den, num, den)
+      }
+    }
+  }
+
+  /** STUB frame sampling (video → every-nth-frame): fixed-stride windows
+    * over the blob, each fingerprinted; real decoders emit pixel frames.
+    * The per-partition iterator shape (one input → many frames) is the
+    * real flatMap plumbing a video pipeline needs. */
+  def frameSampleStub(spark: SparkSession, media: Dataset[MediaRecord],
+                      frameBytes: Int = 64, stride: Int = 128): Dataset[MediaFrame] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        (0 until math.max(m.bytes.length - frameBytes + 1, 0) by stride).zipWithIndex.map {
+          case (off, idx) =>
+            val digest = java.security.MessageDigest.getInstance("SHA-256")
+            digest.update(m.bytes, off, frameBytes)
+            MediaFrame(m.media_id, idx.toLong, off.toLong,
+              digest.digest().map(b => f"${b & 0xff}%02x").mkString)
+        }
+      }
+    }
+  }
+
   /** STUB embedder (the reference's ResNet-50 forward pass,
     * /root/reference/vector_embeddings.py:65): a real pipeline would batch
     * decoded tensors through a model per partition. The fake is

@@ -25,6 +25,25 @@ class PipelineSpec extends SparkSpec {
   private def ev(id: Long, minute: Int, typ: String, v: Double) =
     Ev(id, Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00"), 1L, typ, v)
 
+  test("multimodal resize + frame-sample stubs preserve identity and geometry") {
+    val docs = Seq((1L, "x" * 300, "en", "src0", 300L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.asMedia(spark, docs)
+    val decoded = Multimodal.decode(spark, media)
+
+    // decode stub: width = 300 % 1024 = 300, height = 2100 % 768 = 564
+    // resize fits the 564-px side into 224: scale 224/564
+    val resized = Multimodal.resizeStub(spark, decoded).collect().head
+    assert(resized.width == 300L * 224 / 564 && resized.height == 224L)
+    assert(resized.scale_num == 224L && resized.scale_den == 564L)
+
+    val frames = Multimodal.frameSampleStub(spark, media).collect()
+    // 300 bytes, 64-byte frames, stride 128 -> offsets 0,128 => 2 frames
+    assert(frames.map(_.offset).sorted.toSeq == Seq(0L, 128L))
+    // identical windows of identical content hash identically
+    assert(frames.map(_.frame_sha).distinct.length == 1)
+  }
+
   test("file-source streaming pipeline runs on real testdata (nanos ts handled)") {
     // file streams need a directory; stage the single-file table into one
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
