@@ -39,14 +39,20 @@ object Dedup {
     * `shingled` + explode, but built with posexplode + lead windows instead
     * of per-element interpreted lambdas — 2-3× faster on wide corpora at
     * the cost of one extra shuffle (by doc_id for the window). */
-  def shingledExploded(docs: DataFrame): DataFrame = {
+  def shingledExploded(docs: DataFrame): DataFrame =
+    shingledExplodedRaw(docs).distinct()
+
+  /** Same, WITHOUT the per-doc distinct — for consumers idempotent to
+    * duplicate shingles (minhash: min over a multiset == min over its
+    * set). Skipping distinct saves a full shuffle of the shingle strings,
+    * and the downstream groupBy(doc_id) reuses the window's partitioning. */
+  def shingledExplodedRaw(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     docs.selectExpr("doc_id", s"posexplode($TokExpr) AS (pos, tok)")
       .withColumn("t1", lead("tok", 1).over(w))
       .withColumn("t2", lead("tok", 2).over(w))
       .where(col("t2").isNotNull)
       .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
-      .distinct()
   }
 
   /** B2: pairs with Jaccard(shingles) ≥ tauScaled/10^6. Candidates come
@@ -74,7 +80,7 @@ object Dedup {
     val minExprs = (0 until numHashes).map { j =>
       s"min((${minhashA(j)}L * h + ${minhashB(j)}L) % $P) AS m$j"
     }
-    shingledExploded(docs)
+    shingledExplodedRaw(docs)
       .selectExpr("doc_id", s"${hashExpr("g")} % $P AS h")
       .groupBy("doc_id")
       .agg(expr(minExprs.head), minExprs.tail.map(expr): _*)
