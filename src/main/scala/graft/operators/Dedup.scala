@@ -86,23 +86,47 @@ object Dedup {
       .agg(expr(minExprs.head), minExprs.tail.map(expr): _*)
   }
 
-  /** B3: banded-LSH candidate pairs; shuffle keyed by (band, bucket). */
-  def minhashLsh(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val rows = numHashes / bands
-    val bandExprs = (0 until bands).map { b =>
-      val cols = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
-      s"$b, concat_ws('_', $cols)"
-    }.mkString(", ")
-    val banded = minhashSignatures(docs, numHashes)
-      .selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
-      .cache()
-    banded.as("a")
-      .join(banded.as("b"),
+  /** B3: banded-LSH candidate pairs; shuffle keyed by (band, bucket).
+    *
+    * `maxBucket`: a duplicate-saturated corpus turns hot buckets into
+    * quadratic pair blowups (m²/2 pairs for an m-doc bucket). With a cap,
+    * buckets larger than `maxBucket` skip pairwise expansion — use
+    * `duplicateClusters` to report them wholesale instead. */
+  def minhashLsh(docs: DataFrame, numHashes: Int, bands: Int,
+                 maxBucket: Option[Int] = None): DataFrame = {
+    val banded = bandedSignatures(docs, numHashes, bands).cache()
+    val joinable = maxBucket.fold(banded) { cap =>
+      val w = Window.partitionBy("band", "bkey")
+      banded.withColumn("_bn", count(lit(1)).over(w))
+        .filter(col("_bn") <= cap).drop("_bn")
+    }
+    joinable.as("a")
+      .join(joinable.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
   }
+
+  /** (doc_id, band, bkey) banded minhash signatures. */
+  def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandExprs = (0 until bands).map { b =>
+      val cols = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
+      s"$b, concat_ws('_', $cols)"
+    }.mkString(", ")
+    minhashSignatures(docs, numHashes)
+      .selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
+  }
+
+  /** Wholesale duplicate-cluster report for buckets past `minSize`: each
+    * giant bucket IS a duplicate cluster — no pairwise expansion needed.
+    * Returns (band, bkey, n_docs, sample_doc). */
+  def duplicateClusters(docs: DataFrame, numHashes: Int, bands: Int, minSize: Int): DataFrame =
+    bandedSignatures(docs, numHashes, bands)
+      .groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
+      .filter(col("n_docs") >= minSize)
 
   /** 32-bit SimHash signatures via explode + 32 conditional bit-sums in one
     * codegen'd aggregate. */

@@ -1,0 +1,57 @@
+package graft
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  private lazy val docs = Seq(
+    doc(1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    doc(2, "the quick brown fox jumps over the lazy dog near the river bend"), // near-dup of 1
+    doc(3, "completely different content about spark query engines and data"),
+    doc(4, "the quick brown fox jumps over the lazy dog near the river bank"), // exact dup of 1
+    doc(5, "unrelated short text snippet for testing distinct corpus entries")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps min id") {
+    val r = Dedup.exact(docs).as[(String, Long, Long)].collect()
+    assert(r.length == 4)
+    val dupGroup = r.find(_._3 == 2).get
+    assert(dupGroup._2 == 1L) // keeper is min(1, 4)
+  }
+
+  test("ngram jaccard finds the near-dup pair") {
+    val pairs = Dedup.ngramJaccard(docs, tauScaled = 500000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 4L))) // exact dup has jaccard 1
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("minhash lsh candidates include exact and near dups") {
+    val pairs = Dedup.minhashLsh(docs, 12, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L))) // identical signatures, always caught
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set(3L, 5L)))
+  }
+
+  test("bucket cap skips giant buckets; duplicateClusters reports them") {
+    // 40 identical docs: uncapped => 780 pairs per band-bucket; capped => none
+    val many = (1L to 40L).map(i => (i, "same same same text here okay")).toDF("doc_id", "text")
+    val uncapped = Dedup.minhashLsh(many, 12, 3).count()
+    assert(uncapped == 40L * 39 / 2)
+    val capped = Dedup.minhashLsh(many, 12, 3, maxBucket = Some(10)).count()
+    assert(capped == 0)
+    val clusters = Dedup.duplicateClusters(many, 12, 3, minSize = 10)
+      .as[(Int, String, Long, Long)].collect()
+    assert(clusters.nonEmpty && clusters.forall(c => c._3 == 40 && c._4 == 1L))
+  }
+
+  test("simhash identical docs have distance 0") {
+    val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}
