@@ -40,6 +40,11 @@ object Knn {
     def score(a: Column, b: Column): Column = vectors.l2(a, b)
     def order(s: Column): Column = s.asc
   }
+  /** hnswlib's third space, `space='ip'` (inner product). */
+  case object Dot extends Metric {
+    def score(a: Column, b: Column): Column = vectors.dot(a, b)
+    def order(s: Column): Column = s.desc
+  }
 
   /** Ranking happens on the decimal-scaled score (`scaled(score, digits)`)
     * with id tie-break, so results are bit-deterministic across engines and

@@ -75,6 +75,11 @@ object SearchQueries {
       Knn.topK(corpusExcl(s, dir, 0), queryVec(s, dir, 0), 10, Knn.Cosine)
         .select("vec_id", "score")),
 
+    // A7b: inner-product space (hnswlib space='ip')
+    "knn_exact_dot" -> ((s, dir) =>
+      Knn.topK(corpusExcl(s, dir, 0), queryVec(s, dir, 0), 10, Knn.Dot)
+        .select("vec_id", "score")),
+
     // A8: pre-filter search — metadata first, exact kNN on survivors
     "prefilter_knn" -> ((s, dir) =>
       Knn.prefilterKnn(
@@ -128,6 +133,12 @@ object SearchQueries {
 
     "knn_exact_cosine" ->
       s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_exact_dot" ->
+      s"""SELECT e.vec_id,
+         | CAST(round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
