@@ -14,9 +14,16 @@ import org.apache.spark.sql.types.LongType
 object Tables {
   val NanoTimestampCols = Set("ts")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    df.schema.fields.foldLeft(df) {
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    convertNanoCols(spark.read.parquet(s"$dir/$name.parquet"))
+
+  /** Shared by the batch loader and the streaming file source (schemas must
+    * stay in lock-step or batch/stream ts semantics silently diverge). An
+    * explicit `schema` lets streaming callers pass the batch-read schema. */
+  def convertNanoCols(df: DataFrame,
+                      schema: org.apache.spark.sql.types.StructType = null): DataFrame = {
+    val s = Option(schema).getOrElse(df.schema)
+    s.fields.foldLeft(df) {
       case (d, f) if NanoTimestampCols(f.name) && f.dataType == LongType =>
         d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
       case (d, _) => d

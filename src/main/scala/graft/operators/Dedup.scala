@@ -17,8 +17,6 @@ object Dedup {
   // Spark SQL dialect fragments (shared with the oracle-generating queries)
   val TokExpr = "filter(split(text, '\\\\s+'), x -> x != '')"
   def hashExpr(v: String) = s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
-  val ShinglesExpr =
-    "array_distinct(transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', slice(tk, i + 1, 3))))"
 
   val P = 1000000007L
   def minhashA(j: Int): Long = (2654435761L * (j + 1)) % (P - 1) + 1
@@ -28,12 +26,6 @@ object Dedup {
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
-
-  /** (doc_id, sh: array<string>) distinct word-3-gram shingles. */
-  def shingled(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", s"$TokExpr AS tk")
-      .where("size(tk) >= 3")
-      .selectExpr("doc_id", s"$ShinglesExpr AS sh")
 
   /** (doc_id, g) distinct 3-gram shingles, exploded. Same row set as
     * `shingled` + explode, but built with posexplode + lead windows instead
@@ -110,6 +102,9 @@ object Dedup {
 
   /** (doc_id, band, bkey) banded minhash signatures. */
   def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands); " +
+        "otherwise hashes are silently dropped or band keys degenerate to empty")
     val rows = numHashes / bands
     val bandExprs = (0 until bands).map { b =>
       val cols = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
@@ -119,14 +114,17 @@ object Dedup {
       .selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
   }
 
-  /** Wholesale duplicate-cluster report for buckets past `minSize`: each
-    * giant bucket IS a duplicate cluster — no pairwise expansion needed.
-    * Returns (band, bkey, n_docs, sample_doc). */
-  def duplicateClusters(docs: DataFrame, numHashes: Int, bands: Int, minSize: Int): DataFrame =
-    bandedSignatures(docs, numHashes, bands)
-      .groupBy("band", "bkey")
+  /** Wholesale duplicate-cluster report: docs sharing the FULL minhash
+    * signature form one cluster (grouping per band would report the same
+    * cluster up to `bands` times). Returns (sig, n_docs, sample_doc) for
+    * clusters of at least `minSize` — no pairwise expansion needed. */
+  def duplicateClusters(docs: DataFrame, numHashes: Int, minSize: Int): DataFrame = {
+    val sigKey = concat_ws("_", (0 until numHashes).map(j => col(s"m$j")): _*)
+    minhashSignatures(docs, numHashes)
+      .groupBy(sigKey.as("sig"))
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
       .filter(col("n_docs") >= minSize)
+  }
 
   /** 32-bit SimHash signatures via explode + 32 conditional bit-sums in one
     * codegen'd aggregate. */

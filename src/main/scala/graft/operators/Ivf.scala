@@ -56,24 +56,22 @@ object Ivf {
                         idCol: String = "vec_id", metaIdCol: String = "doc_id",
                         vecCol: String = "embedding", clusterCol: String = "label"): DataFrame = {
     val cent = centroids(emb, idCol, vecCol, clusterCol).cache()
-    val totalClusters = cent.count().toInt
+    try {
+      val totalClusters = cent.count().toInt
+      def searchAt(nProbe: Int): DataFrame =
+        searchProbed(cent, emb, meta, pred, query, k, nProbe, metric,
+          idCol, metaIdCol, vecCol, clusterCol)
 
-    def searchAt(nProbe: Int): DataFrame = {
-      val probed = probe(cent, query, nProbe, clusterCol)
-      val pruned = emb
-        .join(broadcast(probed), clusterCol)
-        .join(meta.filter(pred), col(idCol) === col(metaIdCol))
-        .select(col(idCol), col(vecCol))
-      Knn.topK(pruned, query, k, metric, idCol, vecCol)
-    }
-
-    var nProbe = 1
-    var res = searchAt(nProbe)
-    while (nProbe < totalClusters && res.count() < k) {
-      nProbe = math.min(nProbe * 2, totalClusters)
-      res = searchAt(nProbe)
-    }
-    res
+      var nProbe = 1
+      var res = searchAt(nProbe)
+      while (nProbe < totalClusters && res.count() < k) {
+        nProbe = math.min(nProbe * 2, totalClusters)
+        res = searchAt(nProbe)
+      }
+      // materialize before releasing the centroid cache, and so the
+      // caller's first action doesn't re-run the final probe job
+      res.localCheckpoint(true)
+    } finally cent.unpersist()
   }
 
   /** Materialize the corpus partitioned by cluster id — the 100 TB index
@@ -94,8 +92,17 @@ object Ivf {
   def hybridKnn(emb: DataFrame, meta: DataFrame, pred: Column, query: DataFrame,
                 k: Int, nProbe: Int, metric: Knn.Metric = Knn.Cosine,
                 idCol: String = "vec_id", metaIdCol: String = "doc_id",
-                vecCol: String = "embedding", clusterCol: String = "label"): DataFrame = {
-    val probed = probe(centroids(emb), query, nProbe)
+                vecCol: String = "embedding", clusterCol: String = "label"): DataFrame =
+    searchProbed(centroids(emb, idCol, vecCol, clusterCol),
+      emb, meta, pred, query, k, nProbe, metric, idCol, metaIdCol, vecCol, clusterCol)
+
+  /** Shared probe + pruned-scan + top-k body (used by hybridKnn and the
+    * adaptive variant so the two cannot drift). */
+  private def searchProbed(cent: DataFrame, emb: DataFrame, meta: DataFrame, pred: Column,
+                           query: DataFrame, k: Int, nProbe: Int, metric: Knn.Metric,
+                           idCol: String, metaIdCol: String, vecCol: String,
+                           clusterCol: String): DataFrame = {
+    val probed = probe(cent, query, nProbe, clusterCol)
     val pruned = emb
       .join(broadcast(probed), clusterCol)
       .join(meta.filter(pred), col(idCol) === col(metaIdCol))

@@ -13,13 +13,15 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Two-phase salted count/sum. `aggs` maps output name -> (sumExpr on
-    * phase-1 partials). Partition-local salt via a deterministic hash of
-    * all columns keeps the transform reproducible. */
+  /** Two-phase salted count/sum. The salt only needs to SPREAD hot keys,
+    * not be reproducible — monotonically_increasing_id varies with input
+    * partitioning, but count/sum are salt-invariant so the final aggregate
+    * is stable regardless. (A content hash would be reproducible but sends
+    * identical duplicate rows — the common hot case — to one reducer.) */
   def saltedCounts(df: DataFrame, key: Column, salts: Int,
                    valueCol: Option[Column] = None): DataFrame = {
     val salted = df
-      .withColumn("_salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
     val partial = valueCol match {
       case Some(v) => salted.groupBy(key.as("k"), col("_salt"))
         .agg(count(lit(1)).as("pc"), sum(v).as("ps"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Open-session state carried between micro-batches. */
-case class SessionAgg(startMs: Long, lastMs: Long, n: Long)
+case class SessionAgg(startUs: Long, lastUs: Long, n: Long)
 
 /** A closed (gap-expired) session. */
 case class ClosedSession(user_id: Long, n_events: Long, sess_start: Timestamp, sess_end: Timestamp)
@@ -18,7 +18,7 @@ case class ClosedSession(user_id: Long, n_events: Long, sess_start: Timestamp, s
   * bounded by the watermark; at scale the shuffle is keyed by
   * (window, event_type) — low cardinality, no skew.
   */
-object EventsStream {
+object EventsStream extends Serializable {
 
   /** Shared transform: works on a batch DataFrame or a streaming one. */
   def windowedAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
@@ -34,30 +34,40 @@ object EventsStream {
     * (graft.Tables) so `ts` is a timestamp on both paths. */
   def readEvents(spark: SparkSession, path: String): DataFrame = {
     val batchSchema = spark.read.parquet(path).schema
-    val raw = spark.readStream.schema(batchSchema).parquet(path)
-    batchSchema.fields.foldLeft(raw) {
-      case (d, f) if graft.Tables.NanoTimestampCols(f.name) && f.dataType == org.apache.spark.sql.types.LongType =>
-        d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
-      case (d, _) => d
-    }
+    graft.Tables.convertNanoCols(
+      spark.readStream.schema(batchSchema).parquet(path), batchSchema)
   }
 
   /** End-to-end: stream → watermark → windowed agg, ready for writeStream. */
   def pipeline(spark: SparkSession, path: String): DataFrame =
     windowedAgg(readEvents(spark, path), watermark = Some("2 hours"))
 
+  // java.sql.Timestamp round-trips sub-millisecond precision only through
+  // its nanos field — convert explicitly so streaming keeps the micros the
+  // batch path (Tables' TIMESTAMP(NANOS) div 1000) preserves.
+  private[streaming] def tsToMicros(ts: Timestamp): Long =
+    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000L
+  private[streaming] def microsToTs(us: Long): Timestamp = {
+    val t = new Timestamp(us / 1000000L * 1000L)
+    t.setNanos(((us % 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** Stateful streaming sessionization: per-user custom state via
     * `flatMapGroupsWithState` with event-time timeout. A session closes
     * when the watermark passes last-event + gap; state is bounded by open
     * sessions only (the streaming mirror of the batch `events_sessionize`
-    * query). Shuffle keyed by user_id — clickstream's natural key. */
+    * query). Shuffle keyed by user_id — clickstream's natural key.
+    * Late-but-valid events (past the watermark, before the open session)
+    * merge backward when within the gap; farther-out ones form their own
+    * session. */
   def sessionizeStream(spark: SparkSession, events: DataFrame,
                        gapSeconds: Long, watermarkDelay: String = "1 minute"): Dataset[ClosedSession] = {
     import spark.implicits._
-    val gapMs = gapSeconds * 1000L
+    val gapUs = gapSeconds * 1000000L
 
     def close(user: Long, s: SessionAgg): ClosedSession =
-      ClosedSession(user, s.n, new Timestamp(s.startMs), new Timestamp(s.lastMs))
+      ClosedSession(user, s.n, microsToTs(s.startUs), microsToTs(s.lastUs))
 
     events.select(col("user_id"), col("ts"))
       .withWatermark("ts", watermarkDelay)
@@ -73,10 +83,13 @@ object EventsStream {
           } else {
             var closed = List.empty[ClosedSession]
             var cur = state.getOption
-            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+            // sorted within the batch; a late-but-valid event (>= watermark)
+            // can still precede the open session — the merge below extends
+            // startUs backward so counts and bounds stay consistent
+            rows.map(r => tsToMicros(r._2)).toSeq.sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = math.max(s.lastMs, t), n = s.n + 1))
+                case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
+                  cur = Some(SessionAgg(math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
                 case Some(s) =>
                   closed ::= close(user, s)
                   cur = Some(SessionAgg(t, t, 1))
@@ -86,7 +99,7 @@ object EventsStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              state.setTimeoutTimestamp((s.lastUs + gapUs) / 1000L) // timeout API is ms
             }
             closed.reverseIterator
           }

@@ -44,9 +44,15 @@ class DedupSpec extends SparkSpec {
     assert(uncapped == 40L * 39 / 2)
     val capped = Dedup.minhashLsh(many, 12, 3, maxBucket = Some(10)).count()
     assert(capped == 0)
-    val clusters = Dedup.duplicateClusters(many, 12, 3, minSize = 10)
-      .as[(Int, String, Long, Long)].collect()
-    assert(clusters.nonEmpty && clusters.forall(c => c._3 == 40 && c._4 == 1L))
+    // full-signature grouping: ONE row for the one 40-doc cluster
+    val clusters = Dedup.duplicateClusters(many, 12, minSize = 10)
+      .as[(String, Long, Long)].collect()
+    assert(clusters.length == 1 && clusters.head._2 == 40 && clusters.head._3 == 1L)
+  }
+
+  test("bandedSignatures rejects invalid band configuration") {
+    intercept[IllegalArgumentException] { Dedup.minhashLsh(docs, 12, 16) }
+    intercept[IllegalArgumentException] { Dedup.minhashLsh(docs, 13, 3) }
   }
 
   test("simhash identical docs have distance 0") {
