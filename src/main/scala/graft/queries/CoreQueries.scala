@@ -22,9 +22,9 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          scaled(sum("l_quantity"), 2).as("sum_qty"),
-          scaled(sum("l_extendedprice"), 2).as("sum_base_price"),
-          scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          scaled(sum("l_quantity"), 0).as("sum_qty"),
+          scaled(sum("l_extendedprice"), 0).as("sum_base_price"),
+          scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("sum_disc_price"),
           scaled(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))),
 
@@ -37,7 +37,7 @@ object CoreQueries {
       li.join(ord, li("l_orderkey") === ord("o_orderkey"))
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(ord("o_orderkey"), ord("o_orderdate"), ord("o_orderpriority"))
-        .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
         .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
           col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -62,7 +62,7 @@ object CoreQueries {
         .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(nation("n_name"))
-        .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+        .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
     }),
 
     // C4: window top-N per group (rank on stored values — no fp arithmetic)
@@ -83,6 +83,61 @@ object CoreQueries {
         .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
           col("event_type"), col("n"), col("sum_value"))),
 
+    // C11: scan-heavy filter + global agg (TPC-H Q6 shape) — no shuffle at
+    // all beyond the final single-row combine; predicate fully pushed down
+    "q6_filter_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+                col("l_discount").between(0.03, 0.07) && col("l_quantity") < 10)
+        .agg(scaled(sum(col("l_extendedprice") * col("l_discount")), 0).as("revenue"),
+          count(lit(1)).as("n"))),
+
+    // C12: left-anti join — customers with no orders in the window
+    // (shuffle keyed by custkey both sides; AQE may broadcast the filtered
+    // orders side)
+    "anti_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      t(s, dir, "customer")
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"))
+    }),
+
+    // C13: left-semi join — parts that appear in any lineitem (EXISTS).
+    // Prices are cents-exact, so the average is integer arithmetic
+    // (sum-of-cents div n) — immune to fp .5 rounding boundaries.
+    "semi_join" -> ((s, dir) =>
+      t(s, dir, "part")
+        .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_used"),
+          round(sum(col("p_retailprice") * 100)).cast("long").as("sum_cents"))
+        .selectExpr("p_brand", "n_used", "sum_cents div n_used AS avg_price")),
+
+    // C14: conditional aggregation (TPC-H Q14 shape) — promo revenue share
+    "conditional_agg" -> ((s, dir) => {
+      val joined = t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+      joined.agg(
+        scaled(sum(when(col("p_type").contains("a"),
+          col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)), 0).as("promo_rev"),
+        scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("total_rev"))
+    }),
+
+    // C15: running analytics — cumulative revenue per customer over order
+    // dates (window sort reuses the shuffle's partitioning by custkey)
+    "running_total" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          scaled(sum("o_totalprice").over(w), 2).as("cum_spend"))
+    }),
+
     // B12: semi-structured props JSON extraction + agg
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
@@ -94,9 +149,9 @@ object CoreQueries {
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(round(sum(l_quantity) * 100.0, 0) AS BIGINT) AS sum_qty,
-        | CAST(round(sum(l_extendedprice) * 100.0, 0) AS BIGINT) AS sum_base_price,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0, 0) AS BIGINT) AS sum_disc_price,
+        | CAST(round(sum(l_quantity) * 1.0, 0) AS BIGINT) AS sum_qty,
+        | CAST(round(sum(l_extendedprice) * 1.0, 0) AS BIGINT) AS sum_base_price,
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS sum_disc_price,
         | CAST(round(avg(l_discount) * 10000.0, 0) AS BIGINT) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -104,7 +159,7 @@ object CoreQueries {
 
     "q3_join" ->
       """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0, 0) AS BIGINT) AS revenue
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -116,7 +171,7 @@ object CoreQueries {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 100.0, 0) AS BIGINT) AS revenue
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -139,6 +194,41 @@ object CoreQueries {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
         | count(*) AS n, CAST(round(sum(value) * 100.0, 0) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT CAST(round(sum(l_extendedprice * l_discount) * 1.0, 0) AS BIGINT) AS revenue,
+        | count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 10""".stripMargin,
+
+    "anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "semi_join" ->
+      """SELECT p_brand, count(*) AS n_used,
+        | CAST(round(sum(p_retailprice * 100), 0) AS BIGINT) // count(*) AS avg_price
+        |FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin,
+
+    "conditional_agg" ->
+      """SELECT
+        | CAST(round(sum(CASE WHEN position('a' IN p_type) > 0
+        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 1.0, 0) AS BIGINT) AS promo_rev,
+        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS total_rev
+        |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
+
+    "running_total" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) * 100.0, 0) AS BIGINT) AS cum_spend
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,

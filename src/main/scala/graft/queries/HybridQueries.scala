@@ -122,6 +122,19 @@ object HybridQueries {
             |     WHEN (n_match * 1000000) div total >= 50000 THEN 'class2_mid'
             |     ELSE 'class1_selective' END AS cls""".stripMargin)),
 
+    // A17: the whole kNN expressed in plain SQL against the registered
+    // vec_cosine function — proves the SQL surface is first-class
+    "sql_knn" -> ((s, dir) => {
+      graft.GraftExtensions.register(s)
+      emb(s, dir).createOrReplaceTempView("g_emb")
+      s.sql(
+        """SELECT e.vec_id,
+          |  CAST(round(vec_cosine(e.embedding, q.embedding) * 10000) AS BIGINT) AS score
+          |FROM g_emb e CROSS JOIN (SELECT embedding FROM g_emb WHERE vec_id = 9) q
+          |WHERE e.vec_id <> 9
+          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
     // A15: JSONL metadata ingest — typed from_json (parse-json.py analogue)
     "metadata_parse" -> ((s, dir) =>
       Tables(s, dir, "events")
@@ -223,6 +236,11 @@ object HybridQueries {
         |       WHEN (n_match * 1000000) // total >= 50000 THEN 'class2_mid'
         |       ELSE 'class1_selective' END AS cls
         |FROM u""".stripMargin,
+
+    "sql_knn" ->
+      s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 9) q
+         |WHERE e.vec_id <> 9 ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "metadata_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
