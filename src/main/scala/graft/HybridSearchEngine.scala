@@ -22,7 +22,8 @@ import graft.operators.{Ivf, Knn, MetaPredicate}
   * so probes prune partitions at the source.
   */
 final class HybridSearchEngine private (corpus: DataFrame, metadata: DataFrame,
-                                        idCol: String, vecCol: String, clusterCol: String) {
+                                        idCol: String, vecCol: String, clusterCol: String,
+                                        metaIdCol: String) {
 
   /** cached centroid "index" — built once, reused by every acornSearch */
   lazy val centroids: DataFrame = Ivf.centroids(corpus, idCol, vecCol, clusterCol).cache()
@@ -34,25 +35,20 @@ final class HybridSearchEngine private (corpus: DataFrame, metadata: DataFrame,
   def preFilterSearch(meta: Map[String, (String, Any)], query: DataFrame, k: Int,
                       metric: Knn.Metric = Knn.Cosine): DataFrame =
     Knn.prefilterKnn(corpus.select(idCol, vecCol), metadata, compile(meta), query, k, metric,
-      idCol = idCol, vecCol = vecCol)
+      idCol = idCol, metaIdCol = metaIdCol, vecCol = vecCol)
 
   /** Vector top-largeK, then metadata filter, then top-k. */
   def postFilterSearch(meta: Map[String, (String, Any)], query: DataFrame, k: Int,
                        largeK: Int = 50, metric: Knn.Metric = Knn.Cosine): DataFrame =
     Knn.postfilterKnn(corpus.select(idCol, vecCol), metadata, compile(meta), query, k, largeK,
-      metric, idCol = idCol, vecCol = vecCol)
+      metric, idCol = idCol, metaIdCol = metaIdCol, vecCol = vecCol)
 
   /** ACORN-style hybrid: probe nearest clusters with the filter pushed
-    * into the pruned scan. */
+    * into the pruned scan (delegates to the shared Ivf body). */
   def acornSearch(meta: Map[String, (String, Any)], query: DataFrame, k: Int,
-                  nProbe: Int = 2, metric: Knn.Metric = Knn.Cosine): DataFrame = {
-    val probed = Ivf.probe(centroids, query, nProbe, clusterCol)
-    val pruned = corpus
-      .join(broadcast(probed), clusterCol)
-      .join(metadata.filter(compile(meta)), col(idCol) === col("doc_id"))
-      .select(col(idCol), col(vecCol))
-    Knn.topK(pruned, query, k, metric, idCol, vecCol)
-  }
+                  nProbe: Int = 2, metric: Knn.Metric = Knn.Cosine): DataFrame =
+    Ivf.searchProbed(centroids, corpus, metadata, compile(meta), query, k, nProbe, metric,
+      idCol, metaIdCol, vecCol, clusterCol)
 
   /** Exact brute-force kNN (no filter) — the evaluation ground truth. */
   def exactSearch(query: DataFrame, k: Int, metric: Knn.Metric = Knn.Cosine): DataFrame =
@@ -62,6 +58,6 @@ final class HybridSearchEngine private (corpus: DataFrame, metadata: DataFrame,
 object HybridSearchEngine {
   def apply(corpus: DataFrame, metadata: DataFrame,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            clusterCol: String = "label"): HybridSearchEngine =
-    new HybridSearchEngine(corpus, metadata, idCol, vecCol, clusterCol)
+            clusterCol: String = "label", metaIdCol: String = "doc_id"): HybridSearchEngine =
+    new HybridSearchEngine(corpus, metadata, idCol, vecCol, clusterCol, metaIdCol)
 }

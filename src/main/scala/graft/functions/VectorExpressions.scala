@@ -37,11 +37,23 @@ abstract class VectorKernel extends BinaryExpression {
   override def nullSafeEval(l: Any, r: Any): Any =
     evalArrays(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
+  /** Dimension mismatch is a data bug — fail loudly (hnswlib enforces dim
+    * at add_items; UnsafeArrayData would otherwise read out of bounds and
+    * return garbage scores silently). */
+  protected def checkDims(na: Int, nb: Int): Unit =
+    if (na != nb) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ ($na vs $nb)")
+
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val n = ctx.freshName("n")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
       s"""
          |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException($err + ": vector dimensions differ (" +
+         |    $n + " vs " + $b.numElements() + ")");
+         |}
          |${loopBody(ctx, a, b, n, ev.value)}
        """.stripMargin
     })
@@ -59,7 +71,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorKernel 
      """.stripMargin
   }
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    var acc = 0.0; var i = 0; val n = a.numElements()
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var acc = 0.0; var i = 0
     while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     acc
   }
@@ -81,7 +94,8 @@ case class L2Distance(left: Expression, right: Expression) extends VectorKernel 
      """.stripMargin
   }
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    var acc = 0.0; var i = 0; val n = a.numElements()
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var acc = 0.0; var i = 0
     while (i < n) { val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble; acc += d * d; i += 1 }
     math.sqrt(acc)
   }
@@ -104,7 +118,8 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorK
      """.stripMargin
   }
   override protected def evalArrays(a: ArrayData, b: ArrayData): Double = {
-    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0; val n = a.numElements()
+    val n = a.numElements(); checkDims(n, b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
       dot += x * y; na += x * x; nb += y * y; i += 1

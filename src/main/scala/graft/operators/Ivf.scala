@@ -96,9 +96,9 @@ object Ivf {
     searchProbed(centroids(emb, idCol, vecCol, clusterCol),
       emb, meta, pred, query, k, nProbe, metric, idCol, metaIdCol, vecCol, clusterCol)
 
-  /** Shared probe + pruned-scan + top-k body (used by hybridKnn and the
-    * adaptive variant so the two cannot drift). */
-  private def searchProbed(cent: DataFrame, emb: DataFrame, meta: DataFrame, pred: Column,
+  /** Shared probe + pruned-scan + top-k body (used by hybridKnn, the
+    * adaptive variant, and HybridSearchEngine so they cannot drift). */
+  private[graft] def searchProbed(cent: DataFrame, emb: DataFrame, meta: DataFrame, pred: Column,
                            query: DataFrame, k: Int, nProbe: Int, metric: Knn.Metric,
                            idCol: String, metaIdCol: String, vecCol: String,
                            clusterCol: String): DataFrame = {

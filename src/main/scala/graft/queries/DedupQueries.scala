@@ -21,10 +21,9 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
   // ---- DuckDB dialect fragments (Spark dialect lives in operators.Dedup)
-  private val dTok = """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
-  private def dH(v: String) = s"CAST('0x'||substr(md5($v), 1, 15) AS BIGINT)"
-  private val dShingles =
-    "list_distinct(list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))"
+  private val dTok = DuckDialect.Tok
+  private def dH(v: String) = DuckDialect.hash(v)
+  private val dShingles = DuckDialect.Shingles
 
   // minhash constants — single source of truth in operators.Dedup, embedded
   // identically into both dialects

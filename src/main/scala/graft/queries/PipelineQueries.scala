@@ -13,7 +13,7 @@ object PipelineQueries {
     // B11: binary media column → sha256 identity + stub decode via typed
     // mapPartitions (schema/partitioning/batching real; decode stubbed)
     "multimodal_ingest" -> ((s, dir) => {
-      val media = Multimodal.asMedia(s, Tables(s, dir, "documents"))
+      val media = Multimodal.asMedia(s, Tables(s, dir, "documents").filter(col("text").isNotNull))
       Multimodal.decode(s, media).toDF()
         .select("media_id", "content_sha", "n_bytes", "width", "height", "mime")
     }),
@@ -37,9 +37,11 @@ object PipelineQueries {
       val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
       Tables(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        // gap computed at microsecond precision (unix_timestamp would floor
+        // to seconds and merge gaps up to 1s past the boundary)
         .withColumn("new_sess",
           when(col("prev_ts").isNull ||
-            unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > 1800, 1L).otherwise(0L))
+            unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
         .withColumn("sess_idx", sum("new_sess").over(
           Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
@@ -58,7 +60,7 @@ object PipelineQueries {
         | CAST(octet_length(CAST(text AS BLOB)) % 1024 AS BIGINT) AS width,
         | CAST((octet_length(CAST(text AS BLOB)) * 7) % 768 AS BIGINT) AS height,
         | 'application/x-' || lang AS mime
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
 
     "multimodal_embed" ->
       """SELECT doc_id AS media_id, d.dim AS dim,
@@ -69,8 +71,8 @@ object PipelineQueries {
       """WITH g AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))) AS BIGINT) > 1800
+        |           OR epoch_us(ts)
+        |              - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
         |         THEN 1 ELSE 0 END AS new_sess
         |  FROM events),
         |sess AS (

@@ -11,10 +11,11 @@ object TextQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
-  private val sTok = "filter(split(text, '\\\\s+'), x -> x != '')"
-  private val dTok = """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
-  private def sH(v: String) = s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
-  private def dH(v: String) = s"CAST('0x'||substr(md5($v), 1, 15) AS BIGINT)"
+  // dialect fragments — single sources: operators.Dedup (Spark), DuckDialect (oracle)
+  private val sTok = graft.operators.Dedup.TokExpr
+  private val dTok = DuckDialect.Tok
+  private def sH(v: String) = graft.operators.Dedup.hashExpr(v)
+  private def dH(v: String) = DuckDialect.hash(v)
 
   // marker tokens per language for the n-gram/marker language-ID heuristic
   private val EnMarkers = Seq("the", "a", "data")

@@ -57,7 +57,8 @@ object Multimodal {
       .withColumn("content_sha", sha2(col("bytes"), 256))
       .as[MediaWithSha]
       .mapPartitions { it =>
-        it.map { m =>
+        // null blobs are routine in media lakes — skip, don't crash the task
+        it.filter(_.bytes != null).map { m =>
           val n = m.bytes.length.toLong
           val (w, h) = stubDecode(n)
           DecodedMedia(m.media_id, m.content_sha, n, w, h, m.mime)
