@@ -31,6 +31,16 @@ class VectorKernelSpec extends SparkSpec {
     assert(math.abs(one(vectors.cosine(col("a"), col("a"))) - 1.0) < 1e-12)
   }
 
+  test("dimension mismatch fails loudly (no silent out-of-bounds reads)") {
+    val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(vectors.cosine(col("a"), col("b"))).collect()
+    }
+    def hasDimMessage(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("dimensions differ")) || hasDimMessage(t.getCause))
+    assert(hasDimMessage(e))
+  }
+
   test("null input yields null") {
     val df = Seq((Some(a), Option.empty[Array[Float]])).toDF("a", "b")
     val r = df.select(vectors.cosine(col("a"), col("b")).as("r")).collect().head
