@@ -17,11 +17,15 @@ import graft.functions.{CosineSimilarity, DotProduct, L2Distance}
   * `SELECT vec_id FROM emb ORDER BY vec_cosine(embedding, q) DESC LIMIT 10`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
     }
+    // opt-in ANN probe rewrite; post-hoc resolution (NOT optimizer) so the
+    // cluster column is still visible — see graft.plans.AnnProbeRewrite
+    ext.injectPostHocResolutionRule(session => graft.plans.AnnProbeRewrite(session))
+  }
 }
 
 object GraftExtensions {
@@ -31,7 +35,11 @@ object GraftExtensions {
     "vec_dot"    -> (args => DotProduct(args(0), args(1)))
   )
 
-  /** Runtime registration on an already-built session. */
+  /** Runtime function registration on an already-built session. The ANN
+    * rewrite needs an extensions-built session — use the
+    * `spark.sql.extensions=graft.GraftExtensions` conf, or
+    * `Bridge.newSessionWithExtensions(spark, new GraftExtensions)` to derive
+    * one from a live session without restarting. */
   def register(spark: SparkSession): Unit =
     builders.foreach { case (name, b) => Bridge.registerFunction(spark, name, b) }
 }

@@ -1,0 +1,155 @@
+package graft.plans
+
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import graft.functions.{CosineSimilarity, L2Distance, VectorKernel}
+
+/** Opt-in ANN rewrite: `ORDER BY vec_cosine(vec, <query>) DESC LIMIT k`
+  * over a cluster-annotated corpus becomes a probed scan.
+  *
+  * This is the declarative-Spark expression of "use the vector index":
+  * users keep writing the exact brute-force query; when
+  *  (1) `spark.graft.ann.rewrite.enabled = true`,
+  *  (2) an IVF index is registered for the corpus's cluster column, and
+  *  (3) the plan is Sort-by-distance + Limit in the index's metric/direction,
+  * the rule inserts `cluster IN (<nProbe nearest clusters>)` at the
+  * cluster-bearing relation — on a `partitionBy(cluster)` layout that
+  * filter prunes partitions at the source, so a 100 TB scan reads
+  * nProbe/C of the data.
+  *
+  * Runs as a POST-HOC RESOLUTION rule (not an optimizer rule): after
+  * column pruning the cluster column would already be gone from the scan,
+  * so the rewrite must happen while the full relation output is visible.
+  *
+  * The rewrite is APPROXIMATE (that is the point of ANN) — hence strictly
+  * opt-in by conf AND per-index registration, never a silent default.
+  */
+object AnnIndexRegistry {
+  final case class IvfIndex(clusterCol: String, centroids: Seq[(Int, Array[Float])],
+                            nProbe: Int = 2)
+
+  private val indexes = TrieMap.empty[String, IvfIndex]
+
+  val EnabledConf = "spark.graft.ann.rewrite.enabled"
+
+  def register(index: IvfIndex): Unit = indexes.put(index.clusterCol, index)
+  def unregister(clusterCol: String): Unit = indexes.remove(clusterCol)
+  def clear(): Unit = indexes.clear()
+  def lookup(clusterCol: String): Option[IvfIndex] = indexes.get(clusterCol)
+  def all: Seq[IvfIndex] = indexes.values.toSeq
+
+  /** driver-side scoring of the (tiny) centroid table */
+  def probedClusters(index: IvfIndex, q: Array[Float], byCosine: Boolean): Seq[Int] = {
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+      math.sqrt(acc)
+    }
+    val scored =
+      if (byCosine) index.centroids.map { case (c, v) => (c, -cosine(v, q)) }
+      else index.centroids.map { case (c, v) => (c, l2(v, q)) }
+    scored.sortBy { case (c, s) => (s, c) }.take(index.nProbe).map(_._1)
+  }
+}
+
+case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def enabled: Boolean =
+    spark.conf.getOption(AnnIndexRegistry.EnabledConf).contains("true") &&
+      AnnIndexRegistry.all.nonEmpty
+
+  /** Unwrap monotone non-decreasing wrappers our scaled() convention adds:
+    * cast, round, multiply-by-positive-literal. */
+  private def positiveConst(e: Expression): Boolean =
+    e.foldable && (e.eval() match {
+      case n: java.lang.Number => n.doubleValue() > 0
+      case _ => false
+    })
+
+  private def unwrapMonotone(e: Expression): Expression = e match {
+    case Cast(c, _, _, _) => unwrapMonotone(c)
+    case Round(c, s, _) if s.foldable => unwrapMonotone(c)
+    case Multiply(c, k, _) if positiveConst(k) => unwrapMonotone(c)
+    case Multiply(k, c, _) if positiveConst(k) => unwrapMonotone(c)
+    case other => other
+  }
+
+  /** (kernel, query vector) if the expression is a supported distance
+    * between a column and a constant vector. */
+  private def extractKernel(e: Expression): Option[(VectorKernel, Array[Float])] =
+    unwrapMonotone(e) match {
+      case k: VectorKernel =>
+        val litOpt = (k.left, k.right) match {
+          case (_: Attribute, q) if q.foldable => Some(q)
+          case (q, _: Attribute) if q.foldable => Some(q)
+          case _ => None
+        }
+        litOpt.flatMap { lit =>
+          Option(lit.eval().asInstanceOf[ArrayData]).map(a => (k, a.toFloatArray()))
+        }
+      case _ => None
+    }
+
+  /** Walk through output-preserving nodes under the Sort to the first node
+    * exposing a registered cluster column; wrap it with the probe filter. */
+  private def injectProbe(plan: LogicalPlan, probedFor: Attribute => Option[Seq[Int]]): Option[LogicalPlan] =
+    plan.output.collectFirst(Function.unlift(a => probedFor(a).map(p => (a, p)))) match {
+      case Some((attr, probed)) =>
+        if (alreadyProbed(plan, attr.name)) None
+        else Some(Filter(In(attr, probed.map(c => Literal(c))), plan))
+      case None => plan match {
+        case p: Project => injectProbe(p.child, probedFor).map(c => p.copy(child = c))
+        case s: SubqueryAlias => injectProbe(s.child, probedFor).map(c => s.copy(child = c))
+        case f: Filter => injectProbe(f.child, probedFor).map(c => f.copy(child = c))
+        case _ => None
+      }
+    }
+
+  private def alreadyProbed(plan: LogicalPlan, clusterCol: String): Boolean = plan match {
+    case Filter(cond, _) => cond.exists {
+      case In(a: Attribute, _) => a.name == clusterCol
+      case _ => false
+    }
+    case _ => false
+  }
+
+  /** Descend through Projects between the Limit and the Sort. */
+  private def rewriteBelowLimit(plan: LogicalPlan): Option[LogicalPlan] = plan match {
+    case p: Project => rewriteBelowLimit(p.child).map(c => p.copy(child = c))
+    case sort @ Sort(order +: _, true, child, _) =>
+      for {
+        (kernel, qVec) <- extractKernel(order.child)
+        byCosine = !kernel.isInstanceOf[L2Distance]
+        goodDirection = kernel match {
+          case _: CosineSimilarity => order.direction == Descending
+          case _: L2Distance => order.direction == Ascending
+          case _ => order.direction == Descending // dot product
+        }
+        if goodDirection
+        probed <- injectProbe(child, a =>
+          AnnIndexRegistry.lookup(a.name).map(ix =>
+            AnnIndexRegistry.probedClusters(ix, qVec, byCosine)))
+      } yield sort.copy(child = probed)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.transformDown {
+      case gl @ GlobalLimit(_, ll: LocalLimit) =>
+        rewriteBelowLimit(ll.child)
+          .map(c => gl.copy(child = ll.copy(child = c)))
+          .getOrElse(gl)
+    }
+}

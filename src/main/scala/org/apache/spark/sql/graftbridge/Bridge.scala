@@ -20,4 +20,14 @@ object Bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Derive a sibling session (same SparkContext/shared state) whose
+    * analyzer/optimizer carry the given extensions — lets a live
+    * application opt into graft's planner rules without a restart.
+    * (`create()` never reuses the default session, unlike getOrCreate.) */
+  def newSessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
+                               configure: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.classic.SparkSession.builder()
+      .withExtensions(configure)
+      .create()
 }

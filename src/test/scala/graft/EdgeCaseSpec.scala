@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Knn, MetaPredicate}
+
+/** Boundary behavior a library user hits in practice. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f))
+  ).toDF("vec_id", "embedding")
+  private lazy val query = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+
+  test("topK with k larger than the corpus returns the whole corpus") {
+    assert(Knn.topK(corpus, query, 100, Knn.Cosine).count() == 2)
+  }
+
+  test("prefilter with zero survivors returns empty, not an error") {
+    val meta = Seq((1L, "de"), (2L, "de")).toDF("doc_id", "lang")
+    val r = Knn.prefilterKnn(corpus, meta, col("lang") === "en", query, 5, Knn.Cosine)
+    assert(r.count() == 0)
+  }
+
+  test("batchKnn with an empty query set returns empty") {
+    val none = corpus.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    assert(Knn.batchKnn(corpus, none, 3, Knn.Cosine).count() == 0)
+  }
+
+  test("empty predicate list compiles to always-true") {
+    assert(corpus.filter(MetaPredicate.compile(Seq.empty)).count() == 2)
+  }
+
+  test("dedup on an empty corpus yields empty results") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Dedup.exact(empty).count() == 0)
+    assert(graft.operators.Dedup.minhashLsh(empty, 12, 3).count() == 0)
+  }
+}
