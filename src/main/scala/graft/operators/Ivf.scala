@@ -74,6 +74,23 @@ object Ivf {
     } finally cent.unpersist()
   }
 
+  /** Build the centroid table AND register it for the opt-in
+    * `AnnProbeRewrite` Catalyst rule: after this (plus
+    * `spark.graft.ann.rewrite.enabled=true` on an extensions session),
+    * plain `ORDER BY vec_cosine(...) LIMIT k` SQL over any relation
+    * exposing `clusterCol` is probed instead of scanned. */
+  def buildAndRegisterIndex(emb: DataFrame, nProbe: Int = 2,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            clusterCol: String = "label"): graft.plans.AnnIndexRegistry.IvfIndex = {
+    val cents = centroids(emb, idCol, vecCol, clusterCol)
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .toSeq
+    val index = graft.plans.AnnIndexRegistry.IvfIndex(clusterCol, cents, nProbe)
+    graft.plans.AnnIndexRegistry.register(index)
+    index
+  }
+
   /** Materialize the corpus partitioned by cluster id — the 100 TB index
     * layout. Probing then PRUNES PARTITIONS at the file source (visible as
     * `PartitionFilters` in the scan), reading only nProbe/C of the data. */

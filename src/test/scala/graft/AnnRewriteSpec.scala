@@ -91,6 +91,16 @@ class AnnRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(ids(df).toSet.subsetOf(Set(4L, 5L, 6L)))
   }
 
+  test("Ivf.buildAndRegisterIndex wires real centroids into the rewrite") {
+    val corpusDf = extSpark.createDataFrame(data).toDF("vec_id", "embedding", "label")
+    val ix = graft.operators.Ivf.buildAndRegisterIndex(corpusDf, nProbe = 1)
+    assert(ix.centroids.map(_._1).sorted == Seq(0, 1))
+    extSpark.conf.set(AnnIndexRegistry.EnabledConf, "true")
+    val df = extSpark.sql(knnSql)
+    assert(probeFilterIn(df))
+    assert(ids(df) == Seq(3L, 1L))
+  }
+
   test("no registered index for any output column: untouched even when enabled") {
     extSpark.conf.set(AnnIndexRegistry.EnabledConf, "true")
     AnnIndexRegistry.register(IvfIndex("some_other_col", Seq(0 -> Array(1f, 0f))))
