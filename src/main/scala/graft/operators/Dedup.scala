@@ -83,7 +83,8 @@ object Dedup {
     * `maxBucket`: a duplicate-saturated corpus turns hot buckets into
     * quadratic pair blowups (m²/2 pairs for an m-doc bucket). With a cap,
     * buckets larger than `maxBucket` skip pairwise expansion — use
-    * `duplicateClusters` to report them wholesale instead. */
+    * `bucketClusters` (same threshold) to report the skipped buckets
+    * wholesale, and `duplicateClusters` for exact-signature groups. */
   def minhashLsh(docs: DataFrame, numHashes: Int, bands: Int,
                  maxBucket: Option[Int] = None): DataFrame = {
     val banded = bandedSignatures(docs, numHashes, bands).cache()
@@ -114,10 +115,9 @@ object Dedup {
       .selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
   }
 
-  /** Wholesale duplicate-cluster report: docs sharing the FULL minhash
-    * signature form one cluster (grouping per band would report the same
-    * cluster up to `bands` times). Returns (sig, n_docs, sample_doc) for
-    * clusters of at least `minSize` — no pairwise expansion needed. */
+  /** Exact-duplicate cluster report: docs sharing the FULL minhash
+    * signature form one cluster — non-overlapping rows, safe to sum.
+    * Returns (sig, n_docs, sample_doc) for clusters ≥ `minSize`. */
   def duplicateClusters(docs: DataFrame, numHashes: Int, minSize: Int): DataFrame = {
     val sigKey = concat_ws("_", (0 until numHashes).map(j => col(s"m$j")): _*)
     minhashSignatures(docs, numHashes)
@@ -125,6 +125,17 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
       .filter(col("n_docs") >= minSize)
   }
+
+  /** The companion report for `minhashLsh(maxBucket=...)`: the hot BAND
+    * BUCKETS that pairwise expansion skipped. NEAR-duplicate clusters land
+    * here even when their full signatures differ (a band matches with
+    * probability j^rows). Rows can overlap across bands — this is a
+    * triage report keyed (band, bkey), not a partition of the corpus. */
+  def bucketClusters(docs: DataFrame, numHashes: Int, bands: Int, minSize: Int): DataFrame =
+    bandedSignatures(docs, numHashes, bands)
+      .groupBy("band", "bkey")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
+      .filter(col("n_docs") >= minSize)
 
   /** 32-bit SimHash signatures via explode + 32 conditional bit-sums in one
     * codegen'd aggregate. */

@@ -84,7 +84,14 @@ object Ivf {
                             clusterCol: String = "label"): graft.plans.AnnIndexRegistry.IvfIndex = {
     val cents = centroids(emb, idCol, vecCol, clusterCol)
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .map { r =>
+        val cid = r.get(0) match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => other.toString.toInt
+        }
+        (cid, r.getSeq[Float](1).toArray)
+      }
       .toSeq
     val index = graft.plans.AnnIndexRegistry.IvfIndex(clusterCol, cents, nProbe)
     graft.plans.AnnIndexRegistry.register(index)

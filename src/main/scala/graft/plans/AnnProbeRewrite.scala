@@ -29,8 +29,14 @@ import graft.functions.{CosineSimilarity, L2Distance, VectorKernel}
   * opt-in by conf AND per-index registration, never a silent default.
   */
 object AnnIndexRegistry {
+  /** An index is SCOPED BY CLUSTER-COLUMN NAME: any relation exposing a
+    * column of this name is eligible for the rewrite, so give each indexed
+    * corpus a distinct cluster column name. `dims` guards against applying
+    * an index to a differently-embedded corpus (no silent truncation). */
   final case class IvfIndex(clusterCol: String, centroids: Seq[(Int, Array[Float])],
-                            nProbe: Int = 2)
+                            nProbe: Int = 2) {
+    val dims: Int = centroids.headOption.map(_._2.length).getOrElse(0)
+  }
 
   private val indexes = TrieMap.empty[String, IvfIndex]
 
@@ -42,18 +48,21 @@ object AnnIndexRegistry {
   def lookup(clusterCol: String): Option[IvfIndex] = indexes.get(clusterCol)
   def all: Seq[IvfIndex] = indexes.values.toSeq
 
-  /** driver-side scoring of the (tiny) centroid table */
+  /** driver-side scoring of the (tiny) centroid table; requires matching
+    * dims — same fail-loud stance as the kernels' checkDims */
   def probedClusters(index: IvfIndex, q: Array[Float], byCosine: Boolean): Seq[Int] = {
+    require(q.length == index.dims,
+      s"query dims ${q.length} != index dims ${index.dims} for '${index.clusterCol}'")
     def cosine(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) {
+      while (i < a.length) {
         dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1
       }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     def l2(a: Array[Float], b: Array[Float]): Double = {
       var acc = 0.0; var i = 0
-      while (i < math.min(a.length, b.length)) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
+      while (i < a.length) { val d = a(i).toDouble - b(i); acc += d * d; i += 1 }
       math.sqrt(acc)
     }
     val scored =
@@ -101,13 +110,21 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Cluster-id literal matching the column's integral type (an Int
+    * literal against a bigint column would fail post-analysis checks). */
+  private def clusterLit(c: Int, dt: org.apache.spark.sql.types.DataType): Expression = dt match {
+    case org.apache.spark.sql.types.LongType => Literal(c.toLong)
+    case org.apache.spark.sql.types.IntegerType => Literal(c)
+    case other => Cast(Literal(c), other)
+  }
+
   /** Walk through output-preserving nodes under the Sort to the first node
     * exposing a registered cluster column; wrap it with the probe filter. */
   private def injectProbe(plan: LogicalPlan, probedFor: Attribute => Option[Seq[Int]]): Option[LogicalPlan] =
     plan.output.collectFirst(Function.unlift(a => probedFor(a).map(p => (a, p)))) match {
       case Some((attr, probed)) =>
         if (alreadyProbed(plan, attr.name)) None
-        else Some(Filter(In(attr, probed.map(c => Literal(c))), plan))
+        else Some(Filter(In(attr, probed.map(c => clusterLit(c, attr.dataType))), plan))
       case None => plan match {
         case p: Project => injectProbe(p.child, probedFor).map(c => p.copy(child = c))
         case s: SubqueryAlias => injectProbe(s.child, probedFor).map(c => s.copy(child = c))
@@ -130,16 +147,20 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
     case sort @ Sort(order +: _, true, child, _) =>
       for {
         (kernel, qVec) <- extractKernel(order.child)
-        byCosine = !kernel.isInstanceOf[L2Distance]
+        byCosine = kernel.isInstanceOf[CosineSimilarity]
+        // only cosine-DESC and l2-ASC are probe-able; a DOT sort over
+        // un-normalized vectors is magnitude-sensitive and a cosine probe
+        // would silently pick the wrong clusters — never rewrite it
         goodDirection = kernel match {
           case _: CosineSimilarity => order.direction == Descending
           case _: L2Distance => order.direction == Ascending
-          case _ => order.direction == Descending // dot product
+          case _ => false
         }
         if goodDirection
         probed <- injectProbe(child, a =>
-          AnnIndexRegistry.lookup(a.name).map(ix =>
-            AnnIndexRegistry.probedClusters(ix, qVec, byCosine)))
+          AnnIndexRegistry.lookup(a.name)
+            .filter(_.dims == qVec.length) // stale/mismatched index: skip
+            .map(ix => AnnIndexRegistry.probedClusters(ix, qVec, byCosine)))
       } yield sort.copy(child = probed)
     case _ => None
   }

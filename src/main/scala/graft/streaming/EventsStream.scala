@@ -90,6 +90,11 @@ object EventsStream extends Serializable {
               cur match {
                 case Some(s) if t >= s.startUs - gapUs && t - s.lastUs <= gapUs =>
                   cur = Some(SessionAgg(math.min(s.startUs, t), math.max(s.lastUs, t), s.n + 1))
+                case Some(s) if t < s.startUs - gapUs =>
+                  // too-late event far BEFORE the open session: emit it as
+                  // its own closed singleton; the open session stays open
+                  // (closing the later session here would split/overlap it)
+                  closed ::= ClosedSession(user, 1, microsToTs(t), microsToTs(t))
                 case Some(s) =>
                   closed ::= close(user, s)
                   cur = Some(SessionAgg(t, t, 1))

@@ -26,8 +26,15 @@ object Bridge {
     * application opt into graft's planner rules without a restart.
     * (`create()` never reuses the default session, unlike getOrCreate.) */
   def newSessionWithExtensions(spark: org.apache.spark.sql.SparkSession,
-                               configure: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession =
-    org.apache.spark.sql.classic.SparkSession.builder()
+                               configure: org.apache.spark.sql.SparkSessionExtensions => Unit): org.apache.spark.sql.SparkSession = {
+    val fresh = org.apache.spark.sql.classic.SparkSession.builder()
       .withExtensions(configure)
       .create()
+    // carry the source session's runtime SQL confs over (static/immutable
+    // confs throw on set — skip them)
+    spark.conf.getAll.foreach { case (k, v) =>
+      try fresh.conf.set(k, v) catch { case _: Exception => () }
+    }
+    fresh
+  }
 }

@@ -48,6 +48,22 @@ class DedupSpec extends SparkSpec {
     val clusters = Dedup.duplicateClusters(many, 12, minSize = 10)
       .as[(String, Long, Long)].collect()
     assert(clusters.length == 1 && clusters.head._2 == 40 && clusters.head._3 == 1L)
+    // bucketClusters reports what the cap skipped (one row per band here)
+    val buckets = Dedup.bucketClusters(many, 12, 3, minSize = 10)
+      .as[(Int, String, Long, Long)].collect()
+    assert(buckets.length == 3 && buckets.forall(b => b._3 == 40 && b._4 == 1L))
+  }
+
+  test("bucketClusters catches near-dup clusters whose full signatures differ") {
+    // 20 docs sharing most shingles (one token varies) + unrelated docs:
+    // full signatures differ for some, but band buckets still collide
+    val near = ((1L to 20L).map(i => (i, s"alpha beta gamma delta epsilon zeta eta theta iota v$i")) ++
+      Seq((98L, "totally different words entirely here now"), (99L, "another unrelated doc body text"))).toDF("doc_id", "text")
+    val buckets = Dedup.bucketClusters(near, 12, 3, minSize = 10)
+      .as[(Int, String, Long, Long)].collect()
+    assert(buckets.nonEmpty && buckets.forall(_._3 >= 10))
+    val exact = Dedup.duplicateClusters(near, 12, minSize = 10).count()
+    assert(exact == 0) // signatures differ -> exact-dup report empty, as designed
   }
 
   test("bandedSignatures rejects invalid band configuration") {
