@@ -153,14 +153,43 @@ object Dedup {
       .selectExpr("doc_id", s"$compose AS sg")
   }
 
-  /** B4: pairs with hamming(simhash) ≤ maxHamming. The small-corpus form
-    * is all-pairs; at scale, band the signature bits and bucket-join like
-    * minhashLsh. */
+  /** B4: pairs with hamming(simhash) ≤ maxHamming — all-pairs reference
+    * form (small corpora / verification). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sig = simhashSignatures(docs).cache()
     sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         expr("CAST(bit_count(a.sg ^ b.sg) AS BIGINT)").as("ham"))
+      .filter(col("ham") <= maxHamming)
+  }
+
+  /** B4 at scale: byte-banded simhash pairs, EXACTLY equal to
+    * `simhashPairs` for `maxHamming < bands` by pigeonhole — ≤ maxHamming
+    * differing bits can touch at most maxHamming of the `bands` disjoint
+    * bit ranges, so every true pair collides in ≥ 1 band. The shuffle is
+    * keyed by (band, byte value): no O(n²) cross join; candidates are
+    * distinct-ed then exact-hamming filtered. */
+  def simhashPairsBanded(docs: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    require(maxHamming < bands,
+      s"banded equality needs maxHamming ($maxHamming) < bands ($bands) [pigeonhole]")
+    require(32 % bands == 0, s"bands ($bands) must divide the 32-bit signature")
+    val width = 32 / bands
+    val mask = (1L << width) - 1
+    val sig = simhashSignatures(docs).cache()
+    val bandExprs = (0 until bands)
+      .map(b => s"$b, shiftright(sg, ${b * width}) & ${mask}L").mkString(", ")
+    val banded = sig.selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
+    val candidates = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+    candidates
+      .join(sig.select(col("doc_id").as("a_id"), col("sg").as("sga")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("sg").as("sgb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        expr("CAST(bit_count(sga ^ sgb) AS BIGINT)").as("ham"))
       .filter(col("ham") <= maxHamming)
   }
 

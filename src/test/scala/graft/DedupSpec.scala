@@ -76,4 +76,19 @@ class DedupSpec extends SparkSpec {
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("banded simhash equals all-pairs exactly (pigeonhole)") {
+    // varied corpus: near-dups + unrelated docs, threshold up to 3
+    val corpus = ((1L to 12L).map(i => (i, s"shared common tokens body text piece w${i % 4}")) ++
+      Seq((97L, "outlier entirely different content one"),
+        (98L, "outlier entirely different content two"))).toDF("doc_id", "text")
+    for (h <- Seq(0, 1, 3)) {
+      val exact = Dedup.simhashPairs(corpus, h)
+        .as[(Long, Long, Long)].collect().toSet
+      val banded = Dedup.simhashPairsBanded(corpus, h)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(banded == exact, s"maxHamming=$h: banded ${banded.size} vs exact ${exact.size}")
+    }
+    intercept[IllegalArgumentException] { Dedup.simhashPairsBanded(corpus, 4, 4) }
+  }
 }
