@@ -163,6 +163,16 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
   }
 
+  /** Cost-based B4: all-pairs wins while n²/2 comparisons are cheaper than
+    * the banded form's extra joins; banded wins asymptotically. Both
+    * produce identical results (see simhashPairsBanded), so this is pure
+    * physical-plan selection — the same philosophy as Spark's
+    * broadcast-vs-shuffle join choice. */
+  def simhashPairsAuto(docs: DataFrame, maxHamming: Int,
+                       bandedThreshold: Long = 50000L): DataFrame =
+    if (docs.count() <= bandedThreshold) simhashPairs(docs, maxHamming)
+    else simhashPairsBanded(docs, maxHamming)
+
   /** B4 at scale: byte-banded simhash pairs, EXACTLY equal to
     * `simhashPairs` for `maxHamming < bands` by pigeonhole — ≤ maxHamming
     * differing bits can touch at most maxHamming of the `bands` disjoint

@@ -49,11 +49,10 @@ object DedupQueries {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), NumHashes, Bands)),
 
-    // B4: SimHash near-dup, hamming ≤ 1 — the byte-banded form is
-    // pigeonhole-EXACT vs all-pairs (same oracle), shuffling only on
-    // (band, byte) keys
+    // B4: SimHash near-dup, hamming ≤ 1 — cost-based: all-pairs on small
+    // corpora, byte-banded LSH (pigeonhole-EXACT, same oracle) at scale
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairsBanded(docs(s, dir), SimhashMaxHamming)),
+      Dedup.simhashPairsAuto(docs(s, dir), SimhashMaxHamming)),
 
     // B5: embedding-cosine near-dup pairs (exact all-pairs baseline;
     // the 100 TB path replaces the cross join with ann_lsh buckets)
