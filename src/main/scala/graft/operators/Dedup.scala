@@ -204,11 +204,28 @@ object Dedup {
   }
 
   /** B5: embedding-cosine near-dup pairs ≥ tauScaled/10^4 (exact all-pairs
-    * baseline; LSH-bucket via graft.operators.Lsh at scale). */
+    * baseline; `embeddingPairsBucketed` is the scale path). */
   def embeddingPairs(emb: DataFrame, tauScaled: Long): DataFrame =
     emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .withColumn("cs", scaled(
         vectors.cosine(col("a.embedding"), col("b.embedding")), Knn.ScoreDigits))
       .filter(col("cs") >= tauScaled)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cs"))
+
+  /** B5 at scale: candidate pairs share a random-hyperplane LSH bucket —
+    * shuffle keyed by bucket, never n². APPROXIMATE: a subset of the exact
+    * result (P[same bucket] = (1 − θ/π)^planes for angle θ; identical
+    * vectors always collide). Fewer planes → higher recall, bigger
+    * buckets. */
+  def embeddingPairsBucketed(emb: DataFrame, tauScaled: Long,
+                             numPlanes: Int, dims: Int): DataFrame = {
+    val bucketed = Lsh.withBucket(emb, numPlanes, dims).cache()
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cs", scaled(
+        vectors.cosine(col("a.embedding"), col("b.embedding")), Knn.ScoreDigits))
+      .filter(col("cs") >= tauScaled)
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cs"))
+  }
 }

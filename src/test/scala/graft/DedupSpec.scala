@@ -71,6 +71,20 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Dedup.minhashLsh(docs, 13, 3) }
   }
 
+  test("bucketed embedding near-dup is a subset of exact and catches identical vectors") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.01f)),   // identical
+      (3L, Array(0.99f, 0.05f)),                            // near 1/2
+      (4L, Array(-1.0f, 0.3f)), (5L, Array(0.02f, -1.0f))   // far away
+    ).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(emb, 9000L)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val bucketed = Dedup.embeddingPairsBucketed(emb, 9000L, numPlanes = 2, dims = 2)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(bucketed.subsetOf(exact))
+    assert(bucketed.contains((1L, 2L))) // identical vectors always same bucket
+  }
+
   test("simhash identical docs have distance 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
