@@ -49,9 +49,21 @@ object Dedup {
 
   /** B2: pairs with Jaccard(shingles) ≥ tauScaled/10^6. Candidates come
     * from an equi-join on the shingle (superset of any positive-Jaccard
-    * pair), so the shuffle is keyed by shingle. */
-  def ngramJaccard(docs: DataFrame, tauScaled: Long): DataFrame = {
-    val exploded = shingledExploded(docs).cache()
+    * pair), so the shuffle is keyed by shingle.
+    *
+    * `maxDf`: the equi-join emits m²/2 candidate rows for a shingle shared
+    * by m docs — one stop-phrase across a billion docs is a quadratic
+    * blowup. With a cap, shingles whose document frequency exceeds `maxDf`
+    * are dropped from BOTH the intersection and the set sizes (Jaccard over
+    * non-stop shingles — the standard similarity-join df-pruning contract);
+    * `hotShingles` reports what was dropped. */
+  def ngramJaccard(docs: DataFrame, tauScaled: Long, maxDf: Option[Int] = None): DataFrame = {
+    val all = shingledExploded(docs)
+    val kept = maxDf.fold(all) { cap =>
+      val w = Window.partitionBy("g")
+      all.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= cap).drop("_df")
+    }
+    val exploded = kept.cache()
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = exploded.as("a")
       .join(exploded.as("b"), col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
@@ -64,6 +76,14 @@ object Dedup {
       .filter(col("jac") >= tauScaled)
       .select("a_id", "b_id", "jac")
   }
+
+  /** Triage report for `ngramJaccard(maxDf=...)`: the stop-shingles the df
+    * cap dropped, with their frequency and a sample carrier doc (pattern:
+    * minhash's `bucketClusters`). */
+  def hotShingles(docs: DataFrame, maxDf: Int): DataFrame =
+    shingledExploded(docs).groupBy("g")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("sample_doc"))
+      .filter(col("df") > maxDf)
 
   /** MinHash signatures: explode shingles, hash once, then `numHashes`
     * permutation minima in ONE codegen'd hash aggregate (map-side partial
@@ -137,29 +157,37 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
       .filter(col("n_docs") >= minSize)
 
-  /** 32-bit SimHash signatures via explode + 32 conditional bit-sums in one
-    * codegen'd aggregate. */
+  /** 64-bit SimHash signatures as two 32-bit halves: `lo` (bits 0–31, from
+    * md5 hex chars 1–8 of each token) and `hi` (bits 32–63, hex chars 9–16).
+    * Two halves keep every intermediate in non-negative BIGINT range — a
+    * single 64-bit value needs `1L << 63` = Long.MinValue, which ANSI-mode
+    * addition rejects and whose arithmetic shiftright sign-extends in both
+    * engines. 64 conditional bit-sums run in ONE codegen'd aggregate. */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val bitSums = (0 until 32).map { b =>
-      s"sum(CASE WHEN (shiftright(h, $b) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
+    val bitSums = (0 until 64).map { b =>
+      val (src, bit) = if (b < 32) ("h1", b) else ("h2", b - 32)
+      s"sum(CASE WHEN (shiftright($src, $bit) & 1) = 1 THEN 1 ELSE -1 END) AS s$b"
     }
-    val compose = (0 until 32).map { b =>
-      s"(CASE WHEN s$b > 0 THEN ${1L << b}L ELSE 0L END)"
+    def compose(from: Int): String = (0 until 32).map { b =>
+      s"(CASE WHEN s${from + b} > 0 THEN ${1L << b}L ELSE 0L END)"
     }.mkString(" + ")
     docs.selectExpr("doc_id", s"explode($TokExpr) AS tok")
-      .selectExpr("doc_id", s"${hashExpr("tok")} AS h")
+      .selectExpr("doc_id", "md5(tok) AS m")
+      .selectExpr("doc_id",
+        "CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT) AS h1",
+        "CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT) AS h2")
       .groupBy("doc_id")
       .agg(expr(bitSums.head), bitSums.tail.map(expr): _*)
-      .selectExpr("doc_id", s"$compose AS sg")
+      .selectExpr("doc_id", s"${compose(0)} AS lo", s"${compose(32)} AS hi")
   }
 
-  /** B4: pairs with hamming(simhash) ≤ maxHamming — all-pairs reference
-    * form (small corpora / verification). */
+  /** B4: pairs with hamming(64-bit simhash) ≤ maxHamming — all-pairs
+    * reference form (small corpora / verification). */
   def simhashPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
     val sig = simhashSignatures(docs).cache()
     sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        expr("CAST(bit_count(a.sg ^ b.sg) AS BIGINT)").as("ham"))
+        expr("CAST(bit_count(a.lo ^ b.lo) + bit_count(a.hi ^ b.hi) AS BIGINT)").as("ham"))
       .filter(col("ham") <= maxHamming)
   }
 
@@ -178,16 +206,21 @@ object Dedup {
     * differing bits can touch at most maxHamming of the `bands` disjoint
     * bit ranges, so every true pair collides in ≥ 1 band. The shuffle is
     * keyed by (band, byte value): no O(n²) cross join; candidates are
-    * distinct-ed then exact-hamming filtered. */
-  def simhashPairsBanded(docs: DataFrame, maxHamming: Int, bands: Int = 4): DataFrame = {
+    * distinct-ed then exact-hamming filtered. Default 8 bands of 8 bits
+    * over the 64-bit signature (4 per 32-bit half). */
+  def simhashPairsBanded(docs: DataFrame, maxHamming: Int, bands: Int = 8): DataFrame = {
     require(maxHamming < bands,
       s"banded equality needs maxHamming ($maxHamming) < bands ($bands) [pigeonhole]")
-    require(32 % bands == 0, s"bands ($bands) must divide the 32-bit signature")
-    val width = 32 / bands
+    require(bands % 2 == 0 && 32 % (bands / 2) == 0,
+      s"bands ($bands) must split the two 32-bit signature halves evenly")
+    val halfBands = bands / 2
+    val width = 32 / halfBands
     val mask = (1L << width) - 1
     val sig = simhashSignatures(docs).cache()
-    val bandExprs = (0 until bands)
-      .map(b => s"$b, shiftright(sg, ${b * width}) & ${mask}L").mkString(", ")
+    val bandExprs = (0 until bands).map { b =>
+      val (src, off) = if (b < halfBands) ("lo", b * width) else ("hi", (b - halfBands) * width)
+      s"$b, shiftright($src, $off) & ${mask}L"
+    }.mkString(", ")
     val banded = sig.selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
     val candidates = banded.as("x")
       .join(banded.as("y"),
@@ -196,10 +229,10 @@ object Dedup {
       .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .distinct()
     candidates
-      .join(sig.select(col("doc_id").as("a_id"), col("sg").as("sga")), "a_id")
-      .join(sig.select(col("doc_id").as("b_id"), col("sg").as("sgb")), "b_id")
+      .join(sig.select(col("doc_id").as("a_id"), col("lo").as("alo"), col("hi").as("ahi")), "a_id")
+      .join(sig.select(col("doc_id").as("b_id"), col("lo").as("blo"), col("hi").as("bhi")), "b_id")
       .select(col("a_id"), col("b_id"),
-        expr("CAST(bit_count(sga ^ sgb) AS BIGINT)").as("ham"))
+        expr("CAST(bit_count(alo ^ blo) + bit_count(ahi ^ bhi) AS BIGINT)").as("ham"))
       .filter(col("ham") <= maxHamming)
   }
 
@@ -228,4 +261,19 @@ object Dedup {
       .filter(col("cs") >= tauScaled)
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"), col("cs"))
   }
+
+  /** Cost/contract dispatch for B5, the analogue of `simhashPairsAuto`.
+    * Below `bucketedThreshold` rows the exact all-pairs baseline runs
+    * (recall 1.0; n²·d/2 flops is trivial there). Above it the LSH-bucketed
+    * path IS the product contract: near-dup candidates must share a
+    * deterministic hyperplane bucket — identical vectors always do, a pair
+    * at angle θ with probability (1−θ/π)^planes. Unlike simhash's banding
+    * (pigeonhole-exact) this switch changes the recall contract, because
+    * exact cosine-threshold pairs have no subquadratic form — at corpus
+    * scale, cluster-scoped near-dup (SemDeDup-style) is the semantics. */
+  def embeddingPairsAuto(emb: DataFrame, tauScaled: Long,
+                         numPlanes: Int = 4, dims: Int = 64,
+                         bucketedThreshold: Long = 1000L): DataFrame =
+    if (emb.count() <= bucketedThreshold) embeddingPairs(emb, tauScaled)
+    else embeddingPairsBucketed(emb, tauScaled, numPlanes, dims)
 }

@@ -138,12 +138,16 @@ object CoreQueries {
           scaled(sum("o_totalprice").over(w), 2).as("cum_spend"))
     }),
 
-    // B12: semi-structured props JSON extraction + agg
+    // B12: semi-structured props JSON extraction + agg. avg_k is integer
+    // arithmetic (sum·10⁴ div non-null count) — a double avg×10⁴ can land
+    // exactly on x.5 and round differently across engines (same convention
+    // as semi_join's avg_price).
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), scaled(avg("k"), 4).as("avg_k")))
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), count("k").as("n_k"))
+        .selectExpr("event_type", "n", "sum_k", "(sum_k * 10000) div n_k AS avg_k"))
   )
 
   val oracle: Map[String, String] = Map(
@@ -233,7 +237,8 @@ object CoreQueries {
     "events_json" ->
       """SELECT event_type, count(*) AS n,
         | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-        | CAST(round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000.0, 0) AS BIGINT) AS avg_k
+        | (sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000)
+        |   // count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
         |FROM events GROUP BY event_type""".stripMargin
   )
 }

@@ -36,29 +36,41 @@ object DedupQueries {
   private val JaccardTauScaled = 800000L // 0.8 at scale 6
   private val CosineTauScaled = 4500L    // 0.45 at scale 4
   private val SimhashMaxHamming = 1
+  // df cap for B2 (stop-shingle guard): well above the observed max df in
+  // the testdata (7 at sf0.01, 25 at sf0.1) so small-SF results equal the
+  // uncapped form, while a billion-doc stop-phrase can never go quadratic
+  private val MaxShingleDf = 64
+  // B5 dispatch: ≤ threshold → exact all-pairs; above → LSH-bucketed
+  // (sf0.01's 500 rows verify the exact form, sf0.1's 2000 the bucketed)
+  private val EmbPairThreshold = 1000L
+  private val EmbNumPlanes = 4
+  private val EmbDims = 64
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: exact dedup — one shuffle on the content hash
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
 
-    // B2: n-gram Jaccard near-dup — candidates via shingle equi-join
+    // B2: n-gram Jaccard near-dup — candidates via shingle equi-join,
+    // df-capped so one hot shingle in m docs can't emit m² candidate rows
     "dedup_ngram_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccard(docs(s, dir), JaccardTauScaled)),
+      Dedup.ngramJaccard(docs(s, dir), JaccardTauScaled, maxDf = Some(MaxShingleDf))),
 
     // B3: MinHash + banded LSH — shuffle keyed by (band, bucket) only
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), NumHashes, Bands)),
 
-    // B4: SimHash near-dup, hamming ≤ 1 — cost-based: all-pairs on small
-    // corpora, byte-banded LSH (pigeonhole-EXACT, same oracle) at scale
+    // B4: 64-bit SimHash near-dup, hamming ≤ 1 — cost-based: all-pairs on
+    // small corpora, byte-banded LSH (pigeonhole-EXACT, same oracle) at scale
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairsAuto(docs(s, dir), SimhashMaxHamming)),
 
-    // B5: embedding-cosine near-dup pairs (exact all-pairs baseline;
-    // the 100 TB path replaces the cross join with ann_lsh buckets)
+    // B5: embedding-cosine near-dup pairs — exact all-pairs below the
+    // dispatch threshold, LSH-bucketed above (the oracle mirrors the
+    // dispatch, so both branches are hash-verified)
     "dedup_embedding" -> ((s, dir) =>
-      Dedup.embeddingPairs(
-        Tables(s, dir, "embeddings").select("vec_id", "embedding"), CosineTauScaled))
+      Dedup.embeddingPairsAuto(
+        Tables(s, dir, "embeddings").select("vec_id", "embedding"), CosineTauScaled,
+        EmbNumPlanes, EmbDims, EmbPairThreshold))
   )
 
   val oracle: Map[String, String] = {
@@ -77,15 +89,20 @@ object DedupQueries {
       "dedup_ngram_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
            |sh AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
-           |pairs AS (
-           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    len(list_intersect(a.s, b.s)) AS inter, len(a.s) AS na, len(b.s) AS nb
-           |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+           |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+           |kept AS (SELECT ex.doc_id, ex.g FROM ex
+           |  JOIN (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf) ok USING (g)),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
            |SELECT a_id, b_id,
-           |  CAST(round((inter / (na + nb - inter)) * 1000000.0, 0) AS BIGINT) AS jac
-           |FROM pairs
-           |WHERE inter > 0
-           |  AND CAST(round((inter / (na + nb - inter)) * 1000000.0, 0) AS BIGINT) >= $JaccardTauScaled""".stripMargin,
+           |  CAST(round((inter / (sa.n + sb.n - inter)) * 1000000.0, 0) AS BIGINT) AS jac
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |WHERE CAST(round((inter / (sa.n + sb.n - inter)) * 1000000.0, 0) AS BIGINT) >= $JaccardTauScaled""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
@@ -98,24 +115,41 @@ object DedupQueries {
            |FROM bands a JOIN bands b
            |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
 
-      "dedup_simhash" ->
+      "dedup_simhash" -> {
+        def half(h: String) =
+          s"""CAST(list_sum(list_transform(range(32), b ->
+             |    CASE WHEN list_sum(list_transform(tk, tok ->
+             |           CASE WHEN ($h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT)""".stripMargin
         s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
            |sig AS (SELECT doc_id,
-           |  CAST(list_sum(list_transform(range(32), b ->
-           |    CASE WHEN list_sum(list_transform(tk, tok ->
-           |           CASE WHEN (${dH("tok")} >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
-           |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS sg
+           |  ${half(DuckDialect.hashLo("tok"))} AS lo,
+           |  ${half(DuckDialect.hashHi("tok"))} AS hi
            |  FROM t)
            |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-           |  CAST(bit_count(xor(a.sg, b.sg)) AS BIGINT) AS ham
+           |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT) AS ham
            |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sg, b.sg)) <= $SimhashMaxHamming""".stripMargin,
+           |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= $SimhashMaxHamming""".stripMargin
+      },
 
-      "dedup_embedding" ->
-        s"""SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-           |  CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS cs
+      // mirrors Dedup.embeddingPairsAuto's count dispatch: the all-pairs
+      // branch is empty above the threshold, the bucketed branch below it
+      "dedup_embedding" -> {
+        def cs(a: String, b: String) =
+          s"CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+        s"""WITH nr AS (SELECT count(*) AS c FROM embeddings),
+           |bk AS (SELECT vec_id, embedding,
+           |  ${DuckDialect.bucketSql("embedding", EmbNumPlanes, EmbDims)} AS bucket FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cs("a.embedding", "b.embedding")} AS cs
            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-           |WHERE CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) >= $CosineTauScaled""".stripMargin
+           |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled
+           |  AND (SELECT c FROM nr) <= $EmbPairThreshold
+           |UNION ALL
+           |SELECT a.vec_id, b.vec_id, ${cs("a.embedding", "b.embedding")}
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled
+           |  AND (SELECT c FROM nr) > $EmbPairThreshold""".stripMargin
+      }
     )
   }
 }

@@ -7,6 +7,19 @@ package graft.queries
 object DuckDialect {
   val Tok = """list_filter(string_split_regex(text, '\s+'), x -> x != '')"""
   def hash(v: String) = s"CAST('0x'||substr(md5($v), 1, 15) AS BIGINT)"
+  /** 32-bit halves of the md5 (hex chars 1–8 / 9–16) — the 64-bit simhash
+    * sources. Mirrors operators.Dedup.simhashSignatures' h1/h2. */
+  def hashLo(v: String) = s"CAST('0x'||substr(md5($v), 1, 8) AS BIGINT)"
+  def hashHi(v: String) = s"CAST('0x'||substr(md5($v), 9, 8) AS BIGINT)"
   val Shingles =
     "list_distinct(list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))"
+
+  /** Random-hyperplane LSH bucket id — mirrors operators.Lsh.bucketCol with
+    * the identical deterministic integer plane weights. */
+  def bucketSql(vec: String, numPlanes: Int, dims: Int): String =
+    (0 until numPlanes).map { j =>
+      val plane = graft.operators.Lsh.planeWeights(j, dims)
+        .map(w => s"${w.toInt}.0").mkString("[", ", ", "]") + "::DOUBLE[]"
+      s"(CASE WHEN list_inner_product(CAST($vec AS DOUBLE[]), $plane) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
 }

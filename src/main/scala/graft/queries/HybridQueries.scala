@@ -29,13 +29,7 @@ object HybridQueries {
   private val NumPlanes = 4
   private val Dims = 64
 
-  private def planeSqlLit(j: Int): String =
-    Lsh.planeWeights(j, Dims).map(w => s"${w.toInt}.0").mkString("[", ", ", "]") + "::DOUBLE[]"
-
-  private def bucketSql(vec: String): String =
-    (0 until NumPlanes).map { j =>
-      s"(CASE WHEN list_inner_product(CAST($vec AS DOUBLE[]), ${planeSqlLit(j)}) > 0 THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+  private def bucketSql(vec: String): String = DuckDialect.bucketSql(vec, NumPlanes, Dims)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A14: IVF index build — per-cluster centroids, one shuffle on (label,dim)

@@ -85,6 +85,34 @@ class DedupSpec extends SparkSpec {
     assert(bucketed.contains((1L, 2L))) // identical vectors always same bucket
   }
 
+  test("shingle df cap kills the hot-shingle m² blowup; hotShingles reports the stop shingles") {
+    // 30 docs share one hot phrase (2 shingles with df=30); everything else unique
+    val many = (1L to 30L)
+      .map(i => (i, s"common hot phrase here unique$i tail$i words$i")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(many, tauScaled = 100000L).count()
+    assert(uncapped == 30L * 29 / 2) // every pair linked through the hot shingles
+    val capped = Dedup.ngramJaccard(many, tauScaled = 100000L, maxDf = Some(10)).count()
+    assert(capped == 0) // stop shingles dropped -> no candidate pairs at all
+    val hot = Dedup.hotShingles(many, 10).as[(String, Long, Long)].collect()
+    assert(hot.length == 2 && hot.forall(h => h._2 == 30 && h._3 == 1L))
+  }
+
+  test("embeddingPairsAuto dispatches all-pairs vs bucketed by corpus size") {
+    val emb = Seq(
+      (1L, Array(1.0f, 0.01f)), (2L, Array(1.0f, 0.01f)),
+      (3L, Array(0.99f, 0.05f)), (4L, Array(-1.0f, 0.3f)), (5L, Array(0.02f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val small = Dedup.embeddingPairsAuto(emb, 9000L, 2, 2, bucketedThreshold = 100L)
+    assert(pairs(small) == pairs(Dedup.embeddingPairs(emb, 9000L)))
+    val big = Dedup.embeddingPairsAuto(emb, 9000L, 2, 2, bucketedThreshold = 2L)
+    assert(pairs(big) == pairs(Dedup.embeddingPairsBucketed(emb, 9000L, 2, 2)))
+    // the scale branch must never plan a cartesian/nested-loop join
+    val plan = big.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("NestedLoop"), plan)
+  }
+
   test("simhash identical docs have distance 0") {
     val pairs = Dedup.simhashPairs(docs, maxHamming = 0)
       .select("a_id", "b_id").as[(Long, Long)].collect().toSet
