@@ -21,19 +21,18 @@ import graft.functions.{scaled, vectors}
   */
 object Ivf {
 
-  /** Per-cluster mean vectors, computed distributively: explode to
-    * (label, dim, v), partial-agg per partition, final agg per (label,dim)
-    * — one shuffle keyed by (label, dim), never a driver collect.
+  /** Per-cluster mean vectors, computed distributively via the `VecSum`
+    * declarative aggregate: map-side partials are one d-vector per (cluster,
+    * partition), so the single `groupBy(label)` shuffle carries C×P small
+    * arrays — never the posexplode'd n×d rows, and never a driver collect.
     * Result is cast to array<float> (the corpus element type). */
   def centroids(emb: DataFrame, idCol: String = "vec_id", vecCol: String = "embedding",
                 clusterCol: String = "label"): DataFrame =
     emb
-      .select(col(clusterCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .groupBy(clusterCol, "dim")
-      .agg(avg(col("v").cast("double")).as("cv"))
       .groupBy(clusterCol)
-      .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent_d"))
-      .select(col(clusterCol), col("cent_d").cast("array<float>").as("cent"))
+      .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(lit(1)).as("n"))
+      .select(col(clusterCol),
+        transform(col("vsum"), v => v / col("n")).cast("array<float>").as("cent"))
 
   /** The `nProbe` cluster ids nearest the query (by cosine, deterministic
     * tie-break on cluster id). Centroid set is tiny → broadcast. */

@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{scaled, vectors}
+import graft.functions.{aggs, scaled, vectors}
 
 /** Distributed k-nearest-neighbor search over an embedding column.
   *
@@ -21,9 +20,9 @@ import graft.functions.{scaled, vectors}
   *    metadata + filter, then top-k — recall loss under selective filters,
   *    exactly like the reference's `post_filter_search`.
   *  - batch: queries are small → `broadcast()` cross join, per-query top-k
-  *    via window rank partitioned by query id (shuffle keyed by query id
-  *    only over the k·|Q|-bounded candidate set when `largeK` pre-cut is
-  *    applied; at full scale prefer `TakeOrdered` per query via salting).
+  *    via the `TopKHits` declarative aggregate — map-side k-heaps partial-
+  *    aggregate before the shuffle, so only |Q|·k rows leave each partition
+  *    (two-phase local/global top-k; scales to any corpus size).
   */
 object Knn {
 
@@ -31,19 +30,24 @@ object Knn {
     def score(a: Column, b: Column): Column
     /** ordering: best first */
     def order(score: Column): Column
+    /** true iff a LOWER score is better (distances vs similarities) */
+    def ascending: Boolean
   }
   case object Cosine extends Metric {
     def score(a: Column, b: Column): Column = vectors.cosine(a, b)
     def order(s: Column): Column = s.desc
+    def ascending: Boolean = false
   }
   case object L2 extends Metric {
     def score(a: Column, b: Column): Column = vectors.l2(a, b)
     def order(s: Column): Column = s.asc
+    def ascending: Boolean = true
   }
   /** hnswlib's third space, `space='ip'` (inner product). */
   case object Dot extends Metric {
     def score(a: Column, b: Column): Column = vectors.dot(a, b)
     def order(s: Column): Column = s.desc
+    def ascending: Boolean = false
   }
 
   /** Ranking happens on the decimal-scaled score (`scaled(score, digits)`)
@@ -91,7 +95,12 @@ object Knn {
   }
 
   /** Batch kNN: top-k per query for a (small, broadcast) query set.
-    * Returns [q_id, id, rank, score]. */
+    * Returns [q_id, id, rank, score].
+    *
+    * Two-phase top-k via the `TopKHits` declarative aggregate: every map
+    * task keeps a k-bounded heap per query id (partial aggregation), so the
+    * shuffle carries ≤ |Q|·k rows per partition — never the full
+    * |corpus|×|Q| scored set into |Q| window reducers. */
   def batchKnn(corpus: DataFrame, queries: DataFrame, k: Int, metric: Metric,
                idCol: String = "vec_id", vecCol: String = "embedding",
                qIdCol: String = "q_id", qVecCol: String = "q_vec",
@@ -100,11 +109,11 @@ object Knn {
       .crossJoin(broadcast(queries))
       .withColumn("score", scaled(metric.score(col(vecCol), col(qVecCol)), ScoreDigits))
     if (excludeSelf) scored = scored.filter(col(idCol) =!= col(qIdCol))
-    val w = Window.partitionBy(col(qIdCol))
-      .orderBy(metric.order(col("score")), col(idCol).asc)
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select(col(qIdCol), col(idCol), col("rank"), col("score"))
+      .groupBy(col(qIdCol))
+      .agg(aggs.topK(col("score"), col(idCol), k, metric.ascending).as("hits"))
+      .select(col(qIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qIdCol), col("hit.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
   }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{scaled, vectors}
@@ -71,28 +70,28 @@ object HybridQueries {
       Lsh.annSearch(corpus, q, 5, NumPlanes, Dims).select("vec_id", "score")
     }),
 
-    // A13: recall@10 of the probe-2 IVF search vs exact kNN, queries 0..4
+    // A13: recall@10 of the probe-2 IVF search vs exact kNN, queries 0..4.
+    // Both rankings use the TopKHits aggregate (map-side k-heaps) — no
+    // full-shuffle window over the scored corpus on either path.
     "recall_eval" -> ((s, dir) => {
       val e = emb(s, dir)
       val qs = e.filter(col("vec_id") <= 4)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       val exact = Knn.batchKnn(e.select("vec_id", "embedding"), qs, 10, Knn.Cosine)
       val cent = Ivf.centroids(e)
-      val pw = Window.partitionBy("q_id").orderBy(col("cscore").desc, col("label").asc)
       val probes = cent.crossJoin(broadcast(qs))
         .withColumn("cscore", scaled(vectors.cosine(col("cent"), col("q_vec")), Knn.ScoreDigits))
-        .withColumn("pr", row_number().over(pw))
-        .filter(col("pr") <= 2)
-        .select("q_id", "label")
-      val pruned = e.join(probes, "label")
-        .join(broadcast(qs.withColumnRenamed("q_id", "qq_id")), col("q_id") === col("qq_id"))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("cscore"), col("label"), 2, asc = false).as("hits"))
+        .select(col("q_id"), explode(col("hits.id")).as("label"))
+      val pruned = e.select("vec_id", "embedding", "label").join(probes, "label")
+        .join(broadcast(qs), "q_id")
         .filter(col("vec_id") =!= col("q_id"))
-      val aw = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id").asc)
       val approx = pruned
         .withColumn("score", scaled(vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .withColumn("rnk", row_number().over(aw))
-        .filter(col("rnk") <= 10)
-        .select("q_id", "vec_id")
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10, asc = false).as("hits"))
+        .select(col("q_id"), explode(col("hits.id")).as("vec_id"))
       val hits = approx.join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
         .groupBy("q_id").agg(count(lit(1)).as("h"))
       qs.select("q_id").join(hits, Seq("q_id"), "left")
