@@ -98,6 +98,48 @@ object HybridQueries {
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
     }),
 
+    // A13b: the reference's HEADLINE experiment (README §3 evaluation table):
+    // recall of post-filter and hybrid search vs the exact PRE-FILTER ground
+    // truth, under one predicate per selectivity class. The expected shape is
+    // the reference's: post-filter recall collapses as the filter gets more
+    // selective; hybrid holds up by pushing the predicate into the probe.
+    "recall_filtered" -> ((s, dir) => {
+      val all = emb(s, dir)
+      val e = all.filter(col("vec_id") =!= 11)
+      val q = all.filter(col("vec_id") === 11).select(col("embedding").as("q_vec"))
+      val d = docs(s, dir)
+      val classes = Seq(
+        ("class1_selective",
+          MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))),
+        ("class2_mid", MetaPredicate("lang" -> ("exact", "zh"))),
+        ("class3_broad", MetaPredicate("n_chars" -> ("leq", 400))))
+      classes.map { case (cls, pred) =>
+        val exact = Knn.prefilterKnn(e, d, pred, q, 10, Knn.Cosine).select("vec_id")
+        val strategies = Seq(
+          "post" -> Knn.postfilterKnn(e, d, pred, q, 10, 50, Knn.Cosine).select("vec_id"),
+          "hybrid" -> Ivf.hybridKnn(e, d, pred, q, 10, 2).select("vec_id"))
+        strategies.map { case (strat, approx) =>
+          approx.agg(count(lit(1)).as("n_ret"))
+            .crossJoin(approx.join(exact, "vec_id").agg(count(lit(1)).as("n_hit")))
+            .select(lit(cls).as("cls"), lit(strat).as("strategy"),
+              col("n_ret"), col("n_hit"))
+        }.reduce(_ union _)
+      }.reduce(_ union _)
+    }),
+
+    // A10b: the reference's adaptive widening loop (acorn.py:162
+    // `while visits <= meta_search`): double the probed cluster count until
+    // >= k filter-passing survivors. lang='fr' leaves ~6 survivors per
+    // cluster at sf0.01, so probe-1 genuinely fails and the loop widens.
+    "hybrid_knn_adaptive" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      Ivf.adaptiveHybridKnn(e, docs(s, dir),
+        MetaPredicate("lang" -> ("exact", "fr")) && (col("doc_id") =!= 3),
+        q, k = 10)
+        .select("vec_id", "score")
+    }),
+
     // A16: per-predicate selectivity classing (README query classes 1/2/3)
     "selectivity_classes" -> ((s, dir) =>
       docs(s, dir)
@@ -211,6 +253,75 @@ object HybridQueries {
          |  SELECT a.q_id, count(*) AS n_hit
          |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
          |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
+
+    "recall_filtered" -> {
+      val preds = Seq(
+        ("class1_selective",
+          "d.lang IS NOT NULL AND d.lang = 'zh' AND d.n_chars IS NOT NULL AND d.n_chars < 150"),
+        ("class2_mid", "d.lang IS NOT NULL AND d.lang = 'zh'"),
+        ("class3_broad", "d.n_chars IS NOT NULL AND d.n_chars <= 400"))
+      val classCtes = preds.zipWithIndex.map { case ((_, p), i) =>
+        s"""exact$i AS (
+           |  SELECT e.vec_id FROM e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+           |  WHERE $p ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id ASC LIMIT 10),
+           |post$i AS (
+           |  SELECT c.vec_id FROM cand c JOIN documents d ON d.doc_id = c.vec_id
+           |  WHERE $p ORDER BY c.score DESC, c.vec_id ASC LIMIT 10),
+           |hyb$i AS (
+           |  SELECT e.vec_id FROM e JOIN probes pr ON e.label = pr.label
+           |  JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+           |  WHERE $p ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id ASC LIMIT 10)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = preds.zipWithIndex.flatMap { case ((cls, _), i) =>
+        Seq(
+          s"""SELECT '$cls' AS cls, 'post' AS strategy,
+             |  (SELECT count(*) FROM post$i) AS n_ret,
+             |  (SELECT count(*) FROM post$i JOIN exact$i USING (vec_id)) AS n_hit""".stripMargin,
+          s"""SELECT '$cls' AS cls, 'hybrid' AS strategy,
+             |  (SELECT count(*) FROM hyb$i) AS n_ret,
+             |  (SELECT count(*) FROM hyb$i JOIN exact$i USING (vec_id)) AS n_hit""".stripMargin)
+      }.mkString("\nUNION ALL\n")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 11),
+         |e AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id <> 11),
+         |cand AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |  FROM e CROSS JOIN q ORDER BY score DESC, e.vec_id ASC LIMIT 50),
+         |cent AS (${centSql("e")}),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2),
+         |$classCtes
+         |$rows""".stripMargin
+    },
+
+    "hybrid_knn_adaptive" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 3),
+         |cent AS (${centSql("embeddings")}),
+         |ranked AS (
+         |  SELECT c.label AS label, row_number() OVER (
+         |    ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC) AS pr
+         |  FROM cent c CROSS JOIN q),
+         |nc AS (SELECT count(*) AS n FROM cent),
+         |nps AS (
+         |  SELECT DISTINCT LEAST(p.v, nc.n) AS np
+         |  FROM (SELECT unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,
+         |                       8192,16384,32768,65536]) AS v) p CROSS JOIN nc),
+         |surv AS (
+         |  SELECT n.np AS np, count(*) AS cnt
+         |  FROM nps n JOIN ranked r ON r.pr <= n.np
+         |  JOIN embeddings e ON e.label = r.label
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang IS NOT NULL AND d.lang = 'fr' AND d.doc_id <> 3
+         |  GROUP BY n.np),
+         |chosen AS (
+         |  SELECT COALESCE((SELECT min(np) FROM surv WHERE cnt >= 10),
+         |                  (SELECT max(np) FROM nps)) AS np)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e JOIN ranked r ON e.label = r.label CROSS JOIN chosen ch
+         |JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+         |WHERE r.pr <= ch.np AND d.lang IS NOT NULL AND d.lang = 'fr' AND d.doc_id <> 3
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "selectivity_classes" ->
       """WITH m AS (SELECT
