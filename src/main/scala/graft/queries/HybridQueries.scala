@@ -140,6 +140,24 @@ object HybridQueries {
         .select("vec_id", "score")
     }),
 
+    // A14b: the 100 TB index LAYOUT, driver-verified end-to-end — write the
+    // corpus partitioned by cluster id, probe the 2 nearest clusters, and
+    // read back through partition pruning (the scan's PartitionFilters skip
+    // the other C-2 directories before any IO; asserted in
+    // ClusteredLayoutSpec over this very entry).
+    "clustered_probe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = "/root/repo/target/clustered/" + new java.io.File(dir).getName
+      Ivf.writeClustered(e, path)
+      val q = e.filter(col("vec_id") === 4).select(col("embedding").as("q_vec"))
+      // 2 probed labels are k·1 driver-side model state (same contract as
+      // buildAndRegisterIndex), not a data collect
+      val probed = Ivf.probe(Ivf.centroids(e), q, 2).collect().map(_.getInt(0)).toSeq
+      val pruned = Ivf.readProbed(s, path, probed).filter(col("vec_id") =!= 4)
+      Knn.topK(pruned.select("vec_id", "embedding"), q, 10, Knn.Cosine)
+        .select("vec_id", "score")
+    }),
+
     // A16: per-predicate selectivity classing (README query classes 1/2/3)
     "selectivity_classes" -> ((s, dir) =>
       docs(s, dir)
@@ -168,6 +186,35 @@ object HybridQueries {
           |FROM g_emb e CROSS JOIN (SELECT embedding FROM g_emb WHERE vec_id = 9) q
           |WHERE e.vec_id <> 9
           |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin)
+    }),
+
+    // A15b: the FULL ABO listings ingest, driver-verified — ABO-shaped JSONL
+    // (nested value-structs, optional brand, optional other_image_id) is
+    // synthesized deterministically from `documents`, then round-tripped
+    // through the real parse path: sources.Listings typed from_json →
+    // image-id explode → flattened attrs (parse-json.py:41's image join).
+    // The oracle computes the expected projection directly, so any parse,
+    // explode, or null-handling defect hash-mismatches.
+    "listings_parse" -> ((s, dir) => {
+      val jsonl = docs(s, dir).select(concat(
+        lit("{\"item_id\":\"item_"), col("doc_id"),
+        lit("\",\"main_image_id\":\"img_"), col("doc_id"), lit("_0\""),
+        when(col("doc_id") % 3 =!= 0,
+          concat(lit(",\"other_image_id\":[\"img_"), col("doc_id"), lit("_1\"]")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 =!= 0,
+          concat(lit(",\"brand\":[{\"value\":\""), col("source"), lit("\"}]")))
+          .otherwise(lit("")),
+        lit(",\"color\":[{\"value\":\""), col("lang"), lit("\"}]"),
+        lit(",\"model_year\":[{\"value\":"), lit(2000) + col("doc_id") % 25,
+        lit("}],\"item_weight\":[{\"normalized_value\":{\"unit\":\"g\",\"value\":"),
+        col("n_chars"),
+        lit("}}],\"country\":\"C"), col("doc_id") % 7, lit("\"}")
+      ).as("value"))
+      val im = graft.sources.Listings.imageMetadata(
+        graft.sources.Listings.parseListings(jsonl))
+      im.select(col("image_id"), col("brand"), col("color"), col("model_year"),
+        col("item_weight").cast("long").as("item_weight"), col("country"))
     }),
 
     // A15: JSONL metadata ingest — typed from_json (parse-json.py analogue)
@@ -295,6 +342,17 @@ object HybridQueries {
          |$rows""".stripMargin
     },
 
+    "clustered_probe" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 4),
+         |cent AS (${centSql("embeddings")}),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
+         |WHERE e.vec_id <> 4
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
     "hybrid_knn_adaptive" ->
       s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 3),
          |cent AS (${centSql("embeddings")}),
@@ -345,6 +403,21 @@ object HybridQueries {
       s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 9) q
          |WHERE e.vec_id <> 9 ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "listings_parse" ->
+      """WITH rows AS (
+        |  SELECT 'img_' || doc_id || '_0' AS image_id, doc_id, source, lang, n_chars
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'img_' || doc_id || '_1', doc_id, source, lang, n_chars
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT image_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS brand,
+        |  lang AS color,
+        |  2000 + doc_id % 25 AS model_year,
+        |  n_chars AS item_weight,
+        |  'C' || (doc_id % 7) AS country
+        |FROM rows""".stripMargin,
 
     "metadata_parse" ->
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

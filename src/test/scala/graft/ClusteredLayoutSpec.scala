@@ -26,4 +26,15 @@ class ClusteredLayoutSpec extends SparkSpec {
     val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).sorted
     assert(dirs.count(_.startsWith("label=")) == 10)
   }
+
+  test("clustered_probe queries entry scans through PartitionFilters") {
+    val df = SparkEntry.queries("clustered_probe")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    // the probed-cluster isin() must sit in the partition filters (directory
+    // pruning), NOT only as a data filter after the scan — the clustered
+    // scan shows `PartitionFilters: [label#N IN (...)]`
+    assert(plan.contains("PartitionFilters: [label"),
+      s"no label partition filter in:\n$plan")
+    assert(df.count() > 0)
+  }
 }
