@@ -93,7 +93,9 @@ object Ivf {
       }
       .toSeq
     val index = graft.plans.AnnIndexRegistry.IvfIndex(clusterCol, cents, nProbe)
-    graft.plans.AnnIndexRegistry.register(index)
+    // scoped to the building session — an index never leaks into queries of
+    // unrelated sessions that happen to share the cluster column name
+    graft.plans.AnnIndexRegistry.register(index, emb.sparkSession)
     index
   }
 

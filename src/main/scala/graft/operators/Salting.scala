@@ -22,13 +22,17 @@ object Salting {
                    valueCol: Option[Column] = None): DataFrame = {
     val salted = df
       .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
-    val partial = valueCol match {
-      case Some(v) => salted.groupBy(key.as("k"), col("_salt"))
-        .agg(count(lit(1)).as("pc"), sum(v).as("ps"))
-      case None => salted.groupBy(key.as("k"), col("_salt"))
-        .agg(count(lit(1)).as("pc"), lit(0.0).as("ps"))
+    valueCol match {
+      case Some(v) =>
+        salted.groupBy(key.as("k"), col("_salt"))
+          .agg(count(lit(1)).as("pc"), sum(v).as("ps"))
+          .groupBy("k")
+          .agg(sum("pc").as("n"), sum("ps").as("total"))
+      case None => // count-only: no meaningless zero `total` column
+        salted.groupBy(key.as("k"), col("_salt"))
+          .agg(count(lit(1)).as("pc"))
+          .groupBy("k")
+          .agg(sum("pc").as("n"))
     }
-    partial.groupBy("k")
-      .agg(sum("pc").as("n"), sum("ps").as("total"))
   }
 }

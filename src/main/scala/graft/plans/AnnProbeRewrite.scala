@@ -29,23 +29,39 @@ import graft.functions.{CosineSimilarity, L2Distance, VectorKernel}
   * opt-in by conf AND per-index registration, never a silent default.
   */
 object AnnIndexRegistry {
-  /** An index is SCOPED BY CLUSTER-COLUMN NAME: any relation exposing a
-    * column of this name is eligible for the rewrite, so give each indexed
-    * corpus a distinct cluster column name. `dims` guards against applying
+  /** An index is SCOPED BY (session, cluster-column name): within its
+    * scope, any relation exposing a column of this name is eligible for
+    * the rewrite, so give each indexed corpus a distinct cluster column
+    * name. `Ivf.buildAndRegisterIndex` registers under the building
+    * session's UUID (indexes never leak into unrelated sessions); an
+    * explicitly `register(index)`-ed index is global — a deliberate
+    * opt-in for cross-session sharing. `dims` guards against applying
     * an index to a differently-embedded corpus (no silent truncation). */
   final case class IvfIndex(clusterCol: String, centroids: Seq[(Int, Array[Float])],
                             nProbe: Int = 2) {
     val dims: Int = centroids.headOption.map(_._2.length).getOrElse(0)
   }
 
-  private val indexes = TrieMap.empty[String, IvfIndex]
+  private val indexes = TrieMap.empty[(String, String), IvfIndex] // (scope, clusterCol)
 
   val EnabledConf = "spark.graft.ann.rewrite.enabled"
+  private val GlobalScope = "*"
 
-  def register(index: IvfIndex): Unit = indexes.put(index.clusterCol, index)
-  def unregister(clusterCol: String): Unit = indexes.remove(clusterCol)
+  /** Register for ALL sessions (explicit cross-session sharing). */
+  def register(index: IvfIndex): Unit =
+    indexes.put((GlobalScope, index.clusterCol), index)
+  /** Register scoped to one session — other sessions never see it. */
+  def register(index: IvfIndex, session: SparkSession): Unit =
+    indexes.put((org.apache.spark.sql.graftbridge.Bridge.sessionUUID(session),
+      index.clusterCol), index)
+  /** Remove the column's registrations in every scope. */
+  def unregister(clusterCol: String): Unit =
+    indexes.keys.filter(_._2 == clusterCol).foreach(indexes.remove)
   def clear(): Unit = indexes.clear()
-  def lookup(clusterCol: String): Option[IvfIndex] = indexes.get(clusterCol)
+  /** Session-scoped registration first, then the global scope. */
+  def lookup(clusterCol: String, session: SparkSession): Option[IvfIndex] =
+    indexes.get((org.apache.spark.sql.graftbridge.Bridge.sessionUUID(session), clusterCol))
+      .orElse(indexes.get((GlobalScope, clusterCol)))
   def all: Seq[IvfIndex] = indexes.values.toSeq
 
   /** driver-side scoring of the (tiny) centroid table; requires matching
@@ -158,7 +174,7 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         if goodDirection
         probed <- injectProbe(child, a =>
-          AnnIndexRegistry.lookup(a.name)
+          AnnIndexRegistry.lookup(a.name, spark)
             .filter(_.dims == qVec.length) // stale/mismatched index: skip
             .map(ix => AnnIndexRegistry.probedClusters(ix, qVec, byCosine)))
       } yield sort.copy(child = probed)

@@ -13,6 +13,11 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Stable identity of a session (the classic `sessionUUID`) — used to
+    * scope ANN index registrations per session. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Register a function builder on a live session (the non-extensions
     * path; `graft.GraftExtensions` is the spark.sql.extensions path). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

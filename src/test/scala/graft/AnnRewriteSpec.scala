@@ -101,6 +101,24 @@ class AnnRewriteSpec extends SparkSpec with BeforeAndAfterEach {
     assert(ids(df) == Seq(3L, 1L))
   }
 
+  test("an index built in another session does not leak into this one") {
+    // build+register on the BASE session; query on the extensions session —
+    // the session-scoped registration must not apply (the cross-session
+    // footgun the registry scoping removes)
+    val otherDf = spark.createDataFrame(data).toDF("vec_id", "embedding", "label")
+    graft.operators.Ivf.buildAndRegisterIndex(otherDf, nProbe = 1)
+    extSpark.conf.set(AnnIndexRegistry.EnabledConf, "true")
+    val df = extSpark.sql(knnSql)
+    assert(!probeFilterIn(df))
+    assert(ids(df) == Seq(3L, 1L))
+  }
+
+  test("explicit global register IS visible across sessions (opt-in sharing)") {
+    registerIndex() // plain register() = global scope
+    extSpark.conf.set(AnnIndexRegistry.EnabledConf, "true")
+    assert(probeFilterIn(extSpark.sql(knnSql)))
+  }
+
   test("no registered index for any output column: untouched even when enabled") {
     extSpark.conf.set(AnnIndexRegistry.EnabledConf, "true")
     AnnIndexRegistry.register(IvfIndex("some_other_col", Seq(0 -> Array(1f, 0f))))

@@ -38,6 +38,14 @@ class OperatorsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("count-only salted aggregation returns just (k, n)") {
+    val df = (1 to 100).map(i => if (i % 2 == 0) "hot" else s"k$i").toDF("key")
+    val salted = Salting.saltedCounts(df, col("key"), salts = 4)
+    assert(salted.columns.toSeq == Seq("k", "n"))
+    val m = salted.as[(String, Long)].collect().toMap
+    assert(m("hot") == 50L)
+  }
+
   test("streaming sessionization closes sessions past the gap via event-time timeout") {
     implicit val sqlCtx = spark.sqlContext
     def ev(id: Long, user: Long, hhmm: String) =
