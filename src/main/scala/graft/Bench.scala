@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** Query classes mirroring the reference's evaluation axes
+    * (/root/reference/acorn.py:283 measures wall + RSS per query class):
+    * vector/hybrid search, dedup family, text analysis, ingest/parse,
+    * core analytics. */
+  def classOf(name: String): String =
+    if (name.startsWith("dedup_")) "dedup"
+    else if (name.startsWith("text_")) "text"
+    else if (name.startsWith("multimodal_") || name.endsWith("_parse") ||
+      name == "events_json") "ingest"
+    else if (name.startsWith("meta_") || name.contains("knn") ||
+      name.startsWith("recall_") || name == "ann_lsh" || name == "ivf_build" ||
+      name == "clustered_probe" || name == "selectivity_classes") "search"
+    else "core"
+
+  /** Linux resident set size in MiB (the reference reports RSS per run). */
+  private def rssMb: Long = {
+    try {
+      val line = scala.io.Source.fromFile("/proc/self/status").getLines()
+        .find(_.startsWith("VmRSS:"))
+      line.map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+    } catch { case _: Throwable => -1L }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,7 +55,12 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val classes = results.groupBy { case (k, _) => classOf(k) }
+      .toSeq.sortBy(_._1)
+      .map { case (c, m) => s"\"$c\":{\"sec\":${m.values.sum},\"n\":${m.size}}" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""classes":$classes,"rss_mb":$rssMb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
