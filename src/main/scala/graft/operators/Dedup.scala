@@ -58,7 +58,14 @@ object Dedup {
     * non-stop shingles — the standard similarity-join df-pruning contract);
     * `hotShingles` reports what was dropped. */
   def ngramJaccard(docs: DataFrame, tauScaled: Long, maxDf: Option[Int] = None): DataFrame = {
-    val all = shingledExploded(docs)
+    // shingles collapse to the shared 60-bit hash key immediately: every
+    // downstream shuffle (per-doc dedupe, df cap, candidate equi-join)
+    // moves 8-byte longs instead of 3-gram strings. Both engines apply the
+    // identical hash before deduping, so the oracle compare stays exact
+    // even under (vanishingly rare) 60-bit collisions.
+    val all = shingledExplodedRaw(docs)
+      .selectExpr("doc_id", s"${hashExpr("g")} AS g")
+      .distinct()
     val kept = maxDf.fold(all) { cap =>
       val w = Window.partitionBy("g")
       all.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= cap).drop("_df")

@@ -29,14 +29,14 @@ object KMeans {
 
     for (_ <- 0 until iters) {
       val centDf = spark.createDataFrame(cent.toIndexedSeq).toDF("cluster", "cent")
+      // VecSum partial-aggregates one d-vector per (cluster, partition) —
+      // the shuffle carries k·P small arrays, never posexploded n·d rows
       val next = assign(emb, centDf, idCol, vecCol)
         .join(emb, idCol)
-        .select(col("cluster"), posexplode(col(vecCol)).as(Seq("dim", "v")))
-        .groupBy("cluster", "dim")
-        .agg(avg(col("v").cast("double")).as("cv"))
         .groupBy("cluster")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, cv))), x -> x.cv)").as("cent_d"))
-        .select(col("cluster"), col("cent_d").cast("array<float>").as("cent"))
+        .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(lit(1)).as("n"))
+        .select(col("cluster"),
+          transform(col("vsum"), v => v / col("n")).cast("array<float>").as("cent"))
         .as[(Int, Array[Float])].collect()
       // empty clusters keep their previous centroid
       val updated = next.toMap
