@@ -121,6 +121,40 @@ object Ivf {
     searchProbed(centroids(emb, idCol, vecCol, clusterCol),
       emb, meta, pred, query, k, nProbe, metric, idCol, metaIdCol, vecCol, clusterCol)
 
+  /** Batch hybrid search — the reference's main loop (acorn.py:283 runs
+    * queries one at a time) as ONE distributed plan: queries broadcast,
+    * per-query probes via the TopKHits aggregate over the C×|Q| centroid
+    * scores, the corpus joined only against its probed (query, cluster)
+    * pairs with the metadata predicate applied before the distance kernel,
+    * and per-query top-k again via map-side k-heaps. No stage shuffles
+    * more than |Q|·k rows per partition. Returns [q_id, id, rank, score]. */
+  def hybridBatchKnn(emb: DataFrame, meta: DataFrame, pred: Column, queries: DataFrame,
+                     k: Int, nProbe: Int, metric: Knn.Metric = Knn.Cosine,
+                     idCol: String = "vec_id", metaIdCol: String = "doc_id",
+                     vecCol: String = "embedding", clusterCol: String = "label",
+                     qIdCol: String = "q_id", qVecCol: String = "q_vec",
+                     excludeSelf: Boolean = true): DataFrame = {
+    val cent = centroids(emb, idCol, vecCol, clusterCol)
+    val probes = cent.crossJoin(broadcast(queries))
+      .withColumn("cscore", scaled(vectors.cosine(col("cent"), col(qVecCol)), Knn.ScoreDigits))
+      .groupBy(qIdCol)
+      .agg(graft.functions.aggs.topK(col("cscore"), col(clusterCol), nProbe, asc = false)
+        .as("hits"))
+      .select(col(qIdCol), explode(col("hits.id")).as(clusterCol))
+    var pruned = emb.select(col(idCol), col(vecCol), col(clusterCol))
+      .join(probes, clusterCol)
+      .join(meta.filter(pred), col(idCol) === col(metaIdCol))
+      .join(broadcast(queries), qIdCol)
+    if (excludeSelf) pruned = pruned.filter(col(idCol) =!= col(qIdCol))
+    pruned
+      .withColumn("score", scaled(metric.score(col(vecCol), col(qVecCol)), Knn.ScoreDigits))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.aggs.topK(col("score"), col(idCol), k, metric.ascending).as("hits"))
+      .select(col(qIdCol), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col(qIdCol), col("hit.id").as(idCol),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
+
   /** Shared probe + pruned-scan + top-k body (used by hybridKnn, the
     * adaptive variant, and HybridSearchEngine so they cannot drift). */
   private[graft] def searchProbed(cent: DataFrame, emb: DataFrame, meta: DataFrame, pred: Column,

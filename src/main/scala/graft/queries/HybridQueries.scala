@@ -51,6 +51,16 @@ object HybridQueries {
         .select("vec_id", "score")
     }),
 
+    // A12b: the reference's per-query main loop as ONE batched plan —
+    // per-query probes and per-query top-k both via TopKHits k-heaps
+    "hybrid_knn_batch" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Ivf.hybridBatchKnn(e, docs(s, dir),
+        MetaPredicate("n_chars" -> ("leq", 400)), qs, k = 5, nProbe = 2)
+    }),
+
     // A11: attribute-specific index — the clustered index is built ONLY
     // over rows possessing the attribute (reference: model_year subset)
     "attr_specific_knn" -> ((s, dir) => {
@@ -249,6 +259,26 @@ object HybridQueries {
          |CROSS JOIN q
          |WHERE d.n_chars IS NOT NULL AND d.n_chars <= 400 AND d.doc_id <> 5
          |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    "hybrid_knn_batch" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id <= 4),
+         |cent AS (${centSql("embeddings")}),
+         |probes AS (SELECT q_id, label FROM (
+         |  SELECT q.q_id, c.label,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("c.cent", "q.q_vec")} DESC, c.label ASC) AS pr
+         |  FROM cent c CROSS JOIN qs q) WHERE pr <= 2)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    CAST(row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS BIGINT) AS rank,
+         |    ${cosSql("e.embedding", "q.q_vec")} AS score
+         |  FROM embeddings e
+         |  JOIN probes p ON e.label = p.label
+         |  JOIN qs q ON q.q_id = p.q_id
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.n_chars IS NOT NULL AND d.n_chars <= 400 AND e.vec_id <> q.q_id
+         |) WHERE rank <= 5""".stripMargin,
 
     "attr_specific_knn" ->
       s"""WITH sub AS (

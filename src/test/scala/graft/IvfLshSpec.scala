@@ -44,6 +44,22 @@ class IvfLshSpec extends SparkSpec {
     assert(r.subsetOf(Set(4L, 5L, 6L)) && r.size == 2)
   }
 
+  test("hybridBatchKnn equals per-query hybridKnn") {
+    val meta = Seq((1L, 50), (2L, 500), (3L, 50), (4L, 50), (5L, 50), (6L, 50))
+      .toDF("doc_id", "n_chars")
+    val qs = emb.filter(col("vec_id").isin(1L, 4L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Ivf.hybridBatchKnn(emb, meta, col("n_chars") < 100, qs, k = 3, nProbe = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val single = Seq(1L, 4L).flatMap { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      Ivf.hybridKnn(emb.filter(col("vec_id") =!= qid), meta, col("n_chars") < 100,
+        q, k = 3, nProbe = 1)
+        .select("vec_id").as[Long].collect().map(qid -> _)
+    }.toSet
+    assert(batch == single)
+  }
+
   test("lsh bucket is deterministic and md5 matches the column hash") {
     // Scala-side md5Hash60 must agree with the SQL-side conv(md5) column
     val s = "plane_0_0"
