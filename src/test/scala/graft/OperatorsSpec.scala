@@ -3,8 +3,10 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import graft.operators.{KMeans, Salting}
-import graft.streaming.EventsStream
+import graft.operators.{Dedup, KMeans, Salting}
+import graft.streaming.{DedupStream, EventsStream}
+
+case class Doc(doc_id: Long, ts: Timestamp, text: String)
 
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
@@ -44,6 +46,44 @@ class OperatorsSpec extends SparkSpec {
     assert(salted.columns.toSeq == Seq("k", "n"))
     val m = salted.as[(String, Long)].collect().toMap
     assert(m("hot") == 50L)
+  }
+
+  test("streaming dedup emits only the first copy within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    def doc(id: Long, hhmm: String, text: String) =
+      Doc(id, Timestamp.valueOf(s"2024-01-01 $hhmm:00"), text)
+
+    val stream = MemoryStream[Doc]
+    val out = DedupStream.dedupWithinWatermark(stream.toDF(), "10 minutes")
+    val sq = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      // same content twice in one batch, once in the next (still in window)
+      stream.addData(doc(1, "10:00", "aaa"), doc(2, "10:01", "aaa"), doc(3, "10:01", "bbb"))
+      sq.processAllAvailable()
+      stream.addData(doc(4, "10:02", "aaa"))
+      sq.processAllAvailable()
+      val ids = spark.table("dedup_out").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 3L), s"got $ids")
+
+      // far past the watermark the state is dropped: the duplicate is
+      // re-admitted (the documented bounded-state contract; the periodic
+      // batch pass is the exactness backstop)
+      stream.addData(doc(5, "12:00", "ccc"))
+      sq.processAllAvailable()
+      stream.addData(doc(6, "12:01", "aaa"))
+      sq.processAllAvailable()
+      val later = spark.table("dedup_out").select("doc_id").as[Long].collect().toSet
+      assert(later.contains(6L), s"got $later")
+    } finally sq.stop()
+  }
+
+  test("streaming and batch dedup agree on the surviving hashes") {
+    val df = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val got = DedupStream.dedupBatch(df).select("h").as[String].collect().toSet
+    val exact = Dedup.exact(df).select("h").as[String].collect().toSet
+    assert(got == exact)
   }
 
   test("streaming sessionization closes sessions past the gap via event-time timeout") {
