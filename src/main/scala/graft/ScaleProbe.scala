@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Ivf, Knn}
+
+/** Scale dry-run: synthetic 100×-sf corpora generated distributively
+  * (range + hash-derived values, no driver materialization), timing the
+  * operators whose plans must hold at 100 TB. Not part of the correctness
+  * gate — a per-round regression probe for the scale story.
+  *
+  * Usage: `sbt "runMain graft.ScaleProbe [nVecs] [nDocs]"` (defaults
+  * 500k/500k, local[32]).
+  */
+object ScaleProbe {
+
+  private def time[A](label: String)(f: => A): (String, Double) = {
+    val t0 = System.nanoTime()
+    f
+    val s = (System.nanoTime() - t0) / 1e9
+    (label, s)
+  }
+
+  def syntheticEmbeddings(spark: SparkSession, n: Long, dims: Int = 64,
+                          clusters: Int = 64): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr(s"transform(sequence(0, ${dims - 1}), d -> " +
+        s"CAST(pmod(xxhash64(id * $dims + d), 997) / 997.0 AS FLOAT))").as("embedding"),
+      pmod(col("id"), lit(clusters)).cast("int").as("label"))
+
+  def syntheticDocs(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("doc_id"),
+      // ~40 tokens/doc, zipf-ish vocabulary via nested hash
+      expr("""concat_ws(' ', transform(sequence(0, 39), t ->
+        concat('w', pmod(xxhash64(id * 40 + t), 5000))))""").as("text"),
+      expr("CAST(pmod(xxhash64(id), 5) AS INT)").as("lang_k"),
+      pmod(col("id"), lit(997)).as("n_chars"))
+
+  def main(args: Array[String]): Unit = {
+    val nVecs = args.lift(0).map(_.toLong).getOrElse(500000L)
+    val nDocs = args.lift(1).map(_.toLong).getOrElse(500000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "8g")
+    Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val emb = syntheticEmbeddings(spark, nVecs)
+    val docs = syntheticDocs(spark, nDocs)
+    emb.write.mode("overwrite").parquet("/root/repo/target/probe/emb")
+    docs.write.mode("overwrite").parquet("/root/repo/target/probe/docs")
+    val e = spark.read.parquet("/root/repo/target/probe/emb")
+    val d = spark.read.parquet("/root/repo/target/probe/docs")
+
+    val q1 = e.filter(col("vec_id") === 7).select(col("embedding").as("q_vec"))
+    val qs = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val meta = d.select(col("doc_id"), col("lang_k"), col("n_chars"))
+
+    val results = Seq(
+      time("exact_knn")(Knn.topK(e.select("vec_id", "embedding"), q1, 10, Knn.Cosine).count()),
+      time("batch_knn_8q")(Knn.batchKnn(e.select("vec_id", "embedding"), qs, 10, Knn.Cosine).count()),
+      time("centroids_vecsum")(Ivf.centroids(e).count()),
+      time("hybrid_batch_8q")(Ivf.hybridBatchKnn(
+        e, meta, col("n_chars") < 500, qs, k = 10, nProbe = 4).count()),
+      time("simhash_sigs")(Dedup.simhashSignatures(d).count()),
+      time("minhash_sigs")(Dedup.minhashSignatures(d, 12).count()),
+      time("ngram_jaccard_hashed")(
+        Dedup.ngramJaccard(d.limit(100000), 800000L, maxDf = Some(64)).count())
+    )
+    val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")
+    spark.stop()
+  }
+}
