@@ -53,6 +53,20 @@ final class HybridSearchEngine private (corpus: DataFrame, metadata: DataFrame,
   /** Exact brute-force kNN (no filter) — the evaluation ground truth. */
   def exactSearch(query: DataFrame, k: Int, metric: Knn.Metric = Knn.Cosine): DataFrame =
     Knn.topK(corpus.select(idCol, vecCol), query, k, metric, idCol, vecCol)
+
+  /** The reference's adaptive loop: widen the probe count until ≥ k
+    * filter-passing survivors (acorn.py:162). */
+  def acornSearchAdaptive(meta: Map[String, (String, Any)], query: DataFrame, k: Int,
+                          metric: Knn.Metric = Knn.Cosine): DataFrame =
+    Ivf.adaptiveHybridKnn(corpus, metadata, compile(meta), query, k, metric,
+      idCol, metaIdCol, vecCol, clusterCol)
+
+  /** Batch hybrid search: many queries in one plan, per-query probes and
+    * per-query top-k via map-side k-heaps. `queries`: [q_id, q_vec]. */
+  def acornSearchBatch(meta: Map[String, (String, Any)], queries: DataFrame, k: Int,
+                       nProbe: Int = 2, metric: Knn.Metric = Knn.Cosine): DataFrame =
+    Ivf.hybridBatchKnn(corpus, metadata, compile(meta), queries, k, nProbe, metric,
+      idCol, metaIdCol, vecCol, clusterCol)
 }
 
 object HybridSearchEngine {

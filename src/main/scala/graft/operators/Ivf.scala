@@ -141,8 +141,10 @@ object Ivf {
       .agg(graft.functions.aggs.topK(col("cscore"), col(clusterCol), nProbe, asc = false)
         .as("hits"))
       .select(col(qIdCol), explode(col("hits.id")).as(clusterCol))
+    // probes is |Q|·nProbe rows — always the broadcast side, so the 100 TB
+    // corpus is never the build side regardless of size estimates
     var pruned = emb.select(col(idCol), col(vecCol), col(clusterCol))
-      .join(probes, clusterCol)
+      .join(broadcast(probes), clusterCol)
       .join(meta.filter(pred), col(idCol) === col(metaIdCol))
       .join(broadcast(queries), qIdCol)
     if (excludeSelf) pruned = pruned.filter(col(idCol) =!= col(qIdCol))

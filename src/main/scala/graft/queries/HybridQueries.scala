@@ -94,7 +94,7 @@ object HybridQueries {
         .groupBy("q_id")
         .agg(graft.functions.aggs.topK(col("cscore"), col("label"), 2, asc = false).as("hits"))
         .select(col("q_id"), explode(col("hits.id")).as("label"))
-      val pruned = e.select("vec_id", "embedding", "label").join(probes, "label")
+      val pruned = e.select("vec_id", "embedding", "label").join(broadcast(probes), "label")
         .join(broadcast(qs), "q_id")
         .filter(col("vec_id") =!= col("q_id"))
       val approx = pruned

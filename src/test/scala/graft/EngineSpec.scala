@@ -40,6 +40,24 @@ class EngineSpec extends SparkSpec {
     assert(r == Set(1L, 3L)) // cluster 0 only; 2L fails lang
   }
 
+  test("acornSearchAdaptive widens past a filtered-out nearest cluster") {
+    // de docs: 2L in cluster 0, 6L in cluster 1. The nearest cluster (0)
+    // holds only one → probe-1 yields 1 < k=2 results, forcing a widening.
+    val r = engine.acornSearchAdaptive(Map("lang" -> ("exact", "de")), query, 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(r == Set(2L, 6L))
+  }
+
+  test("acornSearchBatch returns per-query ranks matching single-query acorn") {
+    val qs = corpus.filter(col("vec_id").isin(1L, 4L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val r = engine.acornSearchBatch(Map("lang" -> ("exact", "en")), qs, 2, nProbe = 1)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    // q=1 probes cluster 0 (en: 1,3; self excluded → 3); q=4 probes
+    // cluster 1 (en: 4,5; self excluded → 5)
+    assert(r == Set((1L, 3L), (4L, 5L)))
+  }
+
   test("exactSearch is the ground truth") {
     // (0.9, 0) is exactly collinear with the query → cosine 1.0
     val r = engine.exactSearch(query, 1).select("vec_id").as[Long].head()
