@@ -20,9 +20,10 @@ object Bench {
   /** Linux resident set size in MiB (the reference reports RSS per run). */
   private def rssMb: Long = {
     try {
-      val line = scala.io.Source.fromFile("/proc/self/status").getLines()
-        .find(_.startsWith("VmRSS:"))
-      line.map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("VmRSS:"))
+        .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
+      finally src.close()
     } catch { case _: Throwable => -1L }
   }
 

@@ -59,14 +59,14 @@ final class HybridSearchEngine private (corpus: DataFrame, metadata: DataFrame,
   def acornSearchAdaptive(meta: Map[String, (String, Any)], query: DataFrame, k: Int,
                           metric: Knn.Metric = Knn.Cosine): DataFrame =
     Ivf.adaptiveHybridKnn(corpus, metadata, compile(meta), query, k, metric,
-      idCol, metaIdCol, vecCol, clusterCol)
+      idCol, metaIdCol, vecCol, clusterCol, precomputedCent = Some(centroids))
 
   /** Batch hybrid search: many queries in one plan, per-query probes and
     * per-query top-k via map-side k-heaps. `queries`: [q_id, q_vec]. */
   def acornSearchBatch(meta: Map[String, (String, Any)], queries: DataFrame, k: Int,
                        nProbe: Int = 2, metric: Knn.Metric = Knn.Cosine): DataFrame =
     Ivf.hybridBatchKnn(corpus, metadata, compile(meta), queries, k, nProbe, metric,
-      idCol, metaIdCol, vecCol, clusterCol)
+      idCol, metaIdCol, vecCol, clusterCol, precomputedCent = Some(centroids))
 }
 
 object HybridSearchEngine {

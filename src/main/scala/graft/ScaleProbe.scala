@@ -46,7 +46,8 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver heap cannot be set here in local mode (the JVM is
+      // already running) — size it via the launcher (sbt -J-Xmx…)
     Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -30,7 +30,9 @@ object Ivf {
                 clusterCol: String = "label"): DataFrame =
     emb
       .groupBy(clusterCol)
-      .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(lit(1)).as("n"))
+      // count(vecCol), not count(*): VecSum skips NULL vectors, so the
+      // divisor must too (matches the DuckDB avg-per-dim oracle)
+      .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(col(vecCol)).as("n"))
       .select(col(clusterCol),
         transform(col("vsum"), v => v / col("n")).cast("array<float>").as("cent"))
 
@@ -53,13 +55,17 @@ object Ivf {
   def adaptiveHybridKnn(emb: DataFrame, meta: DataFrame, pred: Column, query: DataFrame,
                         k: Int, metric: Knn.Metric = Knn.Cosine,
                         idCol: String = "vec_id", metaIdCol: String = "doc_id",
-                        vecCol: String = "embedding", clusterCol: String = "label"): DataFrame = {
-    val cent = centroids(emb, idCol, vecCol, clusterCol).cache()
+                        vecCol: String = "embedding", clusterCol: String = "label",
+                        precomputedCent: Option[DataFrame] = None): DataFrame = {
+    val cent = precomputedCent.getOrElse(centroids(emb, idCol, vecCol, clusterCol).cache())
     try {
       val totalClusters = cent.count().toInt
+      // each widening materializes via eager localCheckpoint, so the loop's
+      // count() and the caller's first action reuse the same job — the most
+      // expensive (final) probe level runs exactly once
       def searchAt(nProbe: Int): DataFrame =
         searchProbed(cent, emb, meta, pred, query, k, nProbe, metric,
-          idCol, metaIdCol, vecCol, clusterCol)
+          idCol, metaIdCol, vecCol, clusterCol).localCheckpoint(true)
 
       var nProbe = 1
       var res = searchAt(nProbe)
@@ -67,10 +73,8 @@ object Ivf {
         nProbe = math.min(nProbe * 2, totalClusters)
         res = searchAt(nProbe)
       }
-      // materialize before releasing the centroid cache, and so the
-      // caller's first action doesn't re-run the final probe job
-      res.localCheckpoint(true)
-    } finally cent.unpersist()
+      res
+    } finally if (precomputedCent.isEmpty) cent.unpersist()
   }
 
   /** Build the centroid table AND register it for the opt-in
@@ -133,8 +137,9 @@ object Ivf {
                      idCol: String = "vec_id", metaIdCol: String = "doc_id",
                      vecCol: String = "embedding", clusterCol: String = "label",
                      qIdCol: String = "q_id", qVecCol: String = "q_vec",
-                     excludeSelf: Boolean = true): DataFrame = {
-    val cent = centroids(emb, idCol, vecCol, clusterCol)
+                     excludeSelf: Boolean = true,
+                     precomputedCent: Option[DataFrame] = None): DataFrame = {
+    val cent = precomputedCent.getOrElse(centroids(emb, idCol, vecCol, clusterCol))
     val probes = cent.crossJoin(broadcast(queries))
       .withColumn("cscore", scaled(vectors.cosine(col("cent"), col(qVecCol)), Knn.ScoreDigits))
       .groupBy(qIdCol)

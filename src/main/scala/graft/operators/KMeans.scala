@@ -34,7 +34,7 @@ object KMeans {
       val next = assign(emb, centDf, idCol, vecCol)
         .join(emb, idCol)
         .groupBy("cluster")
-        .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(lit(1)).as("n"))
+        .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(col(vecCol)).as("n"))
         .select(col("cluster"),
           transform(col("vsum"), v => v / col("n")).cast("array<float>").as("cent"))
         .as[(Int, Array[Float])].collect()

@@ -124,13 +124,19 @@ object HybridQueries {
         ("class2_mid", MetaPredicate("lang" -> ("exact", "zh"))),
         ("class3_broad", MetaPredicate("n_chars" -> ("leq", 400))))
       classes.map { case (cls, pred) =>
+        // ≤10-row ground truth, materialized once and reused by both
+        // strategies' hit joins (localCheckpoint avoids re-running the
+        // pre-filter scan per reference)
         val exact = Knn.prefilterKnn(e, d, pred, q, 10, Knn.Cosine).select("vec_id")
+          .localCheckpoint(true)
         val strategies = Seq(
           "post" -> Knn.postfilterKnn(e, d, pred, q, 10, 50, Knn.Cosine).select("vec_id"),
           "hybrid" -> Ivf.hybridKnn(e, d, pred, q, 10, 2).select("vec_id"))
         strategies.map { case (strat, approx) =>
-          approx.agg(count(lit(1)).as("n_ret"))
-            .crossJoin(approx.join(exact, "vec_id").agg(count(lit(1)).as("n_hit")))
+          // single pass over approx: left-join the ground truth, count
+          // returned rows and hits in one aggregate
+          approx.join(exact.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+            .agg(count(lit(1)).as("n_ret"), count(col("_hit")).as("n_hit"))
             .select(lit(cls).as("cls"), lit(strat).as("strategy"),
               col("n_ret"), col("n_hit"))
         }.reduce(_ union _)
@@ -204,7 +210,11 @@ object HybridQueries {
     // through the real parse path: sources.Listings typed from_json →
     // image-id explode → flattened attrs (parse-json.py:41's image join).
     // The oracle computes the expected projection directly, so any parse,
-    // explode, or null-handling defect hash-mismatches.
+    // explode, or null-handling defect hash-mismatches. Nullable source
+    // columns are coalesced IDENTICALLY on both sides (concat would
+    // otherwise null out the whole JSON line while the oracle kept the
+    // row); lang/source are alphanumeric by the testdata contract, so no
+    // JSON string escaping is needed.
     "listings_parse" -> ((s, dir) => {
       val jsonl = docs(s, dir).select(concat(
         lit("{\"item_id\":\"item_"), col("doc_id"),
@@ -213,12 +223,13 @@ object HybridQueries {
           concat(lit(",\"other_image_id\":[\"img_"), col("doc_id"), lit("_1\"]")))
           .otherwise(lit("")),
         when(col("doc_id") % 5 =!= 0,
-          concat(lit(",\"brand\":[{\"value\":\""), col("source"), lit("\"}]")))
+          concat(lit(",\"brand\":[{\"value\":\""),
+            coalesce(col("source"), lit("unknown")), lit("\"}]")))
           .otherwise(lit("")),
-        lit(",\"color\":[{\"value\":\""), col("lang"), lit("\"}]"),
+        lit(",\"color\":[{\"value\":\""), coalesce(col("lang"), lit("und")), lit("\"}]"),
         lit(",\"model_year\":[{\"value\":"), lit(2000) + col("doc_id") % 25,
         lit("}],\"item_weight\":[{\"normalized_value\":{\"unit\":\"g\",\"value\":"),
-        col("n_chars"),
+        coalesce(col("n_chars"), lit(0L)),
         lit("}}],\"country\":\"C"), col("doc_id") % 7, lit("\"}")
       ).as("value"))
       val im = graft.sources.Listings.imageMetadata(
@@ -442,10 +453,10 @@ object HybridQueries {
         |  SELECT 'img_' || doc_id || '_1', doc_id, source, lang, n_chars
         |  FROM documents WHERE doc_id % 3 <> 0)
         |SELECT image_id,
-        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE source END AS brand,
-        |  lang AS color,
+        |  CASE WHEN doc_id % 5 = 0 THEN NULL ELSE coalesce(source, 'unknown') END AS brand,
+        |  coalesce(lang, 'und') AS color,
         |  2000 + doc_id % 25 AS model_year,
-        |  n_chars AS item_weight,
+        |  coalesce(n_chars, 0) AS item_weight,
         |  'C' || (doc_id % 7) AS country
         |FROM rows""".stripMargin,
 
