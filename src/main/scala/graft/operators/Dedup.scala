@@ -67,8 +67,12 @@ object Dedup {
       .selectExpr("doc_id", s"${hashExpr("g")} AS g")
       .distinct()
     val kept = maxDf.fold(all) { cap =>
-      val w = Window.partitionBy("g")
-      all.withColumn("_df", count(lit(1)).over(w)).filter(col("_df") <= cap).drop("_df")
+      // anti-join against the (small, stop-shingle) hot set: the df count
+      // partial-aggregates map-side and nothing is sorted — unlike a window
+      // count over g, which sorts the full shingle table
+      val hot = all.groupBy("g").agg(count(lit(1)).as("_df"))
+        .filter(col("_df") > cap).select("g")
+      all.join(hot, Seq("g"), "left_anti")
     }
     val exploded = kept.cache()
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -116,9 +120,12 @@ object Dedup {
                  maxBucket: Option[Int] = None): DataFrame = {
     val banded = bandedSignatures(docs, numHashes, bands).cache()
     val joinable = maxBucket.fold(banded) { cap =>
-      val w = Window.partitionBy("band", "bkey")
-      banded.withColumn("_bn", count(lit(1)).over(w))
-        .filter(col("_bn") <= cap).drop("_bn")
+      // same anti-join shape as ngramJaccard's df cap: count the (few)
+      // over-cap buckets with a partial-aggregating groupBy, never a
+      // full window sort of the banded table
+      val hot = banded.groupBy("band", "bkey").agg(count(lit(1)).as("_bn"))
+        .filter(col("_bn") > cap).select("band", "bkey")
+      banded.join(hot, Seq("band", "bkey"), "left_anti")
     }
     joinable.as("a")
       .join(joinable.as("b"),
