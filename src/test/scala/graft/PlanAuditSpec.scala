@@ -1,0 +1,59 @@
+package graft
+
+/** Physical-plan audit over the real `SparkEntry.queries` entries — the
+  * scale invariants SURVEY §5 promises, asserted so a refactor cannot
+  * silently regress them:
+  *
+  *  - metadata predicates reach the parquet scan (`PushedFilters`)
+  *  - vector scans prune to the needed columns (`ReadSchema`)
+  *  - single-query top-k plans as `TakeOrderedAndProject` (no full sort)
+  *  - batch top-k partial-aggregates map-side (`partial_top_k_hits`),
+  *    never a window over the scored corpus
+  *  - centroid builds partial-aggregate (`partial_vec_sum`)
+  *  - no cartesian/broadcast-nested-loop join in any scale-path dedup
+  *    entry (the corpus×corpus shape the LSH family exists to avoid)
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("prefilter_knn: predicate pushed to the scan, top-k via TakeOrdered") {
+    val p = plan("prefilter_knn")
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,"), p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("knn_exact_cosine: scan reads only (vec_id, embedding)") {
+    val p = plan("knn_exact_cosine")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      p.take(2000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("knn_batch + hybrid_knn_batch: map-side k-heaps, no Window") {
+    for (name <- Seq("knn_batch", "hybrid_knn_batch")) {
+      val p = plan(name)
+      assert(p.contains("partial_top_k_hits"), s"$name:\n${p.take(2000)}")
+      assert(!p.contains("Window"), s"$name:\n${p.take(2000)}")
+    }
+  }
+
+  test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
+    val p = plan("hybrid_knn")
+    assert(p.contains("partial_vec_sum"), p.take(2000))
+  }
+
+  test("always-banded dedup entries contain no cartesian or nested-loop join") {
+    // dedup_simhash and dedup_embedding keep a cost-dispatched all-pairs
+    // branch for small corpora (their banded forms take over at scale);
+    // the entries below must stay key-joined at EVERY size
+    for (name <- Seq("dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$name:\n${p.take(2000)}")
+    }
+  }
+}
