@@ -204,6 +204,37 @@ object HybridQueries {
           |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin)
     }),
 
+    // C16 driver-verified: the AnnProbeRewrite Catalyst rule end-to-end.
+    // A sibling session carries the graft extensions; an IVF index is
+    // built+registered (session-scoped) and the rewrite enabled; then the
+    // user-facing query is PLAIN brute-force SQL — `ORDER BY vec_cosine
+    // DESC LIMIT k` — which the rule turns into a probed scan (asserted on
+    // the plan in PlanAuditSpec). The oracle computes top-k within the 2
+    // clusters whose centroids are nearest the query, i.e. what the
+    // rewritten plan must return.
+    "sql_knn_indexed" -> ((s, dir) => {
+      val ext = org.apache.spark.sql.graftbridge.Bridge
+        .newSessionWithExtensions(s, e => new graft.GraftExtensions().apply(e))
+      val e = Tables(ext, dir, "embeddings")
+      Ivf.buildAndRegisterIndex(e, nProbe = 2)
+      ext.conf.set(graft.plans.AnnIndexRegistry.EnabledConf, "true")
+      e.createOrReplaceTempView("g_emb_ix")
+      // query vector inlined as a foldable literal (CAST of the exact
+      // Float.toString round-trips bit-exactly)
+      val qv = e.filter(col("vec_id") === 9).select("embedding")
+        .collect().head.getSeq[Float](0)
+      val qLit = qv.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
+      // ORDER BY carries the kernel expression itself (not the alias):
+      // the rule rewrites sorts whose key IS a distance over the corpus
+      ext.sql(
+        s"""SELECT vec_id,
+           |  CAST(round(vec_cosine(embedding, $qLit) * 10000) AS BIGINT) AS score
+           |FROM g_emb_ix
+           |ORDER BY CAST(round(vec_cosine(embedding, $qLit) * 10000) AS BIGINT) DESC,
+           |  vec_id ASC
+           |LIMIT 10""".stripMargin)
+    }),
+
     // A15b: the FULL ABO listings ingest, driver-verified — ABO-shaped JSONL
     // (nested value-structs, optional brand, optional other_image_id) is
     // synthesized deterministically from `documents`, then round-tripped
@@ -444,6 +475,21 @@ object HybridQueries {
       s"""SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 9) q
          |WHERE e.vec_id <> 9 ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // probe ordering mirrors the driver-side index scoring: RAW double
+    // cosine (not the scaled form) over the float centroid table, ties to
+    // the lower cluster id — AnnIndexRegistry.probedClusters' exact order
+    "sql_knn_indexed" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 9),
+         |cent AS (${centSql("embeddings")}),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |    CAST(q.embedding AS DOUBLE[])) DESC, c.label ASC
+         |  LIMIT 2)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "listings_parse" ->
       """WITH rows AS (

@@ -46,6 +46,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_vec_sum"), p.take(2000))
   }
 
+  test("sql_knn_indexed: the ANN rewrite really injected its probe filter") {
+    val df = SparkEntry.queries("sql_knn_indexed")(spark, dir)
+    val analyzed = df.queryExecution.analyzed.toString
+    assert("label#\\d+ IN ".r.findFirstIn(analyzed).isDefined,
+      s"no probe filter — the entry would silently test the unrewritten path:\n$analyzed")
+  }
+
   test("always-banded dedup entries contain no cartesian or nested-loop join") {
     // dedup_simhash and dedup_embedding keep a cost-dispatched all-pairs
     // branch for small corpora (their banded forms take over at scale);
