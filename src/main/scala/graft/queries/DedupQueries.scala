@@ -40,6 +40,9 @@ object DedupQueries {
   // the testdata (7 at sf0.01, 25 at sf0.1) so small-SF results equal the
   // uncapped form, while a billion-doc stop-phrase can never go quadratic
   private val MaxShingleDf = 64
+  // bucket cap for B3 (duplicate-saturation guard), same contract: the
+  // oracle mirrors the cap, so the capped path is driver-verified
+  private val MaxBucket = 64
   // B5 dispatch: ≤ threshold → exact all-pairs; above → LSH-bucketed
   // (sf0.01's 500 rows verify the exact form, sf0.1's 2000 the bucketed)
   private val EmbPairThreshold = 1000L
@@ -55,9 +58,10 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), JaccardTauScaled, maxDf = Some(MaxShingleDf))),
 
-    // B3: MinHash + banded LSH — shuffle keyed by (band, bucket) only
+    // B3: MinHash + banded LSH — shuffle keyed by (band, bucket) only,
+    // with the hot-bucket pair-cap active (oracle mirrors the cap)
     "dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLsh(docs(s, dir), NumHashes, Bands)),
+      Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket))),
 
     // B4: 64-bit SimHash near-dup, hamming ≤ 1 — cost-based: all-pairs on
     // small corpora, byte-banded LSH (pigeonhole-EXACT, same oracle) at scale
@@ -111,9 +115,13 @@ object DedupQueries {
            |sig AS (SELECT doc_id,
            |  $sigCols
            |  FROM shj),
-           |bands AS ($bandSelects)
+           |bands AS ($bandSelects),
+           |joinable AS (
+           |  SELECT b.* FROM bands b
+           |  JOIN (SELECT band, bkey FROM bands GROUP BY band, bkey
+           |        HAVING count(*) <= $MaxBucket) ok USING (band, bkey))
            |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |FROM bands a JOIN bands b
+           |FROM joinable a JOIN joinable b
            |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
 
       "dedup_simhash" -> {
