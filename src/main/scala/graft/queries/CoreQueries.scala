@@ -138,6 +138,33 @@ object CoreQueries {
           scaled(sum("o_totalprice").over(w), 2).as("cum_spend"))
     }),
 
+    // C18: ROLLUP subtotals — grouping sets expand inside one hash
+    // aggregate (still a single shuffle on the group keys); whole-unit
+    // rounding per the big-double-sum convention (SURVEY §6)
+    "rollup_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .rollup("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), scaled(sum("o_totalprice"), 0).as("total"))),
+
+    // C19: exact distinct cardinality per group — Spark plans the classic
+    // two-phase (expand + partial) distinct aggregate
+    "events_distinct" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))),
+
+    // C20: bounded-frame moving aggregate; integer-exact — each price
+    // rounds to cents per row, the frame sums longs
+    "moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+        .rowsBetween(-2, Window.currentRow)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 100)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(scaled(col("o_totalprice"), 2)).over(w).as("ma3_cents"))
+    }),
+
     // B12: semi-structured props JSON extraction + agg. avg_k is integer
     // arithmetic (sum·10⁴ div non-null count) — a double avg×10⁴ can land
     // exactly on x.5 and round differently across engines (same convention
@@ -232,6 +259,22 @@ object CoreQueries {
       """SELECT o_custkey, o_orderkey,
         | CAST(round(sum(o_totalprice) OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) * 100.0, 0) AS BIGINT) AS cum_spend
+        |FROM orders WHERE o_custkey < 100""".stripMargin,
+
+    "rollup_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "events_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "moving_avg" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_cents
         |FROM orders WHERE o_custkey < 100""".stripMargin,
 
     "events_json" ->
