@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** §2.B13–B15 — corpus-curation operators a 100 TB training-data pipeline
+  * runs between dedup and training: vocabulary extraction, deterministic
+  * mixture sampling, and benchmark decontamination.
+  *
+  * Scale notes:
+  *  - `text_vocab` is a two-phase hash aggregate (map-side partial counts)
+  *    followed by TakeOrdered — the shuffle carries one row per distinct
+  *    token per partition, never the token stream.
+  *  - `sample_mixture` is a pure narrow scan: the keep/drop decision is a
+  *    per-row hash comparison, so at 100 TB it is a filter with NO shuffle;
+  *    reruns are reproducible because the hash is content-derived (md5),
+  *    not RNG state.
+  *  - `decontaminate` broadcasts the benchmark shingle set (benchmarks are
+  *    ~MBs against a ~TB corpus), scans the corpus once, and shuffles only
+  *    (doc_id, count) partial aggregates.
+  */
+object CurationQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private val dTok = DuckDialect.Tok
+  private def dH(v: String) = DuckDialect.hash(v)
+  private val dShingles = DuckDialect.Shingles
+  private def sH(v: String) = Dedup.hashExpr(v)
+  private val sTok = Dedup.TokExpr
+
+  /** B13: vocabulary size cutoff — the boundary tie is broken by token text
+    * so both engines pick the identical top set. */
+  private val VocabTopK = 20
+
+  /** B15: minimum shared (hashed, per-doc-distinct) 3-gram shingles with the
+    * benchmark split before a training doc is flagged as contaminated. */
+  private val MinSharedShingles = 5
+  private val BenchmarkSource = "src0"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B13: top-K token vocabulary with counts (tokenizer-vocab extraction)
+    "text_vocab" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr(s"explode($sTok) AS tok")
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(VocabTopK)),
+
+    // B14: deterministic mixture sampling — per-source keep rates applied
+    // via a content-derived hash bucket, so the sample is reproducible
+    // across runs/engines and requires no shuffle (pure filter at scale).
+    // rate(srcN) = 10 + 7N mod 80 ∈ [10, 89] percent.
+    "sample_mixture" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "source",
+          "10 + (CAST(substring(source, 4) AS BIGINT) * 7) % 80 AS rate",
+          s"${sH("concat('smp', CAST(doc_id AS STRING))")} % 100 AS bucket")
+        .filter(col("bucket") < col("rate"))),
+
+    // B15: benchmark decontamination — flag training docs sharing ≥
+    // MinSharedShingles hashed 3-gram shingles with the benchmark split.
+    // The benchmark shingle set is broadcast; the corpus is scanned once.
+    "decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = Dedup.shingledExploded(d.filter(col("source") === BenchmarkSource))
+        .selectExpr(s"${sH("g")} AS g").distinct()
+      val train = Dedup.shingledExploded(d.filter(col("source") =!= BenchmarkSource))
+        .selectExpr("doc_id", s"${sH("g")} AS g")
+      train.join(broadcast(bench), "g")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= MinSharedShingles)
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "text_vocab" ->
+      s"""WITH t AS (SELECT unnest($dTok) AS tok FROM documents)
+         |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t
+         |GROUP BY tok ORDER BY n DESC, tok LIMIT $VocabTopK""".stripMargin,
+
+    "sample_mixture" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  10 + (CAST(substr(source, 4) AS BIGINT) * 7) % 80 AS rate,
+         |  ${dH("'smp'||CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents)
+         |SELECT doc_id, source, rate, bucket FROM m WHERE bucket < rate""".stripMargin,
+
+    "decontaminate" ->
+      s"""WITH tk AS (SELECT doc_id, source, $dTok AS tk FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, source, ${dH("g")} AS g
+         |       FROM (SELECT doc_id, source, unnest($dShingles) AS g FROM tk)),
+         |bench AS (SELECT DISTINCT g FROM sh WHERE source = '$BenchmarkSource')
+         |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM sh t JOIN bench b USING (g)
+         |WHERE t.source <> '$BenchmarkSource'
+         |GROUP BY t.doc_id HAVING count(*) >= $MinSharedShingles""".stripMargin
+  )
+}
