@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Knn}
+
+/** §2.A18–A20 — keyword relevance, rank fusion, and quantized vector search:
+  * the retrieval surface a hybrid engine needs beyond pure vector kNN.
+  *
+  * All scoring is integer arithmetic (scaled rationals + integer division)
+  * so both engines rank bit-identically — no fp .5 boundaries anywhere.
+  *
+  * Scale notes:
+  *  - BM25: token stream is filtered to the query terms BEFORE the explode
+  *    leaves the narrow scan, so the (doc, term) shuffle carries only
+  *    matching postings; df and corpus stats are broadcast scalars. At
+  *    100 TB this is the classic two-phase postings aggregation.
+  *  - RRF fuses the top-R of each ranking (standard fused-list contract):
+  *    both inputs arrive via TakeOrdered (no global sort), the rank windows
+  *    run over ≤R pre-limited rows, and the fusion join is R×R-bounded.
+  *  - SQ8: scalar quantization to 8-bit codes — 4× less scan I/O at equal
+  *    layout, integer (SIMD-friendly, codegen'd) distance arithmetic; the
+  *    (mn, mx) calibration is index-build state, broadcast at query time.
+  */
+object FusionQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
+
+  private val sTok = Dedup.TokExpr
+  private val dTok = DuckDialect.Tok
+
+  /** keyword query for B M25/RRF; IDF scale 10³ keeps (idf·tf·2200) far from
+    * Long overflow even at billion-doc corpora. */
+  private val QueryTerms = Seq("join", "vector", "stream")
+  private val FuseR = 50 // fuse the top-R of each ranking
+  private val RrfK = 60  // standard RRF dampening constant
+
+  /** Integer BM25 (k1=1.2, b=0.75, both ×1000): per-(doc, term) score is
+    * idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with every factor a
+    * scaled integer and every division truncating — identical in both
+    * engines. idf is the monotone rational form (N−df+1)/(df+1), ×1000. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val tk = docs(s, dir).selectExpr("doc_id", s"$sTok AS tk")
+    val stats = tk.selectExpr("CAST(size(tk) AS BIGINT) AS dl")
+      .agg(count(lit(1)).as("n_docs"), sum("dl").as("sumdl"))
+      .selectExpr("n_docs", "sumdl div n_docs AS avgdl")
+    val tf = tk.selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS tok")
+      .filter(col("tok").isin(QueryTerms: _*))
+      .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf"))
+    val dfx = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfx), "tok").crossJoin(broadcast(stats))
+      .withColumn("term_score", expr(
+        "((((n_docs - df + 1) * 1000) div (df + 1)) * tf * 2200) div " +
+          "(tf * 1000 + (1200 * (250 + (750 * dl) div avgdl)) div 1000)"))
+      .groupBy("doc_id").agg(sum("term_score").as("bm25"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A18: keyword top-k by integer BM25
+    "text_bm25" -> ((s, dir) =>
+      bm25Scores(s, dir).orderBy(col("bm25").desc, col("doc_id")).limit(10)),
+
+    // A19: reciprocal-rank fusion of the keyword and vector rankings
+    "hybrid_rrf" -> ((s, dir) => {
+      val kw = bm25Scores(s, dir)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(FuseR)
+      val kwr = kw.withColumn("rank_kw",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select("doc_id", "rank_kw")
+      val e = Tables(s, dir, "embeddings")
+      val vt = Knn.topK(
+        e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        FuseR, Knn.Cosine)
+      val vr = vt.withColumn("rank_vec",
+          row_number().over(Window.orderBy(col("score").desc, col("vec_id"))))
+        .selectExpr("vec_id AS doc_id", "rank_vec")
+      kwr.join(vr, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", expr(
+          s"CAST(coalesce(1000000 div ($RrfK + rank_kw), 0)" +
+            s" + coalesce(1000000 div ($RrfK + rank_vec), 0) AS BIGINT)"))
+        .select("doc_id", "rrf")
+        .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    }),
+
+    // A20: int8 scalar-quantized kNN — global (mn, mx) calibration, 0..255
+    // codes, integer squared-L2 over the codes
+    "knn_sq8" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+        .selectExpr("vec_id",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .selectExpr("vec_id",
+          "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, z) -> acc + z) AS dist")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+    })
+  )
+
+  // ---- DuckDB oracle (same integer arithmetic, token-for-token)
+
+  private val termList = QueryTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+
+  private val bm25Sql =
+    s"""tk AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |              CAST(sum(len(tk)) AS BIGINT) // CAST(count(*) AS BIGINT) AS avgdl FROM tk),
+       |tox AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl, unnest(tk) AS tok FROM tk),
+       |tf AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf FROM tox
+       |       WHERE tok IN $termList GROUP BY 1, 2, 3),
+       |dfx AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |  (((st.n_docs - dfx.df + 1) * 1000) // (dfx.df + 1)) AS idf,
+       |  tf.tf * 1000 + (1200 * (250 + (750 * tf.dl) // st.avgdl)) // 1000 AS denom,
+       |  tf.tf AS tf
+       |  FROM tf JOIN dfx USING (tok) CROSS JOIN st),
+       |bmall AS (SELECT doc_id, CAST(sum((idf * tf * 2200) // denom) AS BIGINT) AS bm25
+       |          FROM sc GROUP BY doc_id)""".stripMargin
+
+  private val cosSql =
+    "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+
+  val oracle: Map[String, String] = Map(
+    "text_bm25" ->
+      s"""WITH $bm25Sql
+         |SELECT doc_id, bm25 FROM bmall ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "hybrid_rrf" ->
+      s"""WITH $bm25Sql,
+         |bm AS (SELECT doc_id, bm25 FROM bmall ORDER BY bm25 DESC, doc_id LIMIT $FuseR),
+         |kwr AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rank_kw FROM bm),
+         |vt AS (SELECT e.vec_id AS doc_id, $cosSql AS score
+         |       FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |       WHERE e.vec_id <> 0 ORDER BY score DESC, doc_id LIMIT $FuseR),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_vec FROM vt)
+         |SELECT COALESCE(kwr.doc_id, vr.doc_id) AS doc_id,
+         |  CAST(COALESCE(1000000 // ($RrfK + rank_kw), 0)
+         |     + COALESCE(1000000 // ($RrfK + rank_vec), 0) AS BIGINT) AS rrf
+         |FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "knn_sq8" ->
+      s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         |qz AS (SELECT vec_id,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM b CROSS JOIN q CROSS JOIN st)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
+         |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+  )
+}

@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.FusionQueries
+import graft.operators.Knn
+
+/** §2.A18–A20 keyword BM25, RRF fusion, scalar-quantized kNN. */
+class FusionSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def q(name: String) = FusionQueries.defs(name)(spark, dir)
+
+  test("text_bm25 scores are positive and arrive best-first") {
+    val rows = q("text_bm25").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_._2 > 0))
+    assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+  }
+
+  test("hybrid_rrf fuses only members of the two top-R lists, bounded by 2/(k+1)") {
+    val fused = q("hybrid_rrf").collect()
+    assert(fused.nonEmpty)
+    val maxRrf = 2 * (1000000 / 61)
+    fused.foreach(r => assert(r.getLong(1) > 0 && r.getLong(1) <= maxRrf))
+  }
+
+  test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
+    val e = Tables(spark, dir, "embeddings")
+    val exact = Knn.topK(
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+      10, Knn.L2).select("vec_id").collect().map(_.getLong(0)).toSet
+    val sq = q("knn_sq8").collect().map(_.getLong(0)).toSet
+    assert(sq.size == 10)
+    assert((sq intersect exact).size >= 5, s"sq8 recall too low: ${(sq intersect exact).size}/10")
+  }
+}
