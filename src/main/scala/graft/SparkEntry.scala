@@ -25,11 +25,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ SearchQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
-      HybridQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++ FusionQueries.defs
+      HybridQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++ FusionQueries.defs ++
+      AnalyticsQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SearchQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
-      HybridQueries.oracle ++ PipelineQueries.oracle ++ CurationQueries.oracle ++ FusionQueries.oracle
+      HybridQueries.oracle ++ PipelineQueries.oracle ++ CurationQueries.oracle ++ FusionQueries.oracle ++
+      AnalyticsQueries.oracle
 }

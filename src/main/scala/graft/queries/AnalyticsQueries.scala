@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Dedup
+
+/** §2.C21–C24 — point-in-time as-of join, pivot, exact median, and a
+  * deterministic HyperLogLog distinct sketch.
+  *
+  * Scale notes:
+  *  - `events_asof` uses the union-tag formulation: both sides shuffle ONCE
+  *    on the join key and the carry-forward window resolves the
+  *    point-in-time match — no range-explosion join, no per-row probe. Ties
+  *    are totally ordered by (ts, side, event_id) so the "latest prior"
+  *    row is unique and both engines agree.
+  *  - `events_pivot` is a single hash aggregate over explicit pivot values
+  *    (explicit values keep the plan static — no driver-side distinct scan).
+  *  - `median_exact` is the exact form (per-group sort); at 100 TB swap in
+  *    `percentile_approx` or a t-digest — kept exact here because the gate
+  *    is cross-engine hash equality.
+  *  - `approx_distinct_hll` is a dense p=8 HyperLogLog expressed as TWO
+  *    hash aggregates: (group, bucket) → max(rho), then group → the scaled
+  *    integer power sum. max/sum are associative, so both stages partial-
+  *    aggregate map-side; the shuffle carries ≤ 256 rows per group no
+  *    matter the input size — this is the sketch contract that makes
+  *    distinct-counting feasible at 100 TB. The estimator (alpha_256 ·
+  *    m²/Z) runs on integer bit-shift sums; the single fp division at the
+  *    end is bit-deterministic (identical IEEE op order in both engines).
+  */
+object AnalyticsQueries {
+
+  private def events(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "events")
+
+  private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
+
+  /** HLL precision: p=8 → m=256 buckets; hash is the shared 60-bit md5, so
+    * the bucket takes 8 bits and the rho word w the remaining 52 (rho ∈
+    * [1, 53], with empty-word rho = 53). alpha_256 = 0.7213/(1+1.079/256),
+    * fixed here as the ×10⁶ integer constant both dialects embed.
+    *
+    * This is the RAW estimator: the classical small-range linear-counting
+    * correction (m·ln(m/V)) is deliberately omitted because ln() is libm-
+    * dependent and would break bit-exact cross-engine comparison. Below
+    * ~2.5m distincts per group the estimate is biased high — acceptable
+    * for the 100 TB use case (massive cardinalities), asserted in-regime
+    * by the spec. */
+  private val HllAlphaScaled = 718268L
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C21: as-of join — for each click, the user's most recent
+    // prior-or-simultaneous purchase (point-in-time correctness)
+    "events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_q"),
+          col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_q"),
+          lit(null).cast("bigint").as("p_id"), lit(null).cast("timestamp").as("p_ts"))
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_q"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purch.unionByName(clicks)
+        .withColumn("prev_purchase", last("p_id", ignoreNulls = true).over(w))
+        .withColumn("prev_ts", last("p_ts", ignoreNulls = true).over(w))
+        .filter(col("is_q") === 1)
+        .selectExpr("event_id", "user_id", "prev_purchase",
+          "CAST(unix_micros(ts) - unix_micros(prev_ts) AS BIGINT) AS gap_us")
+    }),
+
+    // C22: pivot — event-type counts as columns, one hash aggregate
+    "events_pivot" -> ((s, dir) =>
+      events(s, dir).groupBy("user_id")
+        .pivot("event_type", EventTypes).agg(count(lit(1)))
+        .select(col("user_id") +:
+          EventTypes.map(t => coalesce(col(t), lit(0L)).as(s"n_$t")): _*)),
+
+    // C23: exact per-group lower median of integer cents
+    "median_exact" -> ((s, dir) => {
+      val c = Tables(s, dir, "orders").selectExpr("o_orderpriority AS pri",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents", "o_orderkey")
+      c.withColumn("rn", row_number().over(
+          Window.partitionBy("pri").orderBy(col("cents"), col("o_orderkey"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("pri")))
+        .filter(expr("rn = (n + 1) div 2"))
+        .select(col("pri"), col("cents").as("median_cents"))
+    }),
+
+    // C24: deterministic HyperLogLog (p=8) distinct estimate vs exact
+    "approx_distinct_hll" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sketch = ev
+        .selectExpr("event_type",
+          s"${Dedup.hashExpr("concat('hll', CAST(event_id AS STRING))")} AS h")
+        .selectExpr("event_type", "h % 256 AS bucket", "h div 256 AS w")
+        .groupBy("event_type", "bucket")
+        .agg(expr("max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END)").as("m_j"))
+        .groupBy("event_type")
+        .agg(expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - m_j))" +
+          " + (256 - count(*)) * shiftleft(CAST(1 AS BIGINT), 53) AS BIGINT)").as("zsum"))
+      val exact = ev.groupBy("event_type").agg(countDistinct("event_id").as("n_exact"))
+      sketch.join(exact, "event_type")
+        .selectExpr("event_type",
+          s"CAST(floor((($HllAlphaScaled.0D / 1000000.0D) * 65536.0D * 9007199254740992.0D)" +
+            " / CAST(zsum AS DOUBLE)) AS BIGINT) AS est",
+          "n_exact")
+    })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "events_asof" ->
+      """WITH tagged AS (
+        |  SELECT user_id, ts, event_id, 0 AS is_q, event_id AS p_id, ts AS p_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1 AS is_q, NULL, NULL
+        |  FROM events WHERE event_type = 'click'),
+        |w AS (
+        |  SELECT user_id, ts, event_id, is_q,
+        |    last_value(p_id IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, is_q, event_id ROWS UNBOUNDED PRECEDING) AS prev_purchase,
+        |    last_value(p_ts IGNORE NULLS) OVER
+        |      (PARTITION BY user_id ORDER BY ts, is_q, event_id ROWS UNBOUNDED PRECEDING) AS prev_ts
+        |  FROM tagged)
+        |SELECT event_id, user_id, prev_purchase,
+        |  CAST(epoch_us(ts) - epoch_us(prev_ts) AS BIGINT) AS gap_us
+        |FROM w WHERE is_q = 1""".stripMargin,
+
+    "events_pivot" ->
+      s"""SELECT user_id,
+         |${EventTypes.map(t =>
+            s"  CAST(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS n_$t")
+            .mkString(",\n")}
+         |FROM events GROUP BY user_id""".stripMargin,
+
+    "median_exact" ->
+      """WITH c AS (SELECT o_orderpriority AS pri,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents, o_orderkey FROM orders),
+        |w AS (SELECT pri, cents,
+        |  row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY pri) AS n FROM c)
+        |SELECT pri, cents AS median_cents FROM w WHERE rn = (n + 1) // 2""".stripMargin,
+
+    "approx_distinct_hll" ->
+      s"""WITH h AS (SELECT event_type,
+         |  ${DuckDialect.hash("'hll'||CAST(event_id AS VARCHAR)")} AS h FROM events),
+         |b AS (SELECT event_type, h % 256 AS bucket, h // 256 AS w FROM h),
+         |r AS (SELECT event_type, bucket,
+         |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1, 2),
+         |z AS (SELECT event_type,
+         |  CAST(sum(CAST(1 AS BIGINT) << (53 - m_j))
+         |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS zsum FROM r GROUP BY 1),
+         |x AS (SELECT event_type, CAST(count(DISTINCT event_id) AS BIGINT) AS n_exact
+         |      FROM events GROUP BY 1)
+         |SELECT z.event_type,
+         |  CAST(floor((($HllAlphaScaled.0 / 1000000.0) * 65536.0 * 9007199254740992.0)
+         |    / CAST(zsum AS DOUBLE)) AS BIGINT) AS est,
+         |  x.n_exact
+         |FROM z JOIN x ON z.event_type = x.event_type""".stripMargin
+  )
+}
