@@ -63,9 +63,13 @@ object Dedup {
     // moves 8-byte longs instead of 3-gram strings. Both engines apply the
     // identical hash before deduping, so the oracle compare stays exact
     // even under (vanishingly rare) 60-bit collisions.
-    val all = shingledExplodedRaw(docs)
+    val all0 = shingledExplodedRaw(docs)
       .selectExpr("doc_id", s"${hashExpr("g")} AS g")
       .distinct()
+    // the df-cap branch consumes `all` twice (df count + anti-join); without
+    // a cache the scan→window→distinct subtree is recomputed per consumer,
+    // which tripled this entry's bench time
+    val all = maxDf.fold(all0)(_ => all0.cache())
     val kept = maxDf.fold(all) { cap =>
       // anti-join against the (small, stop-shingle) hot set: the df count
       // partial-aggregates map-side and nothing is sorted — unlike a window
