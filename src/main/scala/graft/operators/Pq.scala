@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+import graft.functions.{scaled, vectors}
+
+/** Product quantization (IVF-PQ style) — the canonical 100 TB vector-
+  * compression path: vectors become `numSub` small codes (here 8 codes of
+  * 6 bits → 8 bytes per 64-dim float vector, 32× smaller), queries scan
+  * codes via an ADC (asymmetric distance computation) lookup table, and
+  * only a short candidate list is reranked against full vectors.
+  *
+  * Codebook training is deliberately DETERMINISTIC here: the K lowest-id
+  * vectors seed each subspace's codewords (the `KMeans` operator exists for
+  * real Lloyd's training — seeding keeps this whole path, encode included,
+  * verifiable by the DuckDB oracle, the same trade `ivf_build` makes).
+  *
+  * Scale shape:
+  *  - codebook and ADC table are K·M rows — broadcast, never shuffled;
+  *  - encoding is one narrow crossJoin + a (vec_id, m)-keyed argmin
+  *    aggregate; at 100 TB codes are computed ONCE at ingest and stored
+  *    (the 32× compression is what makes the corpus scannable);
+  *  - the query scan reads codes only, sums M broadcast-table lookups per
+  *    row, and TakeOrders the shortlist — no full-vector I/O until the
+  *    R-row rerank.
+  *
+  * All sub-distances are squared L2 computed as an explicit left-assoc
+  * 8-term sum (no sqrt, no engine aggregation-order ambiguity), scaled to
+  * BIGINT per the repo convention. */
+object Pq {
+
+  /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
+  def seededCodebook(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int): DataFrame =
+    emb.filter(col("vec_id") < numCodes)
+      .selectExpr("vec_id AS code", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .selectExpr("code", s"explode(sequence(0, ${numSub - 1})) AS m", "v")
+      .selectExpr("m", "code", s"slice(v, m * $subDim + 1, $subDim) AS cw")
+
+  /** round(||v_sub − cw||² · 10⁴): explicit per-dim terms in fixed order so
+    * both engines sum bit-identically. `vecExpr` is indexed through the
+    * subspace offset (column `m`); `subExpr` is the codeword. */
+  private def sqDistExpr(vecExpr: String, subExpr: String, subDim: Int,
+                         offset: Boolean): String = {
+    val terms = (1 to subDim).map { i =>
+      val x = if (offset) s"element_at($vecExpr, m * $subDim + $i)"
+              else s"element_at($vecExpr, $i)"
+      val diff = s"($x - element_at($subExpr, $i))"
+      s"$diff * $diff"
+    }
+    s"CAST(round((${terms.mkString(" + ")}) * 10000.0) AS BIGINT)"
+  }
+
+  /** (vec_id, m, code): nearest codeword per subspace — ties to the lowest
+    * code via lexicographic struct-min, matching the oracle's min-join. */
+  def encode(body: DataFrame, codebook: DataFrame, subDim: Int): DataFrame =
+    body.crossJoin(broadcast(codebook))
+      .selectExpr("vec_id", "m", "code", s"${sqDistExpr("v", "cw", subDim, offset = true)} AS d")
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("d"), col("code"))).as("best"))
+      .selectExpr("vec_id", "m", "best.code AS code")
+
+  /** (m, code, td): the query's ADC lookup table (one row per codeword). */
+  def adcTable(query: DataFrame, codebook: DataFrame, subDim: Int): DataFrame =
+    codebook.crossJoin(broadcast(query))
+      .selectExpr("m", "code", s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
+      .selectExpr("m", "code", s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
+
+  /** Full search: ADC shortlist of `shortlist` candidates over the codes,
+    * then exact L2 rerank of the shortlist to top-`k`. */
+  def searchRerank(emb: DataFrame, qid: Int, k: Int, numSub: Int, subDim: Int,
+                   numCodes: Int, shortlist: Int): DataFrame = {
+    val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cb = seededCodebook(emb, numSub, subDim, numCodes)
+    val codes = encode(cast.filter(col("vec_id") =!= qid), cb, subDim)
+    val qv = cast.filter(col("vec_id") === qid).select(col("v").as("qv"))
+    val adc = adcTable(qv, cb, subDim)
+    val short = codes.join(broadcast(adc), Seq("m", "code"))
+      .groupBy("vec_id").agg(sum("td").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
+    val qfull = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+    emb.join(broadcast(short.select("vec_id")), "vec_id")
+      .select("vec_id", "embedding")
+      .crossJoin(broadcast(qfull))
+      .withColumn("score", scaled(vectors.l2(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+      .select("vec_id", "score")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Knn}
+import graft.operators.{Dedup, Knn, Pq}
 
 /** §2.A18–A20 — keyword relevance, rank fusion, and quantized vector search:
   * the retrieval surface a hybrid engine needs beyond pure vector kNN.
@@ -85,6 +85,12 @@ object FusionQueries {
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
     }),
 
+    // A21: product-quantized search — 8×8-dim subspaces, 64 seeded codewords
+    // each, ADC shortlist over the codes, exact L2 rerank of the shortlist
+    "knn_pq" -> ((s, dir) =>
+      Pq.searchRerank(Tables(s, dir, "embeddings"), qid = 0, k = 10,
+        numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
+
     // A20: int8 scalar-quantized kNN — global (mn, mx) calibration, 0..255
     // codes, integer squared-L2 over the codes
     "knn_sq8" -> ((s, dir) => {
@@ -127,6 +133,14 @@ object FusionQueries {
   private val cosSql =
     "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT)"
 
+  /** explicit left-assoc squared-L2 terms — mirrors Pq.sqDistExpr exactly
+    * (same element order, same op order) so rounding is bit-identical */
+  private def pqTerms(vec: String, cw: String, subDim: Int, offset: Boolean): String =
+    (1 to subDim).map { i =>
+      val x = if (offset) s"$vec[cb.m*$subDim+$i]" else s"$vec[$i]"
+      s"(($x - $cw[$i]) * ($x - $cw[$i]))"
+    }.mkString(" + ")
+
   val oracle: Map[String, String] = Map(
     "text_bm25" ->
       s"""WITH $bm25Sql
@@ -145,6 +159,31 @@ object FusionQueries {
          |     + COALESCE(1000000 // ($RrfK + rank_vec), 0) AS BIGINT) AS rrf
          |FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    "knn_pq" ->
+      s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+         |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+         |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+         |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  CAST(round((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0, 0) AS BIGINT) AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |        GROUP BY 1, 2),
+         |q AS (SELECT m.m AS m, (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS qsub
+         |      FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id = 0),
+         |adc AS (SELECT cb.m, cb.code,
+         |  CAST(round((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0, 0) AS BIGINT) AS td
+         |  FROM cb JOIN q ON cb.m = q.m),
+         |short AS (SELECT enc.vec_id FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+         |          GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)
+         |SELECT e.vec_id,
+         |  CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
+         |FROM embeddings e JOIN short USING (vec_id)
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_sq8" ->
       s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,

@@ -24,6 +24,21 @@ class FusionSpec extends SparkSpec {
     fused.foreach(r => assert(r.getLong(1) > 0 && r.getLong(1) <= maxRrf))
   }
 
+  test("knn_pq rerank returns exact L2 scores and high shortlist recall") {
+    val e = Tables(spark, dir, "embeddings")
+    val exact = Knn.topK(
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+      10, Knn.L2).select("vec_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = q("knn_pq").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.length == 10)
+    // every PQ hit that IS in the exact top-10 must carry the exact score
+    pq.filter(p => exact.contains(p._1)).foreach { case (id, s) => assert(exact(id) == s) }
+    assert(pq.map(_._1).toSet.intersect(exact.keySet).size >= 7,
+      "ADC shortlist + rerank should preserve most of the exact top-10")
+  }
+
   test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
     val e = Tables(spark, dir, "embeddings")
     val exact = Knn.topK(
