@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.aggs
 import graft.operators.Dedup
 
 /** §2.B13–B15 — corpus-curation operators a 100 TB training-data pipeline
@@ -60,6 +61,25 @@ object CurationQueries {
           s"${sH("concat('smp', CAST(doc_id AS STRING))")} % 100 AS bucket")
         .filter(col("bucket") < col("rate"))),
 
+    // B16: PII-style scrub — mask digit runs in the semi-structured props
+    // payload; pure narrow scan (regex is codegen'd), no shuffle at any SF
+    "pii_scrub" -> ((s, dir) =>
+      Tables(s, dir, "events").selectExpr("event_id",
+        "regexp_replace(props, '[0-9]+', '#') AS scrubbed",
+        "CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT) AS n_redacted")),
+
+    // B17: deterministic per-group quota sampling — exactly ≤10 docs per
+    // source chosen by content-hash order, via the TopKHits map-side-heap
+    // aggregate (≤10 rows per group cross the shuffle, reproducible sample)
+    "sample_group_topk" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("source", "doc_id",
+          s"${sH("concat('qta', CAST(doc_id AS STRING))")} AS h")
+        .groupBy("source")
+        .agg(aggs.topK(col("h"), col("doc_id"), 10, asc = true).as("hits"))
+        .selectExpr("source", "explode(hits) AS hit")
+        .selectExpr("source", "hit.id AS doc_id", "hit.score AS h")),
+
     // B15: benchmark decontamination — flag training docs sharing ≥
     // MinSharedShingles hashed 3-gram shingles with the benchmark split.
     // The benchmark shingle set is broadcast; the corpus is scanned once.
@@ -87,6 +107,18 @@ object CurationQueries {
          |  ${dH("'smp'||CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          |  FROM documents)
          |SELECT doc_id, source, rate, bucket FROM m WHERE bucket < rate""".stripMargin,
+
+    "pii_scrub" ->
+      """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_redacted
+        |FROM events""".stripMargin,
+
+    "sample_group_topk" ->
+      s"""WITH m AS (SELECT source, doc_id,
+         |  ${dH("'qta'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT source, doc_id, h,
+         |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM m)
+         |SELECT source, doc_id, h FROM r WHERE rn <= 10""".stripMargin,
 
     "decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, source, $dTok AS tk FROM documents),

@@ -32,6 +32,23 @@ class CurationSpec extends SparkSpec {
     assert(rates.size > 1)
   }
 
+  test("pii_scrub leaves no digits and counts every masked run") {
+    q("pii_scrub").collect().foreach { r =>
+      assert(!r.getString(1).exists(_.isDigit), "scrubbed payload must carry no digits")
+      assert(r.getLong(2) == r.getString(1).count(_ == '#'),
+        "redaction count must equal the masked runs")
+    }
+  }
+
+  test("sample_group_topk keeps at most 10 docs per source, reproducibly") {
+    val a = q("sample_group_topk").collect().map(_.toSeq).toSet
+    val b = q("sample_group_topk").collect().map(_.toSeq).toSet
+    assert(a == b)
+    val bySource = a.groupBy(_.head)
+    assert(bySource.nonEmpty)
+    bySource.values.foreach(rows => assert(rows.size <= 10))
+  }
+
   test("decontaminate flags only non-benchmark docs above the overlap floor") {
     val docs = Tables(spark, dir, "documents")
     val benchIds = docs.filter(col("source") === "src0")
