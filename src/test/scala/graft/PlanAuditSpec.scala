@@ -63,4 +63,41 @@ class PlanAuditSpec extends SparkSpec {
         s"$name:\n${p.take(2000)}")
     }
   }
+
+  test("text_bm25: df/stats arrive broadcast, top-k via TakeOrdered") {
+    val p = plan("text_bm25")
+    assert(p.contains("BroadcastExchange"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "postings must never merge-join the tiny stats")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("knn_pq: codebook/ADC joins stay broadcast, shortlist via TakeOrdered") {
+    val p = plan("knn_pq")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), "code scan must join the broadcast ADC table")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("decontaminate: benchmark shingle set joins broadcast against the corpus") {
+    val p = plan("decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
+  test("sample_group_topk: quota sample partial-aggregates map-side, no Window") {
+    val p = plan("sample_group_topk")
+    assert(p.contains("partial_top_k_hits"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("events_asof: pure window carry-forward — a join never appears") {
+    val p = plan("events_asof")
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), s"as-of must not plan a join:\n${p.take(2000)}")
+  }
+
+  test("approx_distinct_hll: both sketch stages partial-aggregate map-side") {
+    val p = plan("approx_distinct_hll")
+    assert(p.contains("partial_max"), p.take(2000))
+  }
 }
