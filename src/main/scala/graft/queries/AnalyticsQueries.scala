@@ -46,7 +46,7 @@ object AnalyticsQueries {
     * ~2.5m distincts per group the estimate is biased high — acceptable
     * for the 100 TB use case (massive cardinalities), asserted in-regime
     * by the spec. */
-  private val HllAlphaScaled = 718268L
+  private val HllAlphaScaled = graft.operators.Hll.AlphaScaled
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C21: as-of join — for each click, the user's most recent
@@ -88,24 +88,18 @@ object AnalyticsQueries {
         .select(col("pri"), col("cents").as("median_cents"))
     }),
 
-    // C24: deterministic HyperLogLog (p=8) distinct estimate vs exact
+    // C24: deterministic HyperLogLog (p=8) distinct estimate vs exact —
+    // the shared operators.Hll fragments also back the streaming sketch
     "approx_distinct_hll" -> ((s, dir) => {
       val ev = events(s, dir)
-      val sketch = ev
-        .selectExpr("event_type",
-          s"${Dedup.hashExpr("concat('hll', CAST(event_id AS STRING))")} AS h")
-        .selectExpr("event_type", "h % 256 AS bucket", "h div 256 AS w")
-        .groupBy("event_type", "bucket")
-        .agg(expr("max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END)").as("m_j"))
-        .groupBy("event_type")
-        .agg(expr("CAST(sum(shiftleft(CAST(1 AS BIGINT), 53 - m_j))" +
-          " + (256 - count(*)) * shiftleft(CAST(1 AS BIGINT), 53) AS BIGINT)").as("zsum"))
+      val sketch = graft.operators.Hll.sketchAgg(
+        graft.operators.Hll.bucketRho(ev,
+          "concat('hll', CAST(event_id AS STRING))", Seq("event_type")),
+        Seq("event_type"))
       val exact = ev.groupBy("event_type").agg(countDistinct("event_id").as("n_exact"))
-      sketch.join(exact, "event_type")
-        .selectExpr("event_type",
-          s"CAST(floor((($HllAlphaScaled.0D / 1000000.0D) * 65536.0D * 9007199254740992.0D)" +
-            " / CAST(zsum AS DOUBLE)) AS BIGINT) AS est",
-          "n_exact")
+      graft.operators.Hll.estimate(sketch, Seq("event_type"))
+        .join(exact, "event_type")
+        .select("event_type", "est", "n_exact")
     })
   )
 
