@@ -68,6 +68,23 @@ object Knn {
       .limit(k)
   }
 
+  /** Radius (range) search: ALL vectors whose scaled score is strictly
+    * better than `limitScaled` — scan + codegen'd score + filter. Unlike
+    * top-k there is no driver-side merge at all: every partition emits its
+    * own matches, so this is the most scale-friendly query shape the
+    * engine has (pure map), and having no k-boundary means no tie-break
+    * subtleties either. */
+  def radius(corpus: DataFrame, query: DataFrame, limitScaled: Long, metric: Metric,
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             qVecCol: String = "q_vec"): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(query))
+      .withColumn("score", scaled(metric.score(col(vecCol), col(qVecCol)), ScoreDigits))
+    val keep = if (metric.ascending) col("score") < limitScaled
+               else col("score") > limitScaled
+    scored.filter(keep)
+  }
+
   /** Pre-filter search: metadata predicate first, exact kNN on survivors.
     * Perfect accuracy; cost scales with filter selectivity — the predicate
     * is pushed to the scan, so a selective filter reads less data. */

@@ -66,12 +66,22 @@ object Pq {
       .selectExpr("m", "code", s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
 
   /** Full search: ADC shortlist of `shortlist` candidates over the codes,
-    * then exact L2 rerank of the shortlist to top-`k`. */
+    * then exact L2 rerank of the shortlist to top-`k`.
+    *
+    * `keep` (optional, single `vec_id` column) restricts the search to a
+    * metadata-qualified subset — the ACORN-hybrid composition over the
+    * compressed index. Here the filter prunes before encoding; in
+    * production the codes pre-exist and the same predicate prunes the
+    * code scan (codes are co-partitioned with their metadata), so the
+    * filtered query reads |keep|·8 bytes, not the corpus. */
   def searchRerank(emb: DataFrame, qid: Int, k: Int, numSub: Int, subDim: Int,
-                   numCodes: Int, shortlist: Int): DataFrame = {
+                   numCodes: Int, shortlist: Int,
+                   keep: Option[DataFrame] = None): DataFrame = {
     val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     val cb = seededCodebook(emb, numSub, subDim, numCodes)
-    val codes = encode(cast.filter(col("vec_id") =!= qid), cb, subDim)
+    val body0 = cast.filter(col("vec_id") =!= qid)
+    val body = keep.fold(body0)(ids => body0.join(ids, "vec_id"))
+    val codes = encode(body, cb, subDim)
     val qv = cast.filter(col("vec_id") === qid).select(col("v").as("qv"))
     val adc = adcTable(qv, cb, subDim)
     val short = codes.join(broadcast(adc), Seq("m", "code"))

@@ -91,6 +91,18 @@ object FusionQueries {
       Pq.searchRerank(Tables(s, dir, "embeddings"), qid = 0, k = 10,
         numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
 
+    // A23: the ACORN-hybrid composition over the compressed index —
+    // metadata-filtered product-quantized search (filter prunes the code
+    // scan, ADC shortlist over survivors, exact rerank)
+    "hybrid_knn_pq" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Pq.searchRerank(Tables(s, dir, "embeddings"), qid = 0, k = 10,
+        numSub = 8, subDim = 8, numCodes = 64, shortlist = 100,
+        keep = Some(keep))
+    }),
+
     // A20: int8 scalar-quantized kNN — global (mn, mx) calibration, 0..255
     // codes, integer squared-L2 over the codes
     "knn_sq8" -> ((s, dir) => {
@@ -160,11 +172,36 @@ object FusionQueries {
          |FROM kwr FULL OUTER JOIN vr ON kwr.doc_id = vr.doc_id
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
-    "knn_pq" ->
+    "knn_pq" -> pqOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0"),
+
+    "hybrid_knn_pq" -> pqOracleSql(
+      """SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |       WHERE e.vec_id <> 0 AND d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin),
+
+    "knn_sq8" ->
+      s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         |qz AS (SELECT vec_id,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM b CROSS JOIN q CROSS JOIN st)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
+         |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+  )
+
+  /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —
+    * the unfiltered and metadata-filtered entries share everything else. */
+  private def pqOracleSql(bodySelect: String): String =
       s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
          |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
          |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-         |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         |body AS ($bodySelect),
          |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
          |  CAST(round((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0, 0) AS BIGINT) AS d
          |  FROM body b CROSS JOIN cb),
@@ -183,20 +220,5 @@ object FusionQueries {
          |  CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
          |FROM embeddings e JOIN short USING (vec_id)
          |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
-         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
-
-    "knn_sq8" ->
-      s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
-         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
-         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
-         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
-         |qz AS (SELECT vec_id,
-         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
-         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
-         |  FROM b CROSS JOIN q CROSS JOIN st)
-         |SELECT vec_id,
-         |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
-         |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
-         |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
-  )
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
 }

@@ -96,6 +96,12 @@ object SearchQueries {
         queryVec(s, dir, 2), 5, 50, Knn.Cosine)
         .select("vec_id", "score")),
 
+    // A22: radius (range) search — every vector within the L2 threshold;
+    // pure map shape, no top-k merge, no boundary ties
+    "knn_radius" -> ((s, dir) =>
+      Knn.radius(corpusExcl(s, dir, 0), queryVec(s, dir, 0), 12500L, Knn.L2)
+        .select("vec_id", "score")),
+
     // A12: batch kNN — top-k per query over a broadcast query set
     "knn_batch" -> ((s, dir) => {
       val queries = emb(s, dir).filter(col("vec_id") <= 4)
@@ -162,6 +168,12 @@ object SearchQueries {
          |JOIN documents d ON d.doc_id = c.vec_id
          |WHERE d.lang IS NOT NULL AND d.lang = 'en'
          |ORDER BY c.score DESC, c.vec_id ASC LIMIT 5""".stripMargin,
+
+    "knn_radius" ->
+      s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0
+         |  AND ${l2Sql("e.embedding", "q.embedding")} < 12500""".stripMargin,
 
     "knn_batch" ->
       s"""SELECT q_id, vec_id, rank, score FROM (

@@ -39,6 +39,15 @@ class FusionSpec extends SparkSpec {
       "ADC shortlist + rerank should preserve most of the exact top-10")
   }
 
+  test("hybrid_knn_pq returns only filter-qualified vectors") {
+    val en = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val hits = q("hybrid_knn_pq").collect().map(_.getLong(0))
+    assert(hits.nonEmpty)
+    hits.foreach(id => assert(en.contains(id), s"vec $id fails the metadata filter"))
+  }
+
   test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
     val e = Tables(spark, dir, "embeddings")
     val exact = Knn.topK(
