@@ -146,6 +146,22 @@ object CoreQueries {
         .rollup("o_orderpriority", "o_orderstatus")
         .agg(count(lit(1)).as("n"), scaled(sum("o_totalprice"), 0).as("total"))),
 
+    // C26: set algebra — INTERSECT/EXCEPT chain with set (distinct)
+    // semantics; each op is one hash shuffle on the full row
+    "set_ops" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+        .intersect(o.filter(col("o_orderpriority") === "5-LOW").select("o_custkey"))
+        .except(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+    }),
+
+    // C27: CUBE grouping sets — every (priority, status) subtotal
+    // combination in one expand + hash aggregate
+    "cube_agg" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), scaled(sum("o_totalprice"), 0).as("total"))),
+
     // C19: exact distinct cardinality per group — Spark plans the classic
     // two-phase (expand + partial) distinct aggregate
     "events_distinct" -> ((s, dir) =>
@@ -265,6 +281,18 @@ object CoreQueries {
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
         | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+
+    "set_ops" ->
+      """(SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
+
+    "cube_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "events_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
