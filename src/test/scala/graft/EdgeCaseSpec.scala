@@ -37,4 +37,40 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.operators.Dedup.exact(empty).count() == 0)
     assert(graft.operators.Dedup.minhashLsh(empty, 12, 3).count() == 0)
   }
+
+  test("radius search with an unreachable threshold returns empty") {
+    assert(Knn.radius(corpus, query, 0L, Knn.L2).count() == 0)
+  }
+
+  test("radius never truncates: every qualifying vector is returned") {
+    // threshold above the max distance ⇒ the whole corpus comes back
+    assert(Knn.radius(corpus, query, Long.MaxValue, Knn.L2).count() == 2)
+  }
+
+  test("PQ search with a filter matching nothing returns empty, not an error") {
+    val emb = (0L until 70L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100))).toDF("vec_id", "embedding")
+    val none = emb.filter(col("vec_id") < 0).select("vec_id")
+    val r = graft.operators.Pq.searchRerank(emb, qid = 0, k = 5,
+      numSub = 2, subDim = 8, numCodes = 16, shortlist = 10, keep = Some(none))
+    assert(r.count() == 0)
+  }
+
+  test("PQ tolerates a codebook larger than the corpus") {
+    // numCodes=64 but only 10 vectors exist → 10 codewords per subspace
+    val emb = (0L until 10L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100))).toDF("vec_id", "embedding")
+    val r = graft.operators.Pq.searchRerank(emb, qid = 0, k = 5,
+      numSub = 2, subDim = 8, numCodes = 64, shortlist = 10)
+    assert(r.count() == 5)
+  }
+
+  test("HLL estimate over an empty input yields no groups (not a crash)") {
+    val empty = Seq.empty[(String, Long)].toDF("event_type", "event_id")
+    val sketch = graft.operators.Hll.sketchAgg(
+      graft.operators.Hll.bucketRho(empty,
+        "concat('hll', CAST(event_id AS STRING))", Seq("event_type")),
+      Seq("event_type"))
+    assert(graft.operators.Hll.estimate(sketch, Seq("event_type")).count() == 0)
+  }
 }
