@@ -123,6 +123,9 @@ object HybridQueries {
           MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))),
         ("class2_mid", MetaPredicate("lang" -> ("exact", "zh"))),
         ("class3_broad", MetaPredicate("n_chars" -> ("leq", 400))))
+      // the IVF index is class-independent: build its centroids ONCE (C
+      // tiny rows, eagerly materialized) instead of once per class
+      val cent = Ivf.centroids(e).localCheckpoint(true)
       classes.map { case (cls, pred) =>
         // ≤10-row ground truth, materialized once and reused by both
         // strategies' hit joins (localCheckpoint avoids re-running the
@@ -131,7 +134,8 @@ object HybridQueries {
           .localCheckpoint(true)
         val strategies = Seq(
           "post" -> Knn.postfilterKnn(e, d, pred, q, 10, 50, Knn.Cosine).select("vec_id"),
-          "hybrid" -> Ivf.hybridKnn(e, d, pred, q, 10, 2).select("vec_id"))
+          "hybrid" -> Ivf.searchProbed(cent, e, d, pred, q, 10, 2, Knn.Cosine,
+            "vec_id", "doc_id", "embedding", "label").select("vec_id"))
         strategies.map { case (strat, approx) =>
           // single pass over approx: left-join the ground truth, count
           // returned rows and hits in one aggregate
