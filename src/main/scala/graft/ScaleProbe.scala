@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Ivf, Knn}
+import graft.operators.{Dedup, Hll, Ivf, Knn, Pq}
 
 /** Scale dry-run: synthetic 100×-sf corpora generated distributively
   * (range + hash-derived values, no driver materialization), timing the
@@ -73,7 +73,22 @@ object ScaleProbe {
       time("simhash_sigs")(Dedup.simhashSignatures(d).count()),
       time("minhash_sigs")(Dedup.minhashSignatures(d, 12).count()),
       time("ngram_jaccard_hashed")(
-        Dedup.ngramJaccard(d.limit(100000), 800000L, maxDf = Some(64)).count())
+        Dedup.ngramJaccard(d.limit(100000), 800000L, maxDf = Some(64)).count()),
+      // PQ: full encode of the corpus + ADC shortlist + rerank (the 32×
+      // compressed-scan path — holds iff encode stays one narrow crossJoin)
+      time("pq_search")(Pq.searchRerank(e, qid = 7, k = 10,
+        numSub = 8, subDim = 8, numCodes = 64, shortlist = 100).count()),
+      // HLL distinct sketch per lang_k — must stay two map-side partial aggs
+      time("hll_distinct")(Hll.estimate(Hll.sketchAgg(Hll.bucketRho(
+        d.select(col("lang_k"), col("doc_id")),
+        "concat('hll', CAST(doc_id AS STRING))", Seq("lang_k")),
+        Seq("lang_k")), Seq("lang_k")).count()),
+      // BM25 postings: explode-filter-aggregate over the full token stream
+      time("bm25_postings")(
+        d.selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS tk")
+          .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS tok")
+          .filter(col("tok").isin("w1", "w42", "w4999"))
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf")).count())
     )
     val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")

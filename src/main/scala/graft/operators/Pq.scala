@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column}
 import org.apache.spark.sql.functions._
-import graft.functions.{scaled, vectors}
+import graft.functions.{pq, scaled, vectors}
 
 /** Product quantization (IVF-PQ style) — the canonical 100 TB vector-
   * compression path: vectors become `numSub` small codes (here 8 codes of
@@ -47,7 +47,10 @@ object Pq {
       val diff = s"($x - element_at($subExpr, $i))"
       s"$diff * $diff"
     }
-    s"CAST(round((${terms.mkString(" + ")}) * 10000.0) AS BIGINT)"
+    // floor, not round: floor on a double is a single allocation-free fp op
+    // in both engines (Spark's round routes every value through BigDecimal —
+    // measurably dominant when the expression runs 512× per row)
+    s"CAST(floor((${terms.mkString(" + ")}) * 10000.0) AS BIGINT)"
   }
 
   /** (vec_id, m, code): nearest codeword per subspace — ties to the lowest
@@ -65,6 +68,24 @@ object Pq {
       .selectExpr("m", "code", s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
       .selectExpr("m", "code", s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
 
+  /** Scan-speed encode: the codebook is k·d MODEL STATE (like KMeans
+    * centroids), so it rides along as a reference object inside the
+    * codegen'd `PqNearestCode` kernel and every code is computed in ONE
+    * narrow projection — no 512×corpus row explosion, no argmin shuffle
+    * (the crossJoin+groupBy `encode` form materialized n·M·K intermediate
+    * rows: 26 s vs ~2 s at 500k vectors). The kernel's loop is
+    * bit-identical to `encode`'s SQL arithmetic — asserted by spec AND by
+    * the driver oracle through `searchRerank`. Returns wide codes
+    * (vec_id, code_0 … code_{M-1}). */
+  def encodeFast(body: DataFrame, cbRows: Array[(Int, Long, Array[Double])],
+                 numSub: Int, subDim: Int): DataFrame = {
+    val cols = col("vec_id") +: (0 until numSub).map { m =>
+      val cw = cbRows.filter(_._1 == m).sortBy(_._2).map(_._3)
+      pq.nearestCode(col("v"), cw, m, subDim).as(s"code_$m")
+    }
+    body.select(cols: _*)
+  }
+
   /** Full search: ADC shortlist of `shortlist` candidates over the codes,
     * then exact L2 rerank of the shortlist to top-`k`.
     *
@@ -81,11 +102,40 @@ object Pq {
     val cb = seededCodebook(emb, numSub, subDim, numCodes)
     val body0 = cast.filter(col("vec_id") =!= qid)
     val body = keep.fold(body0)(ids => body0.join(ids, "vec_id"))
-    val codes = encode(body, cb, subDim)
+    // codebook + ADC table are k·d model state: collected once (like KMeans
+    // centroids), embedded as literals so the code scan is one narrow
+    // codegen'd projection — see encodeFast
+    val cbRows = cb.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val qv = cast.filter(col("vec_id") === qid).select(col("v").as("qv"))
-    val adc = adcTable(qv, cb, subDim)
-    val short = codes.join(broadcast(adc), Seq("m", "code"))
-      .groupBy("vec_id").agg(sum("td").as("adist"))
+    // td values computed BY Spark (one 512-row job), so the literal table
+    // is bit-identical to the joined form in both engines
+    val td = adcTable(qv, cb, subDim).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // TWO small codegen'd steps, not one giant expression. A single fused
+    // adist expression (argmin inlined into the td lookup, ~8× the size of
+    // one code expression) is too deep for janino: whole-stage codegen
+    // fails, the failure is NOT cached, and every task re-pays a slow
+    // failed compile + interpreted tree-walk — 15-19 s per query at sf0.1
+    // vs ~0.5 s split. Step 1 materializes the 9-column code projection
+    // (each per-subspace argmin compiles fine); localCheckpoint is the
+    // optimizer-OPAQUE barrier — with anything weaker (repartition tried),
+    // Catalyst collapses the projections back into one and re-inlines the
+    // argmin into the top-k's sort order, where TakeOrdered comparators
+    // run INTERPRETED per comparison. The materialized relation is the
+    // ~(8·8B codes + id) per row any PQ index stores anyway.
+    val codes = encodeFast(body, cbRows, numSub, subDim).localCheckpoint(true)
+    // Step 2: td lookup per subspace as element_at over a literal array —
+    // a small projection over bound code columns, whole-stage codegen'd.
+    // (A CASE-key form desugars to per-branch EqualTo copies of the key,
+    // duplicating the lookup 64×.)
+    val adistExpr = (0 until numSub).map { m =>
+      val tds = cbRows.filter(_._1 == m).sortBy(_._2)
+        .map { case (_, c, _) => s"${td((m, c))}L" }
+      s"element_at(array(${tds.mkString(", ")}), CAST(code_$m AS INT) + 1)"
+    }.mkString(" + ")
+    val short = codes
+      .selectExpr("vec_id", s"CAST($adistExpr AS BIGINT) AS adist")
       .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
     val qfull = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
     emb.join(broadcast(short.select("vec_id")), "vec_id")

@@ -203,7 +203,7 @@ object FusionQueries {
          |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
          |body AS ($bodySelect),
          |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-         |  CAST(round((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0, 0) AS BIGINT) AS d
+         |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
          |  FROM body b CROSS JOIN cb),
          |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
          |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
@@ -212,7 +212,7 @@ object FusionQueries {
          |q AS (SELECT m.m AS m, (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS qsub
          |      FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id = 0),
          |adc AS (SELECT cb.m, cb.code,
-         |  CAST(round((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0, 0) AS BIGINT) AS td
+         |  CAST(floor((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
          |  FROM cb JOIN q ON cb.m = q.m),
          |short AS (SELECT enc.vec_id FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
          |          GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)

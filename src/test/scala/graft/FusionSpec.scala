@@ -39,6 +39,25 @@ class FusionSpec extends SparkSpec {
       "ADC shortlist + rerank should preserve most of the exact top-10")
   }
 
+  test("PQ encodeFast (literal codebook) equals the join-based encode") {
+    import graft.operators.Pq
+    val emb = Tables(spark, dir, "embeddings")
+    val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cb = Pq.seededCodebook(emb, numSub = 8, subDim = 8, numCodes = 64)
+    val joined = Pq.encode(cast, cb, subDim = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val cbRows = cb.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val fast = Pq.encodeFast(cast, cbRows, numSub = 8, subDim = 8).collect()
+    assert(fast.nonEmpty)
+    fast.foreach { r =>
+      val vid = r.getLong(0)
+      (0 until 8).foreach { m =>
+        assert(r.getLong(1 + m) == joined((vid, m)), s"vec $vid subspace $m")
+      }
+    }
+  }
+
   test("hybrid_knn_pq returns only filter-qualified vectors") {
     val en = Tables(spark, dir, "documents")
       .filter(col("lang") === "en").select("doc_id")
