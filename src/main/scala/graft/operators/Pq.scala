@@ -29,6 +29,47 @@ import graft.functions.{pq, scaled, vectors}
   * BIGINT per the repo convention. */
 object Pq {
 
+  /** (m, code, cw): KMeans-trained codewords — real Lloyd's over every
+    * subspace's sub-vectors SIMULTANEOUSLY (the production alternative to
+    * the oracle-friendly seeded codebook). Per iteration: ONE scan whose
+    * assignment step is the codegen'd `PqNearestCode` kernel itself (the
+    * encode path doubles as Lloyd's E-step), a stack to (m, code, subvec)
+    * rows, and one (m, code)-keyed mean — all M·K centroids update in a
+    * single job, vs M separate KMeans fits. Training runs on a bounded
+    * sample (`sampleMax` lowest-id vectors), exactly how large-corpus PQ
+    * codebooks are fit in practice: the codebook is k·d model state and
+    * the full corpus is only ever touched by the one-pass encode that
+    * follows. Deterministic (lowest-id seeds, lowest-code tie-breaks,
+    * empty codes keep their centroid) but iterative fp — so entries built
+    * on it are rows-only, the same trade SURVEY §2 documents for A14. */
+  def trainedCodebook(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int,
+                      iters: Int, sampleMax: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sample = emb.filter(col("vec_id") < sampleMax)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .localCheckpoint(true)
+    var cb = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val stackExpr = s"stack($numSub, " +
+      (0 until numSub).map(m => s"$m, code_$m").mkString(", ") + ") AS (m, code)"
+    for (_ <- 0 until iters) {
+      val next = encodeFast(sample, cb, numSub, subDim)
+        .join(sample, "vec_id")
+        .selectExpr(stackExpr, "v")
+        .selectExpr("m", "code",
+          s"CAST(slice(v, m * $subDim + 1, $subDim) AS ARRAY<FLOAT>) AS sv")
+        .groupBy("m", "code")
+        .agg(graft.functions.aggs.vecSum(col("sv")).as("vsum"), count(col("sv")).as("n"))
+        .selectExpr("m", "code", "transform(vsum, x -> x / n) AS cw")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Double](2).toArray)
+        .toMap
+      cb = cb.map { case (m, c, cw) => (m, c, next.getOrElse((m, c), cw)) }
+    }
+    cb.toSeq.map { case (m, c, cw) => (m, c, cw.toSeq) }.toDF("m", "code", "cw")
+  }
+
   /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
   def seededCodebook(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int): DataFrame =
     emb.filter(col("vec_id") < numCodes)
@@ -97,9 +138,16 @@ object Pq {
     * filtered query reads |keep|·8 bytes, not the corpus. */
   def searchRerank(emb: DataFrame, qid: Int, k: Int, numSub: Int, subDim: Int,
                    numCodes: Int, shortlist: Int,
-                   keep: Option[DataFrame] = None): DataFrame = {
+                   keep: Option[DataFrame] = None): DataFrame =
+    searchRerankCb(emb, seededCodebook(emb, numSub, subDim, numCodes),
+      qid, k, numSub, subDim, shortlist, keep)
+
+  /** As `searchRerank` but over a caller-supplied codebook (m, code, cw) —
+    * the seeded and KMeans-trained paths share everything downstream. */
+  def searchRerankCb(emb: DataFrame, cb: DataFrame, qid: Int, k: Int,
+                     numSub: Int, subDim: Int, shortlist: Int,
+                     keep: Option[DataFrame] = None): DataFrame = {
     val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-    val cb = seededCodebook(emb, numSub, subDim, numCodes)
     val body0 = cast.filter(col("vec_id") =!= qid)
     val body = keep.fold(body0)(ids => body0.join(ids, "vec_id"))
     // codebook + ADC table are k·d model state: collected once (like KMeans

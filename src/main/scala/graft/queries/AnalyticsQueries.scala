@@ -88,6 +88,16 @@ object AnalyticsQueries {
         .select(col("pri"), col("cents").as("median_cents"))
     }),
 
+    // C28: the Salting operator driver-verified end-to-end — two-phase
+    // salted aggregation over a hot key (event_type: 5 values across the
+    // whole corpus, the power-law shape that melts a direct groupBy at
+    // 100 TB). count/sum are salt-invariant, so the final table equals the
+    // direct aggregate the oracle computes; integer cents keep the sum fp-free.
+    "salted_agg" -> ((s, dir) =>
+      graft.operators.Salting.saltedCounts(events(s, dir), col("event_type"),
+          salts = 16, valueCol = Some(expr("CAST(floor(value * 100) AS BIGINT)")))
+        .select(col("k"), col("n"), col("total"))),
+
     // C24: deterministic HyperLogLog (p=8) distinct estimate vs exact —
     // the shared operators.Hll fragments also back the streaming sketch
     "approx_distinct_hll" -> ((s, dir) => {
@@ -136,6 +146,11 @@ object AnalyticsQueries {
         |  row_number() OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS rn,
         |  count(*) OVER (PARTITION BY pri) AS n FROM c)
         |SELECT pri, cents AS median_cents FROM w WHERE rn = (n + 1) // 2""".stripMargin,
+
+    "salted_agg" ->
+      """SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "approx_distinct_hll" ->
       s"""WITH h AS (SELECT event_type,

@@ -14,6 +14,15 @@ object DuckDialect {
   val Shingles =
     "list_distinct(list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))"
 
+  /** Per-cluster mean-vector table — mirrors operators.Ivf.centroids over
+    * source relation `src` (needs cols label, embedding FLOAT[64]). */
+  def centSql(src: String): String =
+    s"""SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+       |    SELECT e.label AS label, d.dim AS dim, avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) AS cv
+       |    FROM $src e CROSS JOIN range(64) d(dim)
+       |    GROUP BY e.label, d.dim)
+       |  GROUP BY label""".stripMargin
+
   /** Random-hyperplane LSH bucket id — mirrors operators.Lsh.bucketCol with
     * the identical deterministic integer plane weights. */
   def bucketSql(vec: String, numPlanes: Int, dims: Int): String =

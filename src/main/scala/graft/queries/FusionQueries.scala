@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Knn, Pq}
+import graft.operators.{Dedup, Ivf, Knn, Pq}
 
 /** §2.A18–A20 — keyword relevance, rank fusion, and quantized vector search:
   * the retrieval surface a hybrid engine needs beyond pure vector kNN.
@@ -103,6 +103,33 @@ object FusionQueries {
         keep = Some(keep))
     }),
 
+    // A24: IVF×PQ — the full 100 TB search composition: probe the 2
+    // clusters nearest the query (centroids broadcast), ADC-scan ONLY the
+    // probed clusters' codes, exact rerank of the shortlist. At scale this
+    // reads nProbe/C of an already-32×-compressed corpus.
+    "knn_ivfpq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(e), q, nProbe = 2)
+      val keep = e.join(broadcast(probed), "label").select("vec_id")
+      Pq.searchRerank(e, qid = 0, k = 10,
+        numSub = 8, subDim = 8, numCodes = 64, shortlist = 100,
+        keep = Some(keep))
+    }),
+
+    // A25 (*rows-only*): PQ with a KMeans-TRAINED codebook — real Lloyd's
+    // per subspace on a bounded sample, then the same one-pass encodeFast +
+    // ADC + rerank. Iterative fp training is engine-specific, so the
+    // driver records the weaker rows-only check; PqTrainedSpec asserts
+    // recall against the exact top-k.
+    "knn_pq_trained" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val cb = Pq.trainedCodebook(e, numSub = 8, subDim = 8, numCodes = 16,
+        iters = 2, sampleMax = 256)
+      Pq.searchRerankCb(e, cb, qid = 0, k = 10,
+        numSub = 8, subDim = 8, shortlist = 100)
+    }),
+
     // A20: int8 scalar-quantized kNN — global (mn, mx) calibration, 0..255
     // codes, integer squared-L2 over the codes
     "knn_sq8" -> ((s, dir) => {
@@ -180,6 +207,22 @@ object FusionQueries {
         |       FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
         |       WHERE e.vec_id <> 0 AND d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin),
 
+    // probe ordering identical to hybrid_knn's oracle (scaled cosine desc,
+    // label asc); the PQ body then sees only the probed clusters' rows
+    "knn_ivfpq" -> pqOracleSql(
+      """SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |       FROM embeddings e JOIN probes p ON e.label = p.label
+        |       WHERE e.vec_id <> 0""".stripMargin,
+      prelude =
+        s"""cent AS (${DuckDialect.centSql("embeddings")}),
+           |qp AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+           |probes AS (
+           |  SELECT c.label FROM cent c CROSS JOIN qp
+           |  ORDER BY CAST(round(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+           |    CAST(qp.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) DESC, c.label ASC
+           |  LIMIT 2),
+           |""".stripMargin),
+
     "knn_sq8" ->
       s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
          |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
@@ -196,9 +239,10 @@ object FusionQueries {
   )
 
   /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —
-    * the unfiltered and metadata-filtered entries share everything else. */
-  private def pqOracleSql(bodySelect: String): String =
-      s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+    * the unfiltered, metadata-filtered, and IVF-probed entries share
+    * everything else. `prelude` injects extra CTEs the body references. */
+  private def pqOracleSql(bodySelect: String, prelude: String = ""): String =
+      s"""WITH $prelude cb AS (SELECT m.m AS m, e.vec_id AS code,
          |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
          |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
          |body AS ($bodySelect),

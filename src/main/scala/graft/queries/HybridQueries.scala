@@ -16,14 +16,7 @@ object HybridQueries {
   private def cosSql(a: String, b: String) =
     s"CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
 
-  /** DuckDB mirror of Ivf.centroids over source relation `src` (needs cols
-    * label, embedding). */
-  private def centSql(src: String) =
-    s"""SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
-       |    SELECT e.label AS label, d.dim AS dim, avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) AS cv
-       |    FROM $src e CROSS JOIN range(64) d(dim)
-       |    GROUP BY e.label, d.dim)
-       |  GROUP BY label""".stripMargin
+  private def centSql(src: String) = DuckDialect.centSql(src)
 
   private val NumPlanes = 4
   private val Dims = 64

@@ -67,6 +67,32 @@ class FusionSpec extends SparkSpec {
     hits.foreach(id => assert(en.contains(id), s"vec $id fails the metadata filter"))
   }
 
+  test("knn_ivfpq searches only the 2 probed clusters") {
+    import graft.operators.Ivf
+    val e = Tables(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val probed = Ivf.probe(Ivf.centroids(e), qv, 2).collect().map(_.getInt(0)).toSet
+    val inProbed = e.filter(col("label").isin(probed.toSeq: _*))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val hits = q("knn_ivfpq").collect().map(_.getLong(0))
+    assert(hits.nonEmpty && hits.length <= 10)
+    hits.foreach(id => assert(inProbed.contains(id), s"vec $id outside probed clusters"))
+  }
+
+  test("knn_pq_trained (KMeans codebook) reranks to exact scores with real recall") {
+    val e = Tables(spark, dir, "embeddings")
+    val exact = Knn.topK(
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+      10, Knn.L2).select("vec_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pq = q("knn_pq_trained").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pq.length == 10)
+    pq.filter(p => exact.contains(p._1)).foreach { case (id, s) => assert(exact(id) == s) }
+    assert(pq.map(_._1).toSet.intersect(exact.keySet).size >= 5,
+      "trained-codebook shortlist should keep at least half the exact top-10")
+  }
+
   test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
     val e = Tables(spark, dir, "embeddings")
     val exact = Knn.topK(
