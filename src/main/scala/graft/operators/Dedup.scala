@@ -254,6 +254,43 @@ object Dedup {
       .filter(col("ham") <= maxHamming)
   }
 
+  /** Connected components over an undirected candidate-pair edge list —
+    * the step that turns ANY pairwise dedup output (B2–B5) into dedup
+    * GROUPS: each doc labeled with the smallest doc id reachable through
+    * shared-duplicate edges, so "keep one per cluster" is `WHERE
+    * doc_id = cluster`.
+    *
+    * Iterative min-label propagation: per round, one edge-keyed join + one
+    * (vertex)-keyed min aggregate, converging when no label changes — at
+    * most `diameter` rounds, and near-dup graphs have tiny, shallow
+    * components (a pile of copies is a clique: diameter 1). Every round
+    * eagerly materializes via localCheckpoint so lineage stays flat and
+    * the convergence count() reuses the same job. At extreme scale the
+    * round count can be driven to O(log d) with large-star/small-star
+    * (alternating conditional stars); the per-round plan shape is
+    * identical, so this is the faithful small-diameter form. */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    val sym = pairs.selectExpr(s"$aCol AS src", s"$bCol AS dst")
+      .union(pairs.selectExpr(s"$bCol AS src", s"$aCol AS dst"))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      // every edge-induced vertex has >= 1 neighbor, so the inner join
+      // keeps the full vertex set
+      val prop = sym.join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
+        .groupBy(col("src").as("id")).agg(min("nl").as("minN"))
+      val upd = labels.join(prop, "id")
+        .select(col("id"), col("lbl"), least(col("lbl"), col("minN")).as("nlbl"))
+        .localCheckpoint(true)
+      changed = upd.filter(col("nlbl") =!= col("lbl")).count()
+      labels = upd.select(col("id"), col("nlbl").as("lbl"))
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+  }
+
   /** B5: embedding-cosine near-dup pairs ≥ tauScaled/10^4 (exact all-pairs
     * baseline; `embeddingPairsBucketed` is the scale path). */
   def embeddingPairs(emb: DataFrame, tauScaled: Long): DataFrame =

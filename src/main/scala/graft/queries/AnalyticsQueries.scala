@@ -88,6 +88,27 @@ object AnalyticsQueries {
         .select(col("pri"), col("cents").as("median_cents"))
     }),
 
+    // C29: ordered funnel — users reaching view → later click → later
+    // purchase, with per-stage survivor counts. Each stage is a
+    // user_id-keyed min aggregate joined to the previous stage's
+    // timestamps: three co-keyed shuffles (same partitioning reused), no
+    // windows over the full stream, and stage tables shrink monotonically.
+    // Timestamps compare as unix micros on both sides (the parquet ts is
+    // nanos; micros is the shared truncation).
+    "events_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("us") > col("t1")).groupBy("user_id").agg(min("us").as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("us") > col("t2")).groupBy("user_id").agg(min("us").as("t3"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"), col("n_users"))
+        .union(c.agg(count(lit(1)).as("n_users")).select(lit("2_click").as("stage"), col("n_users")))
+        .union(p.agg(count(lit(1)).as("n_users")).select(lit("3_purchase").as("stage"), col("n_users")))
+    }),
+
     // C28: the Salting operator driver-verified end-to-end — two-phase
     // salted aggregation over a hot key (event_type: 5 values across the
     // whole corpus, the power-law shape that melts a direct groupBy at
@@ -151,6 +172,17 @@ object AnalyticsQueries {
       """SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |v AS (SELECT user_id, min(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.us) AS t2 FROM ev e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.us > v.t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.us) AS t3 FROM ev e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.us > c.t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
+        |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
 
     "approx_distinct_hll" ->
       s"""WITH h AS (SELECT event_type,

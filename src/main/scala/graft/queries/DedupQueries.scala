@@ -74,8 +74,33 @@ object DedupQueries {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairsAuto(
         Tables(s, dir, "embeddings").select("vec_id", "embedding"), CosineTauScaled,
-        EmbNumPlanes, EmbDims, EmbPairThreshold))
+        EmbNumPlanes, EmbDims, EmbPairThreshold)),
+
+    // B18: candidate pairs → dedup GROUPS via min-label connected
+    // components ("keep one per cluster" = doc_id = cluster); the oracle
+    // recomputes the same fixpoint with a recursive CTE
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket))))
   )
+
+  /** The shared minhash-LSH candidate-pair CTE chain (ends in `pairs`),
+    * used verbatim by the pair entry and the clusters entry. */
+  private def minhashPairCtes(sigCols: String, bandSelects: String): String =
+    s"""t AS (SELECT doc_id, $dTok AS tk FROM documents),
+       |shj AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
+       |sig AS (SELECT doc_id,
+       |  $sigCols
+       |  FROM shj),
+       |bands AS ($bandSelects),
+       |joinable AS (
+       |  SELECT b.* FROM bands b
+       |  JOIN (SELECT band, bkey FROM bands GROUP BY band, bkey
+       |        HAVING count(*) <= $MaxBucket) ok USING (band, bkey)),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM joinable a JOIN joinable b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
   val oracle: Map[String, String] = {
     val sigCols = (0 until NumHashes).map { j =>
@@ -110,19 +135,21 @@ object DedupQueries {
            |WHERE CAST(round((inter / (sa.n + sb.n - inter)) * 1000000.0, 0) AS BIGINT) >= $JaccardTauScaled""".stripMargin,
 
       "dedup_minhash_lsh" ->
-        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
-           |shj AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
-           |sig AS (SELECT doc_id,
-           |  $sigCols
-           |  FROM shj),
-           |bands AS ($bandSelects),
-           |joinable AS (
-           |  SELECT b.* FROM bands b
-           |  JOIN (SELECT band, bkey FROM bands GROUP BY band, bkey
-           |        HAVING count(*) <= $MaxBucket) ok USING (band, bkey))
-           |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |FROM joinable a JOIN joinable b
-           |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin,
+        s"""WITH ${minhashPairCtes(sigCols, bandSelects)}
+           |SELECT a_id, b_id FROM pairs""".stripMargin,
+
+      // recursive min-label fixpoint over the SAME pair CTEs: reach holds
+      // every (vertex, reachable-label); min per vertex = the component id
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE ${minhashPairCtes(sigCols, bandSelects)},
+           |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+           |          UNION ALL SELECT b_id, a_id FROM pairs),
+           |reach(id, lbl) AS (
+           |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+           |  UNION
+           |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+           |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+           |FROM reach GROUP BY id""".stripMargin,
 
       "dedup_simhash" -> {
         def half(h: String) =

@@ -69,4 +69,25 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("salted_agg equals the direct unsalted aggregate") {
+    val direct = Tables(spark, dir, "events")
+      .groupBy(col("event_type").as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100) AS BIGINT)")).as("total"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val salted = q("salted_agg")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(salted == direct)
+  }
+
+  test("events_funnel stages shrink monotonically and start with the view users") {
+    val rows = q("events_funnel").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rows.map(_._1).sameElements(Array("1_view", "2_click", "3_purchase")))
+    val ns = rows.map(_._2)
+    assert(ns(0) >= ns(1) && ns(1) >= ns(2), s"funnel not monotone: ${ns.toSeq}")
+    val viewUsers = Tables(spark, dir, "events")
+      .filter(col("event_type") === "view").select("user_id").distinct().count()
+    assert(ns(0) == viewUsers)
+  }
 }

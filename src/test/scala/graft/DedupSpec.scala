@@ -133,4 +133,27 @@ class DedupSpec extends SparkSpec {
     }
     intercept[IllegalArgumentException] { Dedup.simhashPairsBanded(corpus, 4, 4) }
   }
+
+  test("connectedComponents labels every vertex with its component's min id") {
+    val edges = Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (12L, 13L), (20L, 21L))
+      .toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("dedup clusters are consistent with their candidate pairs") {
+    val pairs = Dedup.minhashLsh(docs, 12, 3).cache()
+    val comp = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // both endpoints of every candidate pair share a cluster, and the
+    // cluster id is a member doc id
+    pairs.as[(Long, Long)].collect().foreach { case (a, b) =>
+      assert(comp(a) == comp(b), s"pair ($a,$b) split across clusters")
+    }
+    comp.values.foreach(c => assert(comp(c) == c, s"cluster id $c is not its own root"))
+    // docs 1, 2, 4 are exact/near dups: one cluster rooted at 1
+    assert(comp.get(1L).contains(1L) && comp.get(4L).contains(1L))
+  }
 }
