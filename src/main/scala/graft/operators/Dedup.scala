@@ -271,9 +271,11 @@ object Dedup {
     * identical, so this is the faithful small-diameter form. */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
-    val sym = pairs.selectExpr(s"$aCol AS src", s"$bCol AS dst")
-      .union(pairs.selectExpr(s"$bCol AS src", s"$aCol AS dst"))
-      .localCheckpoint(true)
+    // materialize the (possibly expensive) pair pipeline ONCE — a plain
+    // union of two selects over it would inline two full copies of the
+    // upstream plan and compute the candidate generation twice
+    val p0 = pairs.selectExpr(s"$aCol AS src", s"$bCol AS dst").localCheckpoint(true)
+    val sym = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
     var changed = 1L

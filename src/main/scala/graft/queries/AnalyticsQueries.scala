@@ -88,6 +88,36 @@ object AnalyticsQueries {
         .select(col("pri"), col("cents").as("median_cents"))
     }),
 
+    // C30: mergeable equi-width histogram quantile sketch (the quantile
+    // sibling of the HLL sketch): 256 integer bins over global (mn, mx)
+    // calibration (broadcast model state, like sq8's), so ONLY the ≤256
+    // (group, bin, count) sketch rows cross the shuffle no matter the
+    // input size; count-merge is associative (map-side partials). p50/90/99
+    // read off the cumulative sketch — windows run over ≤256 rows/group.
+    // All-integer (bin = (cents−mn)·256 div span; estimate = bin upper
+    // edge), so both engines agree bit-exactly.
+    "approx_quantile_hist" -> ((s, dir) => {
+      val c = Tables(s, dir, "orders").selectExpr("o_orderpriority AS pri",
+        "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+      val st = c.agg(min("cents").as("mn"), max("cents").as("mx"))
+      val sk = c.crossJoin(broadcast(st))
+        .withColumn("bin", expr("((cents - mn) * 256) div (mx - mn + 1)"))
+        .groupBy("pri", "bin").agg(count(lit(1)).as("cnt"))
+      val cum = sk
+        .withColumn("cum", sum("cnt").over(Window.partitionBy("pri").orderBy("bin")))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("pri")))
+      cum.groupBy("pri").agg(
+          max("n").as("n"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("bin"))).as("b50"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("bin"))).as("b90"),
+          min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("b99"))
+        .crossJoin(broadcast(st))
+        .selectExpr("pri", "n",
+          "mn + ((b50 + 1) * (mx - mn + 1)) div 256 - 1 AS p50_cents",
+          "mn + ((b90 + 1) * (mx - mn + 1)) div 256 - 1 AS p90_cents",
+          "mn + ((b99 + 1) * (mx - mn + 1)) div 256 - 1 AS p99_cents")
+    }),
+
     // C29: ordered funnel — users reaching view → later click → later
     // purchase, with per-stage survivor counts. Each stage is a
     // user_id-keyed min aggregate joined to the previous stage's
@@ -172,6 +202,26 @@ object AnalyticsQueries {
       """SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "approx_quantile_hist" ->
+      """WITH c AS (SELECT o_orderpriority AS pri,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |st AS (SELECT min(cents) AS mn, max(cents) AS mx FROM c),
+        |sk AS (SELECT pri, ((cents - st.mn) * 256) // (st.mx - st.mn + 1) AS bin,
+        |       CAST(count(*) AS BIGINT) AS cnt FROM c CROSS JOIN st GROUP BY 1, 2),
+        |cum AS (SELECT pri, bin, cnt,
+        |  sum(cnt) OVER (PARTITION BY pri ORDER BY bin) AS cum,
+        |  sum(cnt) OVER (PARTITION BY pri) AS n FROM sk),
+        |q AS (SELECT pri, max(n) AS n,
+        |  min(CASE WHEN cum * 100 >= n * 50 THEN bin END) AS b50,
+        |  min(CASE WHEN cum * 100 >= n * 90 THEN bin END) AS b90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS b99
+        |  FROM cum GROUP BY pri)
+        |SELECT pri, CAST(n AS BIGINT) AS n,
+        |  CAST(st.mn + ((b50 + 1) * (st.mx - st.mn + 1)) // 256 - 1 AS BIGINT) AS p50_cents,
+        |  CAST(st.mn + ((b90 + 1) * (st.mx - st.mn + 1)) // 256 - 1 AS BIGINT) AS p90_cents,
+        |  CAST(st.mn + ((b99 + 1) * (st.mx - st.mn + 1)) // 256 - 1 AS BIGINT) AS p99_cents
+        |FROM q CROSS JOIN st""".stripMargin,
 
     "events_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),

@@ -80,6 +80,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("approx_quantile_hist brackets the exact median within one bin width") {
+    val exact = q("median_exact").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cents = Tables(spark, dir, "orders")
+      .selectExpr("CAST(floor(o_totalprice * 100) AS BIGINT) AS c")
+      .agg(min("c"), max("c")).collect().head
+    val binWidth = (cents.getLong(1) - cents.getLong(0) + 1) / 256 + 1
+    val est = q("approx_quantile_hist").collect()
+    assert(est.nonEmpty)
+    est.foreach { r =>
+      val (pri, p50, p90, p99) = (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(p50 <= p90 && p90 <= p99, s"$pri quantiles not monotone")
+      assert(math.abs(p50 - exact(pri)) <= binWidth,
+        s"$pri: histogram p50 $p50 vs exact median ${exact(pri)} (bin width $binWidth)")
+    }
+  }
+
   test("events_funnel stages shrink monotonically and start with the view users") {
     val rows = q("events_funnel").collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)

@@ -100,4 +100,26 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("approx_distinct_hll")
     assert(p.contains("partial_max"), p.take(2000))
   }
+
+  test("knn_ivfpq: probed code scan joins broadcast, rerank via TakeOrdered") {
+    val p = plan("knn_ivfpq")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"),
+      "probe and shortlist joins must broadcast — the corpus is never a merge-join side")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+  }
+
+  test("salted_agg: two chained hash aggregates, both phases partial") {
+    val p = plan("salted_agg")
+    // phase 1 (key, salt) and phase 2 (key) each plan as partial+final
+    assert(p.sliding("HashAggregate".length).count(_ == "HashAggregate") >= 4, p.take(2000))
+    assert(!p.contains("Window") && !p.contains("Sort "), p.take(2000))
+  }
+
+  test("events_funnel: stage joins stay key-joined, no full-stream window") {
+    val p = plan("events_funnel")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
 }
