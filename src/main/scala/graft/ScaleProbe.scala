@@ -88,7 +88,17 @@ object ScaleProbe {
         d.selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS tk")
           .selectExpr("doc_id", "CAST(size(tk) AS BIGINT) AS dl", "explode(tk) AS tok")
           .filter(col("tok").isin("w1", "w42", "w4999"))
-          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf")).count())
+          .groupBy("doc_id", "dl", "tok").agg(count(lit(1)).as("tf")).count()),
+      // connected components over 2·nDocs vertices in 4-chains (diameter 3:
+      // the convergence-round count, not the edge count, drives cost)
+      time("connected_components")(Dedup.connectedComponents(
+        spark.range(2 * nDocs).filter(col("id") % 4 =!= 3)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))).count()),
+      // histogram quantile sketch: only (group, bin, count) rows shuffle
+      time("quantile_hist")(
+        d.select(col("lang_k"), col("n_chars").as("cents"))
+          .withColumn("bin", expr("(cents * 256) div 997"))
+          .groupBy("lang_k", "bin").agg(count(lit(1)).as("cnt")).count())
     )
     val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")

@@ -88,6 +88,23 @@ object AnalyticsQueries {
         .select(col("pri"), col("cents").as("median_cents"))
     }),
 
+    // C32: cohort retention — users grouped by first-active day, retention
+    // measured at day offsets 0/1/3/7. Shape: (user, day) distinct →
+    // user-keyed min (cohort) → same-key join (co-partitioned, no second
+    // shuffle of the big side) → two-phase distinct count per
+    // (cohort, offset). Days are integer unix-micro divisions shared with
+    // the oracle.
+    "events_retention" -> ((s, dir) => {
+      val ud = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct()
+      val c = ud.groupBy("user_id").agg(min("d").as("c0"))
+      ud.join(c, "user_id").withColumn("off", col("d") - col("c0"))
+        .filter(col("off").isin(0L, 1L, 3L, 7L))
+        .groupBy(col("c0").as("cohort_day"), col("off"))
+        .agg(countDistinct("user_id").as("n_users"))
+    }),
+
     // C30: mergeable equi-width histogram quantile sketch (the quantile
     // sibling of the HLL sketch): 256 integer bins over global (mn, mx)
     // calibration (broadcast model state, like sq8's), so ONLY the ≤256
@@ -202,6 +219,15 @@ object AnalyticsQueries {
       """SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "events_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS c0 FROM ud GROUP BY 1)
+        |SELECT c.c0 AS cohort_day, ud.d - c.c0 AS off,
+        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users
+        |FROM ud JOIN c USING (user_id)
+        |WHERE ud.d - c.c0 IN (0, 1, 3, 7)
+        |GROUP BY 1, 2""".stripMargin,
 
     "approx_quantile_hist" ->
       """WITH c AS (SELECT o_orderpriority AS pri,

@@ -97,6 +97,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("events_retention: day-0 cohort rows partition all users exactly once") {
+    val rows = q("events_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => Set(0L, 1L, 3L, 7L).contains(r._2)))
+    // offset-0 count per cohort == users whose FIRST day is that cohort day;
+    // summed over cohorts that's every user exactly once
+    val day0 = rows.filter(_._2 == 0L).map(_._3).sum
+    val users = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(day0 == users, s"day-0 rows cover $day0 of $users users")
+    // retention never exceeds the cohort's size
+    val size = rows.filter(_._2 == 0L).map(r => r._1 -> r._3).toMap
+    rows.foreach { case (c0, _, n) => assert(n <= size(c0)) }
+  }
+
   test("events_funnel stages shrink monotonically and start with the view users") {
     val rows = q("events_funnel").collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
