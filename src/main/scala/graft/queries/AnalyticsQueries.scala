@@ -129,10 +129,12 @@ object AnalyticsQueries {
           min(when(col("cum") * 100 >= col("n") * 90, col("bin"))).as("b90"),
           min(when(col("cum") * 100 >= col("n") * 99, col("bin"))).as("b99"))
         .crossJoin(broadcast(st))
+        // bin upper edge, clamped to the bin's lower edge so narrow spans
+        // (span < bins) can never report a value below the bin itself
         .selectExpr("pri", "n",
-          "mn + ((b50 + 1) * (mx - mn + 1)) div 256 - 1 AS p50_cents",
-          "mn + ((b90 + 1) * (mx - mn + 1)) div 256 - 1 AS p90_cents",
-          "mn + ((b99 + 1) * (mx - mn + 1)) div 256 - 1 AS p99_cents")
+          "mn + greatest(((b50 + 1) * (mx - mn + 1)) div 256 - 1, (b50 * (mx - mn + 1)) div 256) AS p50_cents",
+          "mn + greatest(((b90 + 1) * (mx - mn + 1)) div 256 - 1, (b90 * (mx - mn + 1)) div 256) AS p90_cents",
+          "mn + greatest(((b99 + 1) * (mx - mn + 1)) div 256 - 1, (b99 * (mx - mn + 1)) div 256) AS p99_cents")
     }),
 
     // C29: ordered funnel — users reaching view → later click → later
@@ -244,9 +246,9 @@ object AnalyticsQueries {
         |  min(CASE WHEN cum * 100 >= n * 99 THEN bin END) AS b99
         |  FROM cum GROUP BY pri)
         |SELECT pri, CAST(n AS BIGINT) AS n,
-        |  CAST(st.mn + ((b50 + 1) * (st.mx - st.mn + 1)) // 256 - 1 AS BIGINT) AS p50_cents,
-        |  CAST(st.mn + ((b90 + 1) * (st.mx - st.mn + 1)) // 256 - 1 AS BIGINT) AS p90_cents,
-        |  CAST(st.mn + ((b99 + 1) * (st.mx - st.mn + 1)) // 256 - 1 AS BIGINT) AS p99_cents
+        |  CAST(st.mn + greatest(((b50 + 1) * (st.mx - st.mn + 1)) // 256 - 1, (b50 * (st.mx - st.mn + 1)) // 256) AS BIGINT) AS p50_cents,
+        |  CAST(st.mn + greatest(((b90 + 1) * (st.mx - st.mn + 1)) // 256 - 1, (b90 * (st.mx - st.mn + 1)) // 256) AS BIGINT) AS p90_cents,
+        |  CAST(st.mn + greatest(((b99 + 1) * (st.mx - st.mn + 1)) // 256 - 1, (b99 * (st.mx - st.mn + 1)) // 256) AS BIGINT) AS p99_cents
         |FROM q CROSS JOIN st""".stripMargin,
 
     "events_funnel" ->
