@@ -73,4 +73,36 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("event_type"))
     assert(graft.operators.Hll.estimate(sketch, Seq("event_type")).count() == 0)
   }
+
+  test("connectedComponents on an empty edge list returns empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(graft.operators.Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("connectedComponents handles self-loops and duplicate edges") {
+    val edges = Seq((1L, 1L), (1L, 2L), (2L, 1L), (1L, 2L)).toDF("a_id", "b_id")
+    val comp = graft.operators.Dedup.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L))
+  }
+
+  test("PqNearestCode rejects vectors shorter than the subspace span") {
+    val emb = Seq((0L, Array.tabulate(4)(_.toFloat))).toDF("vec_id", "embedding")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cb = Array(Array.fill(8)(0.0))
+    val ex = intercept[Exception] {
+      emb.select(graft.functions.pq.nearestCode(col("v"), cb, m = 0, subDim = 8)).collect()
+    }
+    assert(ex.getMessage.contains("dims") || ex.getCause != null)
+  }
+
+  test("trained codebook search still returns k when sample exceeds the corpus") {
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100))).toDF("vec_id", "embedding")
+    val cb = graft.operators.Pq.trainedCodebook(emb,
+      numSub = 2, subDim = 8, numCodes = 8, iters = 1, sampleMax = 1000)
+    val r = graft.operators.Pq.searchRerankCb(emb, cb, qid = 0, k = 5,
+      numSub = 2, subDim = 8, shortlist = 10)
+    assert(r.count() == 5)
+  }
 }
