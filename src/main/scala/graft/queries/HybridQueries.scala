@@ -232,6 +232,28 @@ object HybridQueries {
            |LIMIT 10""".stripMargin)
     }),
 
+    // C16b: the rewrite's OTHER probe-able metric, driver-verified — same
+    // contract as sql_knn_indexed but `ORDER BY vec_l2 ASC`: the rule
+    // probes by centroid L2 (not cosine) and must still inject the filter.
+    "sql_knn_indexed_l2" -> ((s, dir) => {
+      val ext = org.apache.spark.sql.graftbridge.Bridge
+        .newSessionWithExtensions(s, e => new graft.GraftExtensions().apply(e))
+      val e = Tables(ext, dir, "embeddings")
+      Ivf.buildAndRegisterIndex(e, nProbe = 2)
+      ext.conf.set(graft.plans.AnnIndexRegistry.EnabledConf, "true")
+      e.createOrReplaceTempView("g_emb_ixl2")
+      val qv = e.filter(col("vec_id") === 6).select("embedding")
+        .collect().head.getSeq[Float](0)
+      val qLit = qv.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
+      ext.sql(
+        s"""SELECT vec_id,
+           |  CAST(round(vec_l2(embedding, $qLit) * 10000) AS BIGINT) AS score
+           |FROM g_emb_ixl2
+           |ORDER BY CAST(round(vec_l2(embedding, $qLit) * 10000) AS BIGINT) ASC,
+           |  vec_id ASC
+           |LIMIT 10""".stripMargin)
+    }),
+
     // A15b: the FULL ABO listings ingest, driver-verified — ABO-shaped JSONL
     // (nested value-structs, optional brand, optional other_image_id) is
     // synthesized deterministically from `documents`, then round-tripped
@@ -487,6 +509,22 @@ object HybridQueries {
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // probe ordering mirrors probedClusters(byCosine=false): raw double L2
+    // ascending over the float centroids, ties to the lower cluster id
+    "sql_knn_indexed_l2" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 6),
+         |cent AS (${centSql("embeddings")}),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY list_distance(CAST(c.cent AS DOUBLE[]),
+         |    CAST(q.embedding AS DOUBLE[])) ASC, c.label ASC
+         |  LIMIT 2)
+         |SELECT e.vec_id,
+         |  CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]),
+         |    CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
+         |FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "listings_parse" ->
       """WITH rows AS (

@@ -46,11 +46,13 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_vec_sum"), p.take(2000))
   }
 
-  test("sql_knn_indexed: the ANN rewrite really injected its probe filter") {
-    val df = SparkEntry.queries("sql_knn_indexed")(spark, dir)
-    val analyzed = df.queryExecution.analyzed.toString
-    assert("label#\\d+ IN ".r.findFirstIn(analyzed).isDefined,
-      s"no probe filter — the entry would silently test the unrewritten path:\n$analyzed")
+  test("sql_knn_indexed (+_l2): the ANN rewrite really injected its probe filter") {
+    for (name <- Seq("sql_knn_indexed", "sql_knn_indexed_l2")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert("label#\\d+ IN ".r.findFirstIn(analyzed).isDefined,
+        s"$name: no probe filter — the entry would silently test the unrewritten path:\n$analyzed")
+    }
   }
 
   test("always-banded dedup entries contain no cartesian or nested-loop join") {
