@@ -13,7 +13,8 @@ object Bench {
     else if (name.startsWith("multimodal_") || name.endsWith("_parse") ||
       name == "events_json") "ingest"
     else if (name.startsWith("meta_") || name.contains("knn") ||
-      name.startsWith("recall_") || name == "ann_lsh" || name == "ivf_build" ||
+      name.startsWith("recall_") || name.startsWith("hybrid_") ||
+      name == "ann_lsh" || name == "ivf_build" ||
       name == "clustered_probe" || name == "selectivity_classes") "search"
     else "core"
 

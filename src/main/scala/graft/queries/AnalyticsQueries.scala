@@ -88,6 +88,30 @@ object AnalyticsQueries {
         .select(col("pri"), col("cents").as("median_cents"))
     }),
 
+    // C33: correlated-subquery shape ("rows above their group's average",
+    // TPC-H Q17 family) decorrelated the scale-right way: the per-group
+    // aggregate is a tiny broadcast side, the fact table is scanned once —
+    // never a per-row subquery. Integer-cents avg keeps both engines exact.
+    "above_avg_orders" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").selectExpr("o_orderkey",
+        "o_orderpriority AS pri", "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+      val avgp = o.groupBy("pri").agg(expr("sum(cents) div count(*)").as("avg_cents"))
+      o.join(broadcast(avgp), "pri").filter(col("cents") > col("avg_cents"))
+        .groupBy("pri")
+        .agg(count(lit(1)).as("n_above"), sum("cents").as("sum_cents"))
+    }),
+
+    // C34: ntile quartile assignment — equal-frequency binning per group
+    // with a total (cents, key) order so both engines cut ties identically
+    "orders_quartiles" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders").selectExpr("o_orderkey",
+        "o_orderpriority AS pri", "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents")
+      o.withColumn("q", ntile(4).over(
+          Window.partitionBy("pri").orderBy(col("cents"), col("o_orderkey"))))
+        .groupBy("pri", "q")
+        .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+    }),
+
     // C32: cohort retention — users grouped by first-active day, retention
     // measured at day offsets 0/1/3/7. Shape: (user, day) distinct →
     // user-keyed min (cohort) → same-key join (co-partitioned, no second
@@ -221,6 +245,23 @@ object AnalyticsQueries {
       """SELECT event_type AS k, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total
         |FROM events GROUP BY event_type""".stripMargin,
+
+    "above_avg_orders" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |a AS (SELECT pri, sum(cents) // count(*) AS avg_cents FROM o GROUP BY 1)
+        |SELECT pri, CAST(count(*) AS BIGINT) AS n_above,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM o JOIN a USING (pri) WHERE cents > avg_cents GROUP BY pri""".stripMargin,
+
+    "orders_quartiles" ->
+      """WITH o AS (SELECT o_orderkey, o_orderpriority AS pri,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |w AS (SELECT pri, cents,
+        |  ntile(4) OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS q FROM o)
+        |SELECT pri, q, CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS lo, max(cents) AS hi
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "events_retention" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
