@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{scaled, vectors}
 
@@ -27,25 +26,24 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
 
-  /** (doc_id, g) distinct 3-gram shingles, exploded. Same row set as
-    * `shingled` + explode, but built with posexplode + lead windows instead
-    * of per-element interpreted lambdas — 2-3× faster on wide corpora at
-    * the cost of one extra shuffle (by doc_id for the window). */
+  /** (doc_id, g) distinct 3-gram shingles, exploded. The distinct is
+    * per-document by construction, so it runs as a narrow `array_distinct`
+    * on the shingle array BEFORE exploding — never a corpus-wide distinct
+    * shuffle (the row set is identical: (doc_id, g) pairs are unique). */
   def shingledExploded(docs: DataFrame): DataFrame =
-    shingledExplodedRaw(docs).distinct()
+    docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.text.shingles(expr(TokExpr), 3))).as("g"))
 
   /** Same, WITHOUT the per-doc distinct — for consumers idempotent to
     * duplicate shingles (minhash: min over a multiset == min over its
-    * set). Skipping distinct saves a full shuffle of the shingle strings,
-    * and the downstream groupBy(doc_id) reuses the window's partitioning. */
-  def shingledExplodedRaw(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-    docs.selectExpr("doc_id", s"posexplode($TokExpr) AS (pos, tok)")
-      .withColumn("t1", lead("tok", 1).over(w))
-      .withColumn("t2", lead("tok", 2).over(w))
-      .where(col("t2").isNotNull)
-      .select(col("doc_id"), concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
-  }
+    * set). Shingling is the codegen'd `WordShingles` kernel + explode: a
+    * pure narrow map, NO shuffle. (The earlier posexplode + lead-window
+    * form shuffled the fully tokenized corpus by doc_id just to see
+    * adjacent tokens; the `transform` lambda form stays narrow but is
+    * CodegenFallback — interpreted per element.) */
+  def shingledExplodedRaw(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(graft.functions.text.shingles(expr(TokExpr), 3)).as("g"))
 
   /** B2: pairs with Jaccard(shingles) ≥ tauScaled/10^6. Candidates come
     * from an equi-join on the shingle (superset of any positive-Jaccard
@@ -58,17 +56,18 @@ object Dedup {
     * non-stop shingles — the standard similarity-join df-pruning contract);
     * `hotShingles` reports what was dropped. */
   def ngramJaccard(docs: DataFrame, tauScaled: Long, maxDf: Option[Int] = None): DataFrame = {
-    // shingles collapse to the shared 60-bit hash key immediately: every
-    // downstream shuffle (per-doc dedupe, df cap, candidate equi-join)
-    // moves 8-byte longs instead of 3-gram strings. Both engines apply the
-    // identical hash before deduping, so the oracle compare stays exact
-    // even under (vanishingly rare) 60-bit collisions.
-    val all0 = shingledExplodedRaw(docs)
+    // per-doc set semantics come from the narrow array_distinct inside
+    // shingledExploded — no corpus-wide distinct shuffle anywhere. Shingles
+    // then collapse to the shared 60-bit hash key, so every downstream
+    // shuffle (df cap, candidate equi-join) moves 8-byte longs instead of
+    // 3-gram strings. Both engines distinct the shingle STRINGS and hash
+    // after, counting the same multiset even under (vanishingly rare)
+    // 60-bit collisions.
+    val all0 = shingledExploded(docs)
       .selectExpr("doc_id", s"${hashExpr("g")} AS g")
-      .distinct()
-    // the df-cap branch consumes `all` twice (df count + anti-join); without
-    // a cache the scan→window→distinct subtree is recomputed per consumer,
-    // which tripled this entry's bench time
+    // the df-cap branch consumes `all` twice (df count + anti-join);
+    // caching keeps the scan+shingle+hash subtree from recomputing per
+    // consumer
     val all = maxDf.fold(all0)(_ => all0.cache())
     val kept = maxDf.fold(all) { cap =>
       // anti-join against the (small, stop-shingle) hot set: the df count

@@ -119,7 +119,7 @@ object DedupQueries {
         s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
            |sh AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
            |exr AS (SELECT doc_id, unnest(s) AS g0 FROM sh),
-           |ex AS (SELECT DISTINCT doc_id, ${dH("g0")} AS g FROM exr),
+           |ex AS (SELECT doc_id, ${dH("g0")} AS g FROM exr),
            |kept AS (SELECT ex.doc_id, ex.g FROM ex
            |  JOIN (SELECT g FROM ex GROUP BY g HAVING count(*) <= $MaxShingleDf) ok USING (g)),
            |sizes AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id),
