@@ -156,4 +156,30 @@ class DedupSpec extends SparkSpec {
     // docs 1, 2, 4 are exact/near dups: one cluster rooted at 1
     assert(comp.get(1L).contains(1L) && comp.get(4L).contains(1L))
   }
+
+  test("WordShingles kernel: widths, duplicates, short inputs, codegen parity") {
+    import graft.functions.text
+    import org.apache.spark.sql.functions.{array_distinct, col, split}
+    val df = Seq(
+      "a b a b a",      // duplicate shingles kept in raw form
+      "one two",        // shorter than the shingle width -> empty
+      "",               // no tokens
+      "x y z"           // exactly one shingle
+    ).toDF("text").select(split(col("text"), " ").as("tk"))
+    def run(): Seq[Seq[String]] =
+      df.select(text.shingles(col("tk"), 3)).as[Seq[String]].collect().toSeq
+    val gen = run()
+    assert(gen == Seq(Seq("a b a", "b a b", "a b a"), Seq(), Seq(), Seq("x y z")))
+    // per-doc distinct is the narrow array_distinct composition
+    val dis = df.select(array_distinct(text.shingles(col("tk"), 3)))
+      .as[Seq[String]].collect().toSeq
+    assert(dis.head == Seq("a b a", "b a b"))
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == gen)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
 }
