@@ -45,6 +45,32 @@ object Dedup {
     docs.select(col("doc_id"),
         explode(graft.functions.text.shingles(expr(TokExpr), 3)).as("g"))
 
+  /** B19: normalized exact dedup + canonical keep-best selection — the
+    * "fuzzy-exact" stage between B1 (byte-identical) and B2/B3 (near-dup).
+    * Case/whitespace/punctuation variants collapse under lower+non-alnum
+    * normalization; each group keeps its LONGEST original text (`lenCol`),
+    * ties to the smallest id. The argmin rides a single packed BIGINT
+    * ((cap−len)·2³² + id) through one map-side-partial `min` — no window
+    * sort and no engine-specific struct/arg_min tie semantics; the join
+    * back to per-doc rows reuses the aggregate's hash partitioning.
+    * Contract: `lenCol` < 10⁶ and ids < 2³² (holds for any per-document
+    * length metric; at larger id spaces widen the packing).
+    *
+    * Returns one row per doc: (doc_id, keeper, n_variants, keep 0/1). */
+  def normalizedKeepBest(docs: DataFrame, textCol: String = "text",
+                         idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame = {
+    val d = docs.selectExpr(idCol, lenCol,
+      s"md5(trim(regexp_replace(lower($textCol), '[^a-z0-9]+', ' '))) AS h")
+      .withColumn("packed",
+        expr(s"(1000000L - least($lenCol, 999999L)) * 4294967296L + $idCol"))
+    val keep = d.groupBy("h")
+      .agg(min("packed").as("bp"), count(lit(1)).as("n_variants"))
+      .selectExpr("h", "bp % 4294967296 AS keeper", "n_variants")
+    d.join(keep, "h")
+      .selectExpr(idCol, "keeper", "n_variants",
+        s"CAST(CASE WHEN $idCol = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep")
+  }
+
   /** B2: pairs with Jaccard(shingles) ≥ tauScaled/10^6. Candidates come
     * from an equi-join on the shingle (superset of any positive-Jaccard
     * pair), so the shuffle is keyed by shingle.

@@ -81,7 +81,11 @@ object DedupQueries {
     // recomputes the same fixpoint with a recursive CTE
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
-        Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket))))
+        Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket)))),
+
+    // B19: normalized exact dedup + canonical keep-best selection
+    // (operator scaladoc has the packed-argmin scale rationale)
+    "dedup_normalized" -> ((s, dir) => Dedup.normalizedKeepBest(docs(s, dir)))
   )
 
   /** The shared minhash-LSH candidate-pair CTE chain (ends in `pairs`),
@@ -150,6 +154,20 @@ object DedupQueries {
            |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
            |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
            |FROM reach GROUP BY id""".stripMargin,
+
+      // same packed-BIGINT argmin as the Spark side — keep-best never
+      // depends on engine-specific struct/arg_min tie semantics
+      "dedup_normalized" ->
+        """WITH d AS (SELECT doc_id, n_chars,
+          |  md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS h
+          |  FROM documents),
+          |p AS (SELECT doc_id, h,
+          |  (1000000 - least(n_chars, 999999)) * 4294967296 + doc_id AS packed FROM d),
+          |k AS (SELECT h, min(packed) % 4294967296 AS keeper,
+          |  count(*) AS n_variants FROM p GROUP BY h)
+          |SELECT doc_id, keeper, n_variants,
+          |  CAST(CASE WHEN doc_id = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep
+          |FROM p JOIN k USING (h)""".stripMargin,
 
       "dedup_simhash" -> {
         def half(h: String) =

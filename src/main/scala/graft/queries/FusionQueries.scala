@@ -62,6 +62,21 @@ object FusionQueries {
     "text_bm25" -> ((s, dir) =>
       bm25Scores(s, dir).orderBy(col("bm25").desc, col("doc_id")).limit(10)),
 
+    // A26: boolean-AND keyword retrieval (the conjunctive complement of
+    // BM25's ranked retrieval): docs containing EVERY query term, ranked by
+    // total term frequency. The entire filter+score is one narrow codegen'd
+    // scan — array_contains per term, one filtered size() for tf — followed
+    // by TakeOrdered: zero shuffles before the k-row driver merge, the best
+    // scale shape retrieval can have.
+    "keyword_search" -> ((s, dir) => {
+      val mustHave = QueryTerms.map(t => s"array_contains(tk, '$t')").mkString(" AND ")
+      val inSet = QueryTerms.map(t => s"x = '$t'").mkString(" OR ")
+      docs(s, dir).selectExpr("doc_id", s"$sTok AS tk")
+        .filter(expr(mustHave))
+        .selectExpr("doc_id", s"CAST(size(filter(tk, x -> $inSet)) AS BIGINT) AS tf")
+        .orderBy(col("tf").desc, col("doc_id")).limit(20)
+    }),
+
     // A19: reciprocal-rank fusion of the keyword and vector rankings
     "hybrid_rrf" -> ((s, dir) => {
       val kw = bm25Scores(s, dir)
@@ -184,6 +199,15 @@ object FusionQueries {
     "text_bm25" ->
       s"""WITH $bm25Sql
          |SELECT doc_id, bm25 FROM bmall ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "keyword_search" -> {
+      val mustHave = QueryTerms.map(t => s"list_contains(tk, '$t')").mkString(" AND ")
+      val inSet = QueryTerms.map(t => s"x = '$t'").mkString(" OR ")
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents)
+         |SELECT doc_id, CAST(len(list_filter(tk, x -> $inSet)) AS BIGINT) AS tf
+         |FROM t WHERE $mustHave
+         |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
+    },
 
     "hybrid_rrf" ->
       s"""WITH $bm25Sql,

@@ -157,6 +157,33 @@ class DedupSpec extends SparkSpec {
     assert(comp.get(1L).contains(1L) && comp.get(4L).contains(1L))
   }
 
+  test("normalizedKeepBest collapses case/punct variants, keeps the longest") {
+    val d = Seq(
+      (1L, "Hello,   World!", 15L),   // variants of the same normal form
+      (2L, "hello world", 11L),
+      (3L, "HELLO... world?!", 16L),  // longest -> keeper
+      (4L, "something else", 14L)
+    ).toDF("doc_id", "text", "n_chars")
+    val r = Dedup.normalizedKeepBest(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> (t._2, t._3, t._4)).toMap
+    assert(r(1L) == ((3L, 3L, 0L)))
+    assert(r(2L) == ((3L, 3L, 0L)))
+    assert(r(3L) == ((3L, 3L, 1L))) // longest original wins its group
+    assert(r(4L) == ((4L, 1L, 1L)))
+  }
+
+  test("normalizedKeepBest ties on length go to the smallest id") {
+    val d = Seq(
+      (9L, "same text", 9L),
+      (5L, "SAME TEXT", 9L)
+    ).toDF("doc_id", "text", "n_chars")
+    val r = Dedup.normalizedKeepBest(d)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> t._2).toMap
+    assert(r == Map(9L -> 5L, 5L -> 5L))
+  }
+
   test("WordShingles kernel: widths, duplicates, short inputs, codegen parity") {
     import graft.functions.text
     import org.apache.spark.sql.functions.{array_distinct, col, split}
