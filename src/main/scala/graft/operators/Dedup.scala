@@ -146,12 +146,15 @@ object Dedup {
     * `bucketClusters` (same threshold) to report the skipped buckets
     * wholesale, and `duplicateClusters` for exact-signature groups. */
   def minhashLsh(docs: DataFrame, numHashes: Int, bands: Int,
-                 maxBucket: Option[Int] = None): DataFrame = {
-    val banded = bandedSignatures(docs, numHashes, bands).cache()
+                 maxBucket: Option[Int] = None): DataFrame =
+    pairsFromBanded(bandedSignatures(docs, numHashes, bands).cache(), maxBucket)
+
+  /** Distinct (a_id, b_id) candidate pairs from a banded-signature table,
+    * with the optional hot-bucket pair cap. The cap is an anti-join against
+    * the (few, over-cap) buckets — the df count partial-aggregates
+    * map-side; never a full window sort of the banded table. */
+  private def pairsFromBanded(banded: DataFrame, maxBucket: Option[Int]): DataFrame = {
     val joinable = maxBucket.fold(banded) { cap =>
-      // same anti-join shape as ngramJaccard's df cap: count the (few)
-      // over-cap buckets with a partial-aggregating groupBy, never a
-      // full window sort of the banded table
       val hot = banded.groupBy("band", "bkey").agg(count(lit(1)).as("_bn"))
         .filter(col("_bn") > cap).select("band", "bkey")
       banded.join(hot, Seq("band", "bkey"), "left_anti")
@@ -164,8 +167,56 @@ object Dedup {
       .distinct()
   }
 
+  /** Estimator-quality evaluation for the minhash family — the dedup
+    * analogue of the ANN side's `recall_eval`: for every LSH candidate
+    * pair, the signature-estimated Jaccard (matching minhash components /
+    * numHashes) next to the EXACT shingle-set Jaccard, both as ×10⁶
+    * integers (truncating division — no fp rounding boundary in either
+    * engine).
+    *
+    * Scale shape: the signature pipeline is computed ONCE (cached) and
+    * feeds both the banded candidate join and the per-pair signature
+    * comparison; the exact side is restricted to candidate docs by a
+    * broadcast semi-join BEFORE the shingle equi-join, so the expensive
+    * all-co-shingled-pairs intersection never materializes — only the
+    * (few) candidate pairs' rows do. */
+  def minhashEstimate(docs: DataFrame, numHashes: Int, bands: Int,
+                      maxBucket: Option[Int] = None): DataFrame = {
+    val sigs = minhashSignatures(docs, numHashes).cache()
+    val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
+
+    val matchSum = (0 until numHashes)
+      .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    val est = cand
+      .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
+      .selectExpr("a_id", "b_id", s"(($matchSum) * 1000000L) div $numHashes AS est_jac")
+
+    val inCand = cand.select(col("a_id").as("doc_id"))
+      .union(cand.select(col("b_id").as("doc_id"))).distinct()
+    val ex = shingledExploded(docs)
+      .selectExpr("doc_id", s"${hashExpr("g")} AS g")
+      .join(broadcast(inCand), "doc_id").cache()
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = ex.as("x")
+      .join(ex.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    est
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .selectExpr("a_id", "b_id", "est_jac",
+        "(coalesce(inter, 0L) * 1000000L) div (na + nb - coalesce(inter, 0L)) AS jac")
+  }
+
   /** (doc_id, band, bkey) banded minhash signatures. */
-  def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+  def bandedSignatures(docs: DataFrame, numHashes: Int, bands: Int): DataFrame =
+    bandedFromSigs(minhashSignatures(docs, numHashes), numHashes, bands)
+
+  /** Band a precomputed (doc_id, m0..m{n-1}) signature table — lets a
+    * cached signature pipeline feed banding AND per-pair comparison. */
+  def bandedFromSigs(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands); " +
         "otherwise hashes are silently dropped or band keys degenerate to empty")
@@ -174,8 +225,7 @@ object Dedup {
       val cols = (0 until rows).map(r => s"m${b * rows + r}").mkString(", ")
       s"$b, concat_ws('_', $cols)"
     }.mkString(", ")
-    minhashSignatures(docs, numHashes)
-      .selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
+    sigs.selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
   }
 
   /** Exact-duplicate cluster report: docs sharing the FULL minhash

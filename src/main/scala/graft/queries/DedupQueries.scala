@@ -85,7 +85,13 @@ object DedupQueries {
 
     // B19: normalized exact dedup + canonical keep-best selection
     // (operator scaladoc has the packed-argmin scale rationale)
-    "dedup_normalized" -> ((s, dir) => Dedup.normalizedKeepBest(docs(s, dir)))
+    "dedup_normalized" -> ((s, dir) => Dedup.normalizedKeepBest(docs(s, dir))),
+
+    // B20: minhash estimator quality — est vs exact Jaccard per candidate
+    // pair (the dedup analogue of recall_eval); exact side restricted to
+    // candidate docs via broadcast semi-join before the shingle join
+    "dedup_minhash_est" -> ((s, dir) =>
+      Dedup.minhashEstimate(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket)))
   )
 
   /** The shared minhash-LSH candidate-pair CTE chain (ends in `pairs`),
@@ -154,6 +160,34 @@ object DedupQueries {
            |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
            |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
            |FROM reach GROUP BY id""".stripMargin,
+
+      // est vs exact Jaccard over the SAME pair CTEs; truncating integer
+      // division on both sides (never fp round at a .5 boundary)
+      "dedup_minhash_est" -> {
+        val matchSum = (0 until NumHashes)
+          .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH ${minhashPairCtes(sigCols, bandSelects)},
+           |est AS (
+           |  SELECT p.a_id, p.b_id, ((($matchSum) * 1000000) // $NumHashes) AS est_jac
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id),
+           |cdocs AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+           |exr AS (SELECT doc_id, unnest(s) AS g0 FROM shj
+           |        WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+           |ex AS (SELECT doc_id, ${dH("g0")} AS g FROM exr),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+           |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT e.a_id, e.b_id, e.est_jac,
+           |  ((COALESCE(i.i, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.i, 0))) AS jac
+           |FROM est e
+           |LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+           |JOIN sizes sa ON sa.doc_id = e.a_id
+           |JOIN sizes sb ON sb.doc_id = e.b_id""".stripMargin
+      },
 
       // same packed-BIGINT argmin as the Spark side — keep-best never
       // depends on engine-specific struct/arg_min tie semantics

@@ -157,6 +157,21 @@ class DedupSpec extends SparkSpec {
     assert(comp.get(1L).contains(1L) && comp.get(4L).contains(1L))
   }
 
+  test("minhashEstimate: exact dups estimate 1.0 and match exact jaccard") {
+    val r = Dedup.minhashEstimate(docs, 12, 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> (t._3, t._4)).toMap
+    // docs 1 and 4 are byte-identical: both estimator and exact are 10^6
+    assert(r((1L, 4L)) == ((1000000L, 1000000L)))
+    // docs 1 and 2 differ in one trailing token: exact jaccard < 1, and the
+    // signature estimate is a multiple of 1/12 in [0, 1]
+    val (est12, jac12) = r((1L, 2L))
+    assert(jac12 > 0L && jac12 < 1000000L)
+    // the estimate is quantized to twelfths: one of matches*10^6 div 12
+    val twelfths = (0 to 12).map(m => m * 1000000L / 12L).toSet
+    assert(twelfths.contains(est12))
+  }
+
   test("normalizedKeepBest collapses case/punct variants, keeps the longest") {
     val d = Seq(
       (1L, "Hello,   World!", 15L),   // variants of the same normal form
