@@ -14,7 +14,7 @@ object Bench {
       name == "events_json") "ingest"
     else if (name.startsWith("meta_") || name.contains("knn") ||
       name.startsWith("recall_") || name.startsWith("hybrid_") ||
-      name == "ann_lsh" || name == "ivf_build" ||
+      name == "ann_lsh" || name == "ivf_build" || name == "keyword_search" ||
       name == "clustered_probe" || name == "selectivity_classes") "search"
     else "core"
 
@@ -38,18 +38,26 @@ object Bench {
     Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Execute through the noop sink, NOT count(): count() lets the
+    // optimizer prune everything that doesn't change cardinality (narrow
+    // projections, windows), timing a parquet metadata row-count instead
+    // of the query. The noop sink forces full materialization of every
+    // output column — the honest throughput measurement.
+    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+            d: String): Unit =
+      fn(spark, d).write.format("noop").mode("overwrite").save()
     // Warm-up pass at the smallest SF: JIT-compiles the codegen'd stages so
     // the timed pass measures steady-state throughput, not JVM warmup.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try run(fn, warmDir) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(fn, sfDir) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across timings
       name -> elapsed
