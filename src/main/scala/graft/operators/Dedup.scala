@@ -355,17 +355,29 @@ object Dedup {
     val sym = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
-    var changed = 1L
-    while (changed > 0) {
-      // every edge-induced vertex has >= 1 neighbor, so the inner join
-      // keeps the full vertex set
-      val prop = sym.join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
-        .groupBy(col("src").as("id")).agg(min("nl").as("minN"))
-      val upd = labels.join(prop, "id")
-        .select(col("id"), col("lbl"), least(col("lbl"), col("minN")).as("nlbl"))
+    // per round: ONE edge-keyed join + ONE vertex min-aggregate — the
+    // vertex's own label enters the same aggregate via union, so no
+    // second (labels ⋈ update) join is needed. Labels only ever
+    // decrease, so the rounds converge exactly when the label sum stops
+    // falling; the sum is read off the just-checkpointed result (a
+    // near-free scan), replacing the old compare-join + filter-count.
+    // Decimal(38) keeps the sum exact at any corpus size.
+    def labelSum(l: DataFrame): java.math.BigDecimal =
+      Option(l.agg(sum(col("lbl").cast("decimal(38,0)")).as("s"))
+        .head.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val upd = sym
+        .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
+        .select(col("src").as("id"), col("nl").as("lbl"))
+        .union(labels)
+        .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint(true)
-      changed = upd.filter(col("nlbl") =!= col("lbl")).count()
-      labels = upd.select(col("id"), col("nlbl").as("lbl"))
+      val s = labelSum(upd)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = upd
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
