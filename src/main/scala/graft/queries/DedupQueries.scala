@@ -91,7 +91,13 @@ object DedupQueries {
     // pair (the dedup analogue of recall_eval); exact side restricted to
     // candidate docs via broadcast semi-join before the shingle join
     "dedup_minhash_est" -> ((s, dir) =>
-      Dedup.minhashEstimate(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket)))
+      Dedup.minhashEstimate(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket))),
+
+    // B3b: the full-signature duplicate-cluster triage report (the
+    // wholesale view for duplicate-saturated corpora, where the pair cap
+    // skips expansion) — one hash aggregate over the signature pipeline
+    "dedup_sig_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(docs(s, dir), NumHashes, minSize = 2))
   )
 
   /** The shared minhash-LSH candidate-pair CTE chain (ends in `pairs`),
@@ -160,6 +166,18 @@ object DedupQueries {
            |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
            |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
            |FROM reach GROUP BY id""".stripMargin,
+
+      "dedup_sig_clusters" -> {
+        val sigKey = (0 until NumHashes).map(j => s"m$j").mkString(", ")
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |shj AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
+           |sg AS (SELECT doc_id,
+           |  $sigCols
+           |  FROM shj)
+           |SELECT concat_ws('_', $sigKey) AS sig,
+           |  count(*) AS n_docs, min(doc_id) AS sample_doc
+           |FROM sg GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+      },
 
       // est vs exact Jaccard over the SAME pair CTEs; truncating integer
       // division on both sides (never fp round at a .5 boundary)
