@@ -36,13 +36,17 @@ object Ivf {
       .select(col(clusterCol),
         transform(col("vsum"), v => v / col("n")).cast("array<float>").as("cent"))
 
-  /** The `nProbe` cluster ids nearest the query (by cosine, deterministic
-    * tie-break on cluster id). Centroid set is tiny → broadcast. */
+  /** The `nProbe` cluster ids nearest the query under `metric`
+    * (deterministic tie-break on cluster id). Probing with the SEARCH
+    * metric keeps centroid ranking aligned with result ranking — an
+    * L2-assigned index probed by cosine (or vice versa) silently costs
+    * recall. Centroid set is tiny → broadcast. */
   def probe(cent: DataFrame, query: DataFrame, nProbe: Int,
-            clusterCol: String = "label", qVecCol: String = "q_vec"): DataFrame =
+            clusterCol: String = "label", qVecCol: String = "q_vec",
+            metric: Knn.Metric = Knn.Cosine): DataFrame =
     cent.crossJoin(broadcast(query))
-      .withColumn("cscore", scaled(vectors.cosine(col("cent"), col(qVecCol)), Knn.ScoreDigits))
-      .orderBy(col("cscore").desc, col(clusterCol).asc)
+      .withColumn("cscore", scaled(metric.score(col("cent"), col(qVecCol)), Knn.ScoreDigits))
+      .orderBy(metric.order(col("cscore")), col(clusterCol).asc)
       .limit(nProbe)
       .select(clusterCol)
 
@@ -168,7 +172,7 @@ object Ivf {
                            query: DataFrame, k: Int, nProbe: Int, metric: Knn.Metric,
                            idCol: String, metaIdCol: String, vecCol: String,
                            clusterCol: String): DataFrame = {
-    val probed = probe(cent, query, nProbe, clusterCol)
+    val probed = probe(cent, query, nProbe, clusterCol, metric = metric)
     val pruned = emb
       .join(broadcast(probed), clusterCol)
       .join(meta.filter(pred), col(idCol) === col(metaIdCol))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{scaled, vectors}
-import graft.operators.{Ivf, Knn, Lsh, MetaPredicate}
+import graft.operators.{Ivf, KMeans, Knn, Lsh, MetaPredicate}
 
 /** §2.A10/A11/A13/A14/A15/A16 + B6 — clustered (IVF) hybrid search, the
   * ACORN analogue, plus LSH ANN and the evaluation/ingest surface. */
@@ -32,6 +32,27 @@ object HybridQueries {
         .agg(avg(col("v").cast("double")).as("cv"), count(lit(1)).as("n"))
         .select(col("label"), col("dim").cast("long").as("dim"),
           scaled(col("cv"), 4).as("cvs"), col("n"))),
+
+    // A14c (*rows-only*): the trained-index composition — Lloyd's k-means
+    // centroids (KMeans.fit: broadcast centroids, codegen'd L2 argmin,
+    // VecSum partials; data never collects) replace the seeded label
+    // column end-to-end: assign → probe 2 → pruned exact search. Iterative
+    // fp training is engine-specific, so the driver records the weaker
+    // rows-only check; IvfTrainedSpec asserts recall vs the exact top-k.
+    // L2 END-TO-END: Lloyd's assigns by L2, so both the probe and the
+    // search rank by L2 — mixing metrics across the stages silently
+    // costs recall (see Ivf.probe).
+    "knn_ivf_trained" -> ((s, dir) => {
+      val corpus = emb(s, dir).select("vec_id", "embedding")
+        .filter(col("vec_id") =!= 7)
+      val cent = KMeans.fit(s, corpus, k = 10, iters = 5)
+      val assigned = KMeans.assign(corpus, cent).join(corpus, "vec_id")
+      val q = emb(s, dir).filter(col("vec_id") === 7)
+        .select(col("embedding").as("q_vec"))
+      Ivf.searchProbed(cent, assigned, docs(s, dir), col("doc_id").isNotNull, q,
+          k = 10, nProbe = 3, Knn.L2, "vec_id", "doc_id", "embedding", "cluster")
+        .select("vec_id", "score")
+    }),
 
     // A10: ACORN-style hybrid search — probe 2 nearest clusters, metadata
     // predicate pushed into the pruned scan

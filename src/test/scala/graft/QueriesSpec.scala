@@ -10,7 +10,8 @@ class QueriesSpec extends SparkSpec {
   /** Entries the driver checks rows-only (no DuckDB oracle), each with the
     * SURVEY §2 rationale. Additions here must be justified in §2. */
   private val RowsOnly = Set(
-    "knn_pq_trained" // A25: iterative fp KMeans training is engine-specific
+    "knn_pq_trained", // A25: iterative fp KMeans training is engine-specific
+    "knn_ivf_trained" // A14c: same rationale for the trained-IVF composition
   )
 
   test("every declared query has an oracle or is explicitly rows-only") {
