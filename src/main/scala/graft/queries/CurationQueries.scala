@@ -41,6 +41,11 @@ object CurationQueries {
   private val MinSharedShingles = 5
   private val BenchmarkSource = "src0"
 
+  /** B21: quality-gate threshold (score ∈ [0, 10⁴]; ~median of the corpus)
+    * and the per-source quota of the final sampling stage. */
+  private val MinQuality = 5500L
+  private val QuotaPerSource = 10
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B13: top-K token vocabulary with counts (tokenizer-vocab extraction)
     "text_vocab" -> ((s, dir) =>
@@ -92,6 +97,35 @@ object CurationQueries {
       train.join(broadcast(bench), "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= MinSharedShingles)
+    }),
+
+    // B21: the composed curation pipeline — what a user actually RUNS
+    // before training: language gate (B7's predictor, not the stored
+    // column) → integer quality gate (B8) → exact-dedup keepers (B1,
+    // partition-only window) → deterministic per-source quota (B17's
+    // map-side k-heaps). One narrow scan feeds everything; the only
+    // shuffles are the dedup window (by content hash) and the final
+    // quota aggregate (by source) — nothing else leaves its partition.
+    "curation_pipeline" -> ((s, dir) => {
+      import TextScoring._
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      docs(s, dir)
+        .selectExpr("doc_id", "source", "n_chars", "text", s"$sTok AS tk")
+        .selectExpr(Seq("doc_id", "source", "n_chars", "text") ++
+          sLangScores ++ sQualityInputs: _*)
+        .filter(expr(s"$LangPred = 'en'"))
+        .selectExpr("doc_id", "source", "text",
+          s"${qualityExpr("div")} AS quality")
+        .filter(col("quality") >= MinQuality)
+        .withColumn("h", md5(col("text")))
+        .withColumn("keeper", min("doc_id").over(w))
+        .filter(col("doc_id") === col("keeper"))
+        .selectExpr("source", "doc_id", "quality",
+          s"${sH("concat('cur', CAST(doc_id AS STRING))")} AS hs")
+        .groupBy("source")
+        .agg(aggs.topK(col("hs"), col("doc_id"), QuotaPerSource, asc = true).as("hits"))
+        .select(col("source"), explode(col("hits")).as("hit"))
+        .selectExpr("source", "hit.id AS doc_id")
     })
   )
 
@@ -119,6 +153,25 @@ object CurationQueries {
          |r AS (SELECT source, doc_id, h,
          |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM m)
          |SELECT source, doc_id, h FROM r WHERE rn <= 10""".stripMargin,
+
+    "curation_pipeline" -> {
+      import TextScoring._
+      s"""WITH t AS (SELECT doc_id, source, n_chars, text, $dTok AS tk FROM documents),
+         |sc AS (SELECT doc_id, source, n_chars, text,
+         |  ${(dLangScores ++ dQualityInputs).mkString(",\n  ")}
+         |  FROM t),
+         |q AS (SELECT doc_id, source, text,
+         |  ${qualityExpr("//")} AS quality
+         |  FROM sc WHERE ($LangPred) = 'en'),
+         |g AS (SELECT doc_id, source, md5(text) AS h FROM q WHERE quality >= $MinQuality),
+         |k AS (SELECT doc_id, source, min(doc_id) OVER (PARTITION BY h) AS keeper FROM g),
+         |kept AS (SELECT source, doc_id,
+         |  ${dH("'cur'||CAST(doc_id AS VARCHAR)")} AS hs
+         |  FROM k WHERE doc_id = keeper),
+         |r AS (SELECT source, doc_id,
+         |  row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rn FROM kept)
+         |SELECT source, doc_id FROM r WHERE rn <= $QuotaPerSource""".stripMargin
+    },
 
     "decontaminate" ->
       s"""WITH tk AS (SELECT doc_id, source, $dTok AS tk FROM documents),

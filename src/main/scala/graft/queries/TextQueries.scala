@@ -7,7 +7,56 @@ import graft.Tables
   * narrow scans (per-document expressions) except the final fingerprint
   * group-count; every score is deterministic integer-scaled arithmetic so
   * the DuckDB oracle hash-matches. */
+/** Shared language-ID / quality-score fragments (both dialects) — single
+  * source of truth for B7/B8 AND the composed B21 `curation_pipeline`. All
+  * fragments assume a token-array column `tk` plus `text`/`n_chars`. */
+private[queries] object TextScoring {
+  // marker tokens per language for the n-gram/marker language-ID heuristic
+  val EnMarkers = Seq("the", "a", "data")
+  val ZhMarkers = Seq("table", "row")
+  val EsMarkers = Seq("query", "scan")
+  def inList(v: String, ms: Seq[String]) = ms.map(m => s"$v = '$m'").mkString("(", " OR ", ")")
+
+  val Stopwords = Seq("the", "a", "of", "and")
+
+  /** language scores over `tk` — (expr, alias) per language, Spark/DuckDB. */
+  def sLangScores: Seq[String] = Seq(
+    s"CAST(size(filter(tk, x -> ${inList("x", EnMarkers)})) AS BIGINT) AS en_score",
+    s"CAST(size(filter(tk, x -> ${inList("x", ZhMarkers)})) AS BIGINT) AS zh_score",
+    s"CAST(size(filter(tk, x -> ${inList("x", EsMarkers)})) AS BIGINT) AS es_score")
+  def dLangScores: Seq[String] = Seq(
+    s"CAST(len(list_filter(tk, x -> ${inList("x", EnMarkers)})) AS BIGINT) AS en_score",
+    s"CAST(len(list_filter(tk, x -> ${inList("x", ZhMarkers)})) AS BIGINT) AS zh_score",
+    s"CAST(len(list_filter(tk, x -> ${inList("x", EsMarkers)})) AS BIGINT) AS es_score")
+
+  /** argmax with fixed tie order — identical string in both dialects. */
+  val LangPred =
+    """CASE WHEN en_score >= zh_score AND en_score >= es_score THEN 'en'
+      |     WHEN zh_score >= es_score THEN 'zh' ELSE 'es' END""".stripMargin
+
+  /** quality inputs over `tk`/`text`/`n_chars` — Spark/DuckDB. */
+  def sQualityInputs: Seq[String] = Seq(
+    "CAST(size(tk) AS BIGINT) AS ntok",
+    "CAST(size(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct",
+    s"CAST(size(filter(tk, x -> ${inList("x", Stopwords)})) AS BIGINT) AS stop",
+    "aggregate(tk, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) AS totchars")
+  def dQualityInputs: Seq[String] = Seq(
+    "CAST(len(tk) AS BIGINT) AS ntok",
+    "CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct",
+    s"CAST(len(list_filter(tk, x -> ${inList("x", Stopwords)})) AS BIGINT) AS stop",
+    "CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS totchars")
+
+  /** all-integer combined score ∈ [0, 10⁴] over the quality inputs —
+    * `div` is Spark's integer division; DuckDB uses `//`. */
+  def qualityExpr(div: String): String =
+    s"""( (5 * least(n_chars, 500))
+       |+ ((2500 * (ntok - least(punct, ntok))) $div ntok)
+       |+ (least(5000 * stop, 2500 * ntok) $div ntok)
+       |+ (least(2500 * totchars, 20000 * ntok) $div (8 * ntok)) )""".stripMargin
+}
+
 object TextQueries {
+  import TextScoring._
 
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
@@ -16,14 +65,6 @@ object TextQueries {
   private val dTok = DuckDialect.Tok
   private def sH(v: String) = graft.operators.Dedup.hashExpr(v)
   private def dH(v: String) = DuckDialect.hash(v)
-
-  // marker tokens per language for the n-gram/marker language-ID heuristic
-  private val EnMarkers = Seq("the", "a", "data")
-  private val ZhMarkers = Seq("table", "row")
-  private val EsMarkers = Seq("query", "scan")
-  private def inList(v: String, ms: Seq[String]) = ms.map(m => s"$v = '$m'").mkString("(", " OR ", ")")
-
-  private val Stopwords = Seq("the", "a", "of", "and")
 
   // BPE-ish pieces: letter runs, digit runs, single non-alnum non-space
   private val sBpe = "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0))"
@@ -34,32 +75,20 @@ object TextQueries {
     "text_langid" -> ((s, dir) =>
       docs(s, dir)
         .selectExpr("doc_id", "lang", s"$sTok AS tk")
-        .selectExpr("doc_id", "lang",
-          s"CAST(size(filter(tk, x -> ${inList("x", EnMarkers)})) AS BIGINT) AS en_score",
-          s"CAST(size(filter(tk, x -> ${inList("x", ZhMarkers)})) AS BIGINT) AS zh_score",
-          s"CAST(size(filter(tk, x -> ${inList("x", EsMarkers)})) AS BIGINT) AS es_score")
+        .selectExpr(Seq("doc_id", "lang") ++ sLangScores: _*)
         .selectExpr("doc_id", "lang", "en_score", "zh_score", "es_score",
-          """CASE WHEN en_score >= zh_score AND en_score >= es_score THEN 'en'
-            |     WHEN zh_score >= es_score THEN 'zh' ELSE 'es' END AS pred""".stripMargin)),
+          s"$LangPred AS pred")),
 
     // B8: quality scoring — length, punctuation ratio, stopword ratio,
-    // mean word length, combined into a [0,1] score (scaled ×10⁴)
+    // mean word length, combined into a [0,1] score (scaled ×10⁴).
+    // All-integer (each term ∈ [0, 2500]; integer division keeps both
+    // engines bit-identical — no fp .5 boundaries).
     "text_quality" -> ((s, dir) =>
       docs(s, dir)
         .selectExpr("doc_id", "n_chars", "text", s"$sTok AS tk")
-        .selectExpr("doc_id",
-          "CAST(size(tk) AS BIGINT) AS ntok",
-          s"CAST(size(regexp_extract_all(text, '[.,!?;:]', 0)) AS BIGINT) AS punct",
-          s"CAST(size(filter(tk, x -> ${inList("x", Stopwords)})) AS BIGINT) AS stop",
-          "aggregate(tk, CAST(0 AS BIGINT), (acc, x) -> acc + length(x)) AS totchars",
-          "n_chars")
-        // all-integer scoring (scale ×10⁴): each term ∈ [0, 2500]; integer
-        // division keeps both engines bit-identical (no fp .5 boundaries)
+        .selectExpr(Seq("doc_id", "n_chars") ++ sQualityInputs: _*)
         .selectExpr("doc_id", "ntok", "punct", "stop",
-          """( (5 * least(n_chars, 500))
-            |+ ((2500 * (ntok - least(punct, ntok))) div ntok)
-            |+ (least(5000 * stop, 2500 * ntok) div ntok)
-            |+ (least(2500 * totchars, 20000 * ntok) div (8 * ntok)) ) AS quality""".stripMargin)),
+          s"${qualityExpr("div")} AS quality")),
 
     // B9: token counting — whitespace tokens + BPE-ish regex pieces
     "text_tokens" -> ((s, dir) =>
@@ -84,29 +113,19 @@ object TextQueries {
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
          |sc AS (SELECT doc_id, lang,
-         |  CAST(len(list_filter(tk, x -> ${inList("x", EnMarkers)})) AS BIGINT) AS en_score,
-         |  CAST(len(list_filter(tk, x -> ${inList("x", ZhMarkers)})) AS BIGINT) AS zh_score,
-         |  CAST(len(list_filter(tk, x -> ${inList("x", EsMarkers)})) AS BIGINT) AS es_score
+         |  ${dLangScores.mkString(",\n  ")}
          |  FROM t)
          |SELECT doc_id, lang, en_score, zh_score, es_score,
-         |  CASE WHEN en_score >= zh_score AND en_score >= es_score THEN 'en'
-         |       WHEN zh_score >= es_score THEN 'zh' ELSE 'es' END AS pred
+         |  $LangPred AS pred
          |FROM sc""".stripMargin,
 
     "text_quality" ->
       s"""WITH t AS (SELECT doc_id, n_chars, text, $dTok AS tk FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(tk) AS BIGINT) AS ntok,
-         |  CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS BIGINT) AS punct,
-         |  CAST(len(list_filter(tk, x -> ${inList("x", Stopwords)})) AS BIGINT) AS stop,
-         |  CAST(list_sum(list_transform(tk, x -> length(x))) AS BIGINT) AS totchars,
-         |  n_chars
+         |m AS (SELECT doc_id, n_chars,
+         |  ${dQualityInputs.mkString(",\n  ")}
          |  FROM t)
          |SELECT doc_id, ntok, punct, stop,
-         |  ( (5 * least(n_chars, 500))
-         |  + ((2500 * (ntok - least(punct, ntok))) // ntok)
-         |  + (least(5000 * stop, 2500 * ntok) // ntok)
-         |  + (least(2500 * totchars, 20000 * ntok) // (8 * ntok)) ) AS quality
+         |  ${qualityExpr("//")} AS quality
          |FROM m""".stripMargin,
 
     "text_tokens" ->
