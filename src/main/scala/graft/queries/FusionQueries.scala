@@ -106,6 +106,24 @@ object FusionQueries {
       Pq.searchRerank(Tables(s, dir, "embeddings"), qid = 0, k = 10,
         numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
 
+    // A27: quantization-loss evaluation — recall@10 of the PQ
+    // shortlist+rerank path vs the exact L2 scan (completes the recall
+    // family: recall_eval = IVF probing, recall_filtered = filter
+    // strategies, dedup_minhash_est = sketch dedup, this = compression).
+    // Both sides are deterministic TakeOrdered results; the intersection
+    // count is a broadcast join of two 10-row sets.
+    "recall_pq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val approx = Pq.searchRerank(e, qid = 0, k = 10, numSub = 8, subDim = 8,
+        numCodes = 64, shortlist = 100).select("vec_id")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val exact = Knn.topK(e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+        q, 10, Knn.L2).select("vec_id")
+      approx.join(exact, "vec_id")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(10L).as("k"), col("hits"))
+    }),
+
     // A23: the ACORN-hybrid composition over the compressed index —
     // metadata-filtered product-quantized search (filter prunes the code
     // scan, ADC shortlist over survivors, exact rerank)
@@ -225,6 +243,21 @@ object FusionQueries {
 
     "knn_pq" -> pqOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0"),
+
+    "recall_pq" -> {
+      val pq = pqOracleSql(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0")
+      s"""WITH pqr AS ($pq),
+         |ex AS (SELECT e.vec_id
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]),
+         |    CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) ASC, e.vec_id ASC
+         |  LIMIT 10)
+         |SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits
+         |FROM pqr JOIN ex USING (vec_id)""".stripMargin
+    },
 
     "hybrid_knn_pq" -> pqOracleSql(
       """SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
