@@ -8,9 +8,10 @@ import graft.Tables
   * group-count; every score is deterministic integer-scaled arithmetic so
   * the DuckDB oracle hash-matches. */
 /** Shared language-ID / quality-score fragments (both dialects) — single
-  * source of truth for B7/B8 AND the composed B21 `curation_pipeline`. All
-  * fragments assume a token-array column `tk` plus `text`/`n_chars`. */
-private[queries] object TextScoring {
+  * source of truth for B7/B8, the composed B21 `curation_pipeline`, and
+  * its streaming form (`streaming.CurationStream`). All fragments assume
+  * a token-array column `tk` plus `text`/`n_chars`. */
+private[graft] object TextScoring {
   // marker tokens per language for the n-gram/marker language-ID heuristic
   val EnMarkers = Seq("the", "a", "data")
   val ZhMarkers = Seq("table", "row")

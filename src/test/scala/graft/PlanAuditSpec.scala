@@ -143,6 +143,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("curation_pipeline: gates stay narrow — only the dedup window and quota agg shuffle") {
+    val p = plan("curation_pipeline")
+    // 3 exchanges ceiling: dedup window (content hash), quota partial agg,
+    // quota final agg. The language/quality gates must add none.
+    assert("Exchange".r.findAllIn(p).size <= 3, p.take(3000))
+    assert(p.contains("partial_top_k_hits"), p.take(3000)) // quota partial-aggregates
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("recall_pq: both ranking sides end in TakeOrdered; intersection joins broadcast") {
+    val p = plan("recall_pq")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("dedup_normalized: keep-best is one shuffle + partition-only window, no join-back") {
     val p = plan("dedup_normalized")
     // exactly one exchange (by the normal-form hash); the window sorts on
