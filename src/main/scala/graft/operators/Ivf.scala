@@ -122,6 +122,38 @@ object Ivf {
   /** ACORN-style hybrid search: metadata-aware pruned probe.
     * `pred` is evaluated inside the pruned scan — rows failing the filter
     * never reach the distance kernel (the reference's "blocked set"). */
+  /** The reference's central design point as ONE operator: pick the
+    * search strategy FROM the predicate's selectivity (README query
+    * classes; acorn.py trades exactly this off). Selective predicates
+    * (< `selPreMax` ‰ of the corpus) pre-filter — exact scan over the few
+    * survivors; mid-selectivity probes the IVF clusters with the filter
+    * pushed into the pruned scan; broad predicates post-filter a
+    * large-k unfiltered top-k (cheapest when almost everything passes).
+    * The two counts are index-statistics reads (count-star over the
+    * metadata scan — at scale served from parquet row-group stats), the
+    * same count-then-dispatch shape as `Dedup.simhashPairsAuto`. The
+    * chosen strategy is emitted as a column so an oracle can verify the
+    * DISPATCH, not just the rows. */
+  def autoKnn(emb: DataFrame, meta: DataFrame, pred: Column, query: DataFrame,
+              k: Int, nProbe: Int = 2, largeK: Int = 50,
+              metric: Knn.Metric = Knn.Cosine,
+              selPreMax: Long = 100L, selHybridMax: Long = 300L,
+              idCol: String = "vec_id", metaIdCol: String = "doc_id",
+              vecCol: String = "embedding", clusterCol: String = "label"): DataFrame = {
+    val sel = meta.filter(pred).count() * 1000L / meta.count()
+    val (strategy, res) =
+      if (sel < selPreMax)
+        ("prefilter", Knn.prefilterKnn(emb, meta, pred, query, k, metric,
+          idCol, metaIdCol, vecCol))
+      else if (sel < selHybridMax)
+        ("hybrid", hybridKnn(emb, meta, pred, query, k, nProbe, metric,
+          idCol, metaIdCol, vecCol, clusterCol))
+      else
+        ("postfilter", Knn.postfilterKnn(emb, meta, pred, query, k, largeK, metric,
+          idCol, metaIdCol, vecCol))
+    res.select(lit(strategy).as("strategy"), col(idCol), col("score"))
+  }
+
   def hybridKnn(emb: DataFrame, meta: DataFrame, pred: Column, query: DataFrame,
                 k: Int, nProbe: Int, metric: Knn.Metric = Knn.Cosine,
                 idCol: String = "vec_id", metaIdCol: String = "doc_id",

@@ -209,6 +209,27 @@ object HybridQueries {
             |     WHEN (n_match * 1000000) div total >= 50000 THEN 'class2_mid'
             |     ELSE 'class1_selective' END AS cls""".stripMargin)),
 
+    // A28: selectivity-dispatched search — one query per reference class,
+    // each routed by Ivf.autoKnn: c1 (src1, ~5%) must pre-filter, c2
+    // (zh, ~15%) must probe the hybrid path, c3 (n_chars≤300, ~49%) must
+    // post-filter. The oracle recomputes the per-mille selectivity and
+    // guards each strategy branch with it, so the DISPATCH DECISION is
+    // hash-verified, not just the result rows.
+    "knn_auto" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val d = docs(s, dir)
+      val corpus = e.filter(col("vec_id") =!= 5)
+      val q = e.filter(col("vec_id") === 5).select(col("embedding").as("q_vec"))
+      val cases = Seq(
+        ("c1", MetaPredicate("source" -> ("exact", "src1"))),
+        ("c2", MetaPredicate("lang" -> ("exact", "zh"))),
+        ("c3", MetaPredicate("n_chars" -> ("leq", 300))))
+      cases.map { case (cls, pred) =>
+        Ivf.autoKnn(corpus, d, pred, q, k = 5)
+          .select(lit(cls).as("cls"), col("strategy"), col("vec_id"), col("score"))
+      }.reduce(_ union _)
+    }),
+
     // A17: the whole kNN expressed in plain SQL against the registered
     // vec_cosine function — proves the SQL surface is first-class
     "sql_knn" -> ((s, dir) => {
@@ -341,6 +362,54 @@ object HybridQueries {
          |CROSS JOIN q
          |WHERE d.n_chars IS NOT NULL AND d.n_chars <= 400 AND d.doc_id <> 5
          |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    // every strategy branch is guarded by the SAME per-mille selectivity
+    // the Spark dispatch computes — a wrong routing decision hash-fails
+    "knn_auto" -> {
+      val preds = Seq(
+        ("c1", "d.source IS NOT NULL AND d.source = 'src1'"),
+        ("c2", "d.lang IS NOT NULL AND d.lang = 'zh'"),
+        ("c3", "d.n_chars IS NOT NULL AND d.n_chars <= 300"))
+      val branches = preds.map { case (cls, p) =>
+        s"""${cls}sel AS (SELECT (SELECT count(*) FROM documents d WHERE $p) * 1000
+           |  // (SELECT count(*) FROM documents) AS s),
+           |${cls}pre AS (
+           |  SELECT 'c_' AS cls, 'prefilter' AS strategy, vec_id, score FROM (
+           |    SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+           |    FROM corp e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+           |    WHERE $p ORDER BY score DESC, e.vec_id ASC LIMIT 5)
+           |  WHERE (SELECT s FROM ${cls}sel) < 100),
+           |${cls}hyb AS (
+           |  SELECT 'c_' AS cls, 'hybrid' AS strategy, vec_id, score FROM (
+           |    SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+           |    FROM corp e JOIN probes pr ON e.label = pr.label
+           |    JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+           |    WHERE $p ORDER BY score DESC, e.vec_id ASC LIMIT 5)
+           |  WHERE (SELECT s FROM ${cls}sel) >= 100 AND (SELECT s FROM ${cls}sel) < 300),
+           |${cls}post AS (
+           |  SELECT 'c_' AS cls, 'postfilter' AS strategy, vec_id, score FROM (
+           |    SELECT c.vec_id AS vec_id, c.score AS score FROM cand c
+           |    JOIN documents d ON d.doc_id = c.vec_id
+           |    WHERE $p ORDER BY c.score DESC, c.vec_id ASC LIMIT 5)
+           |  WHERE (SELECT s FROM ${cls}sel) >= 300)""".stripMargin
+          .replace("'c_'", s"'$cls'")
+      }
+      val selects = preds.map { case (cls, _) =>
+        s"SELECT * FROM ${cls}pre UNION ALL SELECT * FROM ${cls}hyb UNION ALL SELECT * FROM ${cls}post"
+      }.mkString("\nUNION ALL\n")
+      s"""WITH corp AS (SELECT * FROM embeddings WHERE vec_id <> 5),
+         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+         |cent AS (${centSql("corp")}),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2),
+         |cand AS (
+         |  SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |  FROM corp e CROSS JOIN q
+         |  ORDER BY score DESC, e.vec_id ASC LIMIT 50),
+         |${branches.mkString(",\n")}
+         |$selects""".stripMargin
+    },
 
     "hybrid_knn_batch" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id <= 4),
