@@ -77,4 +77,27 @@ class IvfLshSpec extends SparkSpec {
     val top = r.select("vec_id").as[Long].head()
     assert(Set(1L, 2L, 3L).contains(top))
   }
+
+  test("autoKnn routes by selectivity: boundary per-milles pick the right strategy") {
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    // 20-row metadata table → each matching row is exactly 50 per-mille
+    def meta(matching: Int) = (1L to 20L)
+      .map(i => (i, if (i <= matching) "hit" else "miss")).toDF("doc_id", "tag")
+    def strat(matching: Int): String =
+      Ivf.autoKnn(emb, meta(matching), col("tag") === "hit", q, k = 2,
+          selPreMax = 100L, selHybridMax = 300L)
+        .select("strategy").distinct().as[String].collect().head
+    assert(strat(1) == "prefilter")  // 50‰: selective
+    assert(strat(2) == "hybrid")     // 100‰ is NOT < 100 → first hybrid
+    assert(strat(5) == "hybrid")     // 250‰
+    assert(strat(6) == "postfilter") // 300‰ is NOT < 300 → broad
+    assert(strat(20) == "postfilter")
+  }
+
+  test("autoKnn with an all-rejecting predicate still runs (empty prefilter result)") {
+    val meta = (1L to 6L).map(i => (i, "x")).toDF("doc_id", "tag")
+    val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
+    val r = Ivf.autoKnn(emb, meta, col("tag") === "nope", q, k = 3)
+    assert(r.count() == 0)
+  }
 }
