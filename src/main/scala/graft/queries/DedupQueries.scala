@@ -97,7 +97,15 @@ object DedupQueries {
     // wholesale view for duplicate-saturated corpora, where the pair cap
     // skips expansion) — one hash aggregate over the signature pipeline
     "dedup_sig_clusters" -> ((s, dir) =>
-      Dedup.duplicateClusters(docs(s, dir), NumHashes, minSize = 2))
+      Dedup.duplicateClusters(docs(s, dir), NumHashes, minSize = 2)),
+
+    // B2b: the df-cap's companion triage report (`hotShingles`
+    // driver-verified): the stop-shingles a capped ngramJaccard run drops,
+    // with frequency and a sample carrier — what an operator inspects
+    // before trusting the capped recall contract. Cap 4 here (below B2's
+    // production 64) so the report is non-empty at the gate scales.
+    "dedup_hot_shingles" -> ((s, dir) =>
+      Dedup.hotShingles(docs(s, dir), maxDf = 4))
   )
 
   /** The shared minhash-LSH candidate-pair CTE chain (ends in `pairs`),
@@ -166,6 +174,13 @@ object DedupQueries {
            |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
            |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
            |FROM reach GROUP BY id""".stripMargin,
+
+      "dedup_hot_shingles" ->
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |sh AS (SELECT doc_id, unnest(s) AS g FROM
+           |  (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3))
+           |SELECT g, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS sample_doc
+           |FROM sh GROUP BY g HAVING count(*) > 4""".stripMargin,
 
       "dedup_sig_clusters" -> {
         val sigKey = (0 until NumHashes).map(j => s"m$j").mkString(", ")
