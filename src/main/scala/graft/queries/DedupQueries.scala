@@ -105,7 +105,15 @@ object DedupQueries {
     // before trusting the capped recall contract. Cap 4 here (below B2's
     // production 64) so the report is non-empty at the gate scales.
     "dedup_hot_shingles" -> ((s, dir) =>
-      Dedup.hotShingles(docs(s, dir), maxDf = 4))
+      Dedup.hotShingles(docs(s, dir), maxDf = 4)),
+
+    // B3c: the maxBucket cap's companion triage (`bucketClusters`
+    // driver-verified): hot LSH band-buckets that pairwise expansion would
+    // skip — near-dup clusters land here even when full signatures differ
+    // (minSize 3 so the report is non-empty at gate scales)
+    "dedup_bucket_clusters" -> ((s, dir) =>
+      Dedup.bucketClusters(docs(s, dir), NumHashes, Bands, minSize = 3)
+        .selectExpr("CAST(band AS BIGINT) AS band", "bkey", "n_docs", "sample_doc"))
   )
 
   /** The shared minhash-LSH candidate-pair CTE chain (ends in `pairs`),
@@ -181,6 +189,17 @@ object DedupQueries {
            |  (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3))
            |SELECT g, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS sample_doc
            |FROM sh GROUP BY g HAVING count(*) > 4""".stripMargin,
+
+      "dedup_bucket_clusters" ->
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |shj AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
+           |sig AS (SELECT doc_id,
+           |  $sigCols
+           |  FROM shj),
+           |bands AS ($bandSelects)
+           |SELECT CAST(band AS BIGINT) AS band, bkey,
+           |  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS sample_doc
+           |FROM bands GROUP BY band, bkey HAVING count(*) >= 3""".stripMargin,
 
       "dedup_sig_clusters" -> {
         val sigKey = (0 until NumHashes).map(j => s"m$j").mkString(", ")
