@@ -8,7 +8,8 @@ object Bench {
     * vector/hybrid search, dedup family, text analysis, ingest/parse,
     * core analytics. */
   def classOf(name: String): String =
-    if (name.startsWith("dedup_")) "dedup"
+    if (name.startsWith("streaming_")) "streaming"
+    else if (name.startsWith("dedup_")) "dedup"
     else if (name.startsWith("text_")) "text"
     else if (name.startsWith("multimodal_") || name.endsWith("_parse") ||
       name == "events_json") "ingest"

@@ -26,12 +26,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.defs ++ SearchQueries.defs ++ DedupQueries.defs ++ TextQueries.defs ++
       HybridQueries.defs ++ PipelineQueries.defs ++ CurationQueries.defs ++ FusionQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ StreamingQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ SearchQueries.oracle ++ DedupQueries.oracle ++ TextQueries.oracle ++
       HybridQueries.oracle ++ PipelineQueries.oracle ++ CurationQueries.oracle ++ FusionQueries.oracle ++
-      AnalyticsQueries.oracle
+      AnalyticsQueries.oracle ++ StreamingQueries.oracle
 }

@@ -43,7 +43,7 @@ object CurationQueries {
 
   /** B21: quality-gate threshold (score ∈ [0, 10⁴]; ~median of the corpus)
     * and the per-source quota of the final sampling stage. */
-  private val MinQuality = 5500L
+  private[queries] val MinQuality = 5500L
   private val QuotaPerSource = 10
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

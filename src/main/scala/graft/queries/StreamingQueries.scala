@@ -1,0 +1,222 @@
+package graft.queries
+
+import java.nio.file.{Files, Paths}
+import java.util.concurrent.ConcurrentHashMap
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables
+import graft.operators.Dedup
+import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, SketchStream}
+
+/** §2.C7/C8/C17/C25/C31/C35 — the streaming components run AS streams under the
+  * driver's batch oracle. Until now every `graft.streaming` pipeline was
+  * spec-only (MemoryStream parity tests); these entries execute each one as
+  * a real Structured Streaming query (file source → `Trigger.AvailableNow`
+  * → memory sink) inside the `queries` contract and return the final sink
+  * table, so the SAME DuckDB hash gate that checks batch operators checks
+  * streaming execution.
+  *
+  * Determinism contracts (what makes a streaming run hash-comparable):
+  *  - complete-mode aggregations (window counts, enriched counts, HLL max)
+  *    are order/batching-insensitive — the final state equals the batch
+  *    aggregate by associativity (integer sums, counts, max);
+  *  - `dropDuplicatesWithinWatermark` emits exactly one row per key when
+  *    the watermark delay exceeds the data's time span (no state eviction
+  *    mid-run), and the emitted columns are functions of the key;
+  *  - `flatMapGroupsWithState` sessionization runs as ONE micro-batch
+  *    (single staged file + maxFilesPerTrigger, no-data batches off), so
+  *    its output is exactly "every session but each user's last" — the
+  *    open-session tail the batch oracle can subtract.
+  *
+  * At scale the stream replaces the staged temp dir with the real ingest
+  * bucket; nothing else changes — the plans are the shared batch/stream
+  * transforms from `graft.streaming`.
+  */
+object StreamingQueries {
+
+  /** File streams need a directory; the testdata tables are single parquet
+    * files. Stage each (dir, table) into a temp dir once per JVM. */
+  private val staged = new ConcurrentHashMap[String, String]()
+  private def stagedDir(dir: String, name: String): String =
+    staged.computeIfAbsent(s"$dir/$name", _ => {
+      val d = Files.createTempDirectory(s"graft_stream_$name").toString
+      Files.copy(Paths.get(s"$dir/$name.parquet"), Paths.get(d, s"$name.parquet"))
+      d
+    })
+
+  /** Streaming read of a testdata table with the batch loader's schema and
+    * TIMESTAMP(NANOS) conversion (lock-step with `Tables`). A single staged
+    * file + an effectively-unbounded maxFilesPerTrigger pins ONE micro-batch
+    * — the stateful entries' determinism contract. */
+  private def readStreamTable(s: SparkSession, dir: String, name: String): DataFrame = {
+    val src = stagedDir(dir, name)
+    val schema = s.read.parquet(src).schema
+    Tables.convertNanoCols(
+      s.readStream.schema(schema).option("maxFilesPerTrigger", "1000000").parquet(src),
+      schema)
+  }
+
+  /** Run a streaming frame to completion (AvailableNow) through a memory
+    * sink; returns the final sink table as a batch frame. */
+  private def runToTable(s: SparkSession, out: DataFrame, name: String,
+                         mode: String): DataFrame = {
+    val sq = out.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    s.table(name)
+  }
+
+  /** Documents carry no event time; ingest order IS doc order, so a
+    * doc_id-derived timestamp is the deterministic stand-in — offset by 1s
+    * because a row AT the initial watermark (epoch 0) is dropped as late.
+    * The delay below keeps every key's dedup state live for the whole run. */
+  private def docsStream(s: SparkSession, dir: String): DataFrame =
+    readStreamTable(s, dir, "documents")
+      .withColumn("ts", expr("timestamp_micros(1000000 + doc_id)"))
+  private val NoEvictDelay = "3650 days"
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C7: windowed agg AS a stream — complete mode, integer cents sum
+    // (order-insensitive merge; see EventsStream.windowedAggExact)
+    "streaming_window" -> ((s, dir) =>
+      runToTable(s,
+        EventsStream.windowedAggExact(readStreamTable(s, dir, "events")),
+        "sq_window", "complete")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("n"), col("sum_cents"))),
+
+    // C31: stream-static enrichment (stateless broadcast join per batch)
+    // feeding a windowed count — the live form of every dim-join query
+    "streaming_enrich" -> ((s, dir) => {
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      runToTable(s,
+        EnrichStream.segmentCounts(readStreamTable(s, dir, "events"), dim, "2 hours"),
+        "sq_enrich", "complete")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("segment"), col("n"))
+    }),
+
+    // C25: bucket-level HLL sketch AS a stream — bounded state (≤256 rows
+    // per window/type), max-rho merge is associative so complete-mode
+    // state equals the batch sketch
+    "streaming_sketch" -> ((s, dir) =>
+      runToTable(s,
+        SketchStream.sketchStream(readStreamTable(s, dir, "events"), "2 hours"),
+        "sq_sketch", "complete")
+        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("event_type"), col("bucket").cast("long").as("bucket"),
+          col("rho").cast("long").as("rho"))),
+
+    // C17: streaming exact dedup — dropDuplicatesWithinWatermark keyed by
+    // md5(text); one emission per content hash (delay > data span)
+    // (null text has no content identity — md5 is null, which streaming
+    // state cannot key; excluded on both sides)
+    "streaming_dedup" -> ((s, dir) =>
+      runToTable(s,
+        DedupStream.dedupWithinWatermark(
+          docsStream(s, dir).filter(col("text").isNotNull), NoEvictDelay).select("h"),
+        "sq_dedup", "append")),
+
+    // C35: the streaming curation pipeline — stateless language/quality
+    // gates (B21's shared fragments) + watermarked content-hash dedup;
+    // emitted columns (h, quality) are functions of the dedup key, so the
+    // output is arrival-order independent
+    "streaming_curation" -> ((s, dir) =>
+      runToTable(s,
+        CurationStream.gated(docsStream(s, dir), CurationQueries.MinQuality)
+          .withColumn("h", md5(col("text")))
+          .withWatermark("ts", NoEvictDelay)
+          .dropDuplicatesWithinWatermark("h")
+          .select("h", "quality"),
+        "sq_curation", "append")),
+
+    // C8: stateful sessionization AS a stream (flatMapGroupsWithState,
+    // event-time timeout). Pinned to one micro-batch with no-data batches
+    // off: no timeout fires, so the emitted set is exactly "all sessions
+    // except each user's last" — the open tail state still holds.
+    "streaming_sessionize" -> ((s, dir) => {
+      val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "false")
+      try {
+        runToTable(s,
+          EventsStream.sessionizeStream(s, readStreamTable(s, dir, "events"),
+            gapSeconds = 1800).toDF(),
+          "sq_sessionize", "append")
+          .select(col("user_id"), col("n_events"),
+            date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
+            date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+      } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
+    })
+  )
+
+  val oracle: Map[String, String] = {
+    import TextScoring._
+    val dTok = DuckDialect.Tok
+    def dH(v: String) = DuckDialect.hash(v)
+
+    Map(
+      "streaming_window" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+          | count(*) AS n, sum(CAST(floor(value * 100.0) AS BIGINT)) AS sum_cents
+          |FROM events GROUP BY 1, 2""".stripMargin,
+
+      "streaming_enrich" ->
+        """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M') AS hour,
+          | coalesce(c.c_mktsegment, 'unknown') AS segment, count(*) AS n
+          |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+          |GROUP BY 1, 2""".stripMargin,
+
+      "streaming_sketch" ->
+        s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
+           |  ${dH("'hll'||CAST(event_id AS VARCHAR)")} AS h FROM events),
+           |b AS (SELECT hr, event_type, h % 256 AS bucket, h // 256 AS w FROM h)
+           |SELECT strftime(hr, '%Y-%m-%d %H:%M') AS hour, event_type,
+           |  CAST(bucket AS BIGINT) AS bucket,
+           |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
+           |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+      "streaming_dedup" ->
+        "SELECT DISTINCT md5(text) AS h FROM documents WHERE text IS NOT NULL",
+
+      // the gates are B21's shared fragments; (h, quality) both determined
+      // by text, so DISTINCT equals the stream's one-per-key emission
+      "streaming_curation" ->
+        s"""WITH t AS (SELECT doc_id, n_chars, text, $dTok AS tk FROM documents),
+           |sc AS (SELECT doc_id, n_chars, text,
+           |  ${(dLangScores ++ dQualityInputs).mkString(",\n  ")}
+           |  FROM t),
+           |q AS (SELECT text, ${qualityExpr("//")} AS quality
+           |  FROM sc WHERE ($LangPred) = 'en')
+           |SELECT DISTINCT md5(text) AS h, quality FROM q
+           |WHERE quality >= ${CurationQueries.MinQuality}""".stripMargin,
+
+      // batch sessionization minus each user's LAST session (the stream's
+      // still-open tail) — same gap/window CTEs as events_sessionize
+      "streaming_sessionize" ->
+        """WITH g AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL
+          |           OR epoch_us(ts)
+          |              - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000
+          |         THEN 1 ELSE 0 END AS new_sess
+          |  FROM events),
+          |sess AS (
+          |  SELECT user_id, ts,
+          |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
+          |  FROM g),
+          |agg AS (
+          |  SELECT user_id, sess_idx,
+          |    max(sess_idx) OVER (PARTITION BY user_id) AS last_idx,
+          |    count(*) AS n_events,
+          |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+          |    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+          |  FROM sess GROUP BY user_id, sess_idx)
+          |SELECT user_id, n_events, sess_start, sess_end
+          |FROM agg WHERE sess_idx < last_idx""".stripMargin
+    )
+  }
+}

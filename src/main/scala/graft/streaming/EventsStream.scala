@@ -29,6 +29,19 @@ object EventsStream extends Serializable {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** `windowedAgg` with an order-insensitive sum: per-row floor-cents longs
+    * instead of a double accumulator, so streaming state merges across any
+    * micro-batch split bit-equal to the batch plan — the form the driver
+    * oracle compares (fp sums are order-dependent; integer sums are not). */
+  def windowedAggExact(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val src = watermark.fold(events)(w => events.withWatermark("ts", w))
+    src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("sum_cents"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("sum_cents"))
+  }
+
   /** File-source stream over a directory of parquet events. Applies the
     * same TIMESTAMP(NANOS) → micros conversion as the batch loader
     * (graft.Tables) so `ts` is a timestamp on both paths. */

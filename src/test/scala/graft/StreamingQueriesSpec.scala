@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.StreamingQueries
+
+/** The streaming oracle entries' determinism contracts: each entry runs a
+  * REAL streaming query (file source → AvailableNow → memory sink) and must
+  * equal its batch mirror over the same files — the property the driver's
+  * DuckDB hash gate checks at sf0.01 is asserted here in-process at
+  * sf0.001, where the batch mirror is computed with Spark itself. */
+class StreamingQueriesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def run(name: String) = StreamingQueries.defs(name)(spark, dir)
+
+  test("streaming_window equals the batch windowed aggregate") {
+    val streamed = run("streaming_window").collect().toSet
+    val batch = graft.streaming.EventsStream
+      .windowedAggExact(Tables(spark, dir, "events"))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), col("sum_cents"))
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("streaming_dedup emits exactly one row per distinct non-null text") {
+    val streamed = run("streaming_dedup").collect().map(_.getString(0))
+    val expected = Tables(spark, dir, "documents")
+      .filter(col("text").isNotNull).select(md5(col("text"))).distinct().count()
+    assert(streamed.length == expected)
+    assert(streamed.distinct.length == streamed.length)
+  }
+
+  test("streaming_sessionize emits every batch session except each user's open last") {
+    val streamed = run("streaming_sessionize").collect().toSet
+    val w = Window.partitionBy("user_id")
+    val batch = graft.queries.PipelineQueries.defs("events_sessionize")(spark, dir)
+      .withColumn("last_idx", max("sess_idx").over(w))
+      .filter(col("sess_idx") < col("last_idx"))
+      .select("user_id", "n_events", "sess_start", "sess_end")
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+}
