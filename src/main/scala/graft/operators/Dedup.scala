@@ -382,6 +382,71 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
   }
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round alternative to `connectedComponents`' min-label
+    * propagation, whose round count is the component DIAMETER.
+    *
+    * Near-dup graphs are usually shallow cliques (diameter 1–2) where the
+    * propagation form wins on constant factors; but adversarial corpora
+    * produce CHAINS — doc₁≈doc₂≈…≈docₘ under an overlapping-window crawl,
+    * each ≈ its neighbor only. There propagation runs m rounds (m shuffles
+    * over the full edge set) while star-contraction runs O(log m): each
+    * large-star hooks every node above its neighborhood minimum directly
+    * onto that minimum, halving chain depth per round; small-star then
+    * re-canonicalizes so the next large-star sees the contracted graph.
+    *
+    * Per round: two (groupBy + join) shuffles keyed by vertex — the same
+    * plan shape as one propagation round — over an edge set that only
+    * SHRINKS (toward one star edge per non-root vertex), where
+    * propagation re-joins the full original edge set every round.
+    * Convergence = edge-set fixpoint, checked exactly (anti-join on the
+    * just-checkpointed rounds, not a hashed summary).
+    *
+    * Contract: vertices appearing ONLY in self-loops are dropped (the
+    * dedup pair generators emit a_id < b_id, so none exist there);
+    * `connectedComponents` keeps them as singletons. */
+  def connectedComponentsStar(pairs: DataFrame,
+                              aCol: String = "a_id", bCol: String = "b_id"): DataFrame = {
+    // canonical (hi, lo) form: u > v for every stored edge, no self-loops
+    def canon(df: DataFrame): DataFrame = df
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .distinct()
+
+    var edges = canon(pairs.selectExpr(s"$aCol AS u", s"$bCol AS v"))
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    while (!converged) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
+      val mAll = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = canon(
+        sym.filter(col("v") > col("u"))
+          .join(mAll, "u")
+          .select(col("v").as("u"), col("m").as("v")))
+      // small-star: u and every neighbor v < u link to min(Γ⁻(u) ∪ {u});
+      // all small neighbors are < u, so the min is just min(v)
+      val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))
+      val smallNbr = symL.filter(col("v") < col("u"))
+      val mSmall = smallNbr.groupBy("u").agg(min("v").as("m"))
+      val upd = canon(
+        smallNbr.join(mSmall, "u").select(col("v").as("u"), col("m").as("v"))
+          .union(mSmall.select(col("u"), col("m").as("v"))))
+        .localCheckpoint(true)
+      // exact fixpoint: same count and no edge outside the previous set
+      converged = upd.count() == edges.count() &&
+        upd.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edges = upd
+    }
+    // converged edges form stars (node, root); a root's neighbors are all
+    // larger, so least(min(v), u) is the component minimum for every node
+    val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+    sym.groupBy("u").agg(min("v").as("mv"))
+      .select(col("u").as("doc_id"), least(col("mv"), col("u")).as("cluster"))
+  }
+
   /** B5: embedding-cosine near-dup pairs ≥ tauScaled/10^4 (exact all-pairs
     * baseline; `embeddingPairsBucketed` is the scale path). */
   def embeddingPairs(emb: DataFrame, tauScaled: Long): DataFrame =

@@ -85,6 +85,19 @@ object CurationQueries {
         .selectExpr("source", "explode(hits) AS hit")
         .selectExpr("source", "hit.id AS doc_id", "hit.score AS h")),
 
+    // B23: deterministic train/val/test split (98/1/1) by content-derived
+    // hash bucket — the assignment is a pure narrow map (reproducible
+    // across runs/engines/reshards, unlike RNG-based randomSplit); the
+    // only shuffle is the tiny per-(source, split) audit aggregate
+    "split_assign" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", "source",
+          s"${sH("concat('spl', CAST(doc_id AS STRING))")} % 100 AS bucket")
+        .selectExpr("source", "doc_id",
+          "CASE WHEN bucket < 98 THEN 'train' WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split")
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("sample_doc"))),
+
     // B15: benchmark decontamination — flag training docs sharing ≥
     // MinSharedShingles hashed 3-gram shingles with the benchmark split.
     // The benchmark shingle set is broadcast; the corpus is scanned once.
@@ -153,6 +166,16 @@ object CurationQueries {
          |r AS (SELECT source, doc_id, h,
          |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM m)
          |SELECT source, doc_id, h FROM r WHERE rn <= 10""".stripMargin,
+
+    "split_assign" ->
+      s"""WITH m AS (SELECT doc_id, source,
+         |  ${dH("'spl'||CAST(doc_id AS VARCHAR)")} % 100 AS bucket
+         |  FROM documents),
+         |a AS (SELECT source, doc_id,
+         |  CASE WHEN bucket < 98 THEN 'train' WHEN bucket < 99 THEN 'val' ELSE 'test' END AS split
+         |  FROM m)
+         |SELECT source, split, count(*) AS n, min(doc_id) AS sample_doc
+         |FROM a GROUP BY source, split""".stripMargin,
 
     "curation_pipeline" -> {
       import TextScoring._

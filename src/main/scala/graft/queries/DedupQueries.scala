@@ -83,6 +83,13 @@ object DedupQueries {
       Dedup.connectedComponents(
         Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket)))),
 
+    // B18b: the SAME clusters via alternating large-star/small-star
+    // contraction (O(log n) rounds vs propagation's O(diameter)) — two
+    // independent distributed algorithms, one oracle fixpoint
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(
+        Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket)))),
+
     // B19: normalized exact dedup + canonical keep-best selection
     // (operator scaladoc has the packed-argmin scale rationale)
     "dedup_normalized" -> ((s, dir) => Dedup.normalizedKeepBest(docs(s, dir))),
@@ -134,6 +141,17 @@ object DedupQueries {
        |  FROM joinable a JOIN joinable b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
 
+  private def clustersOracle(sigCols: String, bandSelects: String): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(sigCols, bandSelects)},
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL SELECT b_id, a_id FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT DISTINCT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
+       |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
+       |FROM reach GROUP BY id""".stripMargin
+
   val oracle: Map[String, String] = {
     val sigCols = (0 until NumHashes).map { j =>
       s"list_min(list_transform(s, g -> (${aj(j)} * (${dH("g")} % $P) + ${bj(j)}) % $P)) AS m$j"
@@ -171,17 +189,11 @@ object DedupQueries {
            |SELECT a_id, b_id FROM pairs""".stripMargin,
 
       // recursive min-label fixpoint over the SAME pair CTEs: reach holds
-      // every (vertex, reachable-label); min per vertex = the component id
-      "dedup_clusters" ->
-        s"""WITH RECURSIVE ${minhashPairCtes(sigCols, bandSelects)},
-           |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
-           |          UNION ALL SELECT b_id, a_id FROM pairs),
-           |reach(id, lbl) AS (
-           |  SELECT DISTINCT src AS id, src AS lbl FROM edges
-           |  UNION
-           |  SELECT e.src AS id, r.lbl FROM edges e JOIN reach r ON e.dst = r.id)
-           |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster
-           |FROM reach GROUP BY id""".stripMargin,
+      // every (vertex, reachable-label); min per vertex = the component id.
+      // Both CC implementations (propagation + star contraction) must
+      // reproduce this one fixpoint.
+      "dedup_clusters" -> clustersOracle(sigCols, bandSelects),
+      "dedup_clusters_star" -> clustersOracle(sigCols, bandSelects),
 
       "dedup_hot_shingles" ->
         s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),

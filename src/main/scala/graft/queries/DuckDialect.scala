@@ -13,6 +13,10 @@ object DuckDialect {
   def hashHi(v: String) = s"CAST('0x'||substr(md5($v), 9, 8) AS BIGINT)"
   val Shingles =
     "list_distinct(list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' ')))"
+  /** Multiset form (no distinct) — mirrors the raw `WordShingles` kernel
+    * for consumers that need repeat counts (B22 `text_repetition`). */
+  val ShinglesRaw =
+    "list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))"
 
   /** Per-cluster mean-vector table — mirrors operators.Ivf.centroids over
     * source relation `src` (needs cols label, embedding FLOAT[64]). */

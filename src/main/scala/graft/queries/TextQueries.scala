@@ -98,6 +98,23 @@ object TextQueries {
           s"CAST(size($sTok) AS BIGINT) AS n_ws",
           s"CAST($sBpe AS BIGINT) AS n_bpe")),
 
+    // B22: within-document repetition score (the Gopher-style rep filter):
+    // the fraction of a doc's 3-gram shingles that are repeats — high rep
+    // = boilerplate/spam. Pure narrow scan: the codegen'd shingle kernel +
+    // two array sizes per row; integer-scaled ratio, no shuffle at any SF
+    "text_repetition" -> ((s, dir) =>
+      docs(s, dir)
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          graft.functions.text.shingles(
+            org.apache.spark.sql.functions.expr(sTok), 3).as("sh"))
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("sh")) > 0)
+        .selectExpr("doc_id",
+          "CAST(size(sh) AS BIGINT) AS n_sh",
+          "CAST(size(array_distinct(sh)) AS BIGINT) AS n_uniq")
+        .selectExpr("doc_id", "n_sh", "n_uniq",
+          "((n_sh - n_uniq) * 1000000) div n_sh AS rep")),
+
     // B10: document fingerprint — hash of the sorted distinct token set
     // (rolling/bag fingerprint); grouped to show collision-based dedup
     "text_fingerprint" -> ((s, dir) =>
@@ -134,6 +151,16 @@ object TextQueries {
          |  CAST(len($dTok) AS BIGINT) AS n_ws,
          |  CAST($dBpe AS BIGINT) AS n_bpe
          |FROM documents""".stripMargin,
+
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |r AS (SELECT doc_id, ${DuckDialect.ShinglesRaw} AS sh
+         |      FROM t WHERE len(tk) >= 3)
+         |SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh,
+         |  CAST(len(list_distinct(sh)) AS BIGINT) AS n_uniq,
+         |  ((CAST(len(sh) AS BIGINT) - CAST(len(list_distinct(sh)) AS BIGINT)) * 1000000)
+         |    // CAST(len(sh) AS BIGINT) AS rep
+         |FROM r""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),

@@ -143,6 +143,32 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("star-contraction CC equals propagation CC on adversarial shapes") {
+    // chain (the propagation worst case: diameter = length), clique,
+    // star, two components, crossing ids, isolated pair
+    val shapes = Seq(
+      (1L to 40L).sliding(2).map(w => (w(0), w(1))).toSeq,        // long chain
+      (for (a <- 50L to 56L; b <- (a + 1) to 56L) yield (a, b)),  // clique
+      (61L to 70L).map(x => (60L, x)),                            // star at min
+      (81L to 90L).map(x => (x, 91L)),                            // star at max
+      Seq((100L, 99L), (99L, 98L), (101L, 100L)),                 // reversed chain
+      Seq((200L, 300L))
+    )
+    val edges = shapes.flatten.toDF("a_id", "b_id")
+    val star = Dedup.connectedComponentsStar(edges).as[(Long, Long)].collect().toMap
+    val prop = Dedup.connectedComponents(edges).as[(Long, Long)].collect().toMap
+    assert(star == prop)
+    assert(star(40L) == 1L && star(91L) == 81L && star(101L) == 98L)
+  }
+
+  test("star-contraction CC: empty, self-loop, duplicate edges") {
+    val empty = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.connectedComponentsStar(empty).count() == 0)
+    val messy = Seq((5L, 5L), (5L, 6L), (6L, 5L), (5L, 6L)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponentsStar(messy).as[(Long, Long)].collect().toMap
+    assert(comp == Map(5L -> 5L, 6L -> 5L))
+  }
+
   test("dedup clusters are consistent with their candidate pairs") {
     val pairs = Dedup.minhashLsh(docs, 12, 3).cache()
     val comp = Dedup.connectedComponents(pairs)
