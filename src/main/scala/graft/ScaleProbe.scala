@@ -107,6 +107,12 @@ object ScaleProbe {
       time("connected_components")(Dedup.connectedComponents(
         spark.range(2 * nDocs).filter(col("id") % 4 =!= 3)
           .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))).count()),
+      // star-contraction CC over the propagation worst case: 64-deep
+      // chains (propagation would need 64 full-edge-set rounds; star
+      // contraction halves chain depth per round → ~6 shrinking rounds)
+      time("cc_star_deep_chain")(Dedup.connectedComponentsStar(
+        spark.range(2 * nDocs).filter(col("id") % 64 =!= 63)
+          .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))).count()),
       // histogram quantile sketch: only (group, bin, count) rows shuffle
       time("quantile_hist")(
         d.select(col("lang_k"), col("n_chars").as("cents"))
