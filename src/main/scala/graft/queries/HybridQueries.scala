@@ -122,6 +122,47 @@ object HybridQueries {
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
     }),
 
+    // A28: the recall/cost KNOB curve (reference acorn.py trades nprobe/
+    // max_visits against recall): recall@10 at nProbe ∈ {1,2,4,8} in ONE
+    // entry. Centroids, probe RANKS (TopKHits is best-first with the
+    // lower-id tie-break — posexplode position = probe rank), and the
+    // exact ground truth are each computed once and reused across the
+    // sweep; each sweep point only re-filters the rank table and re-runs
+    // the pruned scan. Recall must be monotone in nProbe (asserted in
+    // EngineSpec) — the curve a capacity planner reads before fixing
+    // nProbe at 100 TB.
+    "recall_probe_sweep" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        .localCheckpoint(true)
+      val exact = Knn.batchKnn(e.select("vec_id", "embedding"), qs, 10, Knn.Cosine)
+        .select("q_id", "vec_id").localCheckpoint(true)
+      val ranked = Ivf.centroids(e).crossJoin(broadcast(qs))
+        .withColumn("cscore", scaled(vectors.cosine(col("cent"), col("q_vec")), Knn.ScoreDigits))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("cscore"), col("label"), 8, asc = false).as("hits"))
+        .select(col("q_id"), posexplode(col("hits.id")).as(Seq("pr0", "label")))
+        .select(col("q_id"), (col("pr0") + 1).as("pr"), col("label"))
+        .localCheckpoint(true)
+      Seq(1, 2, 4, 8).map { np =>
+        val probes = ranked.filter(col("pr") <= np).select("q_id", "label")
+        val approx = e.select("vec_id", "embedding", "label")
+          .join(broadcast(probes), "label")
+          .join(broadcast(qs), "q_id")
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("score", scaled(vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+          .groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10, asc = false).as("hits"))
+          .select(col("q_id"), explode(col("hits.id")).as("vec_id"))
+        val hits = approx.join(exact, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        qs.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(lit(np.toLong).as("n_probe"), col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hit"))
+      }.reduce(_ union _)
+    }),
+
     // A13b: the reference's HEADLINE experiment (README §3 evaluation table):
     // recall of post-filter and hybrid search vs the exact PRE-FILTER ground
     // truth, under one predicate per selectivity class. The expected shape is
@@ -481,6 +522,38 @@ object HybridQueries {
          |  SELECT a.q_id, count(*) AS n_hit
          |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
          |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
+
+    "recall_probe_sweep" -> {
+      val sweep = Seq(1, 2, 4, 8)
+      val perNp = sweep.map { np =>
+        s"""SELECT $np AS n_probe, q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+           |FROM qs q LEFT JOIN (
+           |  SELECT a.q_id, count(*) AS n_hit
+           |  FROM (SELECT q_id, vec_id FROM (
+           |    SELECT q.q_id, e.vec_id,
+           |      row_number() OVER (PARTITION BY q.q_id
+           |        ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+           |    FROM embeddings e
+           |    JOIN pr p ON e.label = p.label AND p.pr <= $np
+           |    JOIN qs q ON q.q_id = p.q_id
+           |    WHERE e.vec_id <> q.q_id) WHERE rnk <= 10) a
+           |  JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
+           |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id <= 4),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) WHERE rnk <= 10),
+         |cent AS (${centSql("embeddings")}),
+         |pr AS (
+         |  SELECT q.q_id, c.label,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("c.cent", "q.q_vec")} DESC, c.label ASC) AS pr
+         |  FROM cent c CROSS JOIN qs q)
+         |$perNp""".stripMargin
+    },
 
     "recall_filtered" -> {
       val preds = Seq(

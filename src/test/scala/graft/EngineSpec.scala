@@ -77,4 +77,17 @@ class EngineSpec extends SparkSpec {
     assert(math.abs(r.getDouble(2) - 0.1) < 1e-6) // l2
     assert(math.abs(r.getDouble(3) - 0.9) < 1e-6) // dot
   }
+
+  test("recall_probe_sweep: recall is monotone in nProbe and exact at full probe") {
+    val rows = queries.HybridQueries.defs("recall_probe_sweep")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    val byQ = rows.groupBy(_._2)
+    byQ.values.foreach { qRows =>
+      val curve = qRows.sortBy(_._1).map(_._3)
+      assert(curve.zip(curve.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone in nProbe: ${qRows.sortBy(_._1).toSeq}")
+    }
+    // probing 8 of 10 seeded clusters must recover most of the exact set
+    assert(rows.filter(_._1 == 8L).map(_._3).sum >= rows.filter(_._1 == 1L).map(_._3).sum)
+  }
 }
