@@ -230,6 +230,38 @@ object Dedup {
     sigs.selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
   }
 
+  /** Incremental near-dup ADMISSION — the batch backstop of the lambda
+    * dedup contract (streaming.DedupStream's fast path + periodic batch
+    * pass): probe an ARRIVING batch against the EXISTING corpus's banded
+    * minhash index and report, per arriving doc, its best existing match.
+    *
+    * At 100 TB the banded signature table of the existing corpus is the
+    * PERSISTED index artifact (append-only, partitionable by (band,
+    * bkey)); each ingest batch bands only its own docs and joins — the
+    * shuffle carries the (small) arriving bands against the bucket-pruned
+    * index, and AQE broadcasts the arriving side. `maxBucket` applies the
+    * same hot-bucket cap (and triage contract) as `minhashLsh`. Here both
+    * sides derive from one corpus scan split on `splitId`, standing in
+    * for index-vs-batch. */
+  def incrementalMinhash(docs: DataFrame, splitId: Long, numHashes: Int,
+                         bands: Int, maxBucket: Option[Int] = None): DataFrame = {
+    val banded = bandedSignatures(docs, numHashes, bands).cache()
+    val capped = maxBucket.fold(banded) { cap =>
+      banded.join(
+        banded.groupBy("band", "bkey").agg(count(lit(1)).as("_n"))
+          .filter(col("_n") <= cap).drop("_n"),
+        Seq("band", "bkey"))
+    }
+    val ex = capped.filter(col("doc_id") < splitId)
+      .select(col("band"), col("bkey"), col("doc_id").as("old_id"))
+    val ar = capped.filter(col("doc_id") >= splitId)
+      .select(col("band"), col("bkey"), col("doc_id").as("new_id"))
+    ar.join(ex, Seq("band", "bkey"))
+      .select("new_id", "old_id").distinct()
+      .groupBy("new_id")
+      .agg(min("old_id").as("dup_of"), count(lit(1)).as("n_matches"))
+  }
+
   /** Exact-duplicate cluster report: docs sharing the FULL minhash
     * signature form one cluster — non-overlapping rows, safe to sum.
     * Returns (sig, n_docs, sample_doc) for clusters ≥ `minSize`. */

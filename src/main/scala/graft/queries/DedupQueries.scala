@@ -43,6 +43,9 @@ object DedupQueries {
   // bucket cap for B3 (duplicate-saturation guard), same contract: the
   // oracle mirrors the cap, so the capped path is driver-verified
   private val MaxBucket = 64
+  // B24: "the first 250 ingested docs" stand in for the existing corpus;
+  // every sf has ≥500 docs so both sides are non-empty at any gate scale
+  private val IncrementalSplit = 250L
   // B5 dispatch: ≤ threshold → exact all-pairs; above → LSH-bucketed
   // (sf0.01's 500 rows verify the exact form, sf0.1's 2000 the bucketed)
   private val EmbPairThreshold = 1000L
@@ -89,6 +92,14 @@ object DedupQueries {
     "dedup_clusters_star" -> ((s, dir) =>
       Dedup.connectedComponentsStar(
         Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket)))),
+
+    // B24: incremental near-dup admission — the batch backstop of the
+    // stream/batch lambda contract: arriving docs (id ≥ 250) probe the
+    // existing corpus's banded index; per arrival, best existing match +
+    // match count (see operators.Dedup.incrementalMinhash scale notes)
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalMinhash(docs(s, dir), IncrementalSplit, NumHashes, Bands,
+        maxBucket = Some(MaxBucket))),
 
     // B19: normalized exact dedup + canonical keep-best selection
     // (operator scaladoc has the packed-argmin scale rationale)
@@ -201,6 +212,25 @@ object DedupQueries {
            |  (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3))
            |SELECT g, CAST(count(*) AS BIGINT) AS df, min(doc_id) AS sample_doc
            |FROM sh GROUP BY g HAVING count(*) > 4""".stripMargin,
+
+      // same sig/band/cap CTEs as the pair chain, but the join is
+      // INTER-set (arriving ≥ split vs existing < split)
+      "dedup_incremental" ->
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |shj AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
+           |sig AS (SELECT doc_id,
+           |  $sigCols
+           |  FROM shj),
+           |bands AS ($bandSelects),
+           |joinable AS (
+           |  SELECT b.* FROM bands b
+           |  JOIN (SELECT band, bkey FROM bands GROUP BY band, bkey
+           |        HAVING count(*) <= $MaxBucket) ok USING (band, bkey)),
+           |m AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS old_id
+           |  FROM joinable a JOIN joinable b ON a.band = b.band AND a.bkey = b.bkey
+           |  WHERE a.doc_id >= $IncrementalSplit AND b.doc_id < $IncrementalSplit)
+           |SELECT new_id, min(old_id) AS dup_of, CAST(count(*) AS BIGINT) AS n_matches
+           |FROM m GROUP BY new_id""".stripMargin,
 
       "dedup_bucket_clusters" ->
         s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),

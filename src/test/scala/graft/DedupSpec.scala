@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set(3L, 5L)))
   }
 
+  test("incrementalMinhash reports exactly the cross-split LSH candidates") {
+    // split after doc 3: arriving {4, 5} probe existing {1, 2, 3}
+    val inc = Dedup.incrementalMinhash(docs, splitId = 4, numHashes = 12, bands = 3)
+      .as[(Long, Long, Long)].collect()
+      .map { case (n, o, m) => n -> (o, m) }.toMap
+    // doc 4 is an exact dup of 1 and near-dup of 2: best match = 1
+    assert(inc.contains(4L) && inc(4L)._1 == 1L && inc(4L)._2 >= 1L)
+    // doc 5 matches nothing in the existing corpus
+    assert(!inc.contains(5L))
+    // consistency: every reported match is a minhashLsh candidate pair
+    val full = Dedup.minhashLsh(docs, 12, 3).as[(Long, Long)].collect().toSet
+    inc.foreach { case (n, (o, _)) => assert(full.contains((o, n))) }
+  }
+
   test("bucket cap skips giant buckets; duplicateClusters reports them") {
     // 40 identical docs: uncapped => 780 pairs per band-bucket; capped => none
     val many = (1L to 40L).map(i => (i, "same same same text here okay")).toDF("doc_id", "text")
