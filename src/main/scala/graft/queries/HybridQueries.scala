@@ -20,6 +20,9 @@ object HybridQueries {
 
   private val NumPlanes = 4
   private val Dims = 64
+  // A30: "the first 400 indexed vectors" — every sf has ≥500 embeddings,
+  // so existing and arriving are both non-empty at any gate scale
+  private val IvfAppendSplit = 400L
 
   private def bucketSql(vec: String): String = DuckDialect.bucketSql(vec, NumPlanes, Dims)
 
@@ -120,6 +123,27 @@ object HybridQueries {
         .groupBy("q_id").agg(count(lit(1)).as("h"))
       qs.select("q_id").join(hits, Seq("q_id"), "left")
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
+    }),
+
+    // A30: incremental index APPEND (FAISS add() analogue, the vector
+    // sibling of B24): arriving vectors (vec_id ≥ 400) are assigned to the
+    // nearest centroid of the EXISTING index — no retrain; one broadcast
+    // of the k·d centroid table + one narrow scan + a per-vector argmin
+    // (integer-scaled distance, label tie-break — same determinism
+    // contract as every ranked oracle). At 100 TB this is the ingest
+    // path: batch arrives, assigns, appends to its cluster's partition;
+    // centroid drift is handled by periodic rebuild (A14c), not per-batch
+    "knn_ivf_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val cent = Ivf.centroids(e.filter(col("vec_id") < IvfAppendSplit))
+        .localCheckpoint(true)
+      e.filter(col("vec_id") >= IvfAppendSplit)
+        .select("vec_id", "embedding")
+        .crossJoin(broadcast(cent))
+        .withColumn("d", scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("label"), col("d")), struct(col("d"), col("label"))).as("m"))
+        .select(col("vec_id"), col("m.label").cast("long").as("label"), col("m.d").as("d"))
     }),
 
     // A28: the recall/cost KNOB curve (reference acorn.py trades nprobe/
@@ -522,6 +546,17 @@ object HybridQueries {
          |  SELECT a.q_id, count(*) AS n_hit
          |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
          |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
+
+    "knn_ivf_append" -> {
+      def l2s(a: String, b: String) =
+        s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+      s"""WITH cent AS (${centSql(s"(SELECT * FROM embeddings WHERE vec_id < $IvfAppendSplit)")}),
+         |a AS (SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= $IvfAppendSplit)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM a WHERE rn = 1""".stripMargin
+    },
 
     "recall_probe_sweep" -> {
       val sweep = Seq(1, 2, 4, 8)
