@@ -55,6 +55,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("bucketed_join: co-located SortMergeJoin with zero Exchange") {
+    // the entry writes the bucketed tables as its side effect
+    SparkEntry.queries("bucketed_join")(spark, dir).collect()
+    // broadcast off so the plan must prove co-location, not hide it
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = spark.table("graft_buckets.orders_b")
+        .join(spark.table("graft_buckets.customer_b"),
+          org.apache.spark.sql.functions.col("o_custkey") ===
+            org.apache.spark.sql.functions.col("c_custkey"))
+        .select("o_orderkey", "c_mktsegment")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(!p.contains("Exchange"), p.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("always-banded dedup entries contain no cartesian or nested-loop join") {
     // dedup_simhash and dedup_embedding keep a cost-dispatched all-pairs
     // branch for small corpora (their banded forms take over at scale);
