@@ -284,6 +284,30 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), min("doc_id").as("sample_doc"))
       .filter(col("n_docs") >= minSize)
 
+  /** B25: passage-level duplication — sub-document dedup at fixed
+    * `chunkTokens`-token granularity (the chunked approximation of exact
+    * substring dedup: a repeated span ≥ 2·chunk tokens always shares at
+    * least one aligned chunk with its twin). Emits each passage hash that
+    * occurs in ≥ 2 distinct documents, with its document frequency,
+    * occurrence count, and first carrier — the boilerplate report a
+    * curation pipeline subtracts before training.
+    *
+    * Scale shape: chunking is a narrow HOF map (no tokenized-corpus
+    * shuffle — same contract as the WordShingles kernel), then ONE shuffle
+    * keyed by the 8-byte passage hash with map-side partial aggregation. */
+  def passageDups(docs: DataFrame, chunkTokens: Int): DataFrame =
+    docs.selectExpr("doc_id", s"$TokExpr AS tk")
+      .filter(size(col("tk")) > 0)
+      .selectExpr("doc_id",
+        s"""transform(sequence(0, (size(tk) - 1) div $chunkTokens),
+           |  i -> array_join(slice(tk, i * $chunkTokens + 1, $chunkTokens), ' ')) AS chunks""".stripMargin)
+      .select(col("doc_id"), explode(col("chunks")).as("passage"))
+      .selectExpr("doc_id", s"${hashExpr("passage")} AS ph")
+      .groupBy("ph")
+      .agg(countDistinct("doc_id").as("n_docs"), count(lit(1)).as("n_occ"),
+        min("doc_id").as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** 64-bit SimHash signatures as two 32-bit halves: `lo` (bits 0–31, from
     * md5 hex chars 1–8 of each token) and `hi` (bits 32–63, hex chars 9–16).
     * Two halves keep every intermediate in non-negative BIGINT range — a

@@ -41,6 +41,27 @@ object Lsh {
                  vecCol: String = "embedding", out: String = "bucket"): DataFrame =
     df.withColumn(out, bucketCol(col(vecCol), numPlanes, dims))
 
+  /** Multi-probe ANN: search vectors whose bucket code differs from the
+    * query's in at most `maxFlips` hyperplanes (a Hamming ball around the
+    * query bucket). Single-bucket LSH loses every neighbor that falls just
+    * across one hyperplane; probing the 1-flip neighbors recovers most of
+    * that recall WITHOUT more hash tables — the standard multi-probe trade
+    * (Lv et al., VLDB'07). The Hamming test is a codegen'd integer
+    * `bit_count(bucket ^ q_bucket)` — no bucket-list explosion; at scale
+    * the (numPlanes+1) probed buckets are partition-prunable when the
+    * corpus is laid out clustered by bucket. */
+  def multiProbeSearch(corpus: DataFrame, query: DataFrame, k: Int, numPlanes: Int,
+                       dims: Int, maxFlips: Int = 1, metric: Knn.Metric = Knn.Cosine,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = withBucket(corpus, numPlanes, dims, vecCol)
+    val q = withBucket(query, numPlanes, dims, "q_vec", "q_bucket")
+    val candidates = bucketed
+      .crossJoin(broadcast(q.select(col("q_bucket"))))
+      .filter(expr(s"bit_count(bucket ^ q_bucket) <= $maxFlips"))
+    Knn.topK(candidates.select(col(idCol), col(vecCol)),
+      q.select("q_vec"), k, metric, idCol, vecCol)
+  }
+
   /** In-bucket ANN: search only vectors sharing the query's bucket. */
   def annSearch(corpus: DataFrame, query: DataFrame, k: Int, numPlanes: Int, dims: Int,
                 metric: Knn.Metric = Knn.Cosine,

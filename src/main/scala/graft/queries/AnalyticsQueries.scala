@@ -192,6 +192,43 @@ object AnalyticsQueries {
           salts = 16, valueCol = Some(expr("CAST(floor(value * 100) AS BIGINT)")))
         .select(col("k"), col("n"), col("total"))),
 
+    // C37: the salted JOIN driver-verified — event_type has 5 values across
+    // the whole corpus, the power-law shape where a sort-merge join melts:
+    // every hot key lands on one reducer. `Salting.saltedJoin` spreads each
+    // key over 16 salt sub-keys (small side replicated ×16), and the kept
+    // salt is REUSED for the two-phase final aggregation — one salting pays
+    // for both the join and the agg. count/sum are salt-invariant, so the
+    // result equals the direct join + group-by the oracle computes.
+    "salted_join" -> ((s, dir) => {
+      val ev = events(s, dir).selectExpr("event_type",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val dim = s.createDataFrame(Seq(
+        ("click", 1L), ("view", 2L), ("purchase", 5L), ("signup", 3L), ("error", 4L)))
+        .toDF("event_type", "w")
+      graft.operators.Salting.saltedJoin(ev, dim, "event_type", salts = 16, keepSalt = true)
+        .groupBy(col("event_type"), col("_salt"))
+        .agg(count(lit(1)).as("pc"), sum(expr("w * cents")).as("pw"))
+        .groupBy("event_type")
+        .agg(sum("pc").as("n"), sum("pw").as("weighted_cents"))
+    }),
+
+    // C38: time-series gap filling — each user's daily activity series with
+    // missing days zero-filled via sequence + explode (the generate_series
+    // shape). The explode factor is bounded by the per-user day span (the
+    // events corpus spans one month; an unbounded-span source would cap the
+    // span first), and the fill join is co-partitioned on (user_id, d) —
+    // the daily aggregate's own key — so the fill costs one extra shuffle
+    // of the tiny span table, never a second pass over raw events.
+    "events_gap_fill" -> ((s, dir) => {
+      val daily = events(s, dir)
+        .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("n"))
+      val span = daily.groupBy("user_id").agg(min("d").as("mn"), max("d").as("mx"))
+      span.select(col("user_id"), explode(expr("sequence(mn, mx)")).as("d"))
+        .join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+    }),
+
     // C24: deterministic HyperLogLog (p=8) distinct estimate vs exact —
     // the shared operators.Hll fragments also back the streaming sketch
     "approx_distinct_hll" -> ((s, dir) => {
@@ -302,6 +339,22 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "salted_join" ->
+      """WITH dim(event_type, w) AS (VALUES
+        |  ('click', 1), ('view', 2), ('purchase', 5), ('signup', 3), ('error', 4))
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(d.w * CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT) AS weighted_cents
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type""".stripMargin,
+
+    "events_gap_fill" ->
+      """WITH daily AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |span AS (SELECT user_id, min(d) AS mn, max(d) AS mx FROM daily GROUP BY 1),
+        |filled AS (SELECT user_id, unnest(generate_series(mn, mx)) AS d FROM span)
+        |SELECT f.user_id, f.d, coalesce(dy.n, 0) AS n
+        |FROM filled f LEFT JOIN daily dy USING (user_id, d)""".stripMargin,
 
     "approx_distinct_hll" ->
       s"""WITH h AS (SELECT event_type,

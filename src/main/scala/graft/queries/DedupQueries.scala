@@ -46,6 +46,9 @@ object DedupQueries {
   // B24: "the first 250 ingested docs" stand in for the existing corpus;
   // every sf has ≥500 docs so both sides are non-empty at any gate scale
   private val IncrementalSplit = 250L
+  // B25: passage chunk width — 4 tokens gives a non-trivial cross-doc
+  // duplicated-passage set on the synthetic corpus at every gate sf
+  private val PassageChunk = 4
   // B5 dispatch: ≤ threshold → exact all-pairs; above → LSH-bucketed
   // (sf0.01's 500 rows verify the exact form, sf0.1's 2000 the bucketed)
   private val EmbPairThreshold = 1000L
@@ -100,6 +103,11 @@ object DedupQueries {
     "dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalMinhash(docs(s, dir), IncrementalSplit, NumHashes, Bands,
         maxBucket = Some(MaxBucket))),
+
+    // B25: passage-level duplication — sub-document boilerplate detection
+    // at 4-token chunk granularity (chunked approximation of exact
+    // substring dedup; see operators.Dedup.passageDups scale notes)
+    "dedup_passages" -> ((s, dir) => Dedup.passageDups(docs(s, dir), PassageChunk)),
 
     // B19: normalized exact dedup + canonical keep-best selection
     // (operator scaladoc has the packed-argmin scale rationale)
@@ -282,6 +290,17 @@ object DedupQueries {
            |JOIN sizes sa ON sa.doc_id = e.a_id
            |JOIN sizes sb ON sb.doc_id = e.b_id""".stripMargin
       },
+
+      "dedup_passages" ->
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |ch AS (SELECT doc_id,
+           |  unnest(list_transform(range((len(tk) + $PassageChunk - 1) // $PassageChunk),
+           |    i -> array_to_string(tk[i * $PassageChunk + 1 : i * $PassageChunk + $PassageChunk], ' '))) AS passage
+           |  FROM t WHERE len(tk) > 0),
+           |h AS (SELECT doc_id, ${dH("passage")} AS ph FROM ch)
+           |SELECT ph, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_occ, min(doc_id) AS first_doc
+           |FROM h GROUP BY ph HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
 
       // same packed-BIGINT argmin as the Spark side — keep-best never
       // depends on engine-specific struct/arg_min tie semantics

@@ -97,6 +97,17 @@ object HybridQueries {
       Lsh.annSearch(corpus, q, 5, NumPlanes, Dims).select("vec_id", "score")
     }),
 
+    // A31: multi-probe LSH — probe the query's bucket AND every 1-flip
+    // Hamming neighbor (Lv et al.): recovers the neighbors a single-bucket
+    // probe loses across one hyperplane, without more hash tables. The
+    // probe set is (numPlanes+1) buckets via an integer bit_count test.
+    "ann_lsh_multiprobe" -> ((s, dir) => {
+      val corpus = emb(s, dir).filter(col("vec_id") =!= 3).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      Lsh.multiProbeSearch(corpus, q, 5, NumPlanes, Dims, maxFlips = 1)
+        .select("vec_id", "score")
+    }),
+
     // A13: recall@10 of the probe-2 IVF search vs exact kNN, queries 0..4.
     // Both rankings use the TopKHits aggregate (map-side k-heaps) — no
     // full-shuffle window over the scored corpus on either path.
@@ -518,6 +529,15 @@ object HybridQueries {
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
          |FROM b e CROSS JOIN q
          |WHERE e.vec_id <> 3 AND e.bucket = q.bucket
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    "ann_lsh_multiprobe" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |q AS (SELECT embedding, bucket FROM b WHERE vec_id = 3)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM b e CROSS JOIN q
+         |WHERE e.vec_id <> 3 AND bit_count(xor(e.bucket, q.bucket)) <= 1
          |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
 
     "recall_eval" ->

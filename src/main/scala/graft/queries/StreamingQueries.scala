@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
 import graft.operators.Dedup
-import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, SketchStream}
+import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, JoinStream, SketchStream}
 
 /** §2.C7/C8/C17/C25/C31/C35 — the streaming components run AS streams under the
   * driver's batch oracle. Until now every `graft.streaming` pipeline was
@@ -132,6 +132,21 @@ object StreamingQueries {
           .select("h", "quality"),
         "sq_curation", "append")),
 
+    // C39: stream-stream interval join — two LIVE sides with watermarked,
+    // time-bounded join state (see streaming.JoinStream). Inner-join
+    // emission is batching-independent, so the emitted set hash-matches
+    // the batch self-join; the no-evict delay keeps every pair in-bound
+    // for the bounded run.
+    "streaming_join" -> ((s, dir) => {
+      val clicks = readStreamTable(s, dir, "events")
+        .filter(col("event_type") === "click")
+      val purchases = readStreamTable(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+      runToTable(s,
+        JoinStream.clickPurchase(clicks, purchases, NoEvictDelay),
+        "sq_join", "append")
+    }),
+
     // C8: stateful sessionization AS a stream (flatMapGroupsWithState,
     // event-time timeout). Pinned to one micro-batch with no-data batches
     // off: no timeout fires, so the emitted set is exactly "all sessions
@@ -192,6 +207,13 @@ object StreamingQueries {
            |  FROM sc WHERE ($LangPred) = 'en')
            |SELECT DISTINCT md5(text) AS h, quality FROM q
            |WHERE quality >= ${CurationQueries.MinQuality}""".stripMargin,
+
+      "streaming_join" ->
+        """SELECT c.user_id, c.event_id AS c_id, p.event_id AS p_id,
+          |  CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_us
+          |FROM events c JOIN events p ON c.user_id = p.user_id
+          |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+          |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
 
       // batch sessionization minus each user's LAST session (the stream's
       // still-open tail) — same gap/window CTEs as events_sessionize

@@ -115,6 +115,32 @@ object TextQueries {
         .selectExpr("doc_id", "n_sh", "n_uniq",
           "((n_sh - n_uniq) * 1000000) div n_sh AS rep")),
 
+    // B26: corpus-frequency rarity scoring — the integer-exact stand-in for
+    // unigram-LM perplexity filtering: rarity(token) = 64 − bit_length(corpus
+    // term count) (floor-log₂ buckets, so no libm ln), a document's score is
+    // the mean token rarity ×10⁴. High score = rare-token-dense (jargon,
+    // noise, misspellings); low = stop-word slop. Shape at scale: the vocab
+    // aggregate partial-aggregates map-side; the per-doc re-aggregation after
+    // the broadcast vocab join ALSO partial-aggregates (explode keeps a doc's
+    // tokens row-local), so both shuffles carry ~one row per key. At 100 TB
+    // the vocab side is capped to a top-V broadcast with an OOV default —
+    // the standard vocab-cap contract.
+    "text_rarity" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .selectExpr("doc_id", s"$sTok AS tk")
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("tk")) > 0)
+        .selectExpr("doc_id", "explode(tk) AS tok")
+      val vocab = toks.groupBy("tok")
+        .agg(org.apache.spark.sql.functions.expr("count(*) AS cnt"))
+        .selectExpr("tok", "CAST(64 - length(bin(cnt)) AS BIGINT) AS rar")
+      toks.join(org.apache.spark.sql.functions.broadcast(vocab), "tok")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.expr("sum(rar) AS rsum"),
+          org.apache.spark.sql.functions.expr("count(*) AS ntok"))
+        .selectExpr("doc_id", "rsum", "ntok", "(rsum * 10000) div ntok AS rarity")
+    }),
+
     // B10: document fingerprint — hash of the sorted distinct token set
     // (rolling/bag fingerprint); grouped to show collision-based dedup
     "text_fingerprint" -> ((s, dir) =>
@@ -161,6 +187,16 @@ object TextQueries {
          |  ((CAST(len(sh) AS BIGINT) - CAST(len(list_distinct(sh)) AS BIGINT)) * 1000000)
          |    // CAST(len(sh) AS BIGINT) AS rep
          |FROM r""".stripMargin,
+
+    "text_rarity" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |e AS (SELECT doc_id, unnest(tk) AS tok FROM t WHERE len(tk) > 0),
+         |v AS (SELECT tok, count(*) AS cnt FROM e GROUP BY 1),
+         |r AS (SELECT tok, CAST(64 - length(bin(cnt)) AS BIGINT) AS rar FROM v)
+         |SELECT e.doc_id, CAST(sum(r.rar) AS BIGINT) AS rsum,
+         |  CAST(count(*) AS BIGINT) AS ntok,
+         |  (CAST(sum(r.rar) AS BIGINT) * 10000) // count(*) AS rarity
+         |FROM e JOIN r USING (tok) GROUP BY e.doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),

@@ -5,9 +5,38 @@ import graft.queries.AnalyticsQueries
 
 /** §2.C21–C24 as-of join, pivot, exact median, HLL sketch. */
 class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = AnalyticsQueries.defs(name)(spark, dir)
+
+  test("events_gap_fill: per-user series is contiguous and preserves event totals") {
+    val rows = q("events_gap_fill")
+      .select("user_id", "d", "n").as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (_, rs) =>
+      val days = rs.map(_._2).sorted
+      assert(days.head + days.length - 1 == days.last, "days must be contiguous")
+      assert(days.distinct.length == days.length, "no duplicate days")
+      assert(rs.filter(_._3 > 0).nonEmpty, "endpoints are active days")
+    }
+    val total = rows.map(_._3).sum
+    assert(total == Tables(spark, dir, "events").count(), "zero-fill must not lose events")
+  }
+
+  test("salted_join matches the direct join aggregate") {
+    val direct = Tables(spark, dir, "events")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .withColumn("w", expr(
+        """CASE event_type WHEN 'click' THEN 1 WHEN 'view' THEN 2 WHEN 'purchase' THEN 5
+          |WHEN 'signup' THEN 3 ELSE 4 END""".stripMargin))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(expr("w * cents")).as("weighted_cents"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = q("salted_join").as[(String, Long, Long)].collect().toSet
+    assert(salted == direct)
+  }
 
   test("events_asof: every matched purchase precedes (or ties) its click") {
     val ev = Tables(spark, dir, "events")

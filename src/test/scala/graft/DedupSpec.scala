@@ -30,6 +30,25 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("passageDups finds aligned shared chunks across docs, ignores unique text") {
+    // docs 1/2/4 share the aligned 12-token prefix → shared 4-token chunks;
+    // docs 3/5 share nothing chunk-aligned with anyone
+    val r = Dedup.passageDups(docs, chunkTokens = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.nonEmpty)
+    r.foreach { case (_, nDocs, nOcc, firstDoc) =>
+      assert(nDocs >= 2 && nOcc >= nDocs)
+      assert(Set(1L, 2L).contains(firstDoc), "carriers are the shared-prefix docs")
+    }
+    // the full shared prefix "the quick brown fox" chunk appears in 1, 2, 4
+    assert(r.exists(_._2 == 3L))
+    // a doc shorter than one chunk still chunks (short tail) without error
+    val short = Seq((10L, "tiny doc"), (11L, "tiny doc")).toDF("doc_id", "text")
+    val s = Dedup.passageDups(short, chunkTokens = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(s.length == 1 && s.head._2 == 2L)
+  }
+
   test("minhash lsh candidates include exact and near dups") {
     val pairs = Dedup.minhashLsh(docs, 12, 3)
       .as[(Long, Long)].collect().toSet

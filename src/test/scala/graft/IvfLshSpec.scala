@@ -78,6 +78,24 @@ class IvfLshSpec extends SparkSpec {
     assert(Set(1L, 2L, 3L).contains(top))
   }
 
+  test("lsh multi-probe candidates are a superset of the single-bucket candidates") {
+    val corpus = emb.select("vec_id", "embedding")
+    val q = Seq(Tuple1(Array(1.0f, 0.05f))).toDF("q_vec")
+    val single = Lsh.annSearch(corpus, q, 10, numPlanes = 2, dims = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val multi = Lsh.multiProbeSearch(corpus, q, 10, numPlanes = 2, dims = 2, maxFlips = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(single.subsetOf(multi))
+    // with 2 planes, 1 flip probes 3 of 4 buckets: recall can only grow
+    assert(multi.size >= single.size)
+    // maxFlips = numPlanes probes ALL buckets → exact brute-force top-k
+    val all = Lsh.multiProbeSearch(corpus, q, 10, numPlanes = 2, dims = 2, maxFlips = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val exact = graft.operators.Knn.topK(corpus, q, 10, graft.operators.Knn.Cosine)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == exact)
+  }
+
   test("autoKnn routes by selectivity: boundary per-milles pick the right strategy") {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
     // 20-row metadata table → each matching row is exactly 50 per-mille

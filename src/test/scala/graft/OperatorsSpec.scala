@@ -30,6 +30,25 @@ class OperatorsSpec extends SparkSpec {
     assert(KMeans.assign(emb, cent).as[(Long, Int)].head()._2 == 0)
   }
 
+  test("salted join matches direct join, with and without the kept salt") {
+    val big = (1 to 500).map(i => (if (i % 3 == 0) "hot" else s"k${i % 20}", i.toLong))
+      .toDF("key", "v")
+    val dim = Seq(("hot", 100L), ("k1", 1L), ("k2", 2L)).toDF("key", "w")
+    val direct = big.join(dim, "key").groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(expr("v * w")).as("t"))
+      .as[(String, Long, Long)].collect().toSet
+    val salted = Salting.saltedJoin(big, dim, "key", salts = 8).groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(expr("v * w")).as("t"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(salted == direct)
+    // keepSalt exposes _salt for a follow-on two-phase aggregation
+    val twoPhase = Salting.saltedJoin(big, dim, "key", salts = 8, keepSalt = true)
+      .groupBy(col("key"), col("_salt")).agg(count(lit(1)).as("pc"))
+      .groupBy("key").agg(sum("pc").as("n"))
+      .as[(String, Long)].collect().toSet
+    assert(twoPhase == direct.map(r => (r._1, r._2)))
+  }
+
   test("salted aggregation matches direct groupBy") {
     val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k$i", i.toDouble))
       .toDF("key", "v")

@@ -33,6 +33,23 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.distinct.length == streamed.length)
   }
 
+  test("streaming_join emits exactly the batch interval-join pairs") {
+    val streamed = run("streaming_join").collect().toSet
+    val ev = Tables(spark, dir, "events")
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("p_id"),
+        col("ts").as("p_ts"))
+    val batch = c.join(p, expr(
+        "user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + interval 1 hour"))
+      .select(col("user_id"), col("c_id"), col("p_id"),
+        (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_sessionize emits every batch session except each user's open last") {
     val streamed = run("streaming_sessionize").collect().toSet
     val w = Window.partitionBy("user_id")
