@@ -49,14 +49,19 @@ object Bench {
       fn(spark, d).write.format("noop").mode("overwrite").save()
     // Warm-up pass at the smallest SF: JIT-compiles the codegen'd stages so
     // the timed pass measures steady-state throughput, not JVM warmup.
+    // SPARK_GRAFT_ONLY=a,b,c → time only those entries (targeted re-bench)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.filter { case (n, _) => names(n) })
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try run(fn, warmDir) catch { case _: Throwable => () }
       }
       spark.catalog.clearCache()
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try run(fn, sfDir) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9

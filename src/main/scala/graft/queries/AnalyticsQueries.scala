@@ -229,6 +229,38 @@ object AnalyticsQueries {
         .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // C40: broadcast interval (range) join — events matched against the
+    // corpus's 3 busiest hours widened to OVERLAPPING [h−30 min, h+90 min)
+    // windows. A range join has no equi-key, so the scale shape is a
+    // broadcast nested-loop against a tiny derived interval table: the big
+    // side stays one narrow scan (no shuffle before the 3-row aggregate).
+    // Overlap is deliberate — an event near a boundary matches 2 windows,
+    // which a date_trunc equi-join cannot express.
+    "events_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val busy = ev.groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("h")).limit(3)
+        .select(col("h"), expr("h - interval 30 minutes").as("w_start"),
+          expr("h + interval 90 minutes").as("w_end"))
+      ev.join(broadcast(busy), col("ts") >= col("w_start") && col("ts") < col("w_end"))
+        .groupBy(date_format(col("h"), "yyyy-MM-dd HH:mm").as("window_hour"))
+        .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+    }),
+
+    // C41: unpivot (melt) — the wide pivoted table reshaped back to long
+    // form: wide↔long round-trips in ONE exchange (the pivot's); unpivot
+    // itself is a narrow generator, and zero-count cells drop to restore
+    // the sparse long form exactly
+    "events_unpivot" -> ((s, dir) => {
+      val wide = events(s, dir).groupBy("user_id")
+        .pivot("event_type", EventTypes).agg(count(lit(1)))
+        .select(col("user_id") +:
+          EventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      wide.unpivot(Array(col("user_id")), EventTypes.map(col).toArray, "event_type", "n")
+        .filter(col("n") > 0)
+    }),
+
     // C24: deterministic HyperLogLog (p=8) distinct estimate vs exact —
     // the shared operators.Hll fragments also back the streaming sketch
     "approx_distinct_hll" -> ((s, dir) => {
@@ -339,6 +371,22 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "events_interval_join" ->
+      """WITH busy AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events
+        |  GROUP BY 1 ORDER BY n DESC, h LIMIT 3),
+        |w AS (SELECT h, h - INTERVAL 30 MINUTE AS w_start,
+        |             h + INTERVAL 90 MINUTE AS w_end FROM busy)
+        |SELECT strftime(w.h, '%Y-%m-%d %H:%M') AS window_hour,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end
+        |GROUP BY 1""".stripMargin,
+
+    "events_unpivot" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "salted_join" ->
       """WITH dim(event_type, w) AS (VALUES

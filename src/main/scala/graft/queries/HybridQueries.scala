@@ -136,6 +136,40 @@ object HybridQueries {
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
     }),
 
+    // A32: recall of single-bucket vs 1-flip multi-probe LSH against the
+    // exact top-10 — the hash-probing member of the recall family
+    // (recall_eval = IVF probing, recall_pq = compression, probe sweep =
+    // the IVF knob curve). Per query, the multi-probe candidate set is a
+    // superset of the single-bucket set sharing one exact ground truth, so
+    // n_hit_multi ≥ n_hit_single row-wise (spec-asserted) — the measured
+    // form of "1-flip probing only recovers recall". Both hit counts reuse
+    // the TopKHits k-heaps; the bucket tests are codegen'd integer
+    // bit_count against a broadcast 5-row query table.
+    "recall_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qs = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Knn.batchKnn(e.select("vec_id", "embedding"), qs, 10, Knn.Cosine)
+      val bucketed = Lsh.withBucket(e.select("vec_id", "embedding"), NumPlanes, Dims)
+      val qb = Lsh.withBucket(qs, NumPlanes, Dims, "q_vec", "q_bucket")
+      def hitsOf(maxFlips: Int, out: String): DataFrame = {
+        val approx = bucketed.crossJoin(broadcast(qb))
+          .filter(expr(s"bit_count(bucket ^ q_bucket) <= $maxFlips") &&
+            col("vec_id") =!= col("q_id"))
+          .withColumn("score", scaled(vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+          .groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10, asc = false).as("hits"))
+          .select(col("q_id"), explode(col("hits.id")).as("vec_id"))
+        approx.join(exact.select("q_id", "vec_id"), Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as(out))
+      }
+      qs.select("q_id")
+        .join(hitsOf(0, "h0"), Seq("q_id"), "left")
+        .join(hitsOf(1, "h1"), Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("h0"), lit(0L)).as("n_hit_single"),
+          coalesce(col("h1"), lit(0L)).as("n_hit_multi"))
+    }),
+
     // A30: incremental index APPEND (FAISS add() analogue, the vector
     // sibling of B24): arriving vectors (vec_id ≥ 400) are assigned to the
     // nearest centroid of the EXISTING index — no retrain; one broadcast
@@ -530,6 +564,33 @@ object HybridQueries {
          |FROM b e CROSS JOIN q
          |WHERE e.vec_id <> 3 AND e.bucket = q.bucket
          |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    "recall_multiprobe" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec,
+         |  ${bucketSql("embedding")} AS q_bucket FROM embeddings WHERE vec_id <= 4),
+         |b AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+         |  FROM embeddings e CROSS JOIN qs q WHERE e.vec_id <> q.q_id) WHERE rnk <= 10),
+         |a0 AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+         |  FROM b e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.q_id AND e.bucket = q.q_bucket) WHERE rnk <= 10),
+         |a1 AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, e.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY ${cosSql("e.embedding", "q.q_vec")} DESC, e.vec_id ASC) AS rnk
+         |  FROM b e CROSS JOIN qs q
+         |  WHERE e.vec_id <> q.q_id AND bit_count(xor(e.bucket, q.q_bucket)) <= 1) WHERE rnk <= 10),
+         |h0 AS (SELECT a0.q_id, count(*) AS n FROM a0 JOIN exact USING (q_id, vec_id) GROUP BY 1),
+         |h1 AS (SELECT a1.q_id, count(*) AS n FROM a1 JOIN exact USING (q_id, vec_id) GROUP BY 1)
+         |SELECT q.q_id, CAST(coalesce(h0.n, 0) AS BIGINT) AS n_hit_single,
+         |  CAST(coalesce(h1.n, 0) AS BIGINT) AS n_hit_multi
+         |FROM qs q LEFT JOIN h0 ON h0.q_id = q.q_id LEFT JOIN h1 ON h1.q_id = q.q_id""".stripMargin,
 
     "ann_lsh_multiprobe" ->
       s"""WITH b AS (

@@ -38,6 +38,26 @@ class AnalyticsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("events_interval_join: overlapping windows cover at least their core hour") {
+    val rows = q("events_interval_join")
+      .select("window_hour", "n_events", "n_users").as[(String, Long, Long)].collect()
+    assert(rows.length == 3)
+    val hourly = Tables(spark, dir, "events")
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    rows.foreach { case (h, n, users) =>
+      assert(n >= hourly(h), "the widened window is a superset of its hour")
+      assert(users >= 1 && users <= n)
+    }
+  }
+
+  test("events_unpivot equals the direct long-form counts") {
+    val unpivoted = q("events_unpivot").as[(Long, String, Long)].collect().toSet
+    val direct = Tables(spark, dir, "events").groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n")).as[(Long, String, Long)].collect().toSet
+    assert(unpivoted == direct)
+  }
+
   test("events_asof: every matched purchase precedes (or ties) its click") {
     val ev = Tables(spark, dir, "events")
     val pTs = ev.filter(col("event_type") === "purchase")

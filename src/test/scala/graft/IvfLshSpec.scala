@@ -96,6 +96,17 @@ class IvfLshSpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("recall_multiprobe: 1-flip probing never loses recall vs single-bucket") {
+    val rows = graft.queries.HybridQueries.defs("recall_multiprobe")(
+        spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    rows.foreach { case (_, single, multi) =>
+      assert(multi >= single, "multi-probe candidates are a superset")
+      assert(multi <= 10 && single >= 0)
+    }
+  }
+
   test("autoKnn routes by selectivity: boundary per-milles pick the right strategy") {
     val q = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("q_vec")
     // 20-row metadata table → each matching row is exactly 50 per-mille
