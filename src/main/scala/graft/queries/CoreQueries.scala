@@ -210,6 +210,30 @@ object CoreQueries {
         .agg(count(lit(1)).as("n_orders"), scaled(sum("o_totalprice"), 0).as("total"))
     }),
 
+    // C42: Z-order layout — the multi-dim member of the layout family
+    // (clustered_probe = partition pruning, bucketed_join = hash
+    // co-location, this = Morton-code data skipping). The entry round-trips
+    // events through a z-clustered parquet layout (repartitionByRange +
+    // sortWithinPartitions on the interleaved code) and answers a 2-D box
+    // query over it; z_lo/z_hi hash-verify the bit-interleave formula
+    // against the oracle's identical integer expression. The skipping
+    // claim itself (box prunes most files via per-column min/max in BOTH
+    // dims; a 1-D sort prunes only one) is asserted in PlanAuditSpec over
+    // the written files' stats.
+    "events_zorder" -> ((s, dir) => {
+      val ev = t(s, dir, "events").selectExpr(
+        "user_id % 256 AS u",
+        "(unix_micros(ts) div 86400000000) % 256 AS d",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+        .withColumn("zval", expr(graft.operators.ZOrder.zvalExpr("u", "d", 8)))
+      val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      graft.operators.ZOrder.writeZOrdered(ev, "zval", path, nFiles = 16)
+      s.read.parquet(path)
+        .filter(col("u").between(40, 120) && col("d").between(15, 30))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+          min("zval").as("z_lo"), max("zval").as("z_hi"))
+    }),
+
     // B12: semi-structured props JSON extraction + agg. avg_k is integer
     // arithmetic (sum·10⁴ div non-null count) — a double avg×10⁴ can land
     // exactly on x.5 and round differently across engines (same convention
@@ -339,6 +363,15 @@ object CoreQueries {
         | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+
+    "events_zorder" ->
+      s"""WITH z AS (SELECT user_id % 256 AS u,
+         |  (epoch_us(ts) // 86400000000) % 256 AS d,
+         |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         |b AS (SELECT *, ${graft.operators.ZOrder.duckZvalExpr("u", "d", 8)} AS zval
+         |      FROM z WHERE u BETWEEN 40 AND 120 AND d BETWEEN 15 AND 30)
+         |SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents,
+         |  min(zval) AS z_lo, max(zval) AS z_hi FROM b""".stripMargin,
 
     "events_json" ->
       """SELECT event_type, count(*) AS n,

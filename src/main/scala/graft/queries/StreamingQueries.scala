@@ -58,12 +58,29 @@ object StreamingQueries {
   }
 
   /** Run a streaming frame to completion (AvailableNow) through a memory
-    * sink; returns the final sink table as a batch frame. */
+    * sink; returns the final sink table as a batch frame.
+    *
+    * The stateful shuffle is sized DOWN for the run: a stateful operator
+    * materializes one state store per shuffle partition per operator, and
+    * at the gate corpus sizes 32 partitions mean 32× state-store
+    * open/commit/maintenance per micro-batch for a few thousand rows —
+    * pure overhead. 8 partitions is the right size for this state volume;
+    * at 100 TB the same knob goes UP with the key cardinality (state
+    * partitioning is fixed at the first checkpoint, so production picks it
+    * per stream, not per cluster default). Batch entries are untouched —
+    * the conf is set only for the stream's lifetime (execution happens
+    * inside this method, unlike lazy batch frames). */
+  private val StreamShufflePartitions = "8"
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
                          mode: String): DataFrame = {
-    val sq = out.writeStream.format("memory").queryName(name).outputMode(mode)
-      .trigger(Trigger.AvailableNow()).start()
-    sq.awaitTermination()
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, StreamShufflePartitions)
+    try {
+      val sq = out.writeStream.format("memory").queryName(name).outputMode(mode)
+        .trigger(Trigger.AvailableNow()).start()
+      sq.awaitTermination()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 

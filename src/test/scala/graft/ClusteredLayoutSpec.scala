@@ -27,6 +27,36 @@ class ClusteredLayoutSpec extends SparkSpec {
     assert(dirs.count(_.startsWith("label=")) == 10)
   }
 
+  test("z-order layout prunes a 2-D box in BOTH dims; a 1-D sort prunes only one") {
+    import org.apache.spark.sql.functions._
+    val ev = Tables(spark, "/root/testdata/sf0.001", "events").selectExpr(
+      "user_id % 256 AS u", "(unix_micros(ts) div 86400000000) % 256 AS d")
+      .withColumn("zval", expr(graft.operators.ZOrder.zvalExpr("u", "d", 8)))
+    val (uLo, uHi, dLo, dHi) = (40, 120, 15, 30)
+    def prunable(path: String): (Long, Long, Long) = {
+      val st = graft.operators.ZOrder.fileStats(spark.read.parquet(path), "u", "d")
+        .as[(String, Long, Long, Long, Long)].collect()
+      val byU = st.count { case (_, ulo, uhi, _, _) => uhi < uLo || ulo > uHi }
+      val byD = st.count { case (_, _, _, dlo, dhi) => dhi < dLo || dlo > dHi }
+      val either = st.count { case (_, ulo, uhi, dlo, dhi) =>
+        uhi < uLo || ulo > uHi || dhi < dLo || dlo > dHi }
+      (byU.toLong, byD.toLong, either.toLong)
+    }
+    // z-clustered: tight file boxes in BOTH dims → the box prunes many files
+    val zdir = Files.createTempDirectory("graft_z").toString
+    graft.operators.ZOrder.writeZOrdered(ev, "zval", zdir, nFiles = 16)
+    val (_, zByD, zEither) = prunable(zdir)
+    assert(zEither >= 4, s"z layout should prune ≥ 4/16 files, got $zEither")
+    assert(zByD > 0, "z layout must prune some files on the SECOND dim too")
+    // u-sorted only: every file spans the full d range → d prunes nothing
+    val ldir = Files.createTempDirectory("graft_lin").toString
+    ev.repartitionByRange(16, col("u")).sortWithinPartitions("u")
+      .write.mode("overwrite").parquet(ldir)
+    val (lByU, lByD, _) = prunable(ldir)
+    assert(lByD == 0, "1-D layout cannot prune on the unsorted dim")
+    assert(lByU > 0, "1-D layout still prunes on its own sort dim")
+  }
+
   test("clustered_probe queries entry scans through PartitionFilters") {
     val df = SparkEntry.queries("clustered_probe")(spark, "/root/testdata/sf0.001")
     val plan = df.queryExecution.executedPlan.toString
