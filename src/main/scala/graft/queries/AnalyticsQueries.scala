@@ -229,6 +229,23 @@ object AnalyticsQueries {
         .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // C43: value-based RANGE window frame — per event, activity in the
+    // same user's trailing hour (count + cents). The complement of C20's
+    // ROW frame: a row frame counts k rows regardless of time; the range
+    // frame is the batch mirror of a sliding streaming window, keyed by
+    // the event-time VALUE. Frame peers (equal timestamps) are included on
+    // both engines per the SQL standard, so ties need no ordering column.
+    // One shuffle on user_id; the frame scan is sorted-run-local.
+    "events_trailing_window" -> ((s, dir) => {
+      val ev = events(s, dir).selectExpr("user_id", "event_id",
+        "unix_micros(ts) AS us", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val w = Window.partitionBy("user_id").orderBy(col("us"))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      ev.withColumn("n_hour", count(lit(1)).over(w))
+        .withColumn("cents_hour", sum("cents").over(w))
+        .select("event_id", "user_id", "n_hour", "cents_hour")
+    }),
+
     // C40: broadcast interval (range) join — events matched against the
     // corpus's 3 busiest hours widened to OVERLAPPING [h−30 min, h+90 min)
     // windows. A range join has no equi-key, so the scale shape is a
@@ -371,6 +388,15 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "events_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_hour,
+        |  CAST(sum(cents) OVER w AS BIGINT) AS cents_hour
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |      CAST(floor(value * 100) AS BIGINT) AS cents FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "events_interval_join" ->
       """WITH busy AS (

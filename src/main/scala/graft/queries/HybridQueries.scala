@@ -136,6 +136,34 @@ object HybridQueries {
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
     }),
 
+    // A33: index maintenance — split the hottest clusters (the rebalance
+    // sibling of A30's append): the top-3 most-populated clusters are
+    // split in place, each member reassigned to the nearer of two
+    // deterministic seed members (the cluster's min-id and max-id vectors
+    // — a seeded stand-in for one k=2 Lloyd's step, the ivf_build
+    // determinism trade). One size aggregate + a broadcast of 3×2 seed
+    // vectors + one narrow argmin over ONLY the hot clusters' members. At
+    // 100 TB this is the periodic rebalance that keeps probe fan-out
+    // uniform while the append path (A30) keeps ingesting.
+    "ivf_split_hot" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val hot = e.groupBy("label").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("label")).limit(3).select("label")
+      val seedIds = e.join(broadcast(hot), "label")
+        .groupBy("label").agg(min("vec_id").as("lo_id"), max("vec_id").as("hi_id"))
+      val vecs = e.select(col("vec_id"), col("embedding"))
+      val seeds = seedIds
+        .join(vecs.toDF("lo_id", "lo_vec"), "lo_id")
+        .join(vecs.toDF("hi_id", "hi_vec"), "hi_id")
+      e.join(broadcast(seeds), "label")
+        .withColumn("d_lo", scaled(vectors.l2(col("embedding"), col("lo_vec")), Knn.ScoreDigits))
+        .withColumn("d_hi", scaled(vectors.l2(col("embedding"), col("hi_vec")), Knn.ScoreDigits))
+        .selectExpr("CAST(label AS BIGINT) AS label", "vec_id",
+          "CAST(CASE WHEN d_lo <= d_hi THEN 0 ELSE 1 END AS BIGINT) AS sub")
+        .groupBy("label", "sub")
+        .agg(count(lit(1)).as("n"), min("vec_id").as("min_member"))
+    }),
+
     // A32: recall of single-bucket vs 1-flip multi-probe LSH against the
     // exact top-10 — the hash-probing member of the recall family
     // (recall_eval = IVF probing, recall_pq = compression, probe sweep =
@@ -627,6 +655,25 @@ object HybridQueries {
          |  SELECT a.q_id, count(*) AS n_hit
          |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
          |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
+
+    "ivf_split_hot" -> {
+      def l2s(a: String, b: String) =
+        s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+      s"""WITH hot AS (SELECT label FROM embeddings GROUP BY label
+         |  ORDER BY count(*) DESC, label LIMIT 3),
+         |seeds AS (SELECT e.label, min(e.vec_id) AS lo_id, max(e.vec_id) AS hi_id
+         |  FROM embeddings e JOIN hot USING (label) GROUP BY e.label),
+         |sv AS (SELECT s.label, lo.embedding AS lo_vec, hi.embedding AS hi_vec
+         |  FROM seeds s JOIN embeddings lo ON lo.vec_id = s.lo_id
+         |               JOIN embeddings hi ON hi.vec_id = s.hi_id),
+         |m AS (SELECT e.label, e.vec_id,
+         |  CASE WHEN ${l2s("e.embedding", "v.lo_vec")} <= ${l2s("e.embedding", "v.hi_vec")}
+         |       THEN 0 ELSE 1 END AS sub
+         |  FROM embeddings e JOIN sv v ON e.label = v.label)
+         |SELECT CAST(label AS BIGINT) AS label, CAST(sub AS BIGINT) AS sub,
+         |  CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_member
+         |FROM m GROUP BY 1, 2""".stripMargin
+    },
 
     "knn_ivf_append" -> {
       def l2s(a: String, b: String) =

@@ -10,6 +10,25 @@ class AnalyticsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = AnalyticsQueries.defs(name)(spark, dir)
 
+  test("events_trailing_window: frame counts match a direct per-row recount") {
+    val rows = q("events_trailing_window")
+      .select("event_id", "user_id", "n_hour", "cents_hour")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long, Long, Long)].collect()
+    val byUser = ev.groupBy(_._1)
+    val usOf = ev.map(e => e._2 -> e._3).toMap
+    rows.take(200).foreach { case (eid, uid, n, cents) =>
+      val t = usOf(eid)
+      val inFrame = byUser(uid).filter(e => e._3 >= t - 3600000000L && e._3 <= t)
+      assert(n == inFrame.length, s"count mismatch for event $eid")
+      assert(cents == inFrame.map(_._4).sum, s"sum mismatch for event $eid")
+    }
+  }
+
   test("events_gap_fill: per-user series is contiguous and preserves event totals") {
     val rows = q("events_gap_fill")
       .select("user_id", "d", "n").as[(Long, Long, Long)].collect()

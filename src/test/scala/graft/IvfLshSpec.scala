@@ -96,6 +96,25 @@ class IvfLshSpec extends SparkSpec {
     assert(all == exact)
   }
 
+  test("ivf_split_hot: sub-clusters exactly partition each hot cluster") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.HybridQueries.defs("ivf_split_hot")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    val byLabel = rows.groupBy(_._1)
+    assert(byLabel.size == 3, "exactly the top-3 clusters split")
+    val sizes = Tables(spark, sfDir, "embeddings").groupBy("label").count()
+      .as[(Int, Long)].collect().toMap
+    byLabel.foreach { case (label, subs) =>
+      assert(subs.map(_._3).sum == sizes(label.toInt),
+        "sub-cluster populations must sum to the original cluster size")
+      assert(subs.map(_._2).toSet.subsetOf(Set(0L, 1L)))
+    }
+    // the split clusters really are the 3 largest (ties by label)
+    val expectHot = sizes.toSeq.sortBy { case (l, n) => (-n, l) }.take(3)
+      .map(_._1.toLong).toSet
+    assert(byLabel.keySet == expectHot)
+  }
+
   test("recall_multiprobe: 1-flip probing never loses recall vs single-bucket") {
     val rows = graft.queries.HybridQueries.defs("recall_multiprobe")(
         spark, "/root/testdata/sf0.001")

@@ -72,6 +72,35 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("salted_join: with broadcast off, the salted SMJ keys on (key, salt)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val big = (1 to 100).map(i => (s"k${i % 5}", i.toLong)).toDF("key", "v")
+      val dim = Seq(("k1", 1L), ("k2", 2L)).toDF("key", "w")
+      val p = graft.operators.Salting.saltedJoin(big, dim, "key", salts = 8)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      assert(p.contains("_salt"), "join must key on the salt:\n" + p.take(3000))
+      assert(!p.contains("BroadcastHashJoin"), p.take(3000))
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
+  test("events_interval_join: the derived interval table arrives broadcast") {
+    val p = plan("events_interval_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "a range join against a tiny side must be broadcast nested-loop:\n" + p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("text_rarity: vocab joins broadcast; both aggregations partial-aggregate") {
+    val p = plan("text_rarity")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
+  }
+
   test("always-banded dedup entries contain no cartesian or nested-loop join") {
     // dedup_simhash and dedup_embedding keep a cost-dispatched all-pairs
     // branch for small corpora (their banded forms take over at scale);
