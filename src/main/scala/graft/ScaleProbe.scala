@@ -117,7 +117,21 @@ object ScaleProbe {
       time("quantile_hist")(
         d.select(col("lang_k"), col("n_chars").as("cents"))
           .withColumn("bin", expr("(cents * 256) div 997"))
-          .groupBy("lang_k", "bin").agg(count(lit(1)).as("cnt")).count())
+          .groupBy("lang_k", "bin").agg(count(lit(1)).as("cnt")).count()),
+      // passage-level dedup: narrow HOF chunking, one 8-byte-key shuffle
+      time("passage_dedup")(Dedup.passageDups(d, chunkTokens = 4).count()),
+      // z-order write of the full corpus: narrow Morton map + range
+      // exchange + in-partition sort — the layout cost a 2-D-box workload
+      // amortizes
+      time("zorder_write") {
+        val zd = d.selectExpr("doc_id % 256 AS u", "n_chars % 256 AS dd")
+          .withColumn("zval", expr(graft.operators.ZOrder.zvalExpr("u", "dd", 8)))
+        graft.operators.ZOrder.writeZOrdered(
+          zd, "zval", "/root/repo/target/probe/zorder", nFiles = 64)
+      },
+      // multi-probe LSH: 1-flip Hamming ball, still one narrow scan + heap
+      time("multiprobe_lsh")(graft.operators.Lsh.multiProbeSearch(
+        e.select("vec_id", "embedding"), q1, 10, numPlanes = 8, dims = 64).count())
     )
     val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")

@@ -229,6 +229,35 @@ object AnalyticsQueries {
         .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // C44: robust outlier detection — median-absolute-deviation flagging
+    // per event_type (the data-quality gate an ingest pipeline runs before
+    // training): med and MAD are lower medians of integer cents (C23's
+    // machinery, deterministic tie order), outlier = dev > 3·MAD. Mean/
+    // stddev would be dragged by the outliers themselves; medians are the
+    // robust form, and all-integer arithmetic keeps both engines
+    // hash-exact. The tiny med/MAD tables ride broadcast; the skewed
+    // 5-key window partitioning is gate-scale-fine (production: C28's
+    // salting or the C30 sketch for the quantile step).
+    "events_anomaly_mad" -> ((s, dir) => {
+      val c = events(s, dir).selectExpr("event_type", "event_id",
+        "CAST(floor(value * 100) AS BIGINT) AS cents")
+      def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame =
+        df.withColumn("rn", row_number().over(
+            Window.partitionBy("event_type").orderBy(col(valCol), col("event_id"))))
+          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
+          .filter(expr("rn = (n + 1) div 2"))
+          .select(col("event_type"), col(valCol).as(out))
+      val med = lowerMedian(c, "cents", "med")
+      val dev = c.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("cents") - col("med")))
+      val mad = lowerMedian(dev, "dev", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(max("med").as("med_cents"), max("mad").as("mad_cents"),
+          count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"),
+          max("dev").as("max_dev"))
+    }),
+
     // C43: value-based RANGE window frame — per event, activity in the
     // same user's trailing hour (count + cents). The complement of C20's
     // ROW frame: a row frame counts k rows regardless of time; the range
@@ -388,6 +417,26 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "events_anomaly_mad" ->
+      """WITH c AS (SELECT event_type, event_id,
+        |  CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |m AS (SELECT event_type, cents AS med FROM (
+        |  SELECT event_type, cents, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY cents, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM c)
+        |  WHERE rn = (n + 1) // 2),
+        |d AS (SELECT c.event_type, c.event_id, m.med,
+        |  abs(c.cents - m.med) AS dev FROM c JOIN m USING (event_type)),
+        |md AS (SELECT event_type, dev AS mad FROM (
+        |  SELECT event_type, dev, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dev, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM d)
+        |  WHERE rn = (n + 1) // 2)
+        |SELECT d.event_type, max(d.med) AS med_cents, max(md.mad) AS mad_cents,
+        |  CAST(count(CASE WHEN d.dev > 3 * md.mad THEN 1 END) AS BIGINT) AS n_outliers,
+        |  max(d.dev) AS max_dev
+        |FROM d JOIN md USING (event_type) GROUP BY d.event_type""".stripMargin,
 
     "events_trailing_window" ->
       """SELECT event_id, user_id,

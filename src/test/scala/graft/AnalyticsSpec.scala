@@ -10,6 +10,26 @@ class AnalyticsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = AnalyticsQueries.defs(name)(spark, dir)
 
+  test("events_anomaly_mad: medians are real medians, outliers bounded") {
+    val rows = q("events_anomaly_mad")
+      .select("event_type", "med_cents", "mad_cents", "n_outliers", "max_dev")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.length == 5)
+    val cents = Tables(spark, dir, "events")
+      .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .as[(String, Long)].collect().groupBy(_._1)
+    rows.foreach { case (t, med, mad, outliers, maxDev) =>
+      val vs = cents(t).map(_._2)
+      // the lower median splits the group: ≥ half at-or-below, ≥ half at-or-above
+      assert(vs.count(_ <= med) * 2 >= vs.length)
+      assert(vs.count(_ >= med) * 2 >= vs.length)
+      // MAD covers at least half the deviations, so outliers < half the group
+      assert(outliers * 2 < vs.length)
+      assert(mad >= 0 && maxDev >= mad)
+      assert(outliers == vs.count(v => math.abs(v - med) > 3 * mad))
+    }
+  }
+
   test("events_trailing_window: frame counts match a direct per-row recount") {
     val rows = q("events_trailing_window")
       .select("event_id", "user_id", "n_hour", "cents_hour")
