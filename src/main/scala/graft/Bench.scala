@@ -15,7 +15,8 @@ object Bench {
       name == "events_json") "ingest"
     else if (name.startsWith("meta_") || name.contains("knn") ||
       name.startsWith("recall_") || name.startsWith("hybrid_") ||
-      name == "ann_lsh" || name == "ivf_build" || name == "keyword_search" ||
+      name.startsWith("ann_") || name.startsWith("ivf_") ||
+      name == "keyword_search" ||
       name == "clustered_probe" || name == "selectivity_classes") "search"
     else "core"
 

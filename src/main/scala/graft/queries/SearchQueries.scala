@@ -88,6 +88,22 @@ object SearchQueries {
         queryVec(s, dir, 1), 10, Knn.Cosine)
         .select("vec_id", "score")),
 
+    // A8b: the reference's user-facing result shape — each hit carries its
+    // metadata dict (the reference prints {color, brand, …} per result;
+    // here the analogue attrs lang/source/n_chars). The metadata join-back
+    // runs AFTER the top-k (k rows join the docs table, broadcast-side
+    // k-row probe), never before — enriching the full corpus and then
+    // keeping k would drag every column through the scan and heap.
+    "knn_with_metadata" -> ((s, dir) =>
+      Knn.prefilterKnn(
+        corpusExcl(s, dir, 1), docs(s, dir),
+        MetaPredicate("lang" -> ("exact", "en")),
+        queryVec(s, dir, 1), 5, Knn.Cosine)
+        .select("vec_id", "score")
+        .join(docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars")), col("vec_id") === col("doc_id"))
+        .select("vec_id", "score", "lang", "source", "n_chars")),
+
     // A9: post-filter search — vector top-largeK, then filter, then top-k
     "postfilter_knn" -> ((s, dir) =>
       Knn.postfilterKnn(
@@ -157,6 +173,17 @@ object SearchQueries {
          |  AND d.lang IS NOT NULL AND d.lang = 'en'
          |  AND d.n_chars IS NOT NULL AND d.n_chars < 300
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_with_metadata" ->
+      s"""WITH hits AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |  FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+         |  WHERE e.vec_id <> 1 AND d.lang IS NOT NULL AND d.lang = 'en'
+         |  ORDER BY score DESC, e.vec_id ASC LIMIT 5)
+         |SELECT h.vec_id, h.score, d.lang, d.source, d.n_chars
+         |FROM hits h JOIN documents d ON d.doc_id = h.vec_id""".stripMargin,
 
     "postfilter_knn" ->
       s"""WITH cand AS (
