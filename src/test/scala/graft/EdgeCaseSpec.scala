@@ -86,6 +86,45 @@ class EdgeCaseSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("saltedJoin with an empty small side returns empty; keys absent from dim drop") {
+    import graft.operators.Salting
+    val big = Seq(("a", 1L), ("b", 2L)).toDF("key", "v")
+    val empty = Seq.empty[(String, Long)].toDF("key", "w")
+    assert(Salting.saltedJoin(big, empty, "key", salts = 4).count() == 0)
+    val partial = Seq(("a", 10L)).toDF("key", "w")
+    val r = Salting.saltedJoin(big, partial, "key", salts = 4)
+      .select("key").as[String].collect()
+    assert(r.toSeq == Seq("a"), "inner semantics: unmatched keys drop")
+  }
+
+  test("passageDups: all-null or sub-chunk corpus yields empty, not an error") {
+    import graft.operators.Dedup
+    val nulls = Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text")
+    assert(Dedup.passageDups(nulls, 4).count() == 0)
+    val distinct = Seq((1L, "one two"), (2L, "three four")).toDF("doc_id", "text")
+    assert(Dedup.passageDups(distinct, 4).count() == 0, "no cross-doc chunk repeats")
+  }
+
+  test("multiProbeSearch with maxFlips 0 equals single-bucket annSearch") {
+    import graft.operators.Lsh
+    val single = Lsh.annSearch(corpus, query, 5, numPlanes = 2, dims = 2)
+      .select("vec_id").as[Long].collect().toSet
+    val zeroFlip = Lsh.multiProbeSearch(corpus, query, 5, numPlanes = 2, dims = 2,
+        maxFlips = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(zeroFlip == single)
+  }
+
+  test("ZOrder zval formula: interleave round-trips known bit patterns") {
+    // u = 0b1010, d = 0b0101 → zval bits: u at even, d at odd positions
+    val r = spark.sql(
+        s"SELECT ${graft.operators.ZOrder.zvalExpr("10", "5", 4)} AS z")
+      .as[Long].head()
+    // u bits (LSB first) 0,1,0,1 at even slots; d bits 1,0,1,0 at odd slots
+    // z = u0·1 + d0·2 + u1·4 + d1·8 + … = 0 + 2 + 4 + 0 + 0 + 32 + 64 + 0
+    assert(r == 2L + 4L + 32L + 64L)
+  }
+
   test("PqNearestCode rejects vectors shorter than the subspace span") {
     val emb = Seq((0L, Array.tabulate(4)(_.toFloat))).toDF("vec_id", "embedding")
       .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
