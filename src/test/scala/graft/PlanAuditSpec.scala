@@ -101,6 +101,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(3000))
   }
 
+  test("events_gap_fill: fill join is co-partitioned — no extra Exchange on the daily side") {
+    val p = plan("events_gap_fill")
+    // daily aggregates on (user_id, d); the left fill join reuses that key.
+    // The span/sequence side re-exchanges (it aggregated on user_id alone),
+    // but the BIG side — daily — must not shuffle twice: count Exchanges.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, s"gap-fill should need ≤ 3 hash exchanges, got $exchanges:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("events_trailing_window: one shuffle on user_id feeds a single Window") {
+    val p = plan("events_trailing_window")
+    val windows = "Window ".r.findAllIn(p).length
+    assert(windows == 1, s"range frame should plan as ONE Window, got $windows")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("events_anomaly_mad: med/MAD stat tables join broadcast") {
+    val p = plan("events_anomaly_mad")
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("always-banded dedup entries contain no cartesian or nested-loop join") {
     // dedup_simhash and dedup_embedding keep a cost-dispatched all-pairs
     // branch for small corpora (their banded forms take over at scale);
