@@ -14,10 +14,17 @@ import graft.operators.{Dedup, Hll, Ivf, Knn, Pq}
   */
 object ScaleProbe {
 
+  /** Per-probe cache hygiene mirrors Bench: operators cache() intermediates
+    * (signature frames, shingle sets) — without clearing, ~20 probes in one
+    * 8 GB JVM accumulate cached partitions until the LATER probes measure
+    * GC pressure, not their plans (observed: identical early probes stable
+    * across runs while later ones inflated 3–8×). */
+  private var clearAfter: () => Unit = () => ()
   private def time[A](label: String)(f: => A): (String, Double) = {
     val t0 = System.nanoTime()
     f
     val s = (System.nanoTime() - t0) / 1e9
+    clearAfter()
     (label, s)
   }
 
@@ -51,6 +58,7 @@ object ScaleProbe {
     Tables.SessionConfigs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    clearAfter = () => spark.catalog.clearCache()
 
     val emb = syntheticEmbeddings(spark, nVecs)
     val docs = syntheticDocs(spark, nDocs)
