@@ -229,6 +229,24 @@ object AnalyticsQueries {
         .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // C45: LOCF imputation — repair a sparse measure by carrying each
+    // user's last observed value forward in event order (sensor/price
+    // series repair; the imputation twin of the as-of join's carry-forward
+    // window). The measure is REPORTED only on purchase events (a checkout
+    // amount); every other event of the user reads the last reported one
+    // via last(ignoreNulls) over an unbounded-preceding row frame. One
+    // shuffle on user_id, sorted-run local — no self-join, no per-row probe.
+    "events_impute_locf" -> ((s, dir) => {
+      val ev = events(s, dir).selectExpr("user_id", "event_id",
+        "unix_micros(ts) AS us",
+        """CASE WHEN event_type = 'purchase'
+          |     THEN CAST(get_json_object(props, '$.k') AS BIGINT) END AS k""".stripMargin)
+      val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("k_filled", last("k", ignoreNulls = true).over(w))
+        .select("event_id", "user_id", "k", "k_filled")
+    }),
+
     // C44: robust outlier detection — median-absolute-deviation flagging
     // per event_type (the data-quality gate an ingest pipeline runs before
     // training): med and MAD are lower medians of integer cents (C23's
@@ -417,6 +435,15 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "events_impute_locf" ->
+      """SELECT event_id, user_id, k,
+        |  last_value(k IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS k_filled
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS us,
+        |      CASE WHEN event_type = 'purchase'
+        |           THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |      FROM events)""".stripMargin,
 
     "events_anomaly_mad" ->
       """WITH c AS (SELECT event_type, event_id,

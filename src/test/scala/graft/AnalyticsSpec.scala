@@ -10,6 +10,34 @@ class AnalyticsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = AnalyticsQueries.defs(name)(spark, dir)
 
+  test("events_impute_locf: filled value is the last non-null at-or-before each row") {
+    val rows = q("events_impute_locf")
+      .select("event_id", "user_id", "k", "k_filled")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.exists(_._3.isEmpty), "corpus must have gaps to impute")
+    assert(rows.count(_._4.isDefined) > rows.count(_._3.isDefined),
+      "imputation must fill some gaps")
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("user_id", "event_id", "unix_micros(ts) AS us",
+        """CASE WHEN event_type = 'purchase'
+          |     THEN CAST(get_json_object(props, '$.k') AS BIGINT) END AS k""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    val byUser = ev.groupBy(_._1)
+    val keyOf = ev.map(e => e._2 -> ((e._3, e._2))).toMap
+    rows.take(300).foreach { case (eid, uid, _, filled) =>
+      val key = keyOf(eid)
+      val expected = byUser(uid)
+        .filter(e => e._3 < key._1 || (e._3 == key._1 && e._2 <= key._2))
+        .sortBy(e => (e._3, e._2)).reverse.collectFirst { case (_, _, _, Some(v)) => v }
+      assert(filled == expected, s"LOCF mismatch for event $eid")
+    }
+  }
+
   test("events_anomaly_mad: medians are real medians, outliers bounded") {
     val rows = q("events_anomaly_mad")
       .select("event_type", "med_cents", "mad_cents", "n_outliers", "max_dev")
