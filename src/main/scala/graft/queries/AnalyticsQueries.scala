@@ -229,6 +229,35 @@ object AnalyticsQueries {
         .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
     }),
 
+    // C46: snapshot MERGE (upsert) — the MERGE INTO shape in stock Spark:
+    // a changes batch (docs 350–449, the "new crawl") merges into the
+    // current snapshot (docs < 400) by key; matched keys take the change
+    // row (SCD-1 overwrite), unmatched changes insert, unmatched current
+    // rows persist. ONE full-outer join on the key decides all three
+    // classes — no per-row lookups, no second pass; at 100 TB both sides
+    // bucket by the merge key (C36's layout) so the join is shuffle-free.
+    // Output: per-class counts + content checksum of the merged snapshot,
+    // so the oracle verifies the merge RESULT, not just the counts.
+    "snapshot_merge" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val current = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("c_id"), col("text").as("c_text"))
+      val changes = docs.filter(col("doc_id") >= 350 && col("doc_id") < 450)
+        .select(col("doc_id").as("n_id"), concat(lit("v2 "), col("text")).as("n_text"))
+      val merged = current.join(changes, col("c_id") === col("n_id"), "full_outer")
+        .select(
+          coalesce(col("n_id"), col("c_id")).as("doc_id"),
+          coalesce(col("n_text"), col("c_text")).as("text"),
+          when(col("c_id").isNull, "insert")
+            .when(col("n_id").isNull, "keep").otherwise("update").as("op"))
+      // each row hash reduced mod 1e9+7 before the sum: 60-bit hashes summed
+      // raw overflow BIGINT at a few hundred rows (ANSI Spark would throw)
+      merged.groupBy("op").agg(
+        count(lit(1)).as("n"),
+        sum(expr(s"${graft.operators.Dedup.hashExpr(
+          "concat(CAST(doc_id AS STRING), '|', coalesce(text, ''))")} % 1000000007")).as("checksum"))
+    }),
+
     // C45: LOCF imputation — repair a sparse measure by carrying each
     // user's last observed value forward in event order (sensor/price
     // series repair; the imputation twin of the as-of join's carry-forward
@@ -435,6 +464,19 @@ object AnalyticsQueries {
         |SELECT '1_view' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM v
         |UNION ALL SELECT '2_click', CAST(count(*) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', CAST(count(*) AS BIGINT) FROM p""".stripMargin,
+
+    "snapshot_merge" ->
+      s"""WITH cur AS (SELECT doc_id AS c_id, text AS c_text FROM documents WHERE doc_id < 400),
+         |chg AS (SELECT doc_id AS n_id, 'v2 ' || text AS n_text FROM documents
+         |        WHERE doc_id >= 350 AND doc_id < 450),
+         |m AS (SELECT coalesce(n_id, c_id) AS doc_id,
+         |  coalesce(n_text, c_text) AS text,
+         |  CASE WHEN c_id IS NULL THEN 'insert'
+         |       WHEN n_id IS NULL THEN 'keep' ELSE 'update' END AS op
+         |  FROM cur FULL OUTER JOIN chg ON c_id = n_id)
+         |SELECT op, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(${DuckDialect.hash("CAST(doc_id AS VARCHAR) || '|' || coalesce(text, '')")} % 1000000007) AS BIGINT) AS checksum
+         |FROM m GROUP BY op""".stripMargin,
 
     "events_impute_locf" ->
       """SELECT event_id, user_id, k,

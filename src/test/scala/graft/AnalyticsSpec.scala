@@ -10,6 +10,16 @@ class AnalyticsSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def q(name: String) = AnalyticsQueries.defs(name)(spark, dir)
 
+  test("snapshot_merge: class counts partition the merged snapshot") {
+    val rows = q("snapshot_merge").select("op", "n", "checksum")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet == Set("insert", "update", "keep"))
+    assert(rows("update")._1 == 50 && rows("insert")._1 == 50)
+    val nDocs = Tables(spark, dir, "documents").filter(col("doc_id") < 400).count()
+    assert(rows("keep")._1 == nDocs - 50, "keeps = current minus updated")
+    assert(rows.values.forall(_._2 > 0), "checksums must cover content")
+  }
+
   test("events_impute_locf: filled value is the last non-null at-or-before each row") {
     val rows = q("events_impute_locf")
       .select("event_id", "user_id", "k", "k_filled")
