@@ -164,6 +164,22 @@ object StreamingQueries {
         "sq_join", "append")
     }),
 
+    // C47: the LEFT OUTER stream-stream join — conversion AND abandonment
+    // from one query: unmatched clicks emit (null purchase) only once the
+    // watermark proves their hour is over. With a 1-minute delay the final
+    // no-data batch advances the watermark to min(max c_ts, max p_ts) − 1
+    // min and flushes exactly the closed unmatched windows — the oracle
+    // reproduces that watermark arithmetic.
+    "streaming_join_outer" -> ((s, dir) => {
+      val clicks = readStreamTable(s, dir, "events")
+        .filter(col("event_type") === "click")
+      val purchases = readStreamTable(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+      runToTable(s,
+        JoinStream.clickPurchaseOuter(clicks, purchases, "1 minute"),
+        "sq_join_outer", "append")
+    }),
+
     // C8: stateful sessionization AS a stream (flatMapGroupsWithState,
     // event-time timeout). Pinned to one micro-batch with no-data batches
     // off: no timeout fires, so the emitted set is exactly "all sessions
@@ -231,6 +247,25 @@ object StreamingQueries {
           |FROM events c JOIN events p ON c.user_id = p.user_id
           |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
           |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+      // inner matches ∪ unmatched clicks whose window the final watermark
+      // (min of the two sides' max event time, minus the delay) closed
+      "streaming_join_outer" ->
+        """WITH c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+          |           WHERE event_type = 'click'),
+          |p AS (SELECT user_id AS p_user, event_id AS p_id, ts AS p_ts FROM events
+          |      WHERE event_type = 'purchase'),
+          |wm AS (SELECT least((SELECT max(c_ts) FROM c), (SELECT max(p_ts) FROM p))
+          |         - INTERVAL 1 MINUTE AS w),
+          |j AS (SELECT c.user_id, c.c_id, c.c_ts, p.p_id, p.p_ts
+          |      FROM c JOIN p ON c.user_id = p.p_user
+          |       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 1 HOUR)
+          |SELECT user_id, c_id, p_id,
+          |  CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT) AS gap_us FROM j
+          |UNION ALL
+          |SELECT c.user_id, c.c_id, NULL, NULL FROM c
+          |WHERE c.c_id NOT IN (SELECT c_id FROM j)
+          |  AND c.c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)""".stripMargin,
 
       // batch sessionization minus each user's LAST session (the stream's
       // still-open tail) — same gap/window CTEs as events_sessionize

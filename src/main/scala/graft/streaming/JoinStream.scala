@@ -24,7 +24,25 @@ object JoinStream {
     * "interval 1 hour") after the click. Both inputs are streaming frames
     * over the events schema (user_id, event_id, ts, event_type). */
   def clickPurchase(clicks: DataFrame, purchases: DataFrame, delay: String,
-                    windowExpr: String = "interval 1 hour"): DataFrame = {
+                    windowExpr: String = "interval 1 hour"): DataFrame =
+    joined(clicks, purchases, delay, windowExpr, "inner")
+
+  /** LEFT OUTER form: clicks that never see a purchase inside their hour
+    * ALSO emit (null purchase) — but only once the watermark proves no
+    * purchase can still arrive (wm > c_ts + window). This is the streaming
+    * semantics that makes "conversion AND abandonment" computable from one
+    * query: emission of the unmatched row is delayed by exactly the
+    * watermark, never guessed. Inner matches still emit immediately, so
+    * the emitted SET is {all matches} ∪ {unmatched clicks whose window
+    * the final watermark closed} — deterministic under AvailableNow (the
+    * trailing no-data batch advances the watermark to max event time −
+    * delay and flushes the closed unmatched state). */
+  def clickPurchaseOuter(clicks: DataFrame, purchases: DataFrame, delay: String,
+                         windowExpr: String = "interval 1 hour"): DataFrame =
+    joined(clicks, purchases, delay, windowExpr, "left_outer")
+
+  private def joined(clicks: DataFrame, purchases: DataFrame, delay: String,
+                     windowExpr: String, joinType: String): DataFrame = {
     val c = clicks
       .select(col("user_id"), col("event_id").as("c_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", delay)
@@ -33,7 +51,8 @@ object JoinStream {
         col("ts").as("p_ts"))
       .withWatermark("p_ts", delay)
     c.join(p, expr(
-        s"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + $windowExpr"))
+        s"user_id = p_user AND p_ts >= c_ts AND p_ts <= c_ts + $windowExpr"),
+        joinType)
       .select(col("user_id"), col("c_id"), col("p_id"),
         (unix_micros(col("p_ts")) - unix_micros(col("c_ts"))).as("gap_us"))
   }

@@ -50,6 +50,31 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_join_outer: inner matches plus exactly the watermark-closed unmatched") {
+    val streamed = run("streaming_join_outer").collect()
+    val matched = streamed.filter(r => !r.isNullAt(2))
+    val unmatched = streamed.filter(r => r.isNullAt(2))
+    assert(matched.nonEmpty && unmatched.nonEmpty)
+    // every unmatched click's hour must be closed by the final watermark
+    val ev = Tables(spark, dir, "events")
+    import org.apache.spark.sql.Row
+    val Row(maxC: Long) = ev.filter(col("event_type") === "click")
+      .selectExpr("max(unix_micros(ts))").head()
+    val Row(maxP: Long) = ev.filter(col("event_type") === "purchase")
+      .selectExpr("max(unix_micros(ts))").head()
+    val wm = math.min(maxC, maxP) - 60000000L
+    val clickUs = ev.filter(col("event_type") === "click")
+      .selectExpr("event_id", "unix_micros(ts)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    unmatched.foreach { r =>
+      assert(clickUs(r.getLong(1)) + 3600000000L < wm,
+        "an unmatched click emitted before its window closed")
+    }
+    // the matched set equals the inner streaming join's output
+    val inner = run("streaming_join").collect().toSet
+    assert(matched.toSet == inner)
+  }
+
   test("streaming_sessionize emits every batch session except each user's open last") {
     val streamed = run("streaming_sessionize").collect().toSet
     val w = Window.partitionBy("user_id")
