@@ -136,6 +136,25 @@ object HybridQueries {
         .select(col("q_id"), coalesce(col("h"), lit(0L)).as("n_hit"))
     }),
 
+    // A34: embedding drift / domain-dispersion monitor — per metadata
+    // group (source), the embedding centroid and the members' mean/max
+    // scaled L2 to it: the dashboard a training pipeline watches to catch
+    // a domain collapsing to near-duplicates or a crawler's embedding
+    // distribution shifting between snapshots. Shape: one VecSum centroid
+    // aggregate (groups×d values cross the shuffle, never n×d rows),
+    // centroids broadcast back, one narrow distance scan; the mean is an
+    // integer sum-div-count of the scaled distances (no fp avg).
+    "embedding_drift" -> ((s, dir) => {
+      val ed = emb(s, dir).join(docs(s, dir), col("vec_id") === col("doc_id"))
+        .select(col("source"), col("embedding"))
+      val cent = Ivf.centroids(ed, clusterCol = "source")
+      ed.join(broadcast(cent), "source")
+        .withColumn("d", scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), expr("sum(d) div count(*)").as("mean_dist"),
+          max("d").as("max_dist"))
+    }),
+
     // A33: index maintenance — split the hottest clusters (the rebalance
     // sibling of A30's append): the top-3 most-populated clusters are
     // split in place, each member reassigned to the nearer of two
@@ -655,6 +674,24 @@ object HybridQueries {
          |  SELECT a.q_id, count(*) AS n_hit
          |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
          |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
+
+    "embedding_drift" -> {
+      def l2s(a: String, b: String) =
+        s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+      s"""WITH ed AS (SELECT d.source, e.embedding FROM embeddings e
+         |  JOIN documents d ON d.doc_id = e.vec_id),
+         |cent AS (SELECT source, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+         |    SELECT ed.source AS source, dd.dim AS dim,
+         |      avg(CAST(ed.embedding[dd.dim + 1] AS DOUBLE)) AS cv
+         |    FROM ed CROSS JOIN range(64) dd(dim)
+         |    GROUP BY ed.source, dd.dim)
+         |  GROUP BY source),
+         |m AS (SELECT ed.source, ${l2s("ed.embedding", "c.cent")} AS dist
+         |      FROM ed JOIN cent c ON ed.source = c.source)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n,
+         |  sum(dist) // count(*) AS mean_dist, max(dist) AS max_dist
+         |FROM m GROUP BY source""".stripMargin
+    },
 
     "ivf_split_hot" -> {
       def l2s(a: String, b: String) =
