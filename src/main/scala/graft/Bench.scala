@@ -6,9 +6,15 @@ object Bench {
   /** Query classes mirroring the reference's evaluation axes
     * (/root/reference/acorn.py:283 measures wall + RSS per query class):
     * vector/hybrid search, dedup family, text analysis, ingest/parse,
-    * core analytics. */
+    * core analytics — plus `build`, the index-TRAINING entries (Lloyd's
+    * iterations etc.), separated so query-surface regressions stay visible
+    * instead of being drowned by training-loop wall time. */
+  private val BuildEntries = Set(
+    "ivf_build", "knn_ivf_trained", "knn_pq_trained", "ivf_split_hot")
+
   def classOf(name: String): String =
-    if (name.startsWith("streaming_")) "streaming"
+    if (BuildEntries(name)) "build"
+    else if (name.startsWith("streaming_")) "streaming"
     else if (name.startsWith("dedup_")) "dedup"
     else if (name.startsWith("text_")) "text"
     else if (name.startsWith("multimodal_") || name.endsWith("_parse") ||
@@ -30,9 +36,23 @@ object Bench {
     } catch { case _: Throwable => -1L }
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2) // lower median — robust, no interpolation
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // n timed passes per entry, INTERLEAVED (pass 1 over all entries, then
+    // pass 2, ...): host stalls on the shared machine arrive in multi-minute
+    // waves (SURVEY §8f), so back-to-back repeats of one entry would all
+    // land in the same wave while interleaving decorrelates them. The
+    // reported per-query number is the lower MEDIAN of the n passes.
+    val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // full per-pass timings go to a FILE the driver can keep — the 2,000
+    // char stdout tail truncates a 119-entry per-query map
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_full.json")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,13 +68,13 @@ object Bench {
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
             d: String): Unit =
       fn(spark, d).write.format("noop").mode("overwrite").save()
-    // Warm-up pass at the smallest SF: JIT-compiles the codegen'd stages so
-    // the timed pass measures steady-state throughput, not JVM warmup.
     // SPARK_GRAFT_ONLY=a,b,c → time only those entries (targeted re-bench)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
-      SparkEntry.queries.filter { case (n, _) => names(n) })
+      SparkEntry.queries.filter { case (n, _) => names(n) }).toSeq.sortBy(_._1)
+    // Warm-up pass at the smallest SF: JIT-compiles the codegen'd stages so
+    // the timed passes measure steady-state throughput, not JVM warmup.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       selected.foreach { case (_, fn) =>
@@ -62,22 +82,44 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
-    val results = selected.map { case (name, fn) =>
+    val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    for (_ <- 1 to nRuns; (name, fn) <- selected) {
       val t0 = System.nanoTime()
       try run(fn, sfDir) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across timings
-      name -> elapsed
+      times(name) = times(name) :+ elapsed
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val classes = results.groupBy { case (k, _) => classOf(k) }
+    val med = selected.map { case (name, _) => name -> median(times(name)) }
+    val mins = selected.map { case (name, _) => name -> times(name).min }.toMap
+    // stall signature: even the median is >3× the entry's own best pass —
+    // the run contains host-stall contamination; report both numbers
+    val stalled = med.collect {
+      case (n, m) if mins(n) > 0.05 && m > 3 * mins(n) => n
+    }
+    def fmtQ(pairs: Seq[(String, Double)]): String =
+      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = med.map(_._2).sum
+    val totalMin = mins.values.sum
+    val classes = med.groupBy { case (k, _) => classOf(k) }
       .toSeq.sortBy(_._1)
-      .map { case (c, m) => s"\"$c\":{\"sec\":${m.values.sum},\"n\":${m.size}}" }
+      .map { case (c, m) =>
+        s""""$c":{"sec":${f"${m.map(_._2).sum}%.3f"},"n":${m.size}}""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""classes":$classes,"rss_mb":$rssMb,"sf":"$sfDir"}""")
+    // full artifact: every pass's raw timing, for stall forensics
+    val full = selected.map { case (name, _) =>
+      "\"" + name + "\":[" + times(name).map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
+      s""","queries":${fmtQ(med)},"classes":$classes""" +
+      s""","n_runs":$nRuns,"total_min":${f"$totalMin%.3f"},"stalled":$stalledJson""" +
+      s""","rss_mb":$rssMb,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
+      s"""{"runs":$full,"medians":${fmtQ(med)},"summary":$line}""")
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
   }
 }

@@ -16,11 +16,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // SPARK_GRAFT_ONLY=a,b,c → dump only those entries (fast iteration on a
-    // new query; tools/compare.py only checks result dirs that exist)
+    // new query; tools/compare.py only checks result dirs that exist).
+    // Unselected entries' stale result dirs are DELETED (ADVICE r2): a
+    // targeted re-verify must not let the compare silently validate
+    // leftovers from an older build.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    only.foreach { _ =>
+      SparkEntry.queries.keys.filterNot(selected.contains).foreach { stale =>
+        val d = new java.io.File(outDir, stale)
+        if (d.isDirectory) {
+          d.listFiles().foreach(_.delete())
+          d.delete()
+        }
+      }
+    }
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -234,6 +234,81 @@ case class VecSum(child: Expression,
     copy(child = newChildren(0))
 }
 
+/** `vec_sum_long(array<bigint>)` → `array<bigint>`: element-wise integer
+  * sum. The ORDER-INDEPENDENT centroid accumulator: float summation order
+  * varies with partitioning, so a hash-compared centroid must accumulate
+  * pre-quantized integer components (ADVICE r2, embedding_drift). Overflow
+  * discipline: components quantized to ≤10⁴ sum safely over 2⁴⁹ rows. */
+case class VecSumLong(child: Expression,
+                      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  override def prettyName: String = "vec_sum_long"
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $other")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buf
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val acc = if (buf.isEmpty) new Array[Long](n) else buf
+      if (acc.length != n) throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (${acc.length} vs $n)")
+      var i = 0
+      while (i < n) { acc(i) += arr.getLong(i); i += 1 }
+      acc
+    }
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] =
+    if (other.isEmpty) buf
+    else if (buf.isEmpty) other
+    else {
+      if (buf.length != other.length) throw new IllegalArgumentException(
+        s"$prettyName: vector dimensions differ (${buf.length} vs ${other.length})")
+      var i = 0
+      while (i < buf.length) { buf(i) += other(i); i += 1 }
+      buf
+    }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 8 * buf.length)
+    bb.putInt(buf.length)
+    var i = 0
+    while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSumLong =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSumLong =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren(0))
+}
+
 /** Column-level API for the typed aggregates. */
 object aggs {
   /** k best (score, id) pairs per group, best-first. `asc=true` = lower
@@ -247,4 +322,8 @@ object aggs {
   /** element-wise sum of an array<float> column, as array<double>. */
   def vecSum(v: Column): Column =
     Bridge.column(VecSum(Bridge.expression(v)).toAggregateExpression())
+
+  /** element-wise integer sum of an array<bigint> column (order-exact). */
+  def vecSumLong(v: Column): Column =
+    Bridge.column(VecSumLong(Bridge.expression(v)).toAggregateExpression())
 }

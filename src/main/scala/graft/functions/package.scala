@@ -5,12 +5,18 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
 package object functions {
-  /** Float outputs are scaled to BIGINT (`round(x·10^digits)`) so the
+  /** Float outputs are scaled to BIGINT (`floor(x·10^digits + 0.5)`) so the
     * driver's DuckDB hash-compare is exact across engines. Mirror in SQL:
-    * `CAST(round(x * 10^digits, 0) AS BIGINT)`. */
+    * `CAST(floor(x * 10^digits + 0.5) AS BIGINT)`.
+    *
+    * floor(x+0.5), NOT round(): Spark round() is BigDecimal HALF_UP on the
+    * double's shortest decimal form while DuckDB round() is C-library
+    * rounding on the raw double — the two can disagree on values landing
+    * near .5, and DuckDB's behavior has shifted across versions. floor over
+    * an IEEE product is the same exact operation in every engine. */
   def scaled(c: Column, digits: Int): Column = {
     val factor = math.pow(10, digits)
-    round(c * lit(factor)).cast(LongType)
+    floor(c * lit(factor) + lit(0.5)).cast(LongType)
   }
 
   /** Deterministic 60-bit positive hash shared with the DuckDB oracle:

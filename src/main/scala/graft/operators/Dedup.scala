@@ -22,6 +22,21 @@ object Dedup {
   def minhashB(j: Int): Long = (40503L * (j + 1) % P) * 2654435761L % P
 
   /** B1: exact dedup by content hash; keeps the smallest id per group. */
+  /** Eager materialization for the iterative operators (CC rounds, Lloyd's
+    * sampling). Default is `localCheckpoint`: executor-local storage —
+    * fastest, but NON-REPLICATED and lineage-truncating, so on a real
+    * cluster one lost executor kills the job with nothing to recompute
+    * from. For the 100 TB path set `spark.graft.checkpoint.reliable=true`
+    * (plus `SparkContext.setCheckpointDir` on durable storage): rounds then
+    * go through reliable `checkpoint()` and survive executor loss at the
+    * cost of a filesystem round-trip per iteration. */
+  def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.conf.getOption(ReliableCheckpointConf).contains("true"))
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
+  val ReliableCheckpointConf = "spark.graft.checkpoint.reliable"
+
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))
@@ -407,10 +422,10 @@ object Dedup {
     // materialize the (possibly expensive) pair pipeline ONCE — a plain
     // union of two selects over it would inline two full copies of the
     // upstream plan and compute the candidate generation twice
-    val p0 = pairs.selectExpr(s"$aCol AS src", s"$bCol AS dst").localCheckpoint(true)
+    val p0 = materialize(pairs.selectExpr(s"$aCol AS src", s"$bCol AS dst"))
     val sym = p0.union(p0.select(col("dst").as("src"), col("src").as("dst")))
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var labels = materialize(sym.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")))
     // per round: ONE edge-keyed join + ONE vertex min-aggregate — the
     // vertex's own label enters the same aggregate via union, so no
     // second (labels ⋈ update) join is needed. Labels only ever
@@ -424,12 +439,11 @@ object Dedup {
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val upd = sym
+      val upd = materialize(sym
         .join(labels.select(col("id").as("dst"), col("lbl").as("nl")), "dst")
         .select(col("src").as("id"), col("nl").as("lbl"))
         .union(labels)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       val s = labelSum(upd)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
@@ -456,8 +470,16 @@ object Dedup {
     * plan shape as one propagation round — over an edge set that only
     * SHRINKS (toward one star edge per non-root vertex), where
     * propagation re-joins the full original edge set every round.
-    * Convergence = edge-set fixpoint, checked exactly (anti-join on the
-    * just-checkpointed rounds, not a hashed summary).
+    * Convergence = edge-set fixpoint, checked with ONE aggregate per round
+    * — (edge count, Σ xxhash64(u,v)) compared to the previous round's pair
+    * (the r2 verdict's single-action convergence; the old form launched a
+    * count() AND a left_anti.isEmpty on top of the checkpoint, three
+    * driver round-trips per iteration). The checksum is an
+    * order-independent sum of 64-bit edge hashes in decimal(38,0): at the
+    * true fixpoint upd == edges exactly, and a premature stop would need a
+    * colliding hash SUM across consecutive shrinking rounds — negligible
+    * against the driver-latency cost the extra jobs charge every round at
+    * scale.
     *
     * Contract: vertices appearing ONLY in self-loops are dropped (the
     * dedup pair generators emit a_id < b_id, so none exist there);
@@ -470,9 +492,15 @@ object Dedup {
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .distinct()
 
-    var edges = canon(pairs.selectExpr(s"$aCol AS u", s"$bCol AS v"))
-      .localCheckpoint(true)
-    var converged = edges.isEmpty
+    // (count, checksum) read off the just-checkpointed frame — near-free
+    def edgeStats(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)).as("n"),
+        sum(xxhash64(col("u"), col("v")).cast("decimal(38,0)")).as("chk")).head
+      (r.getLong(0), Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var edges = materialize(canon(pairs.selectExpr(s"$aCol AS u", s"$bCol AS v")))
+    var prev = edgeStats(edges)
+    var converged = prev._1 == 0L
     while (!converged) {
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
@@ -487,13 +515,12 @@ object Dedup {
       val symL = large.union(large.select(col("v").as("u"), col("u").as("v")))
       val smallNbr = symL.filter(col("v") < col("u"))
       val mSmall = smallNbr.groupBy("u").agg(min("v").as("m"))
-      val upd = canon(
+      val upd = materialize(canon(
         smallNbr.join(mSmall, "u").select(col("v").as("u"), col("m").as("v"))
-          .union(mSmall.select(col("u"), col("m").as("v"))))
-        .localCheckpoint(true)
-      // exact fixpoint: same count and no edge outside the previous set
-      converged = upd.count() == edges.count() &&
-        upd.join(edges, Seq("u", "v"), "left_anti").isEmpty
+          .union(mSmall.select(col("u"), col("m").as("v")))))
+      val cur = edgeStats(upd)
+      converged = cur._1 == prev._1 && cur._2.compareTo(prev._2) == 0
+      prev = cur
       edges = upd
     }
     // converged edges form stars (node, root); a root's neighbors are all

@@ -69,7 +69,7 @@ object Ivf {
       // expensive (final) probe level runs exactly once
       def searchAt(nProbe: Int): DataFrame =
         searchProbed(cent, emb, meta, pred, query, k, nProbe, metric,
-          idCol, metaIdCol, vecCol, clusterCol).localCheckpoint(true)
+          idCol, metaIdCol, vecCol, clusterCol).transform(Dedup.materialize)
 
       var nProbe = 1
       var res = searchAt(nProbe)

@@ -49,27 +49,34 @@ object Lsh {
     * (Lv et al., VLDB'07). The Hamming test is a codegen'd integer
     * `bit_count(bucket ^ q_bucket)` — no bucket-list explosion; at scale
     * the (numPlanes+1) probed buckets are partition-prunable when the
-    * corpus is laid out clustered by bucket. */
+    * corpus is laid out clustered by bucket.
+    *
+    * `query` must hold ONE row (same contract as `Knn.topK`'s query param —
+    * batch search goes through `Knn.batchKnn`). The `distinct()` on the
+    * broadcast bucket makes candidate duplication impossible even if a
+    * multi-row query slips through, but the final top-k would still mix
+    * query vectors — hence the documented single-row contract. */
   def multiProbeSearch(corpus: DataFrame, query: DataFrame, k: Int, numPlanes: Int,
                        dims: Int, maxFlips: Int = 1, metric: Knn.Metric = Knn.Cosine,
                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = withBucket(corpus, numPlanes, dims, vecCol)
     val q = withBucket(query, numPlanes, dims, "q_vec", "q_bucket")
     val candidates = bucketed
-      .crossJoin(broadcast(q.select(col("q_bucket"))))
+      .crossJoin(broadcast(q.select(col("q_bucket")).distinct()))
       .filter(expr(s"bit_count(bucket ^ q_bucket) <= $maxFlips"))
     Knn.topK(candidates.select(col(idCol), col(vecCol)),
       q.select("q_vec"), k, metric, idCol, vecCol)
   }
 
-  /** In-bucket ANN: search only vectors sharing the query's bucket. */
+  /** In-bucket ANN: search only vectors sharing the query's bucket.
+    * Single-row `query` contract, as `multiProbeSearch`. */
   def annSearch(corpus: DataFrame, query: DataFrame, k: Int, numPlanes: Int, dims: Int,
                 metric: Knn.Metric = Knn.Cosine,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = withBucket(corpus, numPlanes, dims, vecCol)
     val q = withBucket(query, numPlanes, dims, "q_vec", "q_bucket")
     val inBucket = bucketed
-      .crossJoin(broadcast(q.select(col("q_bucket"))))
+      .crossJoin(broadcast(q.select(col("q_bucket")).distinct()))
       .filter(col("bucket") === col("q_bucket"))
     Knn.topK(inBucket.select(col(idCol), col(vecCol)),
       q.select("q_vec"), k, metric, idCol, vecCol)

@@ -46,9 +46,8 @@ object Pq {
                       iters: Int, sampleMax: Int): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val sample = emb.filter(col("vec_id") < sampleMax)
-      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      .localCheckpoint(true)
+    val sample = Dedup.materialize(emb.filter(col("vec_id") < sampleMax)
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"))
     var cb = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val stackExpr = s"stack($numSub, " +
@@ -172,7 +171,7 @@ object Pq {
     // argmin into the top-k's sort order, where TakeOrdered comparators
     // run INTERPRETED per comparison. The materialized relation is the
     // ~(8·8B codes + id) per row any PQ index stores anyway.
-    val codes = encodeFast(body, cbRows, numSub, subDim).localCheckpoint(true)
+    val codes = Dedup.materialize(encodeFast(body, cbRows, numSub, subDim))
     // Step 2: td lookup per subspace as element_at over a literal array —
     // a small projection over bound code columns, whole-stage codegen'd.
     // (A CASE-key form desugars to per-branch EqualTo copies of the key,

@@ -95,7 +95,8 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
       AnnIndexRegistry.all.nonEmpty
 
   /** Unwrap monotone non-decreasing wrappers our scaled() convention adds:
-    * cast, round, multiply-by-positive-literal. */
+    * cast, floor/round, add-constant, multiply-by-positive-literal
+    * (`floor(x·10⁴ + 0.5)` is the engine-wide integer-scaling form). */
   private def positiveConst(e: Expression): Boolean =
     e.foldable && (e.eval() match {
       case n: java.lang.Number => n.doubleValue() > 0
@@ -105,6 +106,9 @@ case class AnnProbeRewrite(spark: SparkSession) extends Rule[LogicalPlan] {
   private def unwrapMonotone(e: Expression): Expression = e match {
     case Cast(c, _, _, _) => unwrapMonotone(c)
     case Round(c, s, _) if s.foldable => unwrapMonotone(c)
+    case Floor(c) => unwrapMonotone(c)
+    case Add(c, k, _) if k.foldable => unwrapMonotone(c)
+    case Add(k, c, _) if k.foldable => unwrapMonotone(c)
     case Multiply(c, k, _) if positiveConst(k) => unwrapMonotone(c)
     case Multiply(k, c, _) if positiveConst(k) => unwrapMonotone(c)
     case other => other

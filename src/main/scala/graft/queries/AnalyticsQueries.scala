@@ -337,7 +337,7 @@ object AnalyticsQueries {
         .select(col("h"), expr("h - interval 30 minutes").as("w_start"),
           expr("h + interval 90 minutes").as("w_end"))
       ev.join(broadcast(busy), col("ts") >= col("w_start") && col("ts") < col("w_end"))
-        .groupBy(date_format(col("h"), "yyyy-MM-dd HH:mm").as("window_hour"))
+        .groupBy(expr("unix_micros(h) div 60000000").as("window_min"))
         .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
     }),
 
@@ -522,7 +522,7 @@ object AnalyticsQueries {
         |  GROUP BY 1 ORDER BY n DESC, h LIMIT 3),
         |w AS (SELECT h, h - INTERVAL 30 MINUTE AS w_start,
         |             h + INTERVAL 90 MINUTE AS w_end FROM busy)
-        |SELECT strftime(w.h, '%Y-%m-%d %H:%M') AS window_hour,
+        |SELECT epoch_us(w.h) // 60000000 AS window_min,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
         |FROM events e JOIN w ON e.ts >= w.w_start AND e.ts < w.w_end

@@ -38,7 +38,10 @@ object CoreQueries {
         .join(cust, ord("o_custkey") === cust("c_custkey"))
         .groupBy(ord("o_orderkey"), ord("o_orderdate"), ord("o_orderpriority"))
         .agg(scaled(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 0).as("revenue"))
-        .select(col("o_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        // order date as integer epoch days — formatted date strings are
+        // engine/version sensitive (SURVEY §6 integer-only convention)
+        .select(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("o_date_day"),
           col("o_orderpriority"), col("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
         .limit(10)
@@ -80,7 +83,8 @@ object CoreQueries {
       t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), scaled(sum("value"), 2).as("sum_value"))
-        .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("hour"),
+        // window start as integer epoch minutes, not a formatted string
+        .select(expr("unix_micros(w.start) div 60000000").as("hour_min"),
           col("event_type"), col("n"), col("sum_value"))),
 
     // C11: scan-heavy filter + global agg (TPC-H Q6 shape) — no shuffle at
@@ -113,7 +117,7 @@ object CoreQueries {
         .join(t(s, dir, "lineitem"), col("p_partkey") === col("l_partkey"), "left_semi")
         .groupBy("p_brand")
         .agg(count(lit(1)).as("n_used"),
-          round(sum(col("p_retailprice") * 100)).cast("long").as("sum_cents"))
+          floor(sum(col("p_retailprice") * 100) + lit(0.5)).cast("long").as("sum_cents"))
         .selectExpr("p_brand", "n_used", "sum_cents div n_used AS avg_price")),
 
     // C14: conditional aggregation (TPC-H Q14 shape) — promo revenue share
@@ -226,7 +230,10 @@ object CoreQueries {
         "(unix_micros(ts) div 86400000000) % 256 AS d",
         "CAST(floor(value * 100) AS BIGINT) AS cents")
         .withColumn("zval", expr(graft.operators.ZOrder.zvalExpr("u", "d", 8)))
-      val path = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+      // fixed overwrite target (ADVICE r2): a fresh temp dir per invocation
+      // leaked a full parquet copy on every Verify/Bench pass
+      val path = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_zorder_layout").getAbsolutePath
       graft.operators.ZOrder.writeZOrdered(ev, "zval", path, nFiles = 16)
       s.read.parquet(path)
         .filter(col("u").between(40, 120) && col("d").between(15, 30))
@@ -234,32 +241,37 @@ object CoreQueries {
           min("zval").as("z_lo"), max("zval").as("z_hi"))
     }),
 
-    // B12: semi-structured props JSON extraction + agg. avg_k is integer
-    // arithmetic (sum·10⁴ div non-null count) — a double avg×10⁴ can land
-    // exactly on x.5 and round differently across engines (same convention
-    // as semi_join's avg_price).
+    // B12: semi-structured props JSON extraction + agg. Engine-proof by
+    // construction (this row was hash-red r1+r2): the extracted value is
+    // cast only when it is a literal integer string (cast-edge behavior on
+    // "12.5"/"1e3" differs across engines), and avg_k is explicit FLOOR
+    // division via the pmod identity — Spark `div` truncates toward zero
+    // while DuckDB `//` floors, which diverges on negative sums.
     "events_json" -> ((s, dir) =>
       t(s, dir, "events")
-        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .withColumn("ks", get_json_object(col("props"), "$.k"))
+        .withColumn("k", when(col("ks").rlike("^-?[0-9]+$"), col("ks").cast("long")))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), count("k").as("n_k"))
-        .selectExpr("event_type", "n", "sum_k", "(sum_k * 10000) div n_k AS avg_k"))
+        .selectExpr("event_type", "n", "sum_k", "n_k",
+          "CASE WHEN n_k = 0 THEN NULL ELSE " +
+            "(sum_k * 10000 - (((sum_k * 10000) % n_k + n_k) % n_k)) div n_k END AS avg_k"))
   )
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(round(sum(l_quantity) * 1.0, 0) AS BIGINT) AS sum_qty,
-        | CAST(round(sum(l_extendedprice) * 1.0, 0) AS BIGINT) AS sum_base_price,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS sum_disc_price,
-        | CAST(round(avg(l_discount) * 10000.0, 0) AS BIGINT) AS avg_disc,
+        | CAST(floor(sum(l_quantity) * 1.0 + 0.5) AS BIGINT) AS sum_qty,
+        | CAST(floor(sum(l_extendedprice) * 1.0 + 0.5) AS BIGINT) AS sum_base_price,
+        | CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 1.0 + 0.5) AS BIGINT) AS sum_disc_price,
+        | CAST(floor(avg(l_discount) * 10000.0 + 0.5) AS BIGINT) AS avg_disc,
         | count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q3_join" ->
-      """SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS revenue
+      """SELECT o_orderkey, epoch_us(o_orderdate) // 86400000000 AS o_date_day, o_orderpriority,
+        | CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 1.0 + 0.5) AS BIGINT) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -271,7 +283,7 @@ object CoreQueries {
 
     "q5_multijoin" ->
       """SELECT n_name,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS revenue
+        | CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 1.0 + 0.5) AS BIGINT) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -286,17 +298,17 @@ object CoreQueries {
       """SELECT p_brand, p_partkey, rank, price FROM (
         | SELECT p_brand, p_partkey,
         |  CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS BIGINT) AS rank,
-        |  CAST(round(p_retailprice * 100.0, 0) AS BIGINT) AS price
+        |  CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price
         | FROM part
         |) WHERE rank <= 3""".stripMargin,
 
     "events_window" ->
-      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
-        | count(*) AS n, CAST(round(sum(value) * 100.0, 0) AS BIGINT) AS sum_value
+      """SELECT epoch_us(date_trunc('hour', ts)) // 60000000 AS hour_min, event_type,
+        | count(*) AS n, CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q6_filter_agg" ->
-      """SELECT CAST(round(sum(l_extendedprice * l_discount) * 1.0, 0) AS BIGINT) AS revenue,
+      """SELECT CAST(floor(sum(l_extendedprice * l_discount) * 1.0 + 0.5) AS BIGINT) AS revenue,
         | count(*) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -312,27 +324,27 @@ object CoreQueries {
 
     "semi_join" ->
       """SELECT p_brand, count(*) AS n_used,
-        | CAST(round(sum(p_retailprice * 100), 0) AS BIGINT) // count(*) AS avg_price
+        | CAST(floor(sum(p_retailprice * 100) + 0.5) AS BIGINT) // count(*) AS avg_price
         |FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
         |GROUP BY p_brand""".stripMargin,
 
     "conditional_agg" ->
       """SELECT
-        | CAST(round(sum(CASE WHEN position('a' IN p_type) > 0
-        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 1.0, 0) AS BIGINT) AS promo_rev,
-        | CAST(round(sum(l_extendedprice * (1.0 - l_discount)) * 1.0, 0) AS BIGINT) AS total_rev
+        | CAST(floor(sum(CASE WHEN position('a' IN p_type) > 0
+        |   THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END) * 1.0 + 0.5) AS BIGINT) AS promo_rev,
+        | CAST(floor(sum(l_extendedprice * (1.0 - l_discount)) * 1.0 + 0.5) AS BIGINT) AS total_rev
         |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin,
 
     "running_total" ->
       """SELECT o_custkey, o_orderkey,
-        | CAST(round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |   ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) * 100.0, 0) AS BIGINT) AS cum_spend
+        | CAST(floor(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate ASC, o_orderkey ASC ROWS UNBOUNDED PRECEDING) * 100.0 + 0.5) AS BIGINT) AS cum_spend
         |FROM orders WHERE o_custkey < 100""".stripMargin,
 
     "rollup_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        | CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS total
         |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "set_ops" ->
@@ -344,7 +356,7 @@ object CoreQueries {
 
     "cube_agg" ->
       """SELECT o_orderpriority, o_orderstatus, count(*) AS n,
-        | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        | CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS total
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin,
 
     "events_distinct" ->
@@ -353,14 +365,14 @@ object CoreQueries {
 
     "moving_avg" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) OVER (PARTITION BY o_custkey
+        | sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate ASC, o_orderkey ASC
         |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_cents
         |FROM orders WHERE o_custkey < 100""".stripMargin,
 
     "bucketed_join" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
-        | CAST(round(sum(o_totalprice), 0) AS BIGINT) AS total
+        | CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
 
@@ -374,10 +386,14 @@ object CoreQueries {
          |  min(zval) AS z_lo, max(zval) AS z_hi FROM b""".stripMargin,
 
     "events_json" ->
-      """SELECT event_type, count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-        | (sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 10000)
-        |   // count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
-        |FROM events GROUP BY event_type""".stripMargin
+      """WITH x AS (SELECT event_type,
+        |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
+        |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, sum(k) AS sum_k, count(k) AS n_k,
+        | CASE WHEN count(k) = 0 THEN NULL ELSE
+        |   (sum(k) * 10000 - (((sum(k) * 10000) % count(k) + count(k)) % count(k)))
+        |     // count(k) END AS avg_k
+        |FROM x GROUP BY event_type""".stripMargin
   )
 }

@@ -197,11 +197,11 @@ object DedupQueries {
            |  FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id
            |  GROUP BY 1, 2)
            |SELECT a_id, b_id,
-           |  CAST(round((inter / (sa.n + sb.n - inter)) * 1000000.0, 0) AS BIGINT) AS jac
+           |  CAST(floor((inter / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) AS BIGINT) AS jac
            |FROM inter
            |JOIN sizes sa ON sa.doc_id = a_id
            |JOIN sizes sb ON sb.doc_id = b_id
-           |WHERE CAST(round((inter / (sa.n + sb.n - inter)) * 1000000.0, 0) AS BIGINT) >= $JaccardTauScaled""".stripMargin,
+           |WHERE CAST(floor((inter / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) AS BIGINT) >= $JaccardTauScaled""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH ${minhashPairCtes(sigCols, bandSelects)}
@@ -337,7 +337,7 @@ object DedupQueries {
       // branch is empty above the threshold, the bucketed branch below it
       "dedup_embedding" -> {
         def cs(a: String, b: String) =
-          s"CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+          s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
         s"""WITH nr AS (SELECT count(*) AS c FROM embeddings),
            |bk AS (SELECT vec_id, embedding,
            |  ${DuckDialect.bucketSql("embedding", EmbNumPlanes, EmbDims)} AS bucket FROM embeddings)

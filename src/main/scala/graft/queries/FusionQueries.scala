@@ -203,7 +203,7 @@ object FusionQueries {
        |          FROM sc GROUP BY doc_id)""".stripMargin
 
   private val cosSql =
-    "CAST(round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+    "CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
 
   /** explicit left-assoc squared-L2 terms — mirrors Pq.sqDistExpr exactly
     * (same element order, same op order) so rounding is bit-identical */
@@ -252,8 +252,8 @@ object FusionQueries {
          |  FROM embeddings e
          |  CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |  WHERE e.vec_id <> 0
-         |  ORDER BY CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]),
-         |    CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) ASC, e.vec_id ASC
+         |  ORDER BY CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]),
+         |    CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) ASC, e.vec_id ASC
          |  LIMIT 10)
          |SELECT CAST(10 AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS hits
          |FROM pqr JOIN ex USING (vec_id)""".stripMargin
@@ -275,8 +275,8 @@ object FusionQueries {
            |qp AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
            |probes AS (
            |  SELECT c.label FROM cent c CROSS JOIN qp
-           |  ORDER BY CAST(round(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
-           |    CAST(qp.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) DESC, c.label ASC
+           |  ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+           |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
            |  LIMIT 2),
            |""".stripMargin),
 
@@ -318,7 +318,7 @@ object FusionQueries {
          |short AS (SELECT enc.vec_id FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
          |          GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)
          |SELECT e.vec_id,
-         |  CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
+         |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
          |FROM embeddings e JOIN short USING (vec_id)
          |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin

@@ -14,7 +14,7 @@ object HybridQueries {
   private def docs(s: SparkSession, dir: String): DataFrame = Tables(s, dir, "documents")
 
   private def cosSql(a: String, b: String) =
-    s"CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+    s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
 
   private def centSql(src: String) = DuckDialect.centSql(src)
 
@@ -138,18 +138,30 @@ object HybridQueries {
 
     // A34: embedding drift / domain-dispersion monitor — per metadata
     // group (source), the embedding centroid and the members' mean/max
-    // scaled L2 to it: the dashboard a training pipeline watches to catch
+    // SQUARED L2 to it: the dashboard a training pipeline watches to catch
     // a domain collapsing to near-duplicates or a crawler's embedding
-    // distribution shifting between snapshots. Shape: one VecSum centroid
-    // aggregate (groups×d values cross the shuffle, never n×d rows),
-    // centroids broadcast back, one narrow distance scan; the mean is an
-    // integer sum-div-count of the scaled distances (no fp avg).
+    // distribution shifting between snapshots. INTEGER-EXACT end to end
+    // (the r2 hash-red fix): components quantize to scaled integers BEFORE
+    // averaging, the centroid is an element-wise integer floor-mean
+    // (VecSumLong — order-independent, unlike float accumulation), and the
+    // dispersion is the squared L2 in quantized units (no libm sqrt).
+    // Shape: one VecSumLong centroid aggregate (groups×d values cross the
+    // shuffle, never n×d rows), centroids broadcast back, one narrow
+    // integer distance scan; the mean is an integer sum-div-count.
     "embedding_drift" -> ((s, dir) => {
       val ed = emb(s, dir).join(docs(s, dir), col("vec_id") === col("doc_id"))
-        .select(col("source"), col("embedding"))
-      val cent = Ivf.centroids(ed, clusterCol = "source")
+        .select(col("source"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+        ).as("q"))
+      val cent = ed.groupBy("source")
+        .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"), count(lit(1)).as("cnt"))
+        // element-wise floor-mean; components can be negative, so floor
+        // division is spelled via the pmod identity (div truncates)
+        .select(col("source"),
+          expr("transform(sv, v -> (v - ((v % cnt + cnt) % cnt)) div cnt)").as("cent"))
       ed.join(broadcast(cent), "source")
-        .withColumn("d", scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits))
+        .withColumn("d",
+          expr("aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), expr("sum(d) div count(*)").as("mean_dist"),
           max("d").as("max_dist"))
@@ -394,7 +406,7 @@ object HybridQueries {
       emb(s, dir).createOrReplaceTempView("g_emb")
       s.sql(
         """SELECT e.vec_id,
-          |  CAST(round(vec_cosine(e.embedding, q.embedding) * 10000) AS BIGINT) AS score
+          |  CAST(floor(vec_cosine(e.embedding, q.embedding) * 10000 + 0.5) AS BIGINT) AS score
           |FROM g_emb e CROSS JOIN (SELECT embedding FROM g_emb WHERE vec_id = 9) q
           |WHERE e.vec_id <> 9
           |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin)
@@ -424,9 +436,9 @@ object HybridQueries {
       // the rule rewrites sorts whose key IS a distance over the corpus
       ext.sql(
         s"""SELECT vec_id,
-           |  CAST(round(vec_cosine(embedding, $qLit) * 10000) AS BIGINT) AS score
+           |  CAST(floor(vec_cosine(embedding, $qLit) * 10000 + 0.5) AS BIGINT) AS score
            |FROM g_emb_ix
-           |ORDER BY CAST(round(vec_cosine(embedding, $qLit) * 10000) AS BIGINT) DESC,
+           |ORDER BY CAST(floor(vec_cosine(embedding, $qLit) * 10000 + 0.5) AS BIGINT) DESC,
            |  vec_id ASC
            |LIMIT 10""".stripMargin)
     }),
@@ -446,9 +458,9 @@ object HybridQueries {
       val qLit = qv.map(f => s"CAST('$f' AS FLOAT)").mkString("array(", ", ", ")")
       ext.sql(
         s"""SELECT vec_id,
-           |  CAST(round(vec_l2(embedding, $qLit) * 10000) AS BIGINT) AS score
+           |  CAST(floor(vec_l2(embedding, $qLit) * 10000 + 0.5) AS BIGINT) AS score
            |FROM g_emb_ixl2
-           |ORDER BY CAST(round(vec_l2(embedding, $qLit) * 10000) AS BIGINT) ASC,
+           |ORDER BY CAST(floor(vec_l2(embedding, $qLit) * 10000 + 0.5) AS BIGINT) ASC,
            |  vec_id ASC
            |LIMIT 10""".stripMargin)
     }),
@@ -501,7 +513,7 @@ object HybridQueries {
   val oracle: Map[String, String] = Map(
     "ivf_build" ->
       """SELECT e.label, d.dim AS dim,
-        | CAST(round(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) * 10000, 0) AS BIGINT) AS cvs,
+        | CAST(floor(avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS cvs,
         | count(*) AS n
         |FROM embeddings e CROSS JOIN range(64) d(dim)
         |GROUP BY e.label, d.dim""".stripMargin,
@@ -675,27 +687,31 @@ object HybridQueries {
          |  FROM approx a JOIN exact x ON a.q_id = x.q_id AND a.vec_id = x.vec_id
          |  GROUP BY a.q_id) h ON q.q_id = h.q_id""".stripMargin,
 
-    "embedding_drift" -> {
-      def l2s(a: String, b: String) =
-        s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
-      s"""WITH ed AS (SELECT d.source, e.embedding FROM embeddings e
-         |  JOIN documents d ON d.doc_id = e.vec_id),
-         |cent AS (SELECT source, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
-         |    SELECT ed.source AS source, dd.dim AS dim,
-         |      avg(CAST(ed.embedding[dd.dim + 1] AS DOUBLE)) AS cv
-         |    FROM ed CROSS JOIN range(64) dd(dim)
-         |    GROUP BY ed.source, dd.dim)
-         |  GROUP BY source),
-         |m AS (SELECT ed.source, ${l2s("ed.embedding", "c.cent")} AS dist
-         |      FROM ed JOIN cent c ON ed.source = c.source)
+    // integer-exact mirror: quantize → integer floor-mean centroid →
+    // squared-L2 in quantized units (all-BIGINT, no fp accumulation order)
+    "embedding_drift" ->
+      s"""WITH ed AS (SELECT d.source,
+         |    list_transform(e.embedding,
+         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |cnts AS (SELECT source, count(*) AS cnt FROM ed GROUP BY source),
+         |comp AS (SELECT ed.source AS source, dd.dim AS dim, sum(ed.q[dd.dim + 1]) AS sv
+         |  FROM ed CROSS JOIN range(64) dd(dim)
+         |  GROUP BY ed.source, dd.dim),
+         |cent AS (SELECT c.source,
+         |    list((sv - ((sv % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent
+         |  FROM comp c JOIN cnts USING (source) GROUP BY c.source),
+         |m AS (SELECT ed.source,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> (ed.q[i] - c.cent[i]) * (ed.q[i] - c.cent[i]))) AS BIGINT) AS dist
+         |  FROM ed JOIN cent c USING (source))
          |SELECT source, CAST(count(*) AS BIGINT) AS n,
          |  sum(dist) // count(*) AS mean_dist, max(dist) AS max_dist
-         |FROM m GROUP BY source""".stripMargin
-    },
+         |FROM m GROUP BY source""".stripMargin,
 
     "ivf_split_hot" -> {
       def l2s(a: String, b: String) =
-        s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+        s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
       s"""WITH hot AS (SELECT label FROM embeddings GROUP BY label
          |  ORDER BY count(*) DESC, label LIMIT 3),
          |seeds AS (SELECT e.label, min(e.vec_id) AS lo_id, max(e.vec_id) AS hi_id
@@ -714,7 +730,7 @@ object HybridQueries {
 
     "knn_ivf_append" -> {
       def l2s(a: String, b: String) =
-        s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+        s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
       s"""WITH cent AS (${centSql(s"(SELECT * FROM embeddings WHERE vec_id < $IvfAppendSplit)")}),
          |a AS (SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
          |  row_number() OVER (PARTITION BY e.vec_id
@@ -884,8 +900,8 @@ object HybridQueries {
          |    CAST(q.embedding AS DOUBLE[])) ASC, c.label ASC
          |  LIMIT 2)
          |SELECT e.vec_id,
-         |  CAST(round(list_distance(CAST(e.embedding AS DOUBLE[]),
-         |    CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
+         |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]),
+         |    CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
          |FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 

@@ -27,7 +27,7 @@ object PipelineQueries {
       emb.toDF()
         .select(col("media_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
         .select(col("media_id"), col("dim").cast("long").as("dim"),
-          round(col("v") * 1000).cast("long").as("w"))
+          floor(col("v") * 1000 + lit(0.5)).cast("long").as("w"))
     }),
 
     // C6: sessionize events per user on 30-minute inactivity gaps —
@@ -46,9 +46,11 @@ object PipelineQueries {
           Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy("user_id", "sess_idx")
+        // session bounds as integer epoch seconds, not formatted strings —
+        // date formatting is engine/version sensitive (SURVEY §6)
         .agg(count(lit(1)).as("n_events"),
-          date_format(min("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
-          date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+          expr("unix_micros(min(ts)) div 1000000").as("sess_start"),
+          expr("unix_micros(max(ts)) div 1000000").as("sess_end"))
     })
   )
 
@@ -81,8 +83,8 @@ object PipelineQueries {
         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess_idx
         |  FROM g)
         |SELECT user_id, sess_idx, count(*) AS n_events,
-        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
-        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+        |  epoch_us(min(ts)) // 1000000 AS sess_start,
+        |  epoch_us(max(ts)) // 1000000 AS sess_end
         |FROM sess GROUP BY user_id, sess_idx""".stripMargin
   )
 }

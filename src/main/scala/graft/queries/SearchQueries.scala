@@ -26,9 +26,9 @@ object SearchQueries {
 
   // shared SQL fragments for the DuckDB oracle
   private def cosSql(a: String, b: String) =
-    s"CAST(round(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+    s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
   private def l2Sql(a: String, b: String) =
-    s"CAST(round(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000, 0) AS BIGINT)"
+    s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: survey_metadata.py — value-frequency distribution of one key
@@ -132,7 +132,7 @@ object SearchQueries {
 
     "meta_survey_source" ->
       """SELECT source, count(*) AS n,
-        | CAST(round((count(*) * 1.0 / (SELECT count(*) FROM documents)) * 1000000.0, 0) AS BIGINT) AS share
+        | CAST(floor((count(*) * 1.0 / (SELECT count(*) FROM documents)) * 1000000.0 + 0.5) AS BIGINT) AS share
         |FROM documents GROUP BY source""".stripMargin,
 
     "meta_filter_exact" ->
@@ -160,7 +160,7 @@ object SearchQueries {
 
     "knn_exact_dot" ->
       s"""SELECT e.vec_id,
-         | CAST(round(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000, 0) AS BIGINT) AS score
+         | CAST(floor(list_inner_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
          |WHERE e.vec_id <> 0 ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 

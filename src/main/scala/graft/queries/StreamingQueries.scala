@@ -100,7 +100,7 @@ object StreamingQueries {
       runToTable(s,
         EventsStream.windowedAggExact(readStreamTable(s, dir, "events")),
         "sq_window", "complete")
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        .select(expr("unix_micros(window_start) div 60000000").as("hour_min"),
           col("event_type"), col("n"), col("sum_cents"))),
 
     // C31: stream-static enrichment (stateless broadcast join per batch)
@@ -111,7 +111,7 @@ object StreamingQueries {
       runToTable(s,
         EnrichStream.segmentCounts(readStreamTable(s, dir, "events"), dim, "2 hours"),
         "sq_enrich", "complete")
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        .select(expr("unix_micros(window_start) div 60000000").as("hour_min"),
           col("segment"), col("n"))
     }),
 
@@ -122,7 +122,7 @@ object StreamingQueries {
       runToTable(s,
         SketchStream.sketchStream(readStreamTable(s, dir, "events"), "2 hours"),
         "sq_sketch", "complete")
-        .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        .select(expr("unix_micros(window_start) div 60000000").as("hour_min"),
           col("event_type"), col("bucket").cast("long").as("bucket"),
           col("rho").cast("long").as("rho"))),
 
@@ -194,8 +194,8 @@ object StreamingQueries {
             gapSeconds = 1800).toDF(),
           "sq_sessionize", "append")
           .select(col("user_id"), col("n_events"),
-            date_format(col("sess_start"), "yyyy-MM-dd HH:mm:ss").as("sess_start"),
-            date_format(col("sess_end"), "yyyy-MM-dd HH:mm:ss").as("sess_end"))
+            expr("unix_micros(sess_start) div 1000000").as("sess_start"),
+            expr("unix_micros(sess_end) div 1000000").as("sess_end"))
       } finally prev.fold(s.conf.unset(key))(v => s.conf.set(key, v))
     })
   )
@@ -207,12 +207,12 @@ object StreamingQueries {
 
     Map(
       "streaming_window" ->
-        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+        """SELECT epoch_us(date_trunc('hour', ts)) // 60000000 AS hour_min, event_type,
           | count(*) AS n, sum(CAST(floor(value * 100.0) AS BIGINT)) AS sum_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
 
       "streaming_enrich" ->
-        """SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M') AS hour,
+        """SELECT epoch_us(date_trunc('hour', e.ts)) // 60000000 AS hour_min,
           | coalesce(c.c_mktsegment, 'unknown') AS segment, count(*) AS n
           |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
           |GROUP BY 1, 2""".stripMargin,
@@ -221,7 +221,7 @@ object StreamingQueries {
         s"""WITH h AS (SELECT date_trunc('hour', ts) AS hr, event_type,
            |  ${dH("'hll'||CAST(event_id AS VARCHAR)")} AS h FROM events),
            |b AS (SELECT hr, event_type, h % 256 AS bucket, h // 256 AS w FROM h)
-           |SELECT strftime(hr, '%Y-%m-%d %H:%M') AS hour, event_type,
+           |SELECT epoch_us(hr) // 60000000 AS hour_min, event_type,
            |  CAST(bucket AS BIGINT) AS bucket,
            |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
            |FROM b GROUP BY 1, 2, 3""".stripMargin,
@@ -286,8 +286,8 @@ object StreamingQueries {
           |  SELECT user_id, sess_idx,
           |    max(sess_idx) OVER (PARTITION BY user_id) AS last_idx,
           |    count(*) AS n_events,
-          |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
-          |    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS sess_end
+          |    epoch_us(min(ts)) // 1000000 AS sess_start,
+          |    epoch_us(max(ts)) // 1000000 AS sess_end
           |  FROM sess GROUP BY user_id, sess_idx)
           |SELECT user_id, n_events, sess_start, sess_end
           |FROM agg WHERE sess_idx < last_idx""".stripMargin

@@ -117,11 +117,11 @@ class AnalyticsSpec extends SparkSpec {
 
   test("events_interval_join: overlapping windows cover at least their core hour") {
     val rows = q("events_interval_join")
-      .select("window_hour", "n_events", "n_users").as[(String, Long, Long)].collect()
+      .select("window_min", "n_events", "n_users").as[(Long, Long, Long)].collect()
     assert(rows.length == 3)
     val hourly = Tables(spark, dir, "events")
-      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm").as("h"))
-      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+      .groupBy(expr("unix_micros(date_trunc('hour', ts)) div 60000000").as("h"))
+      .agg(count(lit(1)).as("n")).as[(Long, Long)].collect().toMap
     rows.foreach { case (h, n, users) =>
       assert(n >= hourly(h), "the widened window is a superset of its hour")
       assert(users >= 1 && users <= n)

@@ -18,7 +18,7 @@ class StreamingQueriesSpec extends SparkSpec {
     val streamed = run("streaming_window").collect().toSet
     val batch = graft.streaming.EventsStream
       .windowedAggExact(Tables(spark, dir, "events"))
-      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+      .select(expr("unix_micros(window_start) div 60000000").as("hour_min"),
         col("event_type"), col("n"), col("sum_cents"))
       .collect().toSet
     assert(streamed == batch)
