@@ -81,6 +81,22 @@ object Ivf {
     } finally if (precomputedCent.isEmpty) cent.unpersist()
   }
 
+  /** Incremental assignment to an EXISTING centroid table (the FAISS add()
+    * analogue, A30's ingest path): (idCol, label, d) per arriving vector,
+    * via the `NearestCentroid` codegen kernel — the centroid frame (k·d
+    * model state) collects once and the assignment is a narrow projection,
+    * zero shuffle. Distance is the quantized L2 `floor(l2·10⁴ + 0.5)` with
+    * lowest-label ties — identical arithmetic to the DuckDB oracle's
+    * scaled list_distance argmin. */
+  def assignToNearest(emb: DataFrame, cent: DataFrame,
+                      idCol: String = "vec_id", vecCol: String = "embedding",
+                      clusterCol: String = "label"): DataFrame = {
+    val table = KMeans.collectCentroids(cent.select(col(clusterCol), col("cent")))
+    emb.select(col(idCol),
+      graft.functions.centroids.nearest(col(vecCol), table).as("m"))
+      .select(col(idCol), col("m.label").as(clusterCol), col("m.d").as("d"))
+  }
+
   /** Build the centroid table AND register it for the opt-in
     * `AnnProbeRewrite` Catalyst rule: after this (plus
     * `spark.graft.ann.rewrite.enabled=true` on an extensions session),

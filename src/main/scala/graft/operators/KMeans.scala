@@ -9,13 +9,19 @@ import graft.functions.vectors
   * /root/reference/acorn.py:35 `init_index`; here the "index" is the
   * centroid table + cluster assignment used by graft.operators.Ivf).
   *
-  * Scale shape per iteration: one broadcast of the k·d centroid table, one
-  * scan computing argmin via the codegen'd L2 kernel, one (cluster, dim)
-  * keyed aggregation with map-side partials. Centroids (k·d doubles) are
-  * driver-side model state, like MLlib — the DATA never collects.
+  * Scale shape per iteration: assignment is the codegen'd `NearestCentroid`
+  * kernel — centroids ride as a k·d reference object, so the E-step is a
+  * NARROW projection (zero shuffle, no crossJoin row explosion, no argmin
+  * aggregate); the only shuffle is the (cluster)-keyed `VecSum` M-step with
+  * map-side partials. The r2 form (crossJoin to n·k rows + groupBy(id)
+  * argmin + join back to the vectors) shuffled the corpus TWICE per Lloyd's
+  * iteration — at 100 TB that is iters × corpus-shuffles spent on a
+  * row-local computation. Centroids (k·d floats) are driver-side model
+  * state, like MLlib — the DATA never collects.
   *
-  * Deterministic: seeds are the k lowest-id vectors; ties in assignment
-  * break toward the lower cluster id.
+  * Deterministic: seeds are the k lowest-id vectors; assignment distance is
+  * quantized (`floor(l2·10⁴ + 0.5)`, the engine-wide scaled() convention)
+  * with ties toward the lower cluster id.
   */
 object KMeans {
 
@@ -28,11 +34,13 @@ object KMeans {
       .zipWithIndex.map { case (v, i) => (i, v) }
 
     for (_ <- 0 until iters) {
-      val centDf = spark.createDataFrame(cent.toIndexedSeq).toDF("cluster", "cent")
-      // VecSum partial-aggregates one d-vector per (cluster, partition) —
-      // the shuffle carries k·P small arrays, never posexploded n·d rows
-      val next = assign(emb, centDf, idCol, vecCol)
-        .join(emb, idCol)
+      val table = cent.map { case (c, v) => (c.toLong, v) }.toSeq
+      // E-step: kernel projection keeps (cluster, vector) in one row — no
+      // assignment join. M-step: VecSum partial-aggregates one d-vector per
+      // (cluster, partition); the shuffle carries k·P small arrays.
+      val next = emb
+        .select(graft.functions.centroids.nearest(col(vecCol), table)
+          .getField("label").cast("int").as("cluster"), col(vecCol))
         .groupBy("cluster")
         .agg(graft.functions.aggs.vecSum(col(vecCol)).as("vsum"), count(col(vecCol)).as("n"))
         .select(col("cluster"),
@@ -45,13 +53,26 @@ object KMeans {
     spark.createDataFrame(cent.toIndexedSeq).toDF("cluster", "cent")
   }
 
-  /** Nearest-centroid assignment: (idCol, cluster). One broadcast + one
-    * scan; `min_by` keeps it a single codegen'd aggregate. */
+  /** Nearest-centroid assignment: (idCol, cluster). The centroid table is
+    * k·d model state — collected once (like MLlib) and compiled into the
+    * `NearestCentroid` kernel, so the assignment plan is one narrow
+    * projection with NO Exchange (asserted in PlanAuditSpec). */
   def assign(emb: DataFrame, centroids: DataFrame,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(centroids))
-      .withColumn("dist", vectors.l2(col(vecCol), col("cent")))
-      .groupBy(idCol)
-      .agg(min_by(col("cluster"), struct(col("dist"), col("cluster"))).as("cluster"))
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val table = collectCentroids(centroids)
+    emb.select(col(idCol),
+      graft.functions.centroids.nearest(col(vecCol), table)
+        .getField("label").cast("int").as("cluster"))
+  }
+
+  /** (label, vector) rows of a small centroid frame, label widened to long. */
+  private[operators] def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] =
+    centroids.collect().toSeq.map { r =>
+      val label = r.get(0) match {
+        case i: Int => i.toLong
+        case l: Long => l
+        case other => other.toString.toLong
+      }
+      (label, r.getSeq[Float](1).toArray)
+    }
 }

@@ -231,23 +231,19 @@ object HybridQueries {
 
     // A30: incremental index APPEND (FAISS add() analogue, the vector
     // sibling of B24): arriving vectors (vec_id ≥ 400) are assigned to the
-    // nearest centroid of the EXISTING index — no retrain; one broadcast
-    // of the k·d centroid table + one narrow scan + a per-vector argmin
-    // (integer-scaled distance, label tie-break — same determinism
-    // contract as every ranked oracle). At 100 TB this is the ingest
-    // path: batch arrives, assigns, appends to its cluster's partition;
-    // centroid drift is handled by periodic rebuild (A14c), not per-batch
+    // nearest centroid of the EXISTING index — no retrain; the k·d
+    // centroid table compiles into the `NearestCentroid` codegen kernel,
+    // so assignment is ONE NARROW PROJECTION (zero shuffle — the r2 form
+    // crossJoined to n·k rows and shuffled them through an argmin
+    // aggregate). Integer-scaled distance, label tie-break — same
+    // determinism contract as every ranked oracle. At 100 TB this is the
+    // ingest path: batch arrives, assigns, appends to its cluster's
+    // partition; centroid drift is handled by periodic rebuild (A14c)
     "knn_ivf_append" -> ((s, dir) => {
       val e = emb(s, dir)
       val cent = Ivf.centroids(e.filter(col("vec_id") < IvfAppendSplit))
-        .localCheckpoint(true)
-      e.filter(col("vec_id") >= IvfAppendSplit)
-        .select("vec_id", "embedding")
-        .crossJoin(broadcast(cent))
-        .withColumn("d", scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("label"), col("d")), struct(col("d"), col("label"))).as("m"))
-        .select(col("vec_id"), col("m.label").cast("long").as("label"), col("m.d").as("d"))
+      Ivf.assignToNearest(e.filter(col("vec_id") >= IvfAppendSplit), cent)
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
     }),
 
     // A28: the recall/cost KNOB curve (reference acorn.py trades nprobe/

@@ -57,8 +57,18 @@ object StreamingQueries {
       schema)
   }
 
-  /** Run a streaming frame to completion (AvailableNow) through a memory
-    * sink; returns the final sink table as a batch frame.
+  /** Run a streaming frame to completion (AvailableNow) and return the
+    * result as a batch frame.
+    *
+    * APPEND-mode entries go through a FILE (parquet) sink + read-back — the
+    * production path, keeping the driver out of the data flow (an appended
+    * stream's volume is unbounded; a memory sink would materialize it all
+    * on the driver). COMPLETE-mode aggregations stay on the memory sink:
+    * Spark's file sink cannot express complete mode, and a complete-mode
+    * result is by construction a bounded aggregate state, not the stream.
+    * Sink + checkpoint dirs are fixed per entry and wiped before each run
+    * (a stale checkpoint would mark every source file already-processed and
+    * emit nothing; a fresh temp dir per run would leak a copy per pass).
     *
     * The stateful shuffle is sized DOWN for the run: a stateful operator
     * materializes one state store per shuffle partition per operator, and
@@ -71,17 +81,38 @@ object StreamingQueries {
     * the conf is set only for the stream's lifetime (execution happens
     * inside this method, unlike lazy batch frames). */
   private val StreamShufflePartitions = "8"
+  private def wiped(sub: String): String = {
+    val d = new java.io.File(sys.props("java.io.tmpdir"), sub)
+    if (d.isDirectory) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+    d.getAbsolutePath
+  }
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
                          mode: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, StreamShufflePartitions)
     try {
-      val sq = out.writeStream.format("memory").queryName(name).outputMode(mode)
-        .trigger(Trigger.AvailableNow()).start()
-      sq.awaitTermination()
+      if (mode == "append") {
+        val sink = wiped(s"graft_sink_$name")
+        val ck = wiped(s"graft_ck_$name")
+        val sq = out.writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ck)
+          .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        s.read.schema(out.schema).parquet(sink)
+      } else {
+        val sq = out.writeStream.format("memory").queryName(name).outputMode(mode)
+          .trigger(Trigger.AvailableNow()).start()
+        sq.awaitTermination()
+        s.table(name)
+      }
     } finally s.conf.set(key, prev)
-    s.table(name)
   }
 
   /** Documents carry no event time; ingest order IS doc order, so a
