@@ -107,6 +107,86 @@ case class NearestCentroid(child: Expression, labels: Array[Long],
     copy(child = newChild)
 }
 
+/** Integer twin of `NearestCentroid` for QUANTIZED vectors (`array<bigint>`
+  * components, the repo's floor(x·10⁴ + 0.5) form): distance is the exact
+  * integer squared L2 — no sqrt, no doubles, so assignment is bit-identical
+  * in every engine and the iterative Lloyd's built on it is DuckDB-
+  * replicable (what lets knn_ivf_trained / knn_pq_trained carry real
+  * oracles instead of rows-only checks). Same narrow-projection shape and
+  * lowest-label tie contract as the float kernel. */
+case class NearestCentroidLong(child: Expression, labels: Array[Long],
+                               cents: Array[Long], dims: Int)
+    extends UnaryExpression {
+  require(labels.nonEmpty, "nearest_centroid_long: empty centroid table")
+  require(cents.length == labels.length * dims,
+    s"nearest_centroid_long: ${labels.length} labels × $dims dims != ${cents.length} values")
+  require(labels.sliding(2).forall(w => w.length < 2 || w(0) < w(1)),
+    "nearest_centroid_long: labels must be strictly ascending (tie-break contract)")
+
+  override def prettyName: String = "nearest_centroid_long"
+  override def dataType: DataType = StructType(Seq(
+    StructField("label", LongType, nullable = false),
+    StructField("d", LongType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    if (v.numElements() != dims) throw new IllegalArgumentException(
+      s"$prettyName: vector has ${v.numElements()} dims, centroids have $dims")
+    var bestD = Long.MaxValue
+    var bestLabel = 0L
+    var c = 0
+    while (c < labels.length) {
+      var acc = 0L
+      var j = 0
+      while (j < dims) {
+        val d = v.getLong(j) - cents(c * dims + j)
+        acc += d * d
+        j += 1
+      }
+      if (acc < bestD) { bestD = acc; bestLabel = labels(c) }
+      c += 1
+    }
+    new GenericInternalRow(Array[Any](bestLabel, bestD))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cb = ctx.addReferenceObj("centroidsL", cents, "long[]")
+      val lb = ctx.addReferenceObj("centLabelsL", labels, "long[]")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      val bestD = ctx.freshName("bestD"); val bestL = ctx.freshName("bestL")
+      val c = ctx.freshName("c"); val acc = ctx.freshName("acc")
+      val j = ctx.freshName("j"); val diff = ctx.freshName("diff")
+      s"""
+         |if ($v.numElements() != $dims) {
+         |  throw new IllegalArgumentException($err + ": vector has " +
+         |    $v.numElements() + " dims, centroids have $dims");
+         |}
+         |long $bestD = Long.MAX_VALUE;
+         |long $bestL = 0L;
+         |for (int $c = 0; $c < ${labels.length}; $c++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < $dims; $j++) {
+         |    long $diff = $v.getLong($j) - $cb[$c * $dims + $j];
+         |    $acc += $diff * $diff;
+         |  }
+         |  if ($acc < $bestD) { $bestD = $acc; $bestL = $lb[$c]; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |  new Object[]{ java.lang.Long.valueOf($bestL), java.lang.Long.valueOf($bestD) });
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the assignment kernel. */
 object centroids {
   /** `struct(label, d)` of the nearest centroid (quantized L2, lowest-label
@@ -117,6 +197,17 @@ object centroids {
     require(sorted.forall(_._2.length == dims),
       s"nearest_centroid: ragged centroid table (expected $dims dims)")
     Bridge.column(NearestCentroid(Bridge.expression(vec),
+      sorted.map(_._1).toArray, sorted.flatMap(_._2).toArray, dims))
+  }
+
+  /** Integer-exact variant over quantized `array<bigint>` vectors:
+    * `struct(label, d)` with d = exact integer squared L2. */
+  def nearestLong(vec: Column, table: Seq[(Long, Array[Long])]): Column = {
+    val sorted = table.sortBy(_._1)
+    val dims = sorted.head._2.length
+    require(sorted.forall(_._2.length == dims),
+      s"nearest_centroid_long: ragged centroid table (expected $dims dims)")
+    Bridge.column(NearestCentroidLong(Bridge.expression(vec),
       sorted.map(_._1).toArray, sorted.flatMap(_._2).toArray, dims))
   }
 }

@@ -65,6 +65,47 @@ object KMeans {
         .getField("label").cast("int").as("cluster"))
   }
 
+  /** INTEGER-EXACT Lloyd's over quantized components — the engine-portable
+    * index build: components quantize to `floor(x·10⁴ + 0.5)` longs, the
+    * E-step is the `NearestCentroidLong` kernel (exact integer squared L2,
+    * lowest-cluster ties), and the M-step centroid is the element-wise
+    * integer floor-mean (`VecSumLong` + the pmod floor-division identity,
+    * negative-safe). Every step is bit-identical in any engine, so an
+    * index built this way is REPRODUCIBLE — across reruns, partitionings,
+    * and engines — and the entries built on it carry full DuckDB oracles
+    * (the float `fit` stays as the library form whose fp accumulation the
+    * oracle cannot replicate; 10⁻⁴ component resolution on unit-scale
+    * embeddings costs no meaningful recall).
+    *
+    * Returns (centroids 0..k-1 as quantized longs, quantized corpus
+    * (idCol, q: array<bigint>)). Same scale shape as `fit`: narrow kernel
+    * E-step, one VecSumLong shuffle per iteration, k·d driver state. */
+  def fitInt(emb: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding")
+      : (Seq[(Long, Array[Long])], DataFrame) = {
+    val qemb = emb.select(col(idCol), expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+    ).as("q"))
+    var cent: Seq[(Long, Array[Long])] = qemb.orderBy(col(idCol).asc).limit(k)
+      .select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 0 until iters) {
+      val next = qemb
+        .select(graft.functions.centroids.nearestLong(col("q"), cent)
+          .getField("label").as("cluster"), col("q"))
+        .groupBy("cluster")
+        .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"), count(lit(1)).as("cnt"))
+        .select(col("cluster"),
+          expr("transform(sv, v -> (v - ((v % cnt + cnt) % cnt)) div cnt)").as("cent"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      // empty clusters keep their previous centroid
+      cent = cent.map { case (c, v) => (c, next.getOrElse(c, v)) }
+    }
+    (cent, qemb)
+  }
+
   /** (label, vector) rows of a small centroid frame, label widened to long. */
   private[operators] def collectCentroids(centroids: DataFrame): Seq[(Long, Array[Float])] =
     centroids.collect().toSeq.map { r =>

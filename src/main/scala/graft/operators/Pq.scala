@@ -69,6 +69,88 @@ object Pq {
     cb.toSeq.map { case (m, c, cw) => (m, c, cw.toSeq) }.toDF("m", "code", "cw")
   }
 
+  /** (vec_id, q: array<bigint>): components quantized to floor(x·10⁴+0.5)
+    * — the integer-exact form the engine-portable training paths share. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id",
+      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q")
+
+  /** INTEGER-EXACT trained PQ codebook — Lloyd's per subspace over
+    * QUANTIZED sub-vectors: assignment via the `NearestCentroidLong`
+    * kernel (exact integer squared L2, lowest-code ties), centroid update
+    * as the element-wise integer floor-mean. Bit-identical in any engine
+    * ⇒ the trained search carries a full DuckDB oracle (the float
+    * `trainedCodebook` remains the library fp form). Same scale shape:
+    * bounded sample, one kernel-projection E-step + one (m, code)-keyed
+    * VecSumLong M-step per iteration, M·K·d driver model state. */
+  def trainedCodebookInt(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int,
+                         iters: Int, sampleMax: Int): Seq[(Int, Long, Array[Long])] = {
+    val sample = Dedup.materialize(quantized(emb).filter(col("vec_id") < sampleMax))
+    val seedVecs = sample.orderBy(col("vec_id").asc).limit(numCodes)
+      .select("q").collect().map(_.getSeq[Long](0).toArray)
+    var cb: Seq[(Int, Long, Array[Long])] =
+      for { m <- 0 until numSub; (v, c) <- seedVecs.zipWithIndex.toSeq }
+        yield (m, c.toLong, v.slice(m * subDim, (m + 1) * subDim))
+    val stackExpr = s"stack($numSub, " +
+      (0 until numSub).map(m => s"$m, code_$m").mkString(", ") + ") AS (m, code)"
+    for (_ <- 0 until iters) {
+      val next = encodeIntCols(sample, cb, numSub, subDim)
+        .selectExpr(stackExpr, "q")
+        .selectExpr("m", "code", s"slice(q, m * $subDim + 1, $subDim) AS sv")
+        .groupBy("m", "code")
+        .agg(graft.functions.aggs.vecSumLong(col("sv")).as("s"), count(lit(1)).as("cnt"))
+        // integer floor-mean; components can be negative → pmod identity
+        .selectExpr("m", "code",
+          "transform(s, v -> (v - ((v % cnt + cnt) % cnt)) div cnt) AS cw")
+        .collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).toArray).toMap
+      // empty codes keep their previous codeword
+      cb = cb.map { case (m, c, cw) => (m, c, next.getOrElse((m, c), cw)) }
+    }
+    cb
+  }
+
+  /** Wide integer codes (vec_id, q, code_0 … code_{M-1}) — one narrow
+    * projection of `NearestCentroidLong` kernels over sliced sub-vectors. */
+  private def encodeIntCols(qemb: DataFrame, cb: Seq[(Int, Long, Array[Long])],
+                            numSub: Int, subDim: Int): DataFrame = {
+    val cols = (0 until numSub).map { m =>
+      val table = cb.filter(_._1 == m).map { case (_, c, cw) => (c, cw) }
+      graft.functions.centroids.nearestLong(
+        expr(s"slice(q, ${m * subDim + 1}, $subDim)"), table)
+        .getField("label").as(s"code_$m")
+    }
+    qemb.select(col("vec_id") +: col("q") +: cols: _*)
+  }
+
+  /** Integer-exact ADC shortlist + exact integer rerank over a trained
+    * integer codebook: score = exact squared L2 in quantized units.
+    * Narrow encode (kernel projection) → literal-array td lookup →
+    * TakeOrdered shortlist → rerank from the carried q (no join back). */
+  def searchRerankInt(emb: DataFrame, cb: Seq[(Int, Long, Array[Long])],
+                      qid: Int, k: Int, numSub: Int, subDim: Int,
+                      shortlist: Int): DataFrame = {
+    val qall = quantized(emb)
+    val qv = qall.filter(col("vec_id") === qid).select("q").head.getSeq[Long](0).toArray
+    val codes = Dedup.materialize(
+      encodeIntCols(qall.filter(col("vec_id") =!= qid), cb, numSub, subDim))
+    val td: Map[(Int, Long), Long] = cb.map { case (m, c, cw) =>
+      var acc = 0L; var j = 0
+      while (j < subDim) { val d = qv(m * subDim + j) - cw(j); acc += d * d; j += 1 }
+      (m, c) -> acc
+    }.toMap
+    val adistExpr = (0 until numSub).map { m =>
+      val tds = cb.filter(_._1 == m).sortBy(_._2).map { case (_, c, _) => s"${td((m, c))}L" }
+      s"element_at(array(${tds.mkString(", ")}), CAST(code_$m AS INT) + 1)"
+    }.mkString(" + ")
+    val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+    codes.selectExpr("vec_id", "q", s"CAST($adistExpr AS BIGINT) AS adist")
+      .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
+      .selectExpr("vec_id",
+        s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
   /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
   def seededCodebook(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int): DataFrame =
     emb.filter(col("vec_id") < numCodes)

@@ -150,16 +150,19 @@ object FusionQueries {
         keep = Some(keep))
     }),
 
-    // A25 (*rows-only*): PQ with a KMeans-TRAINED codebook — real Lloyd's
-    // per subspace on a bounded sample, then the same one-pass encodeFast +
-    // ADC + rerank. Iterative fp training is engine-specific, so the
-    // driver records the weaker rows-only check; PqTrainedSpec asserts
-    // recall against the exact top-k.
+    // A25: PQ with a TRAINED codebook, now ORACLE-CHECKED (was rows-only
+    // through r2): INTEGER-EXACT per-subspace Lloyd's on a bounded sample
+    // (Pq.trainedCodebookInt — quantized sub-vectors, NearestCentroidLong
+    // kernel E-step, integer floor-mean M-step), then the integer ADC
+    // shortlist + exact integer rerank. Every step is bit-identical in
+    // any engine, so the whole train→encode→search composition replays in
+    // DuckDB as unrolled CTEs. (Pq.trainedCodebook remains the library fp
+    // form, spec-covered by FusionSpec.)
     "knn_pq_trained" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val cb = Pq.trainedCodebook(e, numSub = 8, subDim = 8, numCodes = 16,
+      val cb = Pq.trainedCodebookInt(e, numSub = 8, subDim = 8, numCodes = 16,
         iters = 2, sampleMax = 256)
-      Pq.searchRerankCb(e, cb, qid = 0, k = 10,
+      Pq.searchRerankInt(e, cb, qid = 0, k = 10,
         numSub = 8, subDim = 8, shortlist = 100)
     }),
 
@@ -243,6 +246,54 @@ object FusionQueries {
 
     "knn_pq" -> pqOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0"),
+
+    // integer-exact per-subspace Lloyd's replayed as unrolled CTEs:
+    // quantize → seed codebook (16 lowest sample ids) → [assign →
+    // floor-mean codeword]×2 → integer ADC shortlist → exact integer rerank
+    "knn_pq_trained" -> {
+      val iters = 2; val numCodes = 16; val sampleMax = 256
+      def dsq8(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def dsq64(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+      val iterCtes = (0 until iters).map { i =>
+        s"""p$i AS (SELECT vec_id, m, code FROM (
+           |  SELECT s.vec_id, s.m, c.code, row_number() OVER (PARTITION BY s.vec_id, s.m
+           |    ORDER BY ${dsq8("s.s", "c.cw")} ASC, c.code ASC) AS rn
+           |  FROM sv s JOIN cb$i c ON s.m = c.m) WHERE rn = 1),
+           |u$i AS (SELECT p.m, p.code, dd.dim, sum(s.s[dd.dim + 1]) AS sm, count(*) AS cnt
+           |  FROM p$i p JOIN sv s ON p.vec_id = s.vec_id AND p.m = s.m
+           |  CROSS JOIN range(8) dd(dim) GROUP BY p.m, p.code, dd.dim),
+           |cb${i + 1} AS (SELECT c.m, c.code, coalesce(n.cw, c.cw) AS cw FROM cb$i c LEFT JOIN (
+           |  SELECT m, code, list((sm - ((sm % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cw
+           |  FROM u$i GROUP BY m, code) n ON c.m = n.m AND c.code = n.code)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (SELECT vec_id, $qz AS q FROM embeddings),
+         |sv AS (SELECT e.vec_id, mm.m, list_transform(range(1, 9), i -> e.q[mm.m * 8 + i]) AS s
+         |  FROM ed e CROSS JOIN range(8) mm(m) WHERE e.vec_id < $sampleMax),
+         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM (SELECT vec_id FROM ed WHERE vec_id < $sampleMax ORDER BY vec_id LIMIT $numCodes)),
+         |cb0 AS (SELECT s.m, sd.code, s.s AS cw FROM seeds sd JOIN sv s USING (vec_id)),
+         |$iterCtes,
+         |csv AS (SELECT e.vec_id, mm.m, list_transform(range(1, 9), i -> e.q[mm.m * 8 + i]) AS s
+         |  FROM ed e CROSS JOIN range(8) mm(m) WHERE e.vec_id <> 0),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |  SELECT s.vec_id, s.m, c.code, row_number() OVER (PARTITION BY s.vec_id, s.m
+         |    ORDER BY ${dsq8("s.s", "c.cw")} ASC, c.code ASC) AS rn
+         |  FROM csv s JOIN cb$iters c ON s.m = c.m) WHERE rn = 1),
+         |qsv AS (SELECT mm.m, list_transform(range(1, 9), i -> e.q[mm.m * 8 + i]) AS s
+         |  FROM ed e CROSS JOIN range(8) mm(m) WHERE e.vec_id = 0),
+         |adc AS (SELECT c.m, c.code, ${dsq8("q.s", "c.cw")} AS td
+         |  FROM cb$iters c JOIN qsv q ON c.m = q.m),
+         |short AS (SELECT codes.vec_id FROM codes JOIN adc USING (m, code)
+         |  GROUP BY codes.vec_id ORDER BY CAST(sum(adc.td) AS BIGINT) ASC, codes.vec_id ASC
+         |  LIMIT 100)
+         |SELECT e.vec_id, ${dsq64("e.q", "qq.q")} AS score
+         |FROM ed e JOIN short USING (vec_id)
+         |CROSS JOIN (SELECT q FROM ed WHERE vec_id = 0) qq
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "recall_pq" -> {
       val pq = pqOracleSql(

@@ -36,25 +36,39 @@ object HybridQueries {
         .select(col("label"), col("dim").cast("long").as("dim"),
           scaled(col("cv"), 4).as("cvs"), col("n"))),
 
-    // A14c (*rows-only*): the trained-index composition — Lloyd's k-means
-    // centroids (KMeans.fit: broadcast centroids, codegen'd L2 argmin,
-    // VecSum partials; data never collects) replace the seeded label
-    // column end-to-end: assign → probe 2 → pruned exact search. Iterative
-    // fp training is engine-specific, so the driver records the weaker
-    // rows-only check; IvfTrainedSpec asserts recall vs the exact top-k.
-    // L2 END-TO-END: Lloyd's assigns by L2, so both the probe and the
-    // search rank by L2 — mixing metrics across the stages silently
-    // costs recall (see Ivf.probe).
+    // A14c: the trained-index composition, now ORACLE-CHECKED (was
+    // rows-only through r2): INTEGER-EXACT Lloyd's (KMeans.fitInt —
+    // components quantized to floor(x·10⁴+0.5), NearestCentroidLong
+    // kernel E-step, integer floor-mean M-step) is bit-identical in any
+    // engine, so the whole composition — train k=10 / 3 iters → assign →
+    // probe 3 by integer squared L2 → pruned exact integer search —
+    // replays in DuckDB as unrolled per-iteration CTEs. The probe ranks
+    // clusters driver-side over the k·d model state (same as
+    // AnnIndexRegistry.probedClusters); members of the probed clusters
+    // score by exact integer squared L2, ties to the lower id. L2
+    // end-to-end: the train, probe and search metrics must agree
+    // (an L2 index probed by cosine silently costs recall).
     "knn_ivf_trained" -> ((s, dir) => {
       val corpus = emb(s, dir).select("vec_id", "embedding")
         .filter(col("vec_id") =!= 7)
-      val cent = KMeans.fit(s, corpus, k = 10, iters = 5)
-      val assigned = KMeans.assign(corpus, cent).join(corpus, "vec_id")
-      val q = emb(s, dir).filter(col("vec_id") === 7)
-        .select(col("embedding").as("q_vec"))
-      Ivf.searchProbed(cent, assigned, docs(s, dir), col("doc_id").isNotNull, q,
-          k = 10, nProbe = 3, Knn.L2, "vec_id", "doc_id", "embedding", "cluster")
-        .select("vec_id", "score")
+      val (cent, qemb) = KMeans.fitInt(corpus, k = 10, iters = 3)
+      val qv = graft.operators.Pq.quantized(emb(s, dir).filter(col("vec_id") === 7))
+        .select("q").head.getSeq[Long](0).toArray
+      def sqTo(c: Array[Long]): Long = {
+        var acc = 0L; var i = 0
+        while (i < c.length) { val d = c(i) - qv(i); acc += d * d; i += 1 }
+        acc
+      }
+      val probed = cent.map { case (cl, v) => (cl, sqTo(v)) }
+        .sortBy { case (cl, d) => (d, cl) }.take(3).map(_._1)
+      val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+      qemb.select(col("vec_id"),
+          graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"), col("q"))
+        .filter(col("cluster").isin(probed: _*))
+        .selectExpr("vec_id",
+          s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+        .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     }),
 
     // A10: ACORN-style hybrid search — probe 2 nearest clusters, metadata
@@ -704,6 +718,43 @@ object HybridQueries {
          |SELECT source, CAST(count(*) AS BIGINT) AS n,
          |  sum(dist) // count(*) AS mean_dist, max(dist) AS max_dist
          |FROM m GROUP BY source""".stripMargin,
+
+    // integer-exact Lloyd's replayed as unrolled per-iteration CTEs:
+    // quantize → seeds (k lowest ids) → [assign → floor-mean centroid]×3 →
+    // probe 3 by integer squared L2 → exact integer search over members
+    "knn_ivf_trained" -> {
+      val k = 10; val iters = 3; val np = 3
+      def dsq(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+      val iterCtes = (0 until iters).map { i =>
+        s"""a$i AS (SELECT vec_id, cl FROM (
+           |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
+           |  FROM ed e CROSS JOIN c$i c) WHERE rn = 1),
+           |n$i AS (SELECT a.cl, dd.dim, sum(e.q[dd.dim + 1]) AS s, count(*) AS cnt
+           |  FROM a$i a JOIN ed e USING (vec_id) CROSS JOIN range(64) dd(dim)
+           |  GROUP BY a.cl, dd.dim),
+           |c${i + 1} AS (SELECT c.cl, coalesce(m.cent, c.cent) AS cent FROM c$i c LEFT JOIN (
+           |  SELECT cl, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent
+           |  FROM n$i GROUP BY cl) m USING (cl))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ed AS (SELECT vec_id, $qz AS q FROM embeddings WHERE vec_id <> 7),
+         |qq AS (SELECT $qz AS q FROM embeddings WHERE vec_id = 7),
+         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS cent
+         |  FROM (SELECT vec_id, q FROM ed ORDER BY vec_id LIMIT $k)),
+         |$iterCtes,
+         |probes AS (SELECT cl FROM (
+         |  SELECT c.cl, row_number() OVER (ORDER BY ${dsq("c.cent", "q.q")} ASC, c.cl ASC) AS rn
+         |  FROM c$iters c CROSS JOIN qq q) WHERE rn <= $np),
+         |af AS (SELECT vec_id, cl FROM (
+         |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
+         |  FROM ed e CROSS JOIN c$iters c) WHERE rn = 1)
+         |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
+         |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     "ivf_split_hot" -> {
       def l2s(a: String, b: String) =

@@ -79,15 +79,21 @@ class FusionSpec extends SparkSpec {
     hits.foreach(id => assert(inProbed.contains(id), s"vec $id outside probed clusters"))
   }
 
-  test("knn_pq_trained (KMeans codebook) reranks to exact scores with real recall") {
+  test("knn_pq_trained (trained codebook) reranks to exact scores with real recall") {
+    // since r3 the entry is integer-exact (squared L2 in quantized units),
+    // so the exact reference uses the same integer metric
     val e = Tables(spark, dir, "embeddings")
-    val exact = Knn.topK(
-      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
-      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
-      10, Knn.L2).select("vec_id", "score")
+    val qall = graft.operators.Pq.quantized(e)
+    val qv = qall.filter(col("vec_id") === 0).select("q").head.getSeq[Long](0).toArray
+    val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+    val exact = qall.filter(col("vec_id") =!= 0)
+      .selectExpr("vec_id",
+        s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pq = q("knn_pq_trained").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pq.length == 10)
+    // the rerank is exact: any shortlisted id carries its exact score
     pq.filter(p => exact.contains(p._1)).foreach { case (id, s) => assert(exact(id) == s) }
     assert(pq.map(_._1).toSet.intersect(exact.keySet).size >= 5,
       "trained-codebook shortlist should keep at least half the exact top-10")
