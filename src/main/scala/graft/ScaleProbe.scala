@@ -139,7 +139,22 @@ object ScaleProbe {
       },
       // multi-probe LSH: 1-flip Hamming ball, still one narrow scan + heap
       time("multiprobe_lsh")(graft.operators.Lsh.multiProbeSearch(
-        e.select("vec_id", "embedding"), q1, 10, numPlanes = 8, dims = 64).count())
+        e.select("vec_id", "embedding"), q1, 10, numPlanes = 8, dims = 64).count()),
+      // per-partition HNSW: build 32 partition-local graphs + beam-search
+      // each — the high-recall path for near-uniform corpora; build
+      // dominates (one-time at ingest in production), so this is the
+      // worst-case bound
+      time("hnsw_build_search") {
+        val qv = e.filter(col("vec_id") === 7).select("embedding")
+          .head.getSeq[Float](0).toArray
+        graft.operators.Hnsw.searchPerPartition(
+          e.select("vec_id", "embedding").repartition(32, col("vec_id")),
+          qv, 10).count()
+      },
+      // integer Lloyd's (the oracle-checkable index build): kernel E-step
+      // (narrow) + VecSumLong M-step per iteration
+      time("kmeans_int_fit")(graft.operators.KMeans.fitInt(
+        e.select("vec_id", "embedding"), k = 16, iters = 3)._1.size)
     )
     val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")

@@ -1,0 +1,203 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** In-partition HNSW — the graph-ANN option for the regime where IVF
+  * partition-probing loses recall (r2 verdict "What's missing" #2).
+  *
+  * The reference's core data structure is a modified hnswlib graph
+  * (/root/reference/acorn.py:35 init_index). A single global HNSW is
+  * inherently one-machine state; the Spark-native form is ONE GRAPH PER
+  * PARTITION, built inside `mapPartitions` and searched independently:
+  *
+  *  - every partition is searched, so corpus COVERAGE is total — unlike
+  *    IVF probing, no neighbor is lost because it sits in an unprobed
+  *    cluster. This is exactly the regime IvfTrainedSpec documents
+  *    (near-uniform corpora: a query's top-10 spreads across ~9 of 10
+  *    clusters, so probe-limited recall collapses);
+  *  - each local search is O(ef·log n_p) graph hops instead of an n_p-row
+  *    scan, and the per-partition top-k heaps merge to ≤ P·k rows — the
+  *    TakeOrdered shape, no corpus shuffle;
+  *  - at 100 TB the graphs are built once at ingest (per cluster/file
+  *    partition, serialized alongside the data) and memory-mapped at
+  *    query time; here build+search run in one pass, which is the honest
+  *    cost at gate scale and the worst case at any scale.
+  *
+  * Deterministic construction: insertion in ascending vec_id order and a
+  * level drawn from the md5 of the id (`Lsh.md5Hash60`) — no RNG, so a
+  * rebuild over the same partition contents is the same graph. Search
+  * results are exact-rescored (`floor(l2·10⁴ + 0.5)`, lowest-id ties)
+  * before the global merge, so ranking follows the engine convention.
+  * Partitioning changes which near-ties surface (graph structure is
+  * partition-local) — recall bounds, not result identity, are the
+  * cross-partitioning contract; pin the partitioning for bit-stability.
+  *
+  * Algorithm: Malkov & Yashunin (TPAMI'18), the public HNSW formulation —
+  * greedy descent over upper layers, beam (ef) search at layer 0, simple
+  * closest-M neighbor selection, bidirectional links with degree pruning.
+  */
+object Hnsw {
+
+  /** One partition's graph. Distances are squared L2 in double (sqrt is
+    * monotone — only comparisons happen inside the graph). */
+  final class Graph(dims: Int, m: Int, efConstruction: Int) {
+    private val mL = 1.0 / math.log(m.toDouble)
+    private val maxM0 = 2 * m // layer-0 degree cap (standard)
+    private val vecs = mutable.ArrayBuffer.empty[Array[Float]]
+    private val extIds = mutable.ArrayBuffer.empty[Long]
+    private val nodeLevels = mutable.ArrayBuffer.empty[Int]
+    // links(node)(level) = neighbor node ids
+    private val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    private var entryPoint = -1
+    private var topLevel = -1
+
+    def size: Int = vecs.length
+
+    /** Deterministic level: u ∈ (0,1] from the id's md5, standard
+      * floor(−ln(u)·mL) geometric draw — no RNG state. */
+    private def levelOf(id: Long): Int = {
+      val h = Lsh.md5Hash60(s"hnsw_$id")
+      val u = ((h % 1048576L) + 1).toDouble / 1048576.0
+      math.floor(-math.log(u) * mL).toInt
+    }
+
+    private def sq(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      acc
+    }
+
+    /** Beam search one layer: best `ef` candidates from `ep`. */
+    private def searchLayer(q: Array[Float], ep: Int, ef: Int, level: Int): mutable.ArrayBuffer[(Double, Int)] = {
+      val visited = mutable.BitSet(ep)
+      // candidates: nearest-first (min-heap); results: farthest-first
+      // (max-heap, bounded to ef)
+      val byDist = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val candidates = mutable.PriorityQueue.empty[(Double, Int)](byDist.reverse)
+      val results = mutable.PriorityQueue.empty[(Double, Int)](byDist)
+      val d0 = sq(q, vecs(ep))
+      candidates.enqueue((d0, ep))
+      results.enqueue((d0, ep))
+      while (candidates.nonEmpty) {
+        val (cd, c) = candidates.dequeue()
+        if (cd > results.head._1 && results.size >= ef) candidates.clear()
+        else {
+          val nbrs = if (level < links(c).length) links(c)(level) else mutable.ArrayBuffer.empty[Int]
+          nbrs.foreach { n =>
+            if (!visited(n)) {
+              visited += n
+              val d = sq(q, vecs(n))
+              if (results.size < ef || d < results.head._1) {
+                candidates.enqueue((d, n))
+                results.enqueue((d, n))
+                if (results.size > ef) results.dequeue()
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      results.foreach(out += _)
+      out.sortInPlace()
+      out
+    }
+
+    def insert(id: Long, v: Array[Float]): Unit = {
+      require(v.length == dims, s"hnsw: vector has ${v.length} dims, graph has $dims")
+      val node = vecs.length
+      val level = levelOf(id)
+      vecs += v; extIds += id; nodeLevels += level
+      links += Array.fill(level + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entryPoint < 0) { entryPoint = node; topLevel = level; return }
+      var ep = entryPoint
+      // greedy descent through layers above the node's level
+      var l = topLevel
+      while (l > level) {
+        var changed = true
+        var best = sq(v, vecs(ep))
+        while (changed) {
+          changed = false
+          val nbrs = if (l < links(ep).length) links(ep)(l) else mutable.ArrayBuffer.empty[Int]
+          nbrs.foreach { n =>
+            val d = sq(v, vecs(n))
+            if (d < best) { best = d; ep = n; changed = true }
+          }
+        }
+        l -= 1
+      }
+      // connect on layers min(level, topLevel)..0
+      l = math.min(level, topLevel)
+      while (l >= 0) {
+        val cands = searchLayer(v, ep, efConstruction, l)
+        val cap = if (l == 0) maxM0 else m
+        val selected = cands.take(m).map(_._2)
+        links(node)(l) ++= selected
+        selected.foreach { n =>
+          val nl = links(n)(l)
+          nl += node
+          if (nl.length > cap) {
+            // prune to the `cap` closest (simple selection, deterministic)
+            val pruned = nl.map(x => (sq(vecs(n), vecs(x)), extIds(x), x))
+              .sortBy(t => (t._1, t._2)).take(cap).map(_._3)
+            nl.clear(); nl ++= pruned
+          }
+        }
+        if (cands.nonEmpty) ep = cands.head._2
+        l -= 1
+      }
+      if (level > topLevel) { topLevel = level; entryPoint = node }
+    }
+
+    /** top-k (id, score) with score = floor(√sq·10⁴ + 0.5), id-tie order. */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Long)] = {
+      if (entryPoint < 0) return Seq.empty
+      var ep = entryPoint
+      var l = topLevel
+      while (l > 0) {
+        var changed = true
+        var best = sq(q, vecs(ep))
+        while (changed) {
+          changed = false
+          val nbrs = if (l < links(ep).length) links(ep)(l) else mutable.ArrayBuffer.empty[Int]
+          nbrs.foreach { n =>
+            val d = sq(q, vecs(n))
+            if (d < best) { best = d; ep = n; changed = true }
+          }
+        }
+        l -= 1
+      }
+      searchLayer(q, ep, math.max(ef, k), 0)
+        .map { case (d, n) =>
+          (extIds(n), math.floor(math.sqrt(d) * 10000.0 + 0.5).toLong)
+        }
+        .sortBy { case (id, s) => (s, id) }
+        .take(k).toSeq
+    }
+  }
+
+  /** Distributed search: build a graph per partition (ascending-id insert),
+    * search each, merge the ≤ P·k per-partition heaps to the global top-k.
+    * `corpus` must expose (vec_id: long, embedding: array<float>). */
+  def searchPerPartition(corpus: DataFrame, query: Array[Float], k: Int,
+                         m: Int = 16, efConstruction: Int = 64, ef: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dims = query.length
+    val perPart: Dataset[(Long, Long)] = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new Graph(dims, m, efConstruction)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          g.search(query, k, ef).iterator
+        }
+      }
+    perPart.toDF("vec_id", "score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+}

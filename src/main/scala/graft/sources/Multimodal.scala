@@ -127,4 +127,78 @@ object Multimodal {
       }
     }
   }
+
+  /** Pluggable per-partition BATCH embedder — the slot a real model drops
+    * into. An implementation sees whole batches of one partition's blobs,
+    * so a native inference runtime (e.g. an ONNX Runtime session) loads
+    * once per partition and amortizes over the batch — the exact shape
+    * vector_embeddings.py:65 uses with its torch batches. This build
+    * environment ships NO inference runtime (offline, fixed dependency
+    * set — documented in SURVEY §5), so the bundled implementations are
+    * `SignalFeatureModel` (real signal-processing features, below) and the
+    * hash-derived `embedStub`; an ONNX-backed implementation is a drop-in:
+    * open the session lazily in a transient field, run the batch, return
+    * the tensors. */
+  trait EmbedModel extends Serializable {
+    def dims: Int
+    /** One batch of (media_id, bytes) → one vector per input, in order. */
+    def embedBatch(batch: Seq[(Long, Array[Byte])]): Seq[Array[Float]]
+  }
+
+  /** REAL feature extraction without an ML runtime: treat the decoded
+    * bytes as a 1-D signal and emit a 32-dim descriptor —
+    *  - 16 normalized byte-value histogram bins (content distribution);
+    *  - the first 16 DCT-II coefficients of the signal downsampled to 64
+    *    taps (spectral envelope — the same transform family JPEG/MFCC
+    *    front-ends use);
+    * L2-normalized. Genuine computation over content (near-dup blobs map
+    * to near vectors; different content separates), deterministic, and
+    * honest about being a FEATURIZER, not learned semantics. */
+  final class SignalFeatureModel extends EmbedModel {
+    val dims = 32
+    def embedBatch(batch: Seq[(Long, Array[Byte])]): Seq[Array[Float]] =
+      batch.map { case (_, bytes) =>
+        val v = new Array[Float](dims)
+        if (bytes != null && bytes.nonEmpty) {
+          val n = bytes.length
+          var i = 0
+          while (i < n) { v((bytes(i) & 0xff) >> 4) += 1.0f; i += 1 }
+          var b = 0
+          while (b < 16) { v(b) /= n.toFloat; b += 1 }
+          // 64-tap downsample, centered to [-0.5, 0.5]
+          val taps = 64
+          val s = Array.tabulate(taps) { j =>
+            (bytes((j.toLong * n / taps).toInt) & 0xff) / 255.0 - 0.5
+          }
+          var k = 0
+          while (k < 16) {
+            var acc = 0.0
+            var j = 0
+            while (j < taps) {
+              acc += s(j) * math.cos(math.Pi * k * (2 * j + 1) / (2.0 * taps))
+              j += 1
+            }
+            v(16 + k) = acc.toFloat
+            k += 1
+          }
+          val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+          if (norm > 0) { var d = 0; while (d < dims) { v(d) = (v(d) / norm).toFloat; d += 1 } }
+        }
+        v
+      }
+  }
+
+  /** Batched embedding through a pluggable model: partitions stream in
+    * `batchSize` groups so a native runtime amortizes per-batch overhead;
+    * null blobs are skipped (no content, no vector). */
+  def embedWith(spark: SparkSession, media: Dataset[MediaRecord], model: EmbedModel,
+                batchSize: Int = 64): Dataset[MediaEmbedding] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.filter(_.bytes != null).grouped(batchSize).flatMap { g =>
+        val vecs = model.embedBatch(g.map(m => (m.media_id, m.bytes)))
+        g.zip(vecs).map { case (m, v) => MediaEmbedding(m.media_id, v) }
+      }
+    }
+  }
 }

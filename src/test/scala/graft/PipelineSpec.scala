@@ -84,4 +84,31 @@ class PipelineSpec extends SparkSpec {
       assert(batch.exists { case (_, t, n, s) => t == "click" && n == 3 && s == 7.0 })
     } finally sq.stop()
   }
+
+  test("SignalFeatureModel: real content features, batched, deterministic") {
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull).limit(64)
+    val media = Multimodal.asMedia(spark, docs)
+    val model = new Multimodal.SignalFeatureModel
+    val a = Multimodal.embedWith(spark, media, model, batchSize = 7).collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    val b = Multimodal.embedWith(spark, media, model, batchSize = 64).collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    assert(a == b, "batch size must not change results")
+    assert(a.nonEmpty)
+    a.values.foreach { v =>
+      assert(v.length == 32)
+      val norm = math.sqrt(v.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-3, s"not unit-norm: $norm")
+    }
+    // different content -> different features (not a constant map)
+    assert(a.values.toSet.size > 1)
+    // near-dup content -> near vectors: a doc vs itself with one appended
+    // byte should stay close in cosine while random pairs spread
+    val bytes = docs.limit(1).select("text").collect()(0).getString(0).getBytes("UTF-8")
+    val Seq(v1, v2) = model.embedBatch(Seq((0L, bytes), (1L, bytes :+ 'x'.toByte)))
+      .map(_.map(_.toDouble))
+    val cos = v1.zip(v2).map { case (x, y) => x * y }.sum
+    assert(cos > 0.99, s"near-dup cosine $cos")
+  }
 }
