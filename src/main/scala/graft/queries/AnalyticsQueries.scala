@@ -366,6 +366,110 @@ object AnalyticsQueries {
       graft.operators.Hll.estimate(sketch, Seq("event_type"))
         .join(exact, "event_type")
         .select("event_type", "est", "n_exact")
+    }),
+
+    // C48: session path mining — per session, the ordered event-type path
+    // (the clickstream "top journeys" report). Sessions reuse C6's gap
+    // logic; the path is built by an ORDER-DETERMINISTIC in-group sort
+    // ((ts, event_id) is unique) so both engines agg the same string.
+    // One user-keyed shuffle for the windows, one path-keyed aggregate.
+    "events_path_topk" -> ((s, dir) => {
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val cum = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+        .withColumn("new_sess", when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess_idx", sum("new_sess").over(cum))
+        .groupBy("user_id", "sess_idx")
+        .agg(expr(
+          "array_join(transform(array_sort(collect_list(" +
+            "struct(unix_micros(ts) AS us, event_id, event_type))), x -> x.event_type), '>')"
+        ).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path").asc).limit(10)
+    }),
+
+    // C49: Bloom-pruned join — the 100 TB semi-join pruning pattern: a
+    // 4096-bit / 3-hash Bloom filter over the FILTERED dim keys is built
+    // by a tiny Spark job (so the bits come from the same xxhash64 the
+    // probe side uses) and compiled into a narrow bit-test predicate on
+    // the fact scan. Non-member facts drop BEFORE the join shuffle — at
+    // scale that is the difference between shuffling the whole fact table
+    // and shuffling the ~selectivity fraction that can match. Bloom FPs
+    // are harmless: the exact join follows, so the result EQUALS the
+    // plain join (which is exactly what the oracle runs).
+    "bloom_prune_join" -> ((s, dir) => {
+      val m = 4096
+      val seeds = Seq(1, 2, 3)
+      val cust = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val setBits = cust.select(explode(array(
+          seeds.map(sd => pmod(xxhash64(col("c_custkey"), lit(sd)), lit(m.toLong))): _*)).as("b"))
+        .distinct().collect().map(_.getLong(0))
+      val words = new Array[Long](m / 64)
+      setBits.foreach(b => words((b / 64).toInt) |= (1L << (b % 64).toInt))
+      val wordsLit = s"array(${words.map(w => s"${w}L").mkString(",")})"
+      val bitTest = seeds.map { sd =>
+        val bit = s"pmod(xxhash64(o_custkey, $sd), $m)"
+        s"((shiftright(element_at($wordsLit, CAST($bit div 64 AS INT) + 1), " +
+          s"CAST($bit % 64 AS INT))) & 1) = 1"
+      }.mkString(" AND ")
+      Tables(s, dir, "orders").filter(expr(bitTest))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          graft.functions.scaled(sum("o_totalprice"), 0).as("total"))
+    }),
+
+    // C50: count-min sketch heavy-hitter estimation — the FREQUENCY member
+    // of the sketch family (HLL = distinct, histogram = quantiles, CMS =
+    // counts): 4 seeded hash rows × 256 cells of integer counters, fully
+    // mergeable (cells sum) and deterministic (shared md5 hash60, so the
+    // oracle replays it). The entry emits the true top-5 users next to
+    // their CMS estimate (min over the 4 rows' cells) — est ≥ true by
+    // construction; at 100 TB the 1024-cell sketch replaces a full
+    // per-key count for "is anything hot" monitoring.
+    "cms_topk_est" -> ((s, dir) => {
+      val ev = events(s, dir)
+      def cellOf(r: org.apache.spark.sql.Column, user: org.apache.spark.sql.Column) =
+        pmod(graft.functions.md5Hash60(
+          concat(lit("cms"), r.cast("string"), lit("_"), user.cast("string"))), lit(256L))
+      val cells = ev.select(col("user_id"), explode(expr("sequence(1, 4)")).as("r"))
+        .withColumn("cell", cellOf(col("r"), col("user_id")))
+        .groupBy("r", "cell").agg(count(lit(1)).as("cnt"))
+      val top5 = ev.groupBy("user_id").agg(count(lit(1)).as("n_true"))
+        .orderBy(col("n_true").desc, col("user_id").asc).limit(5)
+      top5.select(col("user_id"), col("n_true"), explode(expr("sequence(1, 4)")).as("r"))
+        .withColumn("cell", cellOf(col("r"), col("user_id")))
+        .join(cells, Seq("r", "cell"))
+        .groupBy("user_id", "n_true").agg(min("cnt").as("n_est"))
+    }),
+
+    // C51: bucketed big-big interval join — attribution (clicks within the
+    // hour before each purchase) as an EQUI-join: clicks key by their hour
+    // bucket, purchases probe (bucket-1, bucket), residual time predicate
+    // after the match. A raw inequality join between two big sides plans
+    // as a per-user cartesian (or BNLJ); bucketing turns it into a
+    // SortMergeJoin on (user, bucket) whose per-key fan-out is bounded by
+    // the bucket width — the standard range-join decomposition
+    // (plan-audited: no cartesian/BNLJ). C40 is the broadcast-tiny-side
+    // complement; this is the shape when NEITHER side fits.
+    "events_attribution_bucketed" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .selectExpr("user_id", "event_id AS c_id", "unix_micros(ts) AS c_us")
+        .withColumn("bucket", expr("c_us div 3600000000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .selectExpr("user_id", "event_id AS p_id", "unix_micros(ts) AS p_us")
+      val probed = purchases.select(col("user_id"), col("p_id"), col("p_us"),
+        explode(expr("sequence(p_us div 3600000000 - 1, p_us div 3600000000)")).as("bucket"))
+      val matched = probed.join(clicks, Seq("user_id", "bucket"))
+        .filter(col("c_us") >= col("p_us") - lit(3600000000L) && col("c_us") <= col("p_us"))
+        .groupBy("p_id")
+        .agg(count(lit(1)).as("n_clicks"), min("c_id").as("min_click"))
+      purchases.join(matched, Seq("p_id"), "left")
+        .select(col("p_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          col("min_click"))
     })
   )
 
@@ -564,6 +668,63 @@ object AnalyticsQueries {
          |  CAST(floor((($HllAlphaScaled.0 / 1000000.0) * 65536.0 * 9007199254740992.0)
          |    / CAST(zsum AS DOUBLE)) AS BIGINT) AS est,
          |  x.n_exact
-         |FROM z JOIN x ON z.event_type = x.event_type""".stripMargin
+         |FROM z JOIN x ON z.event_type = x.event_type""".stripMargin,
+
+    "events_path_topk" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |      ROWS UNBOUNDED PRECEDING) AS sess_idx
+        |  FROM g),
+        |p AS (
+        |  SELECT user_id, sess_idx,
+        |    string_agg(event_type, '>' ORDER BY ts ASC, event_id ASC) AS path
+        |  FROM s GROUP BY user_id, sess_idx)
+        |SELECT path, count(*) AS n FROM p
+        |GROUP BY path ORDER BY n DESC, path ASC LIMIT 10""".stripMargin,
+
+    // the Bloom filter only PRUNES before the exact join, so the result is
+    // exactly the plain join — which is the oracle
+    "bloom_prune_join" ->
+      """SELECT count(*) AS n_orders,
+        | CAST(floor(sum(o_totalprice) + 0.5) AS BIGINT) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'""".stripMargin,
+
+    "cms_topk_est" -> {
+      def cell(r: String, user: String) =
+        DuckDialect.hash(s"'cms' || CAST($r AS VARCHAR) || '_' || CAST($user AS VARCHAR)") + " % 256"
+      s"""WITH cells AS (
+         |  SELECT rr.r AS r, ${cell("rr.r", "e.user_id")} AS cell, count(*) AS cnt
+         |  FROM events e CROSS JOIN range(1, 5) rr(r) GROUP BY 1, 2),
+         |top5 AS (
+         |  SELECT user_id, count(*) AS n_true FROM events
+         |  GROUP BY user_id ORDER BY n_true DESC, user_id ASC LIMIT 5),
+         |pr AS (
+         |  SELECT t.user_id, t.n_true, rr.r AS r, ${cell("rr.r", "t.user_id")} AS cell
+         |  FROM top5 t CROSS JOIN range(1, 5) rr(r))
+         |SELECT pr.user_id, pr.n_true, min(c.cnt) AS n_est
+         |FROM pr JOIN cells c ON pr.r = c.r AND pr.cell = c.cell
+         |GROUP BY 1, 2""".stripMargin
+    },
+
+    "events_attribution_bucketed" ->
+      """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT p.p_id, c.c_id FROM p JOIN c ON p.user_id = c.user_id
+        |       AND c.c_us >= p.p_us - 3600000000 AND c.c_us <= p.p_us),
+        |a AS (SELECT p_id, count(*) AS n_clicks, min(c_id) AS min_click
+        |      FROM j GROUP BY p_id)
+        |SELECT p.p_id, coalesce(a.n_clicks, 0) AS n_clicks, a.min_click
+        |FROM p LEFT JOIN a USING (p_id)""".stripMargin
   )
 }

@@ -94,6 +94,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("events_attribution_bucketed: the big-big range join is an EQUI join") {
+    // the bucket decomposition must plan as a hash/sort-merge equi-join —
+    // never the cartesian/BNLJ a raw inequality join between two big
+    // sides degenerates to
+    val p = plan("events_attribution_bucketed")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+  }
+
+  test("bloom_prune_join: the bit-test predicate prunes before the join") {
+    val p = plan("bloom_prune_join")
+    // the membership test (xxhash64 over the fact key) must sit in a
+    // Filter on the fact side, upstream of the join
+    assert(p.contains("xxhash64"), p.take(3000))
+    val filterIdx = p.indexOf("xxhash64")
+    val joinIdx = math.max(p.indexOf("SortMergeJoin"), p.indexOf("BroadcastHashJoin"))
+    assert(joinIdx >= 0, p.take(3000))
+    assert(filterIdx > joinIdx,
+      "the bloom filter must appear BELOW the join in the plan tree (printed after it):\n" +
+        p.take(3000))
+  }
+
   test("text_rarity: vocab joins broadcast; both aggregations partial-aggregate") {
     val p = plan("text_rarity")
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
