@@ -24,4 +24,9 @@ package object functions {
     * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`. */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** The same 60-bit hash as a Spark-SQL text fragment (for selectExpr
+    * sites); the DuckDB mirror is `queries.DuckDialect.hash`. */
+  def md5Hash60Sql(v: String): String =
+    s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
 }

@@ -445,6 +445,98 @@ object AnalyticsQueries {
         .groupBy("user_id", "n_true").agg(min("cnt").as("n_est"))
     }),
 
+    // C52: SCD-2 (slowly-changing-dimension type 2) history — the
+    // HISTORY-KEEPING sibling of C46's SCD-1 merge: an updates batch
+    // against the current dimension closes changed rows (valid_to = batch
+    // day), opens new versions, passes unchanged rows through, and opens
+    // brand-new keys. One full-outer join on the key classifies
+    // everything; at 100 TB both sides bucket by the key (C36) making it
+    // shuffle-free. Updates are derived deterministically in-query
+    // (keys %7: balance restated; %13: new key) so the oracle replays
+    // them; validity bounds are integer days.
+    "scd2_history" -> ((s, dir) => {
+      val cur = Tables(s, dir, "customer").selectExpr("c_custkey AS k",
+        "c_mktsegment AS seg", "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents")
+      val upd = Tables(s, dir, "customer")
+        .selectExpr("c_custkey", "c_mktsegment", "CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bc")
+        .filter(expr("c_custkey % 7 = 0 OR c_custkey % 13 = 0"))
+        .selectExpr(
+          "CASE WHEN c_custkey % 13 = 0 THEN c_custkey + 1000000 ELSE c_custkey END AS k",
+          "c_mktsegment AS seg_u",
+          "CASE WHEN c_custkey % 7 = 0 THEN bc + 1000 ELSE bc END AS bal_u")
+      val t = lit(1000L) // batch day
+      cur.join(upd, Seq("k"), "full_outer")
+        .selectExpr("k", "seg", "bal_cents", "seg_u", "bal_u",
+          "CASE WHEN seg IS NULL THEN 'insert' " +
+            "WHEN seg_u IS NULL THEN 'keep' " +
+            "WHEN bal_u = bal_cents AND seg_u = seg THEN 'keep' " +
+            "ELSE 'restate' END AS cls")
+        .selectExpr("k", "cls",
+          // history rows as an exploded array of (from, to, seg, bal)
+          "explode(CASE cls " +
+            "WHEN 'insert' THEN array(struct(1000L AS vf, CAST(NULL AS BIGINT) AS vt, seg_u AS s, bal_u AS b)) " +
+            "WHEN 'keep' THEN array(struct(0L AS vf, CAST(NULL AS BIGINT) AS vt, seg AS s, bal_cents AS b)) " +
+            "ELSE array(struct(0L AS vf, 1000L AS vt, seg AS s, bal_cents AS b), " +
+            "           struct(1000L AS vf, CAST(NULL AS BIGINT) AS vt, seg_u AS s, bal_u AS b)) END) AS h")
+        .selectExpr("k", "cls", "h.vf AS valid_from", "h.vt AS valid_to",
+          "h.s AS seg", "h.b AS bal_cents")
+    }),
+
+    // C53: incremental aggregate maintenance — the partial-agg MERGE that
+    // keeps a 100 TB rollup fresh without rescanning history: the
+    // pre-cutoff state (a tiny (group, n, sum) table — in production a
+    // stored artifact) merges with the new partition's delta partials by
+    // plain associative addition. Only the delta scans; the result is
+    // proven equal to the full recompute by the oracle (which computes it
+    // directly), and n_delta makes the increment itself visible.
+    "agg_incremental" -> ((s, dir) => {
+      val ev = events(s, dir).selectExpr("event_type",
+        "unix_micros(ts) div 86400000000 AS d", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      val cutoff = ev.agg(expr("min(d) + (max(d) - min(d)) div 2").as("cut"))
+      val tagged = ev.crossJoin(broadcast(cutoff))
+      val state = tagged.filter(col("d") < col("cut"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+          lit(0L).as("nd"))
+      val delta = tagged.filter(col("d") >= col("cut"))
+        .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("sc"),
+          count(lit(1)).as("nd"))
+      state.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_total"), sum("sc").as("cents_total"), sum("nd").as("n_delta"))
+    }),
+
+    // C54: table diff by bucket checksums — how two 100 TB snapshots are
+    // reconciled without a row-level join: each side reduces to 256
+    // (bucket, count, checksum) rows (one narrow scan + a tiny aggregate
+    // each), and only differing buckets are reported for row-level
+    // investigation. Snapshot B is a deterministic perturbation of A
+    // (drop %997 keys, restate %499 values) so the oracle replays it; the
+    // checksum is an order-independent sum of 20-bit row-hash slices
+    // (bounded so a BIGINT sum cannot overflow under ANSI).
+    "table_diff_buckets" -> ((s, dir) => {
+      def rows(perturbed: Boolean) = {
+        val base = events(s, dir).selectExpr("event_id", "user_id", "event_type",
+          "CAST(floor(value * 100) AS BIGINT) AS cents")
+        val side = if (perturbed)
+          base.filter(expr("event_id % 997 != 0"))
+            .selectExpr("event_id", "user_id", "event_type",
+              "CASE WHEN event_id % 499 = 0 THEN cents + 1 ELSE cents END AS cents")
+        else base
+        side.selectExpr("pmod(event_id, 256) AS bucket",
+          s"${graft.functions.md5Hash60Sql(
+            "concat_ws('|', CAST(event_id AS STRING), CAST(user_id AS STRING), " +
+              "event_type, CAST(cents AS STRING))")} % 1048576 AS h")
+          .groupBy("bucket").agg(count(lit(1)).as("n"), sum("h").as("chk"))
+      }
+      val a = rows(perturbed = false)
+        .select(col("bucket"), col("n").as("n_a"), col("chk").as("chk_a"))
+      val b = rows(perturbed = true)
+        .select(col("bucket"), col("n").as("n_b"), col("chk").as("chk_b"))
+      // null-safe comparison: a bucket empty on one side must still report
+      a.join(b, Seq("bucket"), "full_outer")
+        .filter(!(col("n_a") <=> col("n_b")) || !(col("chk_a") <=> col("chk_b")))
+    }),
+
     // C51: bucketed big-big interval join — attribution (clicks within the
     // hour before each purchase) as an EQUI-join: clicks key by their hour
     // bucket, purchases probe (bucket-1, bucket), residual time predicate
@@ -713,6 +805,58 @@ object AnalyticsQueries {
          |SELECT pr.user_id, pr.n_true, min(c.cnt) AS n_est
          |FROM pr JOIN cells c ON pr.r = c.r AND pr.cell = c.cell
          |GROUP BY 1, 2""".stripMargin
+    },
+
+    "scd2_history" ->
+      """WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal FROM customer),
+        |upd AS (SELECT
+        |    CASE WHEN c_custkey % 13 = 0 THEN c_custkey + 1000000 ELSE c_custkey END AS k,
+        |    c_mktsegment AS seg_u,
+        |    CASE WHEN c_custkey % 7 = 0
+        |         THEN CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 1000
+        |         ELSE CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) END AS bal_u
+        |  FROM customer WHERE c_custkey % 7 = 0 OR c_custkey % 13 = 0),
+        |f AS (SELECT coalesce(c.k, u.k) AS k, c.seg, c.bal, u.seg_u, u.bal_u,
+        |    CASE WHEN c.seg IS NULL THEN 'insert'
+        |         WHEN u.seg_u IS NULL THEN 'keep'
+        |         WHEN u.bal_u = c.bal AND u.seg_u = c.seg THEN 'keep'
+        |         ELSE 'restate' END AS cls
+        |  FROM cur c FULL OUTER JOIN upd u ON c.k = u.k)
+        |SELECT k, cls, CAST(1000 AS BIGINT) AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+        |  seg_u AS seg, bal_u AS bal_cents FROM f WHERE cls = 'insert'
+        |UNION ALL
+        |SELECT k, cls, 0, NULL, seg, bal FROM f WHERE cls = 'keep'
+        |UNION ALL
+        |SELECT k, cls, 0, 1000, seg, bal FROM f WHERE cls = 'restate'
+        |UNION ALL
+        |SELECT k, cls, 1000, NULL, seg_u, bal_u FROM f WHERE cls = 'restate'""".stripMargin,
+
+    "agg_incremental" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |c AS (SELECT min(d) + (max(d) - min(d)) // 2 AS cut FROM ev)
+        |SELECT event_type, count(*) AS n_total, sum(cents) AS cents_total,
+        |  CAST(count(CASE WHEN d >= (SELECT cut FROM c) THEN 1 END) AS BIGINT) AS n_delta
+        |FROM ev GROUP BY event_type""".stripMargin,
+
+    "table_diff_buckets" -> {
+      val rowHash = DuckDialect.hash(
+        "concat_ws('|', CAST(event_id AS VARCHAR), CAST(user_id AS VARCHAR), " +
+          "event_type, CAST(cents AS VARCHAR))") + " % 1048576"
+      s"""WITH base AS (SELECT event_id, user_id, event_type,
+         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+         |a AS (SELECT event_id % 256 AS bucket, count(*) AS n_a,
+         |    sum($rowHash) AS chk_a FROM base GROUP BY 1),
+         |pert AS (SELECT event_id, user_id, event_type,
+         |    CASE WHEN event_id % 499 = 0 THEN cents + 1 ELSE cents END AS cents
+         |  FROM base WHERE event_id % 997 != 0),
+         |b AS (SELECT event_id % 256 AS bucket, count(*) AS n_b,
+         |    sum($rowHash) AS chk_b FROM pert GROUP BY 1)
+         |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |  n_a, CAST(chk_a AS BIGINT) AS chk_a, n_b, CAST(chk_b AS BIGINT) AS chk_b
+         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+         |WHERE n_a IS DISTINCT FROM n_b OR chk_a IS DISTINCT FROM chk_b""".stripMargin
     },
 
     "events_attribution_bucketed" ->
