@@ -80,7 +80,8 @@ object StreamingQueries {
     * per stream, not per cluster default). Batch entries are untouched —
     * the conf is set only for the stream's lifetime (execution happens
     * inside this method, unlike lazy batch frames). */
-  private val StreamShufflePartitions = "8"
+  private val StreamShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
   private def wiped(sub: String): String = {
     val d = new java.io.File(sys.props("java.io.tmpdir"), sub)
     if (d.isDirectory) {
