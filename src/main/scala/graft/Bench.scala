@@ -36,6 +36,12 @@ object Bench {
     } catch { case _: Throwable => -1L }
   }
 
+  /** Locale-independent fixed-point formatting — f"%.3f" follows the JVM
+    * default locale and renders comma decimals on e.g. de_DE, producing
+    * invalid JSON. */
+  private def f3(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s((s.size - 1) / 2) // lower median — robust, no interpolation
@@ -99,22 +105,22 @@ object Bench {
       case (n, m) if mins(n) > 0.05 && m > 3 * mins(n) => n
     }
     def fmtQ(pairs: Seq[(String, Double)]): String =
-      pairs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      pairs.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
     val total = med.map(_._2).sum
     val totalMin = mins.values.sum
     val classes = med.groupBy { case (k, _) => classOf(k) }
       .toSeq.sortBy(_._1)
       .map { case (c, m) =>
-        s""""$c":{"sec":${f"${m.map(_._2).sum}%.3f"},"n":${m.size}}""" }
+        s""""$c":{"sec":${f3(m.map(_._2).sum)},"n":${m.size}}""" }
       .mkString("{", ",", "}")
     // full artifact: every pass's raw timing, for stall forensics
     val full = selected.map { case (name, _) =>
-      "\"" + name + "\":[" + times(name).map(t => f"$t%.3f").mkString(",") + "]"
+      "\"" + name + "\":[" + times(name).map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec"""" +
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","queries":${fmtQ(med)},"classes":$classes""" +
-      s""","n_runs":$nRuns,"total_min":${f"$totalMin%.3f"},"stalled":$stalledJson""" +
+      s""","n_runs":$nRuns,"total_min":${f3(totalMin)},"stalled":$stalledJson""" +
       s""","rss_mb":$rssMb,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
       s"""{"runs":$full,"medians":${fmtQ(med)},"summary":$line}""")

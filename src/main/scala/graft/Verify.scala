@@ -22,15 +22,23 @@ object Verify {
     // leftovers from an older build.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail LOUDLY on unknown names: a typo'd filter must not silently
+    // select nothing (and then wipe every stale result dir below)
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     val selected = only.fold(SparkEntry.queries)(names =>
       SparkEntry.queries.filter { case (n, _) => names(n) })
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete()
+    }
     only.foreach { _ =>
       SparkEntry.queries.keys.filterNot(selected.contains).foreach { stale =>
         val d = new java.io.File(outDir, stale)
-        if (d.isDirectory) {
-          d.listFiles().foreach(_.delete())
-          d.delete()
-        }
+        if (d.isDirectory) deleteRec(d)
       }
     }
     selected.foreach { case (name, fn) =>

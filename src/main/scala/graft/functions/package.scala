@@ -29,4 +29,27 @@ package object functions {
     * sites); the DuckDB mirror is `queries.DuckDialect.hash`. */
   def md5Hash60Sql(v: String): String =
     s"CAST(conv(substring(md5($v), 1, 15), 16, 10) AS BIGINT)"
+
+  // Integer-exact vector arithmetic fragments — the single source of truth
+  // for the quantized training/search paths (KMeans.fitInt, Pq.*Int,
+  // embedding_drift, specs). One scale/rounding/tie convention, spelled
+  // once: a change here reaches every engine-vs-oracle pair at once.
+
+  /** Spark-SQL fragment: quantize a float vector column to scaled-BIGINT
+    * components — `scaled()` applied element-wise (`floor(x·10⁴ + 0.5)`).
+    * DuckDB mirror: `queries.DuckDialect.quantizeVec`. */
+  def quantizeVecSql(v: String): String =
+    s"transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  /** Spark-SQL fragment: element-wise integer floor-mean of a `VecSumLong`
+    * result. Spark `div` truncates toward zero; subtracting the pmod
+    * remainder first yields exact floor division on negative sums too
+    * (matching DuckDB `//`). */
+  def floorMeanVecSql(sum: String, cnt: String): String =
+    s"transform($sum, v -> (v - ((v % $cnt + $cnt) % $cnt)) div $cnt)"
+
+  /** Spark-SQL fragment: exact integer squared L2 between two BIGINT
+    * vectors (fixed left-to-right term order — engine-reproducible). */
+  def sqDistLongSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
 }

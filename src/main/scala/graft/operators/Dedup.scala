@@ -21,7 +21,6 @@ object Dedup {
   def minhashA(j: Int): Long = (2654435761L * (j + 1)) % (P - 1) + 1
   def minhashB(j: Int): Long = (40503L * (j + 1) % P) * 2654435761L % P
 
-  /** B1: exact dedup by content hash; keeps the smallest id per group. */
   /** Eager materialization for the iterative operators (CC rounds, Lloyd's
     * sampling). Default is `localCheckpoint`: executor-local storage —
     * fastest, but NON-REPLICATED and lineage-truncating, so on a real
@@ -37,6 +36,7 @@ object Dedup {
 
   val ReliableCheckpointConf = "spark.graft.checkpoint.reliable"
 
+  /** B1: exact dedup by content hash; keeps the smallest id per group. */
   def exact(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
     docs.groupBy(md5(col(textCol)).as("h"))
       .agg(min(idCol).as("keeper"), count(lit(1)).as("n_copies"))

@@ -83,9 +83,8 @@ object KMeans {
   def fitInt(emb: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding")
       : (Seq[(Long, Array[Long])], DataFrame) = {
-    val qemb = emb.select(col(idCol), expr(
-      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
-    ).as("q"))
+    val qemb = emb.select(col(idCol),
+      expr(graft.functions.quantizeVecSql(vecCol)).as("q"))
     var cent: Seq[(Long, Array[Long])] = qemb.orderBy(col(idCol).asc).limit(k)
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toArray).zipWithIndex
@@ -97,7 +96,7 @@ object KMeans {
         .groupBy("cluster")
         .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"), count(lit(1)).as("cnt"))
         .select(col("cluster"),
-          expr("transform(sv, v -> (v - ((v % cnt + cnt) % cnt)) div cnt)").as("cent"))
+          expr(graft.functions.floorMeanVecSql("sv", "cnt")).as("cent"))
         .collect()
         .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
       // empty clusters keep their previous centroid

@@ -73,7 +73,7 @@ object Pq {
     * — the integer-exact form the engine-portable training paths share. */
   def quantized(emb: DataFrame): DataFrame =
     emb.selectExpr("vec_id",
-      "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q")
+      graft.functions.quantizeVecSql("embedding") + " AS q")
 
   /** INTEGER-EXACT trained PQ codebook — Lloyd's per subspace over
     * QUANTIZED sub-vectors: assignment via the `NearestCentroidLong`
@@ -100,8 +100,7 @@ object Pq {
         .groupBy("m", "code")
         .agg(graft.functions.aggs.vecSumLong(col("sv")).as("s"), count(lit(1)).as("cnt"))
         // integer floor-mean; components can be negative → pmod identity
-        .selectExpr("m", "code",
-          "transform(s, v -> (v - ((v % cnt + cnt) % cnt)) div cnt) AS cw")
+        .selectExpr("m", "code", graft.functions.floorMeanVecSql("s", "cnt") + " AS cw")
         .collect()
         .map(r => (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).toArray).toMap
       // empty codes keep their previous codeword
@@ -147,7 +146,7 @@ object Pq {
     codes.selectExpr("vec_id", "q", s"CAST($adistExpr AS BIGINT) AS adist")
       .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
       .selectExpr("vec_id",
-        s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+        graft.functions.sqDistLongSql("q", qLit) + " AS score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 

@@ -231,9 +231,9 @@ object CoreQueries {
         "CAST(floor(value * 100) AS BIGINT) AS cents")
         .withColumn("zval", expr(graft.operators.ZOrder.zvalExpr("u", "d", 8)))
       // fixed overwrite target (ADVICE r2): a fresh temp dir per invocation
-      // leaked a full parquet copy on every Verify/Bench pass
-      val path = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_zorder_layout").getAbsolutePath
+      // leaked a full parquet copy on every Verify/Bench pass. Per-process
+      // root so a concurrent harness JVM can't overwrite mid-read.
+      val path = graft.TmpDirs.path("zorder_layout")
       graft.operators.ZOrder.writeZOrdered(ev, "zval", path, nFiles = 16)
       s.read.parquet(path)
         .filter(col("u").between(40, 120) && col("d").between(15, 30))

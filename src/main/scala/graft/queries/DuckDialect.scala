@@ -18,6 +18,11 @@ object DuckDialect {
   val ShinglesRaw =
     "list_transform(range(len(tk) - 2), i -> array_to_string(tk[i+1:i+3], ' '))"
 
+  /** Vector quantization to scaled BIGINTs — mirrors
+    * `graft.functions.quantizeVecSql` (floor(x·10⁴ + 0.5) per component). */
+  def quantizeVec(v: String): String =
+    s"list_transform($v, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
   /** Per-cluster mean-vector table — mirrors operators.Ivf.centroids over
     * source relation `src` (needs cols label, embedding FLOAT[64]). */
   def centSql(src: String): String =

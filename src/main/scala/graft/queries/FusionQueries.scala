@@ -178,8 +178,7 @@ object FusionQueries {
         .selectExpr("vec_id",
           "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
           "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .selectExpr("vec_id",
-          "aggregate(zip_with(qa, qb, (x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, z) -> acc + z) AS dist")
+        .selectExpr("vec_id", graft.functions.sqDistLongSql("qa", "qb") + " AS dist")
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
     })
@@ -256,7 +255,7 @@ object FusionQueries {
         s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
       def dsq64(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
-      val qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+      val qz = DuckDialect.quantizeVec("embedding")
       val iterCtes = (0 until iters).map { i =>
         s"""p$i AS (SELECT vec_id, m, code FROM (
            |  SELECT s.vec_id, s.m, c.code, row_number() OVER (PARTITION BY s.vec_id, s.m

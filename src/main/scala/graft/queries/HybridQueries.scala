@@ -66,8 +66,7 @@ object HybridQueries {
           graft.functions.centroids.nearestLong(col("q"), cent)
             .getField("label").as("cluster"), col("q"))
         .filter(col("cluster").isin(probed: _*))
-        .selectExpr("vec_id",
-          s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+        .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     }),
 
@@ -164,18 +163,16 @@ object HybridQueries {
     // integer distance scan; the mean is an integer sum-div-count.
     "embedding_drift" -> ((s, dir) => {
       val ed = emb(s, dir).join(docs(s, dir), col("vec_id") === col("doc_id"))
-        .select(col("source"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
-        ).as("q"))
+        .select(col("source"),
+          expr(graft.functions.quantizeVecSql("embedding")).as("q"))
       val cent = ed.groupBy("source")
         .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"), count(lit(1)).as("cnt"))
         // element-wise floor-mean; components can be negative, so floor
         // division is spelled via the pmod identity (div truncates)
         .select(col("source"),
-          expr("transform(sv, v -> (v - ((v % cnt + cnt) % cnt)) div cnt)").as("cent"))
+          expr(graft.functions.floorMeanVecSql("sv", "cnt")).as("cent"))
       ed.join(broadcast(cent), "source")
-        .withColumn("d",
-          expr("aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"))
+        .withColumn("d", expr(graft.functions.sqDistLongSql("q", "cent")))
         .groupBy("source")
         .agg(count(lit(1)).as("n"), expr("sum(d) div count(*)").as("mean_dist"),
           max("d").as("max_dist"))
@@ -700,9 +697,7 @@ object HybridQueries {
     // integer-exact mirror: quantize → integer floor-mean centroid →
     // squared-L2 in quantized units (all-BIGINT, no fp accumulation order)
     "embedding_drift" ->
-      s"""WITH ed AS (SELECT d.source,
-         |    list_transform(e.embedding,
-         |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS q
+      s"""WITH ed AS (SELECT d.source, ${DuckDialect.quantizeVec("e.embedding")} AS q
          |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
          |cnts AS (SELECT source, count(*) AS cnt FROM ed GROUP BY source),
          |comp AS (SELECT ed.source AS source, dd.dim AS dim, sum(ed.q[dd.dim + 1]) AS sv
@@ -726,7 +721,7 @@ object HybridQueries {
       val k = 10; val iters = 3; val np = 3
       def dsq(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
-      val qz = "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+      val qz = DuckDialect.quantizeVec("embedding")
       val iterCtes = (0 until iters).map { i =>
         s"""a$i AS (SELECT vec_id, cl FROM (
            |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id

@@ -82,17 +82,9 @@ object StreamingQueries {
     * inside this method, unlike lazy batch frames). */
   private val StreamShufflePartitions =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
-  private def wiped(sub: String): String = {
-    val d = new java.io.File(sys.props("java.io.tmpdir"), sub)
-    if (d.isDirectory) {
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(d)
-    }
-    d.getAbsolutePath
-  }
+  // per-process temp root: concurrent harness JVMs must not share
+  // sink/checkpoint dirs (mode-overwrite clobbers files mid-read)
+  private def wiped(sub: String): String = graft.TmpDirs.wiped(sub)
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
                          mode: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"

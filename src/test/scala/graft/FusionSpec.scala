@@ -87,8 +87,7 @@ class FusionSpec extends SparkSpec {
     val qv = qall.filter(col("vec_id") === 0).select("q").head.getSeq[Long](0).toArray
     val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
     val exact = qall.filter(col("vec_id") =!= 0)
-      .selectExpr("vec_id",
-        s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+      .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(10)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val pq = q("knn_pq_trained").collect().map(r => (r.getLong(0), r.getLong(1)))

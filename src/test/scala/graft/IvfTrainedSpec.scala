@@ -34,7 +34,7 @@ class IvfTrainedSpec extends SparkSpec {
     val (cent, qemb) = KMeans.fitInt(corpus, k = 10, iters = 3)
     val centDf = spark.createDataFrame(
       cent.map { case (c, v) => (c, v.toSeq) }).toDF("cl", "cent")
-    val dExpr = "aggregate(zip_with(q, cent, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x)"
+    val dExpr = graft.functions.sqDistLongSql("q", "cent")
     val assigned = qemb.crossJoin(broadcast(centDf))
       .selectExpr("vec_id", "q", "cl", s"$dExpr AS d")
       .groupBy("vec_id")
@@ -51,8 +51,7 @@ class IvfTrainedSpec extends SparkSpec {
     val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
     val expected = qemb.join(assigned, "vec_id")
       .filter(col("cluster").isin(probed: _*))
-      .selectExpr("vec_id",
-        s"aggregate(zip_with(q, $qLit, (a, b) -> (a - b) * (a - b)), 0L, (acc, x) -> acc + x) AS score")
+      .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(10)
       .as[(Long, Long)].collect().toSeq.sortBy(_._1)
     assert(entry == expected)
