@@ -45,6 +45,18 @@ object ScaleProbe {
       expr("CAST(pmod(xxhash64(id), 5) AS INT)").as("lang_k"),
       pmod(col("id"), lit(997)).as("n_chars"))
 
+  /** Clickstream-shaped events: ~n/40 users, ~30-day span, second
+    * resolution — the fan-out and session shapes the C48/C51 probes need. */
+  def syntheticEvents(spark: SparkSession, n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("event_id"),
+      pmod(xxhash64(col("id")), lit(n / 40 max 1L)).as("user_id"),
+      (lit(1700000000000000L) +
+        pmod(xxhash64(col("id") + 7), lit(2592000L)) * 1000000L).as("us"),
+      expr("element_at(array('view', 'click', 'purchase'), " +
+        "CAST(pmod(xxhash64(id + 13), 3) AS INT) + 1)").as("event_type"),
+      pmod(xxhash64(col("id") + 19), lit(100000L)).as("cents"))
+
   def main(args: Array[String]): Unit = {
     val nVecs = args.lift(0).map(_.toLong).getOrElse(500000L)
     val nDocs = args.lift(1).map(_.toLong).getOrElse(500000L)
@@ -62,10 +74,14 @@ object ScaleProbe {
 
     val emb = syntheticEmbeddings(spark, nVecs)
     val docs = syntheticDocs(spark, nDocs)
+    val nEvents = 4 * nDocs
     emb.write.mode("overwrite").parquet("/root/repo/target/probe/emb")
     docs.write.mode("overwrite").parquet("/root/repo/target/probe/docs")
+    syntheticEvents(spark, nEvents)
+      .write.mode("overwrite").parquet("/root/repo/target/probe/events")
     val e = spark.read.parquet("/root/repo/target/probe/emb")
     val d = spark.read.parquet("/root/repo/target/probe/docs")
+    val ev = spark.read.parquet("/root/repo/target/probe/events")
 
     val q1 = e.filter(col("vec_id") === 7).select(col("embedding").as("q_vec"))
     val qs = e.filter(col("vec_id") < 8)
@@ -154,7 +170,95 @@ object ScaleProbe {
       // integer Lloyd's (the oracle-checkable index build): kernel E-step
       // (narrow) + VecSumLong M-step per iteration
       time("kmeans_int_fit")(graft.operators.KMeans.fitInt(
-        e.select("vec_id", "embedding"), k = 16, iters = 3)._1.size)
+        e.select("vec_id", "embedding"), k = 16, iters = 3)._1.size),
+      // C48 path mining over 4·nDocs events: one user-keyed shuffle for
+      // the session windows, per-session in-group sort (bounded by session
+      // length, never the corpus), one path-keyed aggregate
+      time("path_topk") {
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+        val cum = Window.partitionBy("user_id").orderBy(col("us").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ev.withColumn("prev_us", lag(col("us"), 1).over(byUser))
+          .withColumn("new_sess", when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+          .withColumn("sess_idx", sum("new_sess").over(cum))
+          .groupBy("user_id", "sess_idx")
+          .agg(expr("array_join(transform(array_sort(collect_list(" +
+            "struct(us, event_id, event_type))), x -> x.event_type), '>')").as("path"))
+          .groupBy("path").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path").asc).limit(10).count()
+      },
+      // C49 Bloom-pruned join: 4096-bit/3-hash filter over the selective
+      // dim keys compiled into a narrow bit-test — non-members drop BEFORE
+      // the join shuffle (the whole point at fact scale)
+      time("bloom_prune_join") {
+        val m = 4096
+        val dim = spark.range(nEvents / 40 max 1L)
+          .filter(col("id") % 5 === 0).select(col("id").as("k"))
+        val setBits = dim.select(explode(array((1 to 3).map(sd =>
+            pmod(xxhash64(col("k"), lit(sd)), lit(m.toLong))): _*)).as("b"))
+          .distinct().collect().map(_.getLong(0))
+        val words = new Array[Long](m / 64)
+        setBits.foreach(b => words((b / 64).toInt) |= (1L << (b % 64).toInt))
+        val wordsLit = s"array(${words.map(w => s"${w}L").mkString(",")})"
+        val bitTest = (1 to 3).map { sd =>
+          val bit = s"pmod(xxhash64(user_id, $sd), $m)"
+          s"((shiftright(element_at($wordsLit, CAST($bit div 64 AS INT) + 1), " +
+            s"CAST($bit % 64 AS INT))) & 1) = 1"
+        }.mkString(" AND ")
+        ev.filter(expr(bitTest))
+          .join(dim, col("user_id") === col("k"))
+          .agg(count(lit(1)), sum("cents")).collect()
+      },
+      // C50 count-min sketch: 4 seeded rows × 256 cells — the explode is
+      // narrow, the aggregate carries ≤1024 counter rows
+      time("cms_cells")(
+        ev.select(col("user_id"), explode(expr("sequence(1, 4)")).as("r"))
+          .withColumn("cell", pmod(graft.functions.md5Hash60(
+            concat(lit("cms"), col("r").cast("string"), lit("_"),
+              col("user_id").cast("string"))), lit(256L)))
+          .groupBy("r", "cell").agg(count(lit(1)).as("cnt")).count()),
+      // C51 bucketed BIG×BIG interval join: hour-bucket equi-keys + 2-way
+      // probe explode + residual time predicate — SortMergeJoin fan-out
+      // bounded by the bucket width, never a per-user cartesian
+      time("attribution_bucketed") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("event_id").as("c_id"), col("us").as("c_us"))
+          .withColumn("bucket", expr("c_us div 3600000000"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("p_id"), col("us").as("p_us"))
+        purchases.select(col("user_id"), col("p_id"), col("p_us"),
+            explode(expr("sequence(p_us div 3600000000 - 1, p_us div 3600000000)")).as("bucket"))
+          .join(clicks, Seq("user_id", "bucket"))
+          .filter(col("c_us") >= col("p_us") - lit(3600000000L) && col("c_us") <= col("p_us"))
+          .groupBy("p_id").agg(count(lit(1)).as("n_clicks")).count()
+      },
+      // C54 snapshot diff by bucket checksums: each side reduces to 256
+      // (bucket, count, checksum) rows in one narrow scan + tiny aggregate
+      time("table_diff_buckets") {
+        def side(perturbed: Boolean) = {
+          val base = if (perturbed)
+            ev.filter(expr("event_id % 997 != 0"))
+              .withColumn("cents", expr(
+                "CASE WHEN event_id % 499 = 0 THEN cents + 1 ELSE cents END"))
+          else ev
+          base.selectExpr("pmod(event_id, 256) AS bucket",
+              s"${graft.functions.md5Hash60Sql(
+                "concat_ws('|', CAST(event_id AS STRING), CAST(user_id AS STRING), " +
+                  "event_type, CAST(cents AS STRING))")} % 1048576 AS h")
+            .groupBy("bucket").agg(count(lit(1)).as("n"), sum("h").as("chk"))
+        }
+        side(perturbed = false).as("a")
+          .join(side(perturbed = true).as("b"), Seq("bucket"), "full_outer")
+          .filter(!(col("a.n") <=> col("b.n")) || !(col("a.chk") <=> col("b.chk")))
+          .count()
+      },
+      // B24 incremental admission: the arriving half probes the existing
+      // half's banded minhash index — the persisted-index ingest path
+      time("incremental_minhash")(Dedup.incrementalMinhash(
+        d, splitId = nDocs / 2, numHashes = 12, bands = 4,
+        maxBucket = Some(64)).count())
     )
     val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")

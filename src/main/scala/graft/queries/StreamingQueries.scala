@@ -85,11 +85,31 @@ object StreamingQueries {
   // per-process temp root: concurrent harness JVMs must not share
   // sink/checkpoint dirs (mode-overwrite clobbers files mid-read)
   private def wiped(sub: String): String = graft.TmpDirs.wiped(sub)
+  /** Large-state option: the default HDFSBacked provider keeps every state
+    * store ON EXECUTOR HEAP — fine for the gate corpora, an OOM at 100 TB
+    * state volumes (billions of dedup keys, wide join windows). Spark's
+    * bundled RocksDB provider spills state to local disk with an off-heap
+    * block cache; select it per session via
+    * `spark.graft.stream.statestore=rocksdb` (or env
+    * `SPARK_GRAFT_STREAM_STATESTORE=rocksdb`). Results are provider-
+    * independent (RocksDbStateSpec proves bit-equality on the stateful
+    * entries); the provider is fixed at the first checkpoint of a stream,
+    * and these entries start from fresh checkpoints each run. */
+  val StateStoreConf = "spark.graft.stream.statestore"
+  private val RocksDbProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
                          mode: String): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
     s.conf.set(key, StreamShufflePartitions)
+    val ssKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevSs = s.conf.getOption(ssKey)
+    val wantRocks = sys.env.get("SPARK_GRAFT_STREAM_STATESTORE")
+      .orElse(s.conf.getOption(StateStoreConf))
+      .exists(_.equalsIgnoreCase("rocksdb"))
+    if (wantRocks) s.conf.set(ssKey, RocksDbProvider)
     try {
       if (mode == "append") {
         val sink = wiped(s"graft_sink_$name")
@@ -105,7 +125,10 @@ object StreamingQueries {
         sq.awaitTermination()
         s.table(name)
       }
-    } finally s.conf.set(key, prev)
+    } finally {
+      s.conf.set(key, prev)
+      prevSs.fold(s.conf.unset(ssKey))(v => s.conf.set(ssKey, v))
+    }
   }
 
   /** Documents carry no event time; ingest order IS doc order, so a
