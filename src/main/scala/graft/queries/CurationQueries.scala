@@ -46,6 +46,18 @@ object CurationQueries {
   private[queries] val MinQuality = 5500L
   private val QuotaPerSource = 10
 
+  /** B27: tokens per packed training sequence, and the span of the
+    * doc-id buckets the distributed prefix-sum reduces over. */
+  private val SeqLen = 64L
+  private val PackBucketSpan = 32L
+
+  /** B28: semantic-decontamination cosine threshold ×10⁴ (the corpus's
+    * cross-source p99 is ≈0.29 — 0.30 flags the true near-benchmark tail)
+    * and the LSH bucketing shared with B5's embedding dedup. */
+  private val SemTauScaled = 3000L
+  private val SemNumPlanes = 4
+  private val SemDims = 64
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B13: top-K token vocabulary with counts (tokenizer-vocab extraction)
     "text_vocab" -> ((s, dir) =>
@@ -110,6 +122,71 @@ object CurationQueries {
       train.join(broadcast(bench), "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= MinSharedShingles)
+    }),
+
+    // B27: sequence packing — the step between curation and training:
+    // greedy-contiguous packing of the tokenized corpus (ingest = doc_id
+    // order) into fixed SeqLen-token training sequences, reporting per
+    // sequence its contributing docs and token count (the "how many docs
+    // does a training row straddle" audit). The global token offset is a
+    // DISTRIBUTED PREFIX-SUM, never a global-order window: per-doc counts
+    // reduce to per-(doc_id div span) bucket subtotals (one tiny
+    // aggregate), the bucket bases are an exclusive scan over those
+    // subtotals (driver-side — n/span rows, the k·d-model-state analogue;
+    // at 100 TB add a third level, same shape), and each doc's offset is
+    // base + a window bounded by the span (≤32 rows per window partition,
+    // deterministic doc_id bucketing — no RangePartitioner sampling, so
+    // re-evaluation cannot shift partition boundaries). A doc spanning
+    // sequences contributes to each via a bounded explode (n/SeqLen + 1).
+    "pack_sequences" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nt = docs(s, dir)
+        .selectExpr("doc_id", s"CAST(size($sTok) AS BIGINT) AS n")
+        .filter(col("n") > 0)
+        .withColumn("b", expr(s"doc_id div $PackBucketSpan"))
+      val subtotals = nt.groupBy("b").agg(sum("n").as("bn"))
+        .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      var acc = 0L
+      val bases = subtotals.map { case (b, bn) => val r = (b, acc); acc += bn; r }
+      val baseDf = s.createDataFrame(bases.toIndexedSeq).toDF("b", "base")
+      val w = Window.partitionBy("b").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      nt.withColumn("cum", sum("n").over(w))
+        .join(broadcast(baseDf), "b")
+        .selectExpr("doc_id", "n", "base + cum - n AS off")
+        .selectExpr("doc_id", "n", "off",
+          s"explode(sequence(off div $SeqLen, (off + n - 1) div $SeqLen)) AS seq_id")
+        .selectExpr("seq_id", "doc_id",
+          s"least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off) AS toks")
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
+    // B28: SEMANTIC benchmark decontamination — the embedding-space
+    // complement of B15's n-gram overlap (catches paraphrased/translated
+    // contamination that shares no shingles): training docs whose
+    // embedding lands in a benchmark doc's LSH bucket with cosine ≥ τ.
+    // The benchmark side is broadcast (benchmarks are ~MBs against a ~TB
+    // corpus); the bucket equi-match prunes before any cosine is computed
+    // — one narrow corpus scan, only the per-doc match aggregate
+    // shuffles. Bucket misses above τ are the declared LSH recall trade
+    // (B5's same-planes contract); multi-probe (A31) widens it if needed.
+    "decontaminate_semantic" -> ((s, dir) => {
+      val de = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+        .join(docs(s, dir).select(col("doc_id"), col("source")),
+          col("vec_id") === col("doc_id"))
+      def bucketed(df: DataFrame) =
+        graft.operators.Lsh.withBucket(df, SemNumPlanes, SemDims)
+      val bench = bucketed(de.filter(col("source") === BenchmarkSource))
+        .select(col("bucket"), col("embedding").as("b_vec"))
+      bucketed(de.filter(col("source") =!= BenchmarkSource))
+        .join(broadcast(bench), "bucket")
+        .withColumn("cs", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("b_vec")), 4))
+        .filter(col("cs") >= SemTauScaled)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), max("cs").as("max_cs"))
     }),
 
     // B21: the composed curation pipeline — what a user actually RUNS
@@ -194,6 +271,32 @@ object CurationQueries {
          |r AS (SELECT source, doc_id,
          |  row_number() OVER (PARTITION BY source ORDER BY hs, doc_id) AS rn FROM kept)
          |SELECT source, doc_id FROM r WHERE rn <= $QuotaPerSource""".stripMargin
+    },
+
+    "pack_sequences" ->
+      s"""WITH nt AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n
+         |  FROM (SELECT doc_id, $dTok AS tk FROM documents) WHERE len(tk) > 0),
+         |o AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM nt),
+         |x AS (SELECT doc_id, n, off,
+         |  unnest(range(off // $SeqLen, (off + n - 1) // $SeqLen + 1)) AS seq_id FROM o)
+         |SELECT seq_id, count(*) AS n_docs,
+         |  sum(least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off)) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY seq_id""".stripMargin,
+
+    "decontaminate_semantic" -> {
+      def cs(a: String, b: String) =
+        s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+      s"""WITH de AS (SELECT e.vec_id AS doc_id, e.embedding, d.source
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |bk AS (SELECT doc_id, embedding, source,
+         |  ${DuckDialect.bucketSql("embedding", SemNumPlanes, SemDims)} AS bucket FROM de),
+         |m AS (SELECT t.doc_id, ${cs("t.embedding", "b.embedding")} AS cs
+         |  FROM bk t JOIN bk b ON t.bucket = b.bucket
+         |  WHERE t.source <> '$BenchmarkSource' AND b.source = '$BenchmarkSource')
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches, max(cs) AS max_cs
+         |FROM m WHERE cs >= $SemTauScaled GROUP BY doc_id""".stripMargin
     },
 
     "decontaminate" ->

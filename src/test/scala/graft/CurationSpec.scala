@@ -60,4 +60,62 @@ class CurationSpec extends SparkSpec {
       assert(r.getLong(1) >= 5)
     }
   }
+
+  test("pack_sequences exactly tiles the token stream, checked against a driver replay") {
+    val seqs = q("pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(seqs.nonEmpty)
+    // driver-side replay of greedy-contiguous packing in doc_id order
+    val L = 64L
+    val counts = Tables(spark, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(size(filter(split(text, '\\\\s+'), x -> x != '')) AS BIGINT) AS n")
+      .filter(col("n") > 0).collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    var off = 0L
+    val expected = counts.flatMap { case (id, n) =>
+      val spans = ((off / L) to ((off + n - 1) / L)).map { w =>
+        (w, id, math.min((w + 1) * L, off + n) - math.max(w * L, off))
+      }
+      off += n
+      spans
+    }.groupBy(_._1).toSeq.map { case (w, rows) =>
+      (w, rows.size.toLong, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max)
+    }.sortBy(_._1)
+    assert(seqs.toSeq == expected)
+    // tiling invariants: contiguous ids, every sequence full except the last
+    assert(seqs.map(_._1).toSeq == seqs.indices.map(_.toLong))
+    seqs.init.foreach { case (_, _, nt, _, _) => assert(nt == L) }
+    assert(seqs.map(_._3).sum == counts.map(_._2).sum)
+  }
+
+  test("decontaminate_semantic flags only non-benchmark docs with a real cosine neighbor") {
+    val flagged = q("decontaminate_semantic").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(flagged.nonEmpty)
+    val benchIds = Tables(spark, dir, "documents")
+      .filter(col("source") === "src0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    flagged.foreach { case (id, nMatches, maxCs) =>
+      assert(!benchIds.contains(id), "benchmark docs must never self-flag")
+      assert(nMatches >= 1 && maxCs >= 3000L)
+    }
+    // every flagged doc's best match must be confirmed by an exact,
+    // bucket-free cosine against the benchmark set (LSH can only MISS
+    // true neighbors, never invent one)
+    val e = Tables(spark, dir, "embeddings")
+    val bench = e.filter(col("vec_id").isin(benchIds.toSeq: _*))
+      .select(col("embedding").as("b_vec"))
+    val exact = e.filter(!col("vec_id").isin(benchIds.toSeq: _*))
+      .crossJoin(broadcast(bench))
+      .withColumn("cs", graft.functions.scaled(
+        graft.functions.vectors.cosine(col("embedding"), col("b_vec")), 4))
+      .groupBy("vec_id").agg(max("cs").as("best"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    flagged.foreach { case (id, _, maxCs) =>
+      assert(exact(id) >= maxCs, "bucketed best can never exceed the exact best")
+      assert(exact(id) >= 3000L)
+    }
+  }
 }
