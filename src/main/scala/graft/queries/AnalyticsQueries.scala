@@ -562,6 +562,48 @@ object AnalyticsQueries {
       purchases.join(matched, Seq("p_id"), "left")
         .select(col("p_id"), coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
           col("min_click"))
+    }),
+
+    // C55: OHLC resampling bars — the time-series downsampling shape
+    // (metrics rollup, market bars): per (event_type, hour), first/last/
+    // min/max of the value in integer cents. First/last are ARGMIN/ARGMAX
+    // by the unique (ts, event_id) order, resolved with one row_number
+    // window; the follow-on aggregate groups on the window's own partition
+    // keys, so the hash partitioning is REUSED — one exchange total. At
+    // 100 TB this is a narrow scan + one shuffle keyed by (type, hour);
+    // bar count is bounded by the time span, not the event volume.
+    "events_ohlc" -> ((s, dir) => {
+      val ev = events(s, dir).filter(col("value").isNotNull)
+        .select(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"),
+          expr("CAST(floor(value * 100) AS BIGINT)").as("cents"),
+          col("ts"), col("event_id"))
+      val w = Window.partitionBy("event_type", "h").orderBy(col("ts").asc, col("event_id").asc)
+      val wAll = Window.partitionBy("event_type", "h")
+      ev.withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .groupBy("event_type", "h")
+        .agg(max(when(col("rn") === 1L, col("cents"))).as("open"),
+          max("cents").as("high"), min("cents").as("low"),
+          max(when(col("rn") === col("cnt"), col("cents"))).as("close"),
+          count(lit(1)).as("n"), sum("cents").as("vol_cents"))
+    }),
+
+    // C56: first-order Markov transition matrix over each user's event
+    // stream — the one-hop summary complementing C48's full session paths
+    // (next-event prediction, UX flow analysis). One shuffle on user_id
+    // for the lag window; the pair aggregate reduces to |types|² rows, so
+    // the probability normalization windows over a tiny frame. Integer
+    // probabilities: p_scaled = n·10⁴ floor-div row total (both operands
+    // non-negative, so Spark div ≡ DuckDB //).
+    "events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      events(s, dir)
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_scaled", expr("(n * 10000) div sum(n) OVER (PARTITION BY prev_type)"))
     })
   )
 
@@ -858,6 +900,33 @@ object AnalyticsQueries {
          |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
          |WHERE n_a IS DISTINCT FROM n_b OR chk_a IS DISTINCT FROM chk_b""".stripMargin
     },
+
+    "events_ohlc" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us, event_id
+        |  FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT event_type, h, cents,
+        |    row_number() OVER (PARTITION BY event_type, h ORDER BY us, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type, h) AS cnt
+        |  FROM e)
+        |SELECT event_type, h,
+        |  max(CASE WHEN rn = 1 THEN cents END) AS open,
+        |  max(cents) AS high, min(cents) AS low,
+        |  max(CASE WHEN rn = cnt THEN cents END) AS close,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS vol_cents
+        |FROM w GROUP BY event_type, h""".stripMargin,
+
+    "events_transitions" ->
+      """WITH seq AS (SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |      AS prev_type
+        |  FROM events),
+        |pairs AS (SELECT prev_type, event_type AS next_type
+        |  FROM seq WHERE prev_type IS NOT NULL)
+        |SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST((count(*) * 10000) // sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT)
+        |    AS p_scaled
+        |FROM pairs GROUP BY prev_type, next_type""".stripMargin,
 
     "events_attribution_bucketed" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us

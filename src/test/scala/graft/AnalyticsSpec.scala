@@ -238,6 +238,44 @@ class AnalyticsSpec extends SparkSpec {
     rows.foreach { case (c0, _, n) => assert(n <= size(c0)) }
   }
 
+  test("events_ohlc bars match a brute-force first/last/min/max per (type, hour)") {
+    val bars = q("events_ohlc").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    assert(bars.nonEmpty)
+    val raw = Tables(spark, dir, "events").filter(col("value").isNotNull)
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS h",
+        "CAST(floor(value * 100) AS BIGINT) AS cents", "unix_micros(ts) AS us", "event_id")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val expected = raw.groupBy(r => (r._1, r._2)).map { case (k, rows) =>
+      val ordered = rows.sortBy(r => (r._4, r._5)).map(_._3)
+      k -> ((ordered.head, ordered.max, ordered.min, ordered.last,
+        ordered.length.toLong, ordered.sum))
+    }
+    assert(bars == expected)
+  }
+
+  test("events_transitions: pair counts match brute force and probabilities floor-normalize") {
+    val got = q("events_transitions").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    val ev = Tables(spark, dir, "events")
+      .selectExpr("user_id", "event_type", "unix_micros(ts) AS us", "event_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val pairs = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.toSeq.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.zip(seq.tail)
+    }.toSeq
+    val counts = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(got.view.mapValues(_._1).toMap == counts)
+    val rowTotals = counts.groupBy(_._1._1).map { case (p, m) => p -> m.values.sum }
+    got.foreach { case ((p, n2), (n, pScaled)) =>
+      assert(pScaled == n * 10000L / rowTotals(p), s"($p,$n2) p_scaled mismatch")
+    }
+  }
+
   test("events_funnel stages shrink monotonically and start with the view users") {
     val rows = q("events_funnel").collect()
       .map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
