@@ -142,6 +142,70 @@ object Dedup {
       .agg(count(lit(1)).as("df"), min("doc_id").as("sample_doc"))
       .filter(col("df") > maxDf)
 
+  /** B29: the candidate stage of [[jaccardPrefixJoin]], exposed for plan
+    * audit and the spec's pruning measurement. One row per candidate pair
+    * (a_id < b_id) that shares a PREFIX shingle. */
+  def jaccardPrefixCandidates(docs: DataFrame, tauScaled: Long): DataFrame = {
+    val pfx = prefixTokens(shingledExploded(docs)
+      .selectExpr("doc_id", s"${hashExpr("g")} AS g"), tauScaled)
+    pfx.as("a").join(pfx.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Per-doc PREFIX under the global rare-first (df asc, g asc) shingle
+    * order: the first n − ⌈τ·n⌉ + 1 shingles. Prefix-filter lemma
+    * (SSJoin/PPJoin): any pair with Jaccard ≥ τ has |a∩b| ≥ ⌈τ·max(na,nb)⌉,
+    * and two sets with overlap ≥ t must collide inside their first
+    * (n − t + 1)-length prefixes of ANY shared total order — so the
+    * candidate equi-join over prefixes alone is LOSSLESS. */
+  private def prefixTokens(all: DataFrame, tauScaled: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("g").asc)
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    all.join(all.groupBy("g").agg(count(lit(1)).as("df")), "g")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wn))
+      // integer-exact ⌈τ·n⌉ = (τ_scaled·n + 10⁶−1) div 10⁶ (all operands ≥ 0)
+      .filter(col("rnk") <= col("n") - expr(s"($tauScaled * n + 999999) div 1000000") + 1)
+      .select("doc_id", "g")
+  }
+
+  /** B29: prefix-filtered Jaccard similarity join — the published scale
+    * algorithm for similarity self-joins (SSJoin, Chaudhuri et al. ICDE'06;
+    * PPJoin, Xiao et al. WWW'08). B2 joins on EVERY shared shingle, so a
+    * doc's candidate fan-out is its full shingle count; here only the
+    * n − ⌈τ·n⌉ + 1 RAREST shingles (global df-ascending order) generate
+    * candidates — at τ=0.7 that is ~30% of each doc, and the rarest 30%,
+    * so hot-shingle quadratic blowup is pruned by ORDER rather than
+    * dropped by a df cap. Candidates are then verified with exact Jaccard
+    * (array_intersect over per-doc sorted sets), so the result is
+    * IDENTICAL to the uncapped all-pairs join — the oracle proves the
+    * losslessness. Shuffles: df count + df join key by g (8-byte longs),
+    * rank window + set-agg key by doc_id, verify joins key by candidate
+    * id — every one on a content-derived key, none quadratic.
+    * Reference: acorn.py's predicate-filtered search is the same
+    * prune-then-verify contract applied to vectors. */
+  def jaccardPrefixJoin(docs: DataFrame, tauScaled: Long): DataFrame = {
+    val all = shingledExploded(docs)
+      .selectExpr("doc_id", s"${hashExpr("g")} AS g").cache()
+    val pfx = prefixTokens(all, tauScaled)
+    val cand = pfx.as("a").join(pfx.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sets = all.groupBy("doc_id")
+      .agg(sort_array(collect_set("g")).as("set"), count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa"), col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("jac", scaled(col("inter") / (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jac") >= tauScaled)
+      .select("a_id", "b_id", "jac")
+  }
+
   /** MinHash signatures: explode shingles, hash once, then `numHashes`
     * permutation minima in ONE codegen'd hash aggregate (map-side partial
     * min, single shuffle keyed by doc_id). */

@@ -34,6 +34,9 @@ object DedupQueries {
   private def bj(j: Int): Long = Dedup.minhashB(j)
 
   private val JaccardTauScaled = 800000L // 0.8 at scale 6
+  // B29: lower τ than B2 so the prefix filter's pruning is exercised on a
+  // denser pair set; the oracle is the UNCAPPED all-pairs join (losslessness)
+  private val PrefixTauScaled = 700000L  // 0.7 at scale 6
   private val CosineTauScaled = 4500L    // 0.45 at scale 4
   private val SimhashMaxHamming = 1
   // df cap for B2 (stop-shingle guard): well above the observed max df in
@@ -63,6 +66,12 @@ object DedupQueries {
     // df-capped so one hot shingle in m docs can't emit m² candidate rows
     "dedup_ngram_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccard(docs(s, dir), JaccardTauScaled, maxDf = Some(MaxShingleDf))),
+
+    // B29: prefix-filtered Jaccard join (SSJoin/PPJoin candidate pruning) —
+    // only each doc's rarest n−⌈τn⌉+1 shingles generate candidates; exact
+    // verify after, so the result equals the uncapped all-pairs join
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixJoin(docs(s, dir), PrefixTauScaled)),
 
     // B3: MinHash + banded LSH — shuffle keyed by (band, bucket) only,
     // with the hot-bucket pair-cap active (oracle mirrors the cap)
@@ -202,6 +211,26 @@ object DedupQueries {
            |JOIN sizes sa ON sa.doc_id = a_id
            |JOIN sizes sb ON sb.doc_id = b_id
            |WHERE CAST(floor((inter / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) AS BIGINT) >= $JaccardTauScaled""".stripMargin,
+
+      // the prefix filter is LOSSLESS: the oracle is the plain uncapped
+      // all-pairs Jaccard join — any candidate the prefix stage pruned
+      // that the oracle keeps would hash-mismatch
+      "dedup_jaccard_prefix" ->
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |sh AS (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
+           |exr AS (SELECT doc_id, unnest(s) AS g0 FROM sh),
+           |ex AS (SELECT doc_id, ${dH("g0")} AS g FROM exr),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |inter AS (
+           |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter
+           |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT a_id, b_id,
+           |  CAST(floor((inter / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) AS BIGINT) AS jac
+           |FROM inter
+           |JOIN sizes sa ON sa.doc_id = a_id
+           |JOIN sizes sb ON sb.doc_id = b_id
+           |WHERE CAST(floor((inter / (sa.n + sb.n - inter)) * 1000000.0 + 0.5) AS BIGINT) >= $PrefixTauScaled""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH ${minhashPairCtes(sigCols, bandSelects)}

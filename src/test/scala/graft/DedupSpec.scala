@@ -30,6 +30,38 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("jaccardPrefixJoin equals the uncapped all-pairs join (lossless pruning)") {
+    // the prefix filter may only cut CANDIDATES, never verified results —
+    // check at two thresholds and on the real corpus shape
+    for (tau <- Seq(500000L, 700000L)) {
+      val full = Dedup.ngramJaccard(docs, tau)
+        .as[(Long, Long, Long)].collect().toSet
+      val pfx = Dedup.jaccardPrefixJoin(docs, tau)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(pfx == full, s"tau=$tau: prefix join diverged from all-pairs")
+      assert(full.nonEmpty)
+    }
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val fullC = Dedup.ngramJaccard(corpus, 700000L)
+      .as[(Long, Long, Long)].collect().toSet
+    val pfxC = Dedup.jaccardPrefixJoin(corpus, 700000L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pfxC == fullC)
+  }
+
+  test("prefix candidates are a strict subset of the shingle-join candidates") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001", "documents")
+    val all = Dedup.shingledExploded(corpus)
+      .selectExpr("doc_id", s"${Dedup.hashExpr("g")} AS g")
+    val fullCand = all.as("a")
+      .join(all.as("b"),
+        $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").distinct().count()
+    val pfxCand = Dedup.jaccardPrefixCandidates(corpus, 700000L).count()
+    assert(pfxCand < fullCand,
+      s"prefix stage must prune: $pfxCand vs $fullCand full candidates")
+  }
+
   test("passageDups finds aligned shared chunks across docs, ignores unique text") {
     // docs 1/2/4 share the aligned 12-token prefix → shared 4-token chunks;
     // docs 3/5 share nothing chunk-aligned with anyone
