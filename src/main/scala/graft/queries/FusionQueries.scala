@@ -77,6 +77,26 @@ object FusionQueries {
         .orderBy(col("tf").desc, col("doc_id")).limit(20)
     }),
 
+    // A36: positional phrase search — exact n-word phrase matching, the
+    // ordered complement of A26's boolean bag-of-words. A phrase of n words
+    // IS an n-shingle, so the match is the codegen'd WordShingles kernel +
+    // an equality filter: the entire per-doc occurrence count and first
+    // token position come out of ONE narrow scan (zero pre-limit shuffles,
+    // the keyword_search scale shape). The phrase itself is the corpus's
+    // top 3-gram (count desc, phrase asc — total order), so the entry is
+    // self-contained at any sf; the 1-row phrase broadcasts to the scan.
+    "phrase_search" -> ((s, dir) => {
+      val sh = docs(s, dir).select(col("doc_id"),
+        graft.functions.text.shingles(expr(sTok), 3).as("s"))
+      val top = sh.select(explode(col("s")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("p").asc).limit(1).select("p")
+      sh.join(broadcast(top), expr("array_contains(s, p)"))
+        .selectExpr("doc_id", "p AS phrase",
+          "CAST(size(filter(s, x -> x = p)) AS BIGINT) AS n_occ",
+          "CAST(array_position(s, p) AS BIGINT) AS first_pos")
+    }),
+
     // A19: reciprocal-rank fusion of the keyword and vector rankings
     "hybrid_rrf" -> ((s, dir) => {
       val kw = bm25Scores(s, dir)
@@ -228,6 +248,16 @@ object FusionQueries {
          |FROM t WHERE $mustHave
          |ORDER BY tf DESC, doc_id LIMIT 20""".stripMargin
     },
+
+    "phrase_search" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |sh AS (SELECT doc_id, ${DuckDialect.ShinglesRaw} AS s FROM t WHERE len(tk) >= 3),
+         |ex AS (SELECT unnest(s) AS p FROM sh),
+         |top AS (SELECT p FROM ex GROUP BY p ORDER BY count(*) DESC, p LIMIT 1)
+         |SELECT doc_id, p AS phrase,
+         |  CAST(len(list_filter(s, x -> x = p)) AS BIGINT) AS n_occ,
+         |  CAST(list_position(s, p) AS BIGINT) AS first_pos
+         |FROM sh, top WHERE list_contains(s, p)""".stripMargin,
 
     "hybrid_rrf" ->
       s"""WITH $bm25Sql,

@@ -17,6 +17,28 @@ class FusionSpec extends SparkSpec {
     assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("phrase_search matches a brute-force 3-gram scan of the corpus") {
+    val rows = q("phrase_search").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val phrase = rows.head._2
+    assert(rows.forall(_._2 == phrase), "one global top phrase")
+    // brute force: tokenize every doc, slide a 3-window
+    val grams = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        val tk = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> tk.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toVector
+      }.toMap
+    // the chosen phrase is the global argmax under (count desc, phrase asc)
+    val counts = grams.values.flatten.groupBy(identity).map { case (g, v) => g -> v.size }
+    val best = counts.toSeq.map { case (g, n) => (-n, g) }.min._2
+    assert(phrase == best, s"top phrase $phrase vs brute-force $best")
+    // per-doc occurrence count and 1-based first position agree
+    val expected = grams.collect { case (id, gs) if gs.contains(phrase) =>
+      id -> ((gs.count(_ == phrase).toLong, gs.indexOf(phrase).toLong + 1)) }
+    assert(rows.map(r => r._1 -> ((r._3, r._4))).toMap == expected)
+  }
+
   test("hybrid_rrf fuses only members of the two top-R lists, bounded by 2/(k+1)") {
     val fused = q("hybrid_rrf").collect()
     assert(fused.nonEmpty)
