@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over edge DataFrames (SURVEY §2 C57).
+  *
+  * Complements the connected-components family in [[Dedup]]: those iterate
+  * to a data-dependent fixpoint (and so need per-round convergence
+  * actions); PageRank here runs a FIXED iteration count, so the whole
+  * computation is one lazy plan — ZERO driver actions inside the loop, no
+  * checkpoint round-trips, and the scheduler sees all five rounds at once.
+  * That is the right trade for rank-style scores, which are consumed as
+  * relative weights and converge geometrically (d^k): fixed k=5 bounds the
+  * error at d^5 ≈ 0.44 of the remaining mass, plenty for ranking ties on
+  * integer-scaled output, and keeps the operator deterministic enough to
+  * hash-verify against an unrolled SQL oracle.
+  */
+object Graph {
+
+  /** Integer-exact PageRank: ranks ×10⁶, damping 85/100, floor division
+    * everywhere (all operands non-negative ⇒ Spark `div` ≡ DuckDB `//`).
+    *
+    * `edges` must be DISTINCT (src, dst) pairs; the node set is the
+    * distinct src side (for the symmetric co-occurrence graphs this is
+    * every endpoint; a directed caller must union endpoints first).
+    * Simplified model without dangling-mass redistribution — symmetric
+    * graphs have no dangling nodes, so nothing leaks there.
+    *
+    * Scale shape at 100 TB: the edge table (with out-degrees) is hash
+    * partitioned by src ONCE and cached — each iteration re-shuffles only
+    * the rank table (|nodes| rows, ≪ |edges|) to meet it, then one
+    * partial-agg shuffle keyed by dst. Plan depth is linear in `iters`;
+    * no lineage blow-up, no checkpoint needed at fixed k.
+    */
+  def pageRank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select("src", "dst")
+    val out = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // partition by the join key once; every iteration's join reuses it
+    val eo = e.join(out, "src").repartition(col("src")).cache()
+    val nodes = e.select(col("src").as("node")).distinct().cache()
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = eo.join(ranks, col("src") === col("node"))
+        .select(col("dst").as("node"), expr("r div outdeg").as("c"))
+        .groupBy("node").agg(sum("c").as("s"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          expr("CAST(150000 + (85 * coalesce(s, 0)) div 100 AS BIGINT)").as("r"))
+    }
+    ranks
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Graph}
 
 /** §2.C21–C24 — point-in-time as-of join, pivot, exact median, and a
   * deterministic HyperLogLog distinct sketch.
@@ -604,6 +604,22 @@ object AnalyticsQueries {
         .groupBy("prev_type", "next_type")
         .agg(count(lit(1)).as("n"))
         .withColumn("p_scaled", expr("(n * 10000) div sum(n) OVER (PARTITION BY prev_type)"))
+    }),
+
+    // C57: PageRank over the part co-purchase graph — 5 fixed power
+    // iterations of integer-exact rank flow (see operators.Graph for the
+    // zero-driver-action loop contract). Edges: parts sharing an order;
+    // TPC-H orders hold ≤ 7 lineitems, so the self-join fan-out is bounded
+    // per key and the edge build is linear in the fact table. The graph is
+    // symmetric by construction (a,b) ⇔ (b,a) — no dangling mass.
+    "parts_pagerank" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+      val e = li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .distinct()
+      Graph.pageRank(e, iters = 5)
     })
   )
 
@@ -927,6 +943,29 @@ object AnalyticsQueries {
         |  CAST((count(*) * 10000) // sum(count(*)) OVER (PARTITION BY prev_type) AS BIGINT)
         |    AS p_scaled
         |FROM pairs GROUP BY prev_type, next_type""".stripMargin,
+
+    // the 5 power iterations unroll into 5 CTEs (no recursive-CTE
+    // aggregation semantics to depend on); every step is floor division
+    // on non-negative integers, so both engines walk identical ranks
+    "parts_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""r$i AS (SELECT n.node,
+           |  CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS r
+           |  FROM n LEFT JOIN (
+           |    SELECT e.dst AS node, sum(r.r // od.outdeg) AS s
+           |    FROM e JOIN r${i - 1} r ON e.src = r.node
+           |    JOIN od ON od.src = e.src
+           |    GROUP BY e.dst) s USING (node))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+         |  FROM lineitem a JOIN lineitem b
+         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+         |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+         |n AS (SELECT DISTINCT src AS node FROM e),
+         |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+         |$iterCtes
+         |SELECT node, r FROM r5""".stripMargin
+    },
 
     "events_attribution_bucketed" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
