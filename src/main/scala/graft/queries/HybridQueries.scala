@@ -22,7 +22,7 @@ object HybridQueries {
   private val Dims = 64
   // A30: "the first 400 indexed vectors" — every sf has ≥500 embeddings,
   // so existing and arriving are both non-empty at any gate scale
-  private val IvfAppendSplit = 400L
+  private[queries] val IvfAppendSplit = 400L
 
   private def bucketSql(vec: String): String = DuckDialect.bucketSql(vec, NumPlanes, Dims)
 

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Ivf}
 import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, JoinStream, SketchStream}
 
 /** §2.C7/C8/C17/C25/C31/C35 — the streaming components run AS streams under the
@@ -227,6 +227,27 @@ object StreamingQueries {
         "sq_join_outer", "append")
     }),
 
+    // C58: STREAMING vector ingest — A30's FAISS-add() path as a live
+    // stream (the reference ingests while serving; acorn.py:35 builds,
+    // then adds). Centroids come from the batch-built index (vec_id <
+    // split) and compile into the NearestCentroid codegen kernel, so the
+    // stream side is a STATELESS NARROW PROJECTION: no watermark, no
+    // state store, every arriving vector assigns and appends to the file
+    // sink regardless of batching — the strongest determinism contract a
+    // stream can have. At 100 TB this is the live ingest tier writing
+    // into the clustered layout (C16's partition pruning reads it back).
+    "streaming_ivf_ingest" -> ((s, dir) => {
+      val cent = Ivf.centroids(Tables(s, dir, "embeddings")
+        .filter(col("vec_id") < HybridQueries.IvfAppendSplit))
+      runToTable(s,
+        Ivf.assignToNearest(
+          readStreamTable(s, dir, "embeddings")
+            .filter(col("vec_id") >= HybridQueries.IvfAppendSplit)
+            .drop("label"), cent)
+          .select(col("vec_id"), col("label").cast("long").as("label"), col("d")),
+        "sq_ivf_ingest", "append")
+    }),
+
     // C8: stateful sessionization AS a stream (flatMapGroupsWithState,
     // event-time timeout). Pinned to one micro-batch with no-data batches
     // off: no timeout fires, so the emitted set is exactly "all sessions
@@ -313,6 +334,20 @@ object StreamingQueries {
           |SELECT c.user_id, c.c_id, NULL, NULL FROM c
           |WHERE c.c_id NOT IN (SELECT c_id FROM j)
           |  AND c.c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)""".stripMargin,
+
+      // stateless assignment stream ≡ the batch assignment (A30's oracle
+      // with the identical scaled-L2 argmin and label tie-break)
+      "streaming_ivf_ingest" -> {
+        def l2s(a: String, b: String) =
+          s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+        val split = HybridQueries.IvfAppendSplit
+        s"""WITH cent AS (${DuckDialect.centSql(s"(SELECT * FROM embeddings WHERE vec_id < $split)")}),
+           |a AS (SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
+           |  row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
+           |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= $split)
+           |SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM a WHERE rn = 1""".stripMargin
+      },
 
       // batch sessionization minus each user's LAST session (the stream's
       // still-open tail) — same gap/window CTEs as events_sessionize

@@ -33,6 +33,22 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.distinct.length == streamed.length)
   }
 
+  test("streaming_ivf_ingest equals the batch nearest-centroid assignment") {
+    val streamed = run("streaming_ivf_ingest").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val e = Tables(spark, dir, "embeddings")
+    val cent = graft.operators.Ivf.centroids(e.filter(col("vec_id") < 400))
+    val batch = graft.operators.Ivf
+      .assignToNearest(e.filter(col("vec_id") >= 400).drop("label"), cent)
+      .select(col("vec_id"), col("label").cast("long"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // stateless append: one output row per arriving vector, none dropped
+    val arriving = e.filter(col("vec_id") >= 400).count()
+    assert(streamed.size.toLong == arriving)
+  }
+
   test("streaming_join emits exactly the batch interval-join pairs") {
     val streamed = run("streaming_join").collect().toSet
     val ev = Tables(spark, dir, "events")
