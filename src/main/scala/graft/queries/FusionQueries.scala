@@ -37,6 +37,20 @@ object FusionQueries {
   private val FuseR = 50 // fuse the top-R of each ranking
   private val RrfK = 60  // standard RRF dampening constant
 
+  /** A37 binary quantization: 32 sign bits of `vec` starting at dim
+    * `off` packed into one non-negative BIGINT — 32 explicit codegen'd
+    * CASE terms (disjoint bits, so + is OR), token-identical in both
+    * dialects via [[bqHalfDuck]]. */
+  private def bqHalf(vec: String, off: Int): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN element_at($vec, ${off + j + 1}) > 0.0D THEN ${1L << j}L ELSE 0L END)")
+      .mkString(" + ")
+  private def bqHalfDuck(vec: String, off: Int): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN $vec[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+  private val BqShortlist = 40 // 4× oversample before the exact rerank
+
   /** Integer BM25 (k1=1.2, b=0.75, both ×1000): per-(doc, term) score is
     * idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with every factor a
     * scaled integer and every division truncating — identical in both
@@ -184,6 +198,30 @@ object FusionQueries {
         iters = 2, sampleMax = 256)
       Pq.searchRerankInt(e, cb, qid = 0, k = 10,
         numSub = 8, subDim = 8, shortlist = 100)
+    }),
+
+    // A37: BINARY-quantized kNN — the 1-bit member of the quantized family
+    // (SQ8 = 4×, PQ = 32×, BQ = 64× scan compression: a 64-d float vector
+    // becomes 8 bytes). Sign-bit codes in two 32-bit halves (the simhash
+    // lo/hi convention — no 1<<63 sign-literal hazard in either engine);
+    // candidate ranking is codegen'd integer bit_count(xor) Hamming — the
+    // cheapest distance arithmetic that exists — 4× oversampled, then the
+    // shortlist reranks with exact scaled cosine. At 100 TB the 8-byte
+    // code column is the resident index; floats page in only for the
+    // ≤40-row rerank.
+    "knn_bq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
+        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("lo").as("q_lo"), col("hi").as("q_hi"), col("embedding").as("q_vec"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+        .orderBy(col("ham").asc, col("vec_id").asc).limit(BqShortlist)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "ham")
     }),
 
     // A20: int8 scalar-quantized kNN — global (mn, mx) calibration, 0..255
@@ -359,6 +397,20 @@ object FusionQueries {
            |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
            |  LIMIT 2),
            |""".stripMargin),
+
+    "knn_bq" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${bqHalfDuck("embedding", 0)} AS lo,
+         |  ${bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
+         |q AS (SELECT lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id = 0),
+         |short AS (SELECT b.vec_id, b.v,
+         |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+         |  FROM b CROSS JOIN q WHERE b.vec_id <> 0
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $BqShortlist)
+         |SELECT s.vec_id,
+         |  CAST(floor(list_cosine_similarity(s.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s.ham
+         |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_sq8" ->
       s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,

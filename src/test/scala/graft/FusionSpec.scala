@@ -17,6 +17,22 @@ class FusionSpec extends SparkSpec {
     assert(rows.map(_._2).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
   }
 
+  test("knn_bq reranks with exact cosine scores and decent 1-bit recall") {
+    val e = Tables(spark, dir, "embeddings")
+    val exact = Knn.topK(
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+      10, Knn.Cosine).select("vec_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bq = q("knn_bq").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bq.length == 10)
+    bq.foreach { case (_, _, ham) => assert(ham >= 0 && ham <= 64) }
+    // every BQ hit that IS in the exact top-10 carries the exact score
+    bq.filter(p => exact.contains(p._1)).foreach { case (id, s, _) => assert(exact(id) == s) }
+    assert(bq.map(_._1).toSet.intersect(exact.keySet).size >= 5,
+      "sign-bit Hamming shortlist should keep at least half of the exact top-10")
+  }
+
   test("phrase_search matches a brute-force 3-gram scan of the corpus") {
     val rows = q("phrase_search").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
