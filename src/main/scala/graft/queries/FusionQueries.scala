@@ -50,6 +50,10 @@ object FusionQueries {
       s"(CASE WHEN $vec[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
   private val BqShortlist = 40 // 4× oversample before the exact rerank
+  // A38: half-dim prefix + 6.4× oversample — the measured knee on this
+  // corpus (16 dims keeps only 4/10; 32/64 keeps 7/10 at sf0.001)
+  private val MrlDims = 32
+  private val MrlShortlist = 64
 
   /** Integer BM25 (k1=1.2, b=0.75, both ×1000): per-(doc, term) score is
     * idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with every factor a
@@ -222,6 +226,31 @@ object FusionQueries {
           graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
         .orderBy(col("score").desc, col("vec_id").asc).limit(10)
         .select("vec_id", "score", "ham")
+    }),
+
+    // A38: Matryoshka / truncated-dimension progressive search — the
+    // DIMENSION member of the compression family (A37 cuts bits/component,
+    // PQ cuts the basis, this cuts dimensions): shortlist on the first
+    // MrlDims of 64 dims (half the scan arithmetic and, with a
+    // prefix-ordered column layout, half the I/O), exact full-dim rerank
+    // after. Works for MRL-trained embeddings where prefixes are
+    // semantically ordered; here the synthetic corpus's cluster structure
+    // survives half-dim truncation (spec-measured 7/10; 16 dims drops to
+    // 4/10, hence the knee constants above). The prefix distance is the
+    // integer-exact quantized squared-L2 (shared quantizeVec fragments),
+    // so the shortlist cut is engine-reproducible.
+    "knn_matryoshka" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
+        s"${graft.functions.quantizeVecSql(s"slice(embedding, 1, $MrlDims)")} AS p16")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("p16").as("q16"), col("embedding").as("q_vec"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("d16", expr(graft.functions.sqDistLongSql("p16", "q16")))
+        .orderBy(col("d16").asc, col("vec_id").asc).limit(MrlShortlist)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "d16")
     }),
 
     // A20: int8 scalar-quantized kNN — global (mn, mx) calibration, 0..255
@@ -397,6 +426,20 @@ object FusionQueries {
            |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
            |  LIMIT 2),
            |""".stripMargin),
+
+    "knn_matryoshka" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${DuckDialect.quantizeVec(s"embedding[1:$MrlDims]")} AS p16 FROM embeddings),
+         |q AS (SELECT p16 AS q16, v AS q_vec FROM b WHERE vec_id = 0),
+         |short AS (SELECT b.vec_id, b.v,
+         |    CAST(list_sum(list_transform(range(1, ${MrlDims + 1}),
+         |      i -> (b.p16[i] - q.q16[i]) * (b.p16[i] - q.q16[i]))) AS BIGINT) AS d16
+         |  FROM b CROSS JOIN q WHERE b.vec_id <> 0
+         |  ORDER BY d16 ASC, b.vec_id ASC LIMIT $MrlShortlist)
+         |SELECT s.vec_id,
+         |  CAST(floor(list_cosine_similarity(s.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s.d16
+         |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_bq" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

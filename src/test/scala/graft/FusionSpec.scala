@@ -33,6 +33,20 @@ class FusionSpec extends SparkSpec {
       "sign-bit Hamming shortlist should keep at least half of the exact top-10")
   }
 
+  test("knn_matryoshka reranks with exact scores; 16-dim prefix keeps recall") {
+    val e = Tables(spark, dir, "embeddings")
+    val exact = Knn.topK(
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+      10, Knn.Cosine).select("vec_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mrl = q("knn_matryoshka").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mrl.length == 10)
+    mrl.filter(p => exact.contains(p._1)).foreach { case (id, s) => assert(exact(id) == s) }
+    assert(mrl.map(_._1).toSet.intersect(exact.keySet).size >= 6,
+      "32-of-64-dim shortlist should keep most of the exact top-10")
+  }
+
   test("phrase_search matches a brute-force 3-gram scan of the corpus") {
     val rows = q("phrase_search").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
