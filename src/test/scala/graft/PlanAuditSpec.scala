@@ -258,4 +258,64 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Window"), p.take(2000))
     assert(!p.contains("Join"), p.take(2000))
   }
+
+  test("knn_bq + knn_matryoshka: shortlist and rerank both TakeOrdered, zero hash shuffle") {
+    // the compressed-scan family's whole point is that the corpus never
+    // shuffles: the 1-row query broadcasts, the Hamming/prefix shortlist
+    // and the exact rerank are both map-side k-heaps into TakeOrdered
+    for (name <- Seq("knn_bq", "knn_matryoshka")) {
+      val p = plan(name)
+      assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, s"$name:\n${p.take(3000)}")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$name:\n${p.take(3000)}")
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$name: the compressed scan must not shuffle:\n${p.take(3000)}")
+    }
+  }
+
+  test("phrase_search: top phrase arrives broadcast; corpus shingling stays narrow") {
+    val p = plan("phrase_search")
+    // array_contains(s, p) against the 1-row phrase side must be a
+    // broadcast nested-loop — never a cartesian or a merge join — and the
+    // phrase pick itself is a TakeOrdered over the df aggregate, not a
+    // global sort; the per-doc occurrence/position math adds no Window
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("dedup_jaccard_prefix: candidates equi-join on the shingle hash — never quadratic") {
+    // the prefix filter prunes by ORDER, not by cap, but the plan shape
+    // must still be a key join end to end: a cartesian/BNLJ here would be
+    // the all-pairs join the SSJoin/PPJoin algorithm exists to avoid
+    val p = plan("dedup_jaccard_prefix")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+  }
+
+  test("parts_pagerank: cached edge table reused across all five iterations") {
+    // fixed-k PageRank is ONE lazy plan: the (edges ⋈ outdeg) table is
+    // partitioned + cached once and every unrolled iteration must read it
+    // from memory, never recompute the lineitem self-join five times
+    val p = plan("parts_pagerank")
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 5,
+      "each iteration must reuse the cached edges:\n" + p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("ivf assignment kernel (streaming_ivf_ingest map side): narrow, no join/shuffle") {
+    import org.apache.spark.sql.functions.col
+    // the stream side of streaming_ivf_ingest is this exact projection —
+    // centroids compile into the NearestCentroid literal, so assignment
+    // must plan with no join and no exchange at all (the stream's
+    // stateless-narrow determinism contract rests on this)
+    val emb = Tables(spark, dir, "embeddings")
+    val p = graft.operators.Ivf
+      .assignToNearest(emb.select(col("vec_id"), col("embedding")),
+        graft.operators.Ivf.centroids(emb))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
 }
