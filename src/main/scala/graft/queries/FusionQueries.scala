@@ -55,6 +55,29 @@ object FusionQueries {
   private val MrlDims = 32
   private val MrlShortlist = 64
 
+  /** A39 late interaction: tokens per passage vector, vector dims, and the
+    * query document whose passage multi-vector scores the corpus. */
+  private val MvChunk = 8
+  private val MvDims = 8
+  private val MvQueryDoc = 0L
+
+  /** Per-passage deterministic integer pseudo-embedding — the honest stub
+    * for a per-token encoder (same contract as sources/Multimodal
+    * embedStub): component i = md5-hash(passage ‖ '_' ‖ i) % 2001 − 1000,
+    * so both engines derive identical vectors from content alone. A real
+    * ColBERT-style encoder drops into this projection; everything
+    * downstream (MaxSim, shuffles, oracle) is encoder-agnostic. */
+  private def mvPassages(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).selectExpr("doc_id", s"$sTok AS tk")
+      .filter(size(col("tk")) > 0)
+      .selectExpr("doc_id",
+        s"""transform(sequence(0, (size(tk) - 1) div $MvChunk),
+           |  i -> array_join(slice(tk, i * $MvChunk + 1, $MvChunk), ' ')) AS chunks""".stripMargin)
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("pos", "passage")))
+      .selectExpr("doc_id", "CAST(pos AS BIGINT) AS pos",
+        s"""transform(sequence(0, ${MvDims - 1}),
+           |  i -> ${graft.functions.md5Hash60Sql("concat(passage, '_', i)")} % 2001 - 1000) AS pv""".stripMargin)
+
   /** Integer BM25 (k1=1.2, b=0.75, both ×1000): per-(doc, term) score is
     * idf(t) · tf · (k1+1) / (tf + k1·(1−b+b·dl/avgdl)) with every factor a
     * scaled integer and every division truncating — identical in both
@@ -113,6 +136,32 @@ object FusionQueries {
         .selectExpr("doc_id", "p AS phrase",
           "CAST(size(filter(s, x -> x = p)) AS BIGINT) AS n_occ",
           "CAST(array_position(s, p) AS BIGINT) AS first_pos")
+    }),
+
+    // A39: multi-vector late-interaction retrieval (ColBERT-style MaxSim) —
+    // each document is a BAG of passage vectors and the query is another
+    // document's bag; score(Q, D) = Σ_{q∈Q} max_{p∈D} ⟨q, p⟩. This is the
+    // retrieval model between single-vector kNN (A6) and full cross-
+    // attention: token-level matching at embedding-index cost. Shape: the
+    // passage projection is narrow (chunk HOF + per-component hash, no
+    // shuffle); the query bag (|Q| rows) broadcasts; the per-(doc, q_pos)
+    // max partial-aggregates MAP-SIDE, so the only shuffle carries
+    // |docs|·|Q| pre-maxed rows — never the |passages|·|Q| scored rows —
+    // then a |docs|-row sum and a TakeOrdered top-10. Integer dot products
+    // end to end (components ∈ [-1000, 1000]), so the ranking is
+    // engine-exact.
+    "multivector_maxsim" -> ((s, dir) => {
+      val p = mvPassages(s, dir)
+      val q = p.filter(col("doc_id") === MvQueryDoc)
+        .select(col("pos").as("q_pos"), col("pv").as("qv"))
+      p.filter(col("doc_id") =!= MvQueryDoc)
+        .crossJoin(broadcast(q))
+        .withColumn("dot",
+          expr("aggregate(zip_with(pv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        .groupBy("doc_id", "q_pos").agg(max("dot").as("m"))
+        .groupBy("doc_id").agg(sum("m").as("maxsim"))
+        .orderBy(col("maxsim").desc, col("doc_id").asc)
+        .limit(10)
     }),
 
     // A19: reciprocal-rank fusion of the keyword and vector rankings
@@ -325,6 +374,25 @@ object FusionQueries {
          |  CAST(len(list_filter(s, x -> x = p)) AS BIGINT) AS n_occ,
          |  CAST(list_position(s, p) AS BIGINT) AS first_pos
          |FROM sh, top WHERE list_contains(s, p)""".stripMargin,
+
+    "multivector_maxsim" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |ch AS (SELECT doc_id,
+         |  unnest(range((len(tk) + ${MvChunk - 1}) // $MvChunk)) AS pos,
+         |  unnest(list_transform(range((len(tk) + ${MvChunk - 1}) // $MvChunk),
+         |    i -> array_to_string(tk[i * $MvChunk + 1 : i * $MvChunk + $MvChunk], ' '))) AS passage
+         |  FROM t WHERE len(tk) > 0),
+         |pv AS (SELECT doc_id, pos,
+         |  list_transform(range($MvDims),
+         |    i -> ${DuckDialect.hash(s"passage || '_' || i")} % 2001 - 1000) AS pv
+         |  FROM ch),
+         |mx AS (SELECT c.doc_id, q.pos AS q_pos,
+         |  max(CAST(list_sum(list_transform(range($MvDims),
+         |    j -> c.pv[j + 1] * q.pv[j + 1])) AS BIGINT)) AS m
+         |  FROM pv c JOIN pv q ON q.doc_id = $MvQueryDoc AND c.doc_id <> $MvQueryDoc
+         |  GROUP BY c.doc_id, q.pos)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS maxsim FROM mx GROUP BY doc_id
+         |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin,
 
     "hybrid_rrf" ->
       s"""WITH $bm25Sql,

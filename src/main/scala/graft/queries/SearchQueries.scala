@@ -123,6 +123,32 @@ object SearchQueries {
       val queries = emb(s, dir).filter(col("vec_id") <= 4)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Knn.batchKnn(emb(s, dir).select("vec_id", "embedding"), queries, 3, Knn.Cosine)
+    }),
+
+    // B30: hard-negative mining for contrastive training — for each anchor,
+    // the top-k most-similar vectors whose metadata CLASS differs (here:
+    // language ≠ anchor's language): near the anchor in embedding space,
+    // wrong by label — exactly the negatives a contrastive/embedding
+    // trainer wants. The per-anchor predicate depends on the anchor row, so
+    // it lives INSIDE the broadcast join (a pre-filter can't express it);
+    // shape is knn_batch's: anchors broadcast, per-anchor k-heaps partial-
+    // aggregate map-side (TopKHits), so the shuffle carries |anchors|·k
+    // rows per partition — never the scored corpus.
+    "hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+        .join(docs(s, dir).select(col("doc_id"), col("lang")),
+          col("vec_id") === col("doc_id"))
+      val anchors = e.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("lang").as("q_lang"))
+      e.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("q_id") && col("lang") =!= col("q_lang"))
+        .withColumn("score", scaled(Knn.Cosine.score(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 5, asc = false).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), col("hit.id").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
     })
   )
 
@@ -210,6 +236,20 @@ object SearchQueries {
          |    ${cosSql("e.embedding", "q.embedding")} AS score
          |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 4) q
          |  WHERE e.vec_id <> q.vec_id
-         |) WHERE rank <= 3""".stripMargin
+         |) WHERE rank <= 3""".stripMargin,
+
+    "hard_negatives" ->
+      s"""SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id ASC) AS BIGINT) AS rank,
+         |    ${cosSql("e.embedding", "q.embedding")} AS score
+         |  FROM embeddings e
+         |  JOIN documents d ON e.vec_id = d.doc_id
+         |  CROSS JOIN (SELECT q0.vec_id, q0.embedding, d0.lang
+         |              FROM embeddings q0 JOIN documents d0 ON q0.vec_id = d0.doc_id
+         |              WHERE q0.vec_id <= 4) q
+         |  WHERE e.vec_id <> q.vec_id AND d.lang <> q.lang
+         |) WHERE rank <= 5""".stripMargin
   )
 }

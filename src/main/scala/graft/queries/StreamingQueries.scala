@@ -248,6 +248,26 @@ object StreamingQueries {
         "sq_ivf_ingest", "append")
     }),
 
+    // C59: continuous top-k maintenance AS a stream — the live leaderboard
+    // (largest transactions per event type, here top-5 by integer cents).
+    // The custom TopKHits TypedImperativeAggregate carries its k-heap
+    // THROUGH the state store: per micro-batch each partition folds new
+    // rows into a partial heap map-side, the complete-mode state holds one
+    // ≤k-entry buffer per group, and emission re-evals the heap — state is
+    // O(groups·k) forever, independent of stream length. The batch mirror
+    // is the same aggregate (StreamingQueriesSpec proves stream ≡ batch).
+    "streaming_topk" -> ((s, dir) =>
+      runToTable(s,
+        readStreamTable(s, dir, "events")
+          .selectExpr("event_type", "event_id",
+            "CAST(floor(value * 100) AS BIGINT) AS cents")
+          .groupBy("event_type")
+          .agg(graft.functions.aggs.topK(col("cents"), col("event_id"), 5, asc = false).as("hits")),
+        "sq_topk", "complete")
+        .select(col("event_type"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("event_id"), col("hit.score").as("cents"))),
+
     // C8: stateful sessionization AS a stream (flatMapGroupsWithState,
     // event-time timeout). Pinned to one micro-batch with no-data batches
     // off: no timeout fires, so the emitted set is exactly "all sessions
@@ -296,6 +316,15 @@ object StreamingQueries {
 
       "streaming_dedup" ->
         "SELECT DISTINCT md5(text) AS h FROM documents WHERE text IS NOT NULL",
+
+      // same tie-break as TopKHits: score desc, lower id wins
+      "streaming_topk" ->
+        """SELECT event_type, rank, event_id, cents FROM (
+          |  SELECT event_type, event_id,
+          |    CAST(floor(value * 100) AS BIGINT) AS cents,
+          |    CAST(row_number() OVER (PARTITION BY event_type
+          |      ORDER BY CAST(floor(value * 100) AS BIGINT) DESC, event_id ASC) AS BIGINT) AS rank
+          |  FROM events) WHERE rank <= 5""".stripMargin,
 
       // the gates are B21's shared fragments; (h, quality) both determined
       // by text, so DISTINCT equals the stream's one-per-key emission

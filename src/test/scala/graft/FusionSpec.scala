@@ -150,6 +150,36 @@ class FusionSpec extends SparkSpec {
       "trained-codebook shortlist should keep at least half the exact top-10")
   }
 
+  test("multivector_maxsim matches a brute-force MaxSim over the passage bags") {
+    val rows = q("multivector_maxsim").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10)
+    // brute force: re-derive every passage vector (same chunking + hash
+    // stub) on the driver, score Σ_q max_p ⟨q,p⟩ for every doc, take 10
+    import java.math.BigInteger
+    import java.security.MessageDigest
+    def h60(s: String): Long = new BigInteger(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16).longValue()
+    def pvecs(text: String): Vector[Array[Long]] = {
+      val tk = text.split("\\s+").filter(_.nonEmpty)
+      if (tk.isEmpty) Vector.empty
+      else tk.grouped(8).map { g =>
+        val p = g.mkString(" ")
+        Array.tabulate(8)(i => h60(s"${p}_$i") % 2001L - 1000L)
+      }.toVector
+    }
+    val bags = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .filter(!_.isNullAt(1))
+      .map(r => r.getLong(0) -> pvecs(r.getString(1))).toMap
+    val qbag = bags(0L)
+    assert(qbag.nonEmpty)
+    val scored = bags.collect { case (id, bag) if id != 0L && bag.nonEmpty =>
+      id -> qbag.map(qv => bag.map(p => p.zip(qv).map { case (a, b) => a * b }.sum).max).sum
+    }
+    val expected = scored.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+    assert(rows.toSeq == expected, s"got ${rows.toSeq}\nexp $expected")
+  }
+
   test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
     val e = Tables(spark, dir, "embeddings")
     val exact = Knn.topK(

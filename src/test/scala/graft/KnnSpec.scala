@@ -57,4 +57,38 @@ class KnnSpec extends SparkSpec {
     assert(byQ(2L) == Seq(1L, 3L))
     assert(!byQ(1L).contains(1L))
   }
+
+  test("hard_negatives mines only cross-language neighbors, nearest-first") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = graft.queries.SearchQueries.defs("hard_negatives")(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    val lang = Tables(spark, sfDir, "documents")
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    // every mined negative really is a DIFFERENT language than its anchor
+    rows.foreach { case (q, v, _, _) =>
+      assert(lang(v) != lang(q), s"negative $v shares lang ${lang(v)} with anchor $q")
+    }
+    // per anchor: ranks are 1..k and scores arrive best-first
+    rows.groupBy(_._1).foreach { case (_, hits) =>
+      val sorted = hits.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.map(_._4).sliding(2).forall(w => w.length < 2 || w(0) >= w(1)))
+    }
+    // the mined set per anchor == a per-anchor pre-filtered exact top-5
+    val e = Tables(spark, sfDir, "embeddings").select("vec_id", "embedding")
+    val byAnchor = rows.groupBy(_._1)
+    byAnchor.keys.foreach { qid =>
+      val cand = e.filter(col("vec_id") =!= qid)
+        .join(Tables(spark, sfDir, "documents")
+            .filter(col("lang") =!= lang(qid)).select("doc_id"),
+          col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding")
+      val expected = Knn.topK(cand,
+          e.filter(col("vec_id") === qid).select(col("embedding").as("q_vec")),
+          5, Knn.Cosine)
+        .select("vec_id", "score").as[(Long, Long)].collect().toSeq
+      assert(byAnchor(qid).sortBy(_._3).map(h => (h._2, h._4)).toSeq == expected)
+    }
+  }
 }

@@ -25,6 +25,20 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_topk equals the batch per-type top-5 leaderboard") {
+    val streamed = run("streaming_topk").collect().toSet
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("cents").desc, col("event_id").asc)
+    val batch = Tables(spark, dir, "events")
+      .selectExpr("event_type", "event_id", "CAST(floor(value * 100) AS BIGINT) AS cents")
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("event_type", "rank", "event_id", "cents")
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_dedup emits exactly one row per distinct non-null text") {
     val streamed = run("streaming_dedup").collect().map(_.getString(0))
     val expected = Tables(spark, dir, "documents")
