@@ -178,6 +178,27 @@ object HybridQueries {
           max("d").as("max_dist"))
     }),
 
+    // B31: dominant embedding direction — integer-exact power iteration
+    // (operators/Pca.scala has the full scale + overflow rationale): per
+    // iteration ONE narrow projection + ONE VecSumLong aggregate (a
+    // d-vector crosses the shuffle, never rows or a d² matrix), model-
+    // state collects only. The spectral sibling of embedding_drift: drift
+    // watches dispersion, this watches the AXIS the corpus varies along —
+    // the monitor that catches a collapsing or rotating embedding space.
+    // Oracle unrolls the 4 iterations as CTEs (all-BIGINT, pmod floor-div
+    // everywhere ⇒ bit-identical loadings). This corpus's spectrum is
+    // near-flat (λ2/λ1 ≈ 0.93), so full eigenvector convergence would
+    // need ~40 rounds; 4 capture 85% of the top eigenvalue's variance
+    // (measured knee: 67/76/81/85% at t = 1..4) — the monitoring contract
+    // is variance capture, PcaSpec asserts it against a float reference.
+    "embedding_pca" -> ((s, dir) => {
+      import s.implicits._
+      val v = graft.operators.Pca.topComponentInt(
+        emb(s, dir).select("embedding"), iters = 4, dims = 64)
+      v.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toSeq
+        .toDF("dim", "loading")
+    }),
+
     // A33: index maintenance — split the hottest clusters (the rebalance
     // sibling of A30's append): the top-3 most-populated clusters are
     // split in place, each member reassigned to the nearer of two
@@ -713,6 +734,37 @@ object HybridQueries {
          |SELECT source, CAST(count(*) AS BIGINT) AS n,
          |  sum(dist) // count(*) AS mean_dist, max(dist) AS max_dist
          |FROM m GROUP BY source""".stripMargin,
+
+    // power method unrolled: center on the integer floor-mean, then
+    // [dot → floor-scale → re-project → sign-fix → renormalize]×3, every
+    // division the pmod floor identity — bit-identical to Pca.topComponentInt
+    "embedding_pca" -> {
+      val iterCtes = (1 to 4).map { t =>
+        val pv = if (t == 1) "v0" else s"v${t - 1}"
+        s"""d$t AS (SELECT c.vec_id, sum(c.c * v.v) AS dot
+           |  FROM c JOIN $pv v USING (dim) GROUP BY c.vec_id),
+           |f$t AS (SELECT vec_id,
+           |  (dot - ((dot % 10000 + 10000) % 10000)) // 10000 AS fd FROM d$t),
+           |w$t AS (SELECT c.dim, sum(c.c * f.fd) AS w
+           |  FROM c JOIN f$t f USING (vec_id) GROUP BY c.dim),
+           |p$t AS (SELECT CASE WHEN w < 0 THEN -1 ELSE 1 END AS sg,
+           |    greatest(abs(w) // 10000, 1) AS g
+           |  FROM w$t ORDER BY abs(w) DESC, dim LIMIT 1),
+           |v$t AS (SELECT dim,
+           |    ((w * sg) - (((w * sg) % g + g) % g)) // g AS v FROM w$t, p$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH q AS (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS q
+         |  FROM embeddings),
+         |qd AS (SELECT vec_id, CAST(i AS BIGINT) AS dim, q[i + 1] AS x
+         |  FROM q, range(64) r(i)),
+         |mm AS (SELECT dim, sum(x) AS sx, count(*) AS n FROM qd GROUP BY dim),
+         |mf AS (SELECT dim, (sx - ((sx % n + n) % n)) // n AS m FROM mm),
+         |c AS (SELECT vec_id, qd.dim, qd.x - mf.m AS c FROM qd JOIN mf USING (dim)),
+         |v0 AS (SELECT CAST(i AS BIGINT) AS dim, 10000 AS v FROM range(64) r(i)),
+         |$iterCtes
+         |SELECT dim, CAST(v AS BIGINT) AS loading FROM v4""".stripMargin
+    },
 
     // integer-exact Lloyd's replayed as unrolled per-iteration CTEs:
     // quantize → seeds (k lowest ids) → [assign → floor-mean centroid]×3 →
