@@ -50,6 +50,12 @@ object FusionQueries {
       s"(CASE WHEN $vec[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
   private val BqShortlist = 40 // 4× oversample before the exact rerank
+
+  // A40 MMR: relevance shortlist size, diversified picks, λ ×10⁴
+  // (λ = 5000 weighs relevance and redundancy equally)
+  private val MmrR = 20
+  private val MmrK = 5
+  private val MmrLambda = 5000L
   // A38: half-dim prefix + 6.4× oversample — the measured knee on this
   // corpus (16 dims keeps only 4/10; 32/64 keeps 7/10 at sf0.001)
   private val MrlDims = 32
@@ -162,6 +168,54 @@ object FusionQueries {
         .groupBy("doc_id").agg(sum("m").as("maxsim"))
         .orderBy(col("maxsim").desc, col("doc_id").asc)
         .limit(10)
+    }),
+
+    // A40: MMR-diversified rerank (Carbonell & Goldstein '98) — the
+    // DIVERSITY member of the rerank family (RRF fuses rankings, this
+    // de-redundifies one): greedily pick k of a top-R shortlist maximizing
+    // λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s). MMR is sequential BY
+    // DEFINITION (each pick conditions on the last), so the scale-bearing
+    // work is the distributed part: the top-R shortlist via TakeOrdered
+    // and the R² pairwise sim matrix via a broadcast self-join; the greedy
+    // loop runs on collected shortlist state (R + R² integer rows — the
+    // KMeans/PQ model-state contract), k·R integer ops. Every sim is the
+    // scaled cosine, so the oracle's unrolled 5-pick CTE chain reproduces
+    // the selection bit-exactly.
+    "knn_mmr" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val sl = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .withColumn("rel", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("rel").desc, col("vec_id").asc).limit(MmrR)
+        .select("vec_id", "embedding", "rel")
+      val a = sl.select(col("vec_id").as("ai"), col("embedding").as("ea"))
+      val b = sl.select(col("vec_id").as("bi"), col("embedding").as("eb"))
+      val simRows = a.join(broadcast(b), col("ai") =!= col("bi"))
+        .withColumn("s", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("ea"), col("eb")), Knn.ScoreDigits))
+        .select("ai", "bi", "s")
+      val rel = sl.select("vec_id", "rel").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sim = simRows.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      var selected = Vector.empty[(Long, Long)] // (vec_id, mmr)
+      var remaining = rel.keySet
+      for (_ <- 1 to MmrK if remaining.nonEmpty) {
+        val pick = remaining.toSeq.map { c =>
+          val maxSim =
+            if (selected.isEmpty) 0L
+            else selected.map(sv => sim((c, sv._1))).max
+          (c, MmrLambda * rel(c) - (10000L - MmrLambda) * maxSim)
+        }.minBy { case (c, m) => (-m, c) }
+        selected :+= pick
+        remaining -= pick._1
+      }
+      import s.implicits._
+      selected.zipWithIndex
+        .map { case ((id, m), i) => ((i + 1).toLong, id, m) }
+        .toDF("rank", "vec_id", "mmr")
     }),
 
     // A19: reciprocal-rank fusion of the keyword and vector rankings
@@ -393,6 +447,36 @@ object FusionQueries {
          |  GROUP BY c.doc_id, q.pos)
          |SELECT doc_id, CAST(sum(m) AS BIGINT) AS maxsim FROM mx GROUP BY doc_id
          |ORDER BY maxsim DESC, doc_id LIMIT 10""".stripMargin,
+
+    "knn_mmr" -> {
+      def cosf(a: String, b: String) =
+        s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+      val dl = 10000L - MmrLambda
+      val steps = (1 to MmrK).map { t =>
+        s"""p$t AS (SELECT sl.vec_id,
+           |    $MmrLambda * sl.rel - $dl * COALESCE((SELECT max(s) FROM sim
+           |      JOIN sel${t - 1} sv ON sim.bi = sv.vec_id
+           |      WHERE sim.ai = sl.vec_id), 0) AS mmr
+           |  FROM sl WHERE sl.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  ORDER BY mmr DESC, sl.vec_id LIMIT 1),
+           |sel$t AS (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM p$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (1 to MmrK)
+        .map(t => s"SELECT CAST($t AS BIGINT) AS rank, vec_id, mmr FROM p$t")
+        .mkString("\n UNION ALL ")
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |sl AS (SELECT e.vec_id, e.embedding,
+         |    ${cosf("e.embedding", "q.embedding")} AS rel
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT $MmrR),
+         |sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |    ${cosf("a.embedding", "b.embedding")} AS s
+         |  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
+         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false),
+         |$steps
+         |$out""".stripMargin
+    },
 
     "hybrid_rrf" ->
       s"""WITH $bm25Sql,

@@ -180,6 +180,44 @@ class FusionSpec extends SparkSpec {
     assert(rows.toSeq == expected, s"got ${rows.toSeq}\nexp $expected")
   }
 
+  test("knn_mmr reproduces an independent greedy MMR and really diversifies") {
+    val rows = q("knn_mmr").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 5)
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    // independent driver replica: double cosine + the repo's floor(+0.5)
+    val vecs = Tables(spark, dir, "embeddings").select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def sc(a: Array[Double], b: Array[Double]): Long = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 10000 + 0.5).toLong
+    }
+    val qv = vecs(0L)
+    val rel = vecs.collect { case (id, v) if id != 0L => id -> sc(v, qv) }
+    val sl = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(20).map(_._1)
+    val slSet = sl.toSet
+    var sel = Vector.empty[Long]
+    var rem = slSet
+    val expect = (1 to 5).map { _ =>
+      val pick = rem.toSeq.map { c =>
+        val ms = if (sel.isEmpty) 0L else sel.map(s => sc(vecs(c), vecs(s))).max
+        (c, 5000L * rel(c) - 5000L * ms)
+      }.minBy { case (c, m) => (-m, c) }
+      sel :+= pick._1
+      rem -= pick._1
+      pick
+    }
+    assert(rows.map(r => (r._2, r._3)).toSeq == expect.toSeq,
+      s"got ${rows.toSeq}\nexp $expect")
+    // all picks come from the shortlist; pick 1 is the relevance argmax
+    assert(rows.map(_._2).forall(slSet), "picks must come from the top-R shortlist")
+    assert(rows.head._2 == sl.head)
+    // the diversified set differs from the plain top-5 — MMR did something
+    assert(rows.map(_._2).toSeq != sl.take(5),
+      "MMR picks equal the undiversified top-k — no diversification happened")
+  }
+
   test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
     val e = Tables(spark, dir, "embeddings")
     val exact = Knn.topK(
