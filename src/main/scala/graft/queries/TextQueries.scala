@@ -141,6 +141,37 @@ object TextQueries {
         .selectExpr("doc_id", "rsum", "ntok", "(rsum * 10000) div ntok AS rarity")
     }),
 
+    // B32: token-distribution drift between two corpus slices — the
+    // DISTRIBUTION-shift monitor (rarity watches per-doc novelty, drift
+    // watches embedding space; this watches the vocabulary itself): exact
+    // total-variation distance between the 'en' and 'fr' slices' unigram
+    // distributions, plus the top-15 most-divergent tokens. All integer:
+    // per-token ppm shares are floor divisions of non-negative counts, TV
+    // = Σ|p−q| div 2. Shape: ONE narrow tokenize+explode feeds one
+    // (token)-keyed hash aggregate with conditional partial sums (the
+    // shuffle carries one row per distinct token per partition, never the
+    // token stream); slice totals and the TV sum are single-row broadcast
+    // joins; top-15 via TakeOrdered. At 100 TB: identical — token-keyed
+    // partial aggregation is the canonical scalable shape.
+    "vocab_tv_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val tc = docs(s, dir)
+        .filter(col("lang").isin("en", "fr"))
+        .selectExpr("lang", s"$sTok AS tk")
+        .selectExpr("lang", "explode(tk) AS tok")
+        .groupBy("tok")
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ca"),
+          sum(when(col("lang") === "fr", 1L).otherwise(0L)).as("cb"))
+      val tot = tc.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      val ppm = tc.crossJoin(broadcast(tot))
+        .selectExpr("tok", "(ca * 1000000) div ta AS p_ppm", "(cb * 1000000) div tb AS q_ppm")
+        .selectExpr("tok", "p_ppm", "q_ppm", "abs(p_ppm - q_ppm) AS d_ppm")
+      val tv = ppm.agg(expr("sum(d_ppm) div 2").as("tv_ppm"))
+      ppm.crossJoin(broadcast(tv))
+        .orderBy(col("d_ppm").desc, col("tok").asc)
+        .limit(15)
+    }),
+
     // B10: document fingerprint — hash of the sorted distinct token set
     // (rolling/bag fingerprint); grouped to show collision-based dedup
     "text_fingerprint" -> ((s, dir) =>
@@ -187,6 +218,21 @@ object TextQueries {
          |  ((CAST(len(sh) AS BIGINT) - CAST(len(list_distinct(sh)) AS BIGINT)) * 1000000)
          |    // CAST(len(sh) AS BIGINT) AS rep
          |FROM r""".stripMargin,
+
+    "vocab_tv_drift" ->
+      s"""WITH t AS (SELECT lang, $dTok AS tk FROM documents WHERE lang IN ('en', 'fr')),
+         |e AS (SELECT lang, unnest(tk) AS tok FROM t),
+         |tc AS (SELECT tok,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+         |    CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM e GROUP BY tok),
+         |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS ta, CAST(sum(cb) AS BIGINT) AS tb FROM tc),
+         |ppm AS (SELECT tok, (ca * 1000000) // ta AS p_ppm, (cb * 1000000) // tb AS q_ppm
+         |  FROM tc, tot),
+         |d AS (SELECT tok, p_ppm, q_ppm, abs(p_ppm - q_ppm) AS d_ppm FROM ppm),
+         |tv AS (SELECT CAST(sum(d_ppm) // 2 AS BIGINT) AS tv_ppm FROM d)
+         |SELECT tok, p_ppm, q_ppm, d_ppm, tv_ppm FROM d, tv
+         |ORDER BY d_ppm DESC, tok LIMIT 15""".stripMargin,
 
     "text_rarity" ->
       s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),

@@ -17,6 +17,34 @@ class CurationSpec extends SparkSpec {
     assert(rows.toSeq == resorted.toSeq, "vocab must arrive ordered by (n desc, tok)")
   }
 
+  test("vocab_tv_drift matches a brute-force total-variation computation") {
+    val rows = graft.queries.TextQueries.defs("vocab_tv_drift")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 15)
+    // brute force on the driver: same tokenizer, same floor ppm shares
+    val byLang = Tables(spark, dir, "documents")
+      .filter(col("lang").isin("en", "fr")).select("lang", "text").collect()
+      .filter(!_.isNullAt(1))
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.flatMap(_.getString(1).split("\\s+").filter(_.nonEmpty))
+          .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      }
+    val (ca, cb) = (byLang("en"), byLang("fr"))
+    val (ta, tb) = (ca.values.sum, cb.values.sum)
+    val ppm = (ca.keySet ++ cb.keySet).map { t =>
+      val p = ca.getOrElse(t, 0L) * 1000000L / ta
+      val q = cb.getOrElse(t, 0L) * 1000000L / tb
+      (t, p, q, math.abs(p - q))
+    }
+    val tv = ppm.toSeq.map(_._4).sum / 2
+    assert(rows.forall(_._5 == tv), s"tv_ppm mismatch: got ${rows.head._5}, exp $tv")
+    assert(tv > 0L && tv <= 1000000L, s"TV out of range: $tv")
+    val expTop = ppm.toSeq.sortBy { case (t, _, _, d) => (-d, t) }.take(15)
+      .map { case (t, p, q, d) => (t, p, q, d, tv) }
+    assert(rows.toSeq == expTop, s"got ${rows.toSeq.take(3)}…\nexp ${expTop.take(3)}…")
+  }
+
   test("sample_mixture is deterministic and honors per-source rates") {
     val a = q("sample_mixture").collect().map(_.toSeq).toSet
     val b = q("sample_mixture").collect().map(_.toSeq).toSet
