@@ -173,6 +173,29 @@ object StreamingQueries {
           col("event_type"), col("bucket").cast("long").as("bucket"),
           col("rho").cast("long").as("rho"))),
 
+    // C60: per-source embedding centroids AS a stream — VECTOR state
+    // through the state store (streaming_topk carries a k-heap per group,
+    // this a d-long running sum): arriving vectors quantize narrowly,
+    // stream-static join tags the source, complete-mode VecSumLong+count
+    // per source; emission floor-means and explodes to (source, dim,
+    // cmean) rows. State is O(sources·d) forever — the live form of the
+    // A34 drift monitor's centroid side, updating as the crawl lands.
+    "streaming_drift" -> ((s, dir) => {
+      val dim = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      runToTable(s,
+        readStreamTable(s, dir, "embeddings")
+          .selectExpr("vec_id", s"${graft.functions.quantizeVecSql("embedding")} AS q")
+          .join(dim, col("vec_id") === col("doc_id"))
+          .groupBy("source")
+          .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"),
+            count(lit(1)).as("cnt")),
+        "sq_drift", "complete")
+        .select(col("source"),
+          posexplode(expr(graft.functions.floorMeanVecSql("sv", "cnt")))
+            .as(Seq("dim", "cmean")))
+        .selectExpr("source", "CAST(dim AS BIGINT) AS dim", "cmean")
+    }),
+
     // C17: streaming exact dedup — dropDuplicatesWithinWatermark keyed by
     // md5(text); one emission per content hash (delay > data span)
     // (null text has no content identity — md5 is null, which streaming
@@ -316,6 +339,18 @@ object StreamingQueries {
 
       "streaming_dedup" ->
         "SELECT DISTINCT md5(text) AS h FROM documents WHERE text IS NOT NULL",
+
+      // stream state ≡ the batch integer centroid (A34's centroid side)
+      "streaming_drift" ->
+        s"""WITH ed AS (SELECT d.source, ${DuckDialect.quantizeVec("e.embedding")} AS q
+           |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+           |cnts AS (SELECT source, count(*) AS cnt FROM ed GROUP BY source),
+           |comp AS (SELECT ed.source AS source, dd.dim AS dim, sum(ed.q[dd.dim + 1]) AS sv
+           |  FROM ed CROSS JOIN range(64) dd(dim)
+           |  GROUP BY ed.source, dd.dim)
+           |SELECT c.source, CAST(dim AS BIGINT) AS dim,
+           |  CAST((sv - ((sv % cnt + cnt) % cnt)) // cnt AS BIGINT) AS cmean
+           |FROM comp c JOIN cnts USING (source)""".stripMargin,
 
       // same tie-break as TopKHits: score desc, lower id wins
       "streaming_topk" ->

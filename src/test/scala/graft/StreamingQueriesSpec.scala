@@ -39,6 +39,24 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_drift equals the batch integer centroid per source") {
+    val streamed = run("streaming_drift").collect().toSet
+    val batch = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", s"${graft.functions.quantizeVecSql("embedding")} AS q")
+      .join(Tables(spark, dir, "documents").select(col("doc_id"), col("source")),
+        col("vec_id") === col("doc_id"))
+      .groupBy("source")
+      .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"),
+        count(org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .select(col("source"),
+        posexplode(expr(graft.functions.floorMeanVecSql("sv", "cnt")))
+          .as(Seq("dim", "cmean")))
+      .selectExpr("source", "CAST(dim AS BIGINT) AS dim", "cmean")
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming_dedup emits exactly one row per distinct non-null text") {
     val streamed = run("streaming_dedup").collect().map(_.getString(0))
     val expected = Tables(spark, dir, "documents")
