@@ -304,6 +304,34 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("multivector_maxsim: broadcast query bag, both aggregates partial, TakeOrdered") {
+    val p = plan("multivector_maxsim")
+    // the query bag arrives broadcast; per-(doc,q_pos) max and per-doc sum
+    // both partial-aggregate map-side; top-10 is a TakeOrdered, and the
+    // corpus passage stream never merge-joins anything
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(p.contains("partial_max"), p.take(3000))
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("hard_negatives: anchors broadcast, map-side k-heaps, no window") {
+    val p = plan("hard_negatives")
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("vocab_tv_drift: token agg partial-aggregates; totals broadcast; TakeOrdered") {
+    val p = plan("vocab_tv_drift")
+    assert(p.contains("partial_sum"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "slice totals and the TV scalar must arrive broadcast:\n" + p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("ivf assignment kernel (streaming_ivf_ingest map side): narrow, no join/shuffle") {
     import org.apache.spark.sql.functions.col
     // the stream side of streaming_ivf_ingest is this exact projection —
