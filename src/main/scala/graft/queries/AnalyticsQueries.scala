@@ -619,7 +619,9 @@ object AnalyticsQueries {
             col("a.l_partkey") =!= col("b.l_partkey"))
         .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
         .distinct()
-      Graph.pageRank(e, iters = 5)
+      // symmetric edges ⇒ dst covers every node: the left-join completion
+      // is skipped (one fewer join + rank-table shuffle per iteration)
+      Graph.pageRank(e, iters = 5, symmetric = true)
     })
   )
 

@@ -34,6 +34,18 @@ class GraphSpec extends SparkSpec {
     assert(ranks(star, 1)(1L) == 150000L + 85L * (1000000L / 4) / 100L)
   }
 
+  test("symmetric fast path ≡ general left-join path on a symmetric graph") {
+    // symmetric contract: every node appears as a dst, so skipping the
+    // per-iteration nodes-completion join must be bit-identical
+    val g = Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+      0L -> 3L, 3L -> 0L)
+    val gen = Graph.pageRank(g.toDF("src", "dst"), 5)
+      .as[(Long, Long)].collect().toMap
+    val sym = Graph.pageRank(g.toDF("src", "dst"), 5, symmetric = true)
+      .as[(Long, Long)].collect().toMap
+    assert(sym == gen)
+  }
+
   test("parts_pagerank is deterministic and covers every co-purchased part") {
     val dir = "/root/testdata/sf0.001"
     val a = AnalyticsQueries.defs("parts_pagerank")(spark, dir)
