@@ -64,4 +64,57 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle counts by the degree-oriented wedge join — the
+    * standard distributed algorithm (Suri & Vassilvitskii WWW'11 /
+    * Schank-Wagner): orient every undirected edge from its
+    * (degree, id)-smaller endpoint to the larger, enumerate wedges only
+    * from each node's ORIENTED out-neighbors, then close them against the
+    * oriented edge set. Orientation bounds every node's out-degree by
+    * O(√m), so wedge fan-out is O(m^{3/2}) total instead of Σ deg² — the
+    * difference between a skew-killed and a scalable self-join when a hub
+    * node has millions of neighbors.
+    *
+    * `edges` must be the DISTINCT SYMMETRIC pair set ((a,b) ⇔ (b,a),
+    * a ≠ b) — the same contract as [[pageRank]]'s co-occurrence graphs.
+    * Each triangle is found exactly once (its orientation-ordered corner
+    * triple) and credited to all three corners. Output: (node, n_tri),
+    * one row per node appearing in ≥1 triangle — all-integer, engine-
+    * exact by construction.
+    *
+    * Scale shape: two shuffle joins on node keys (wedge build + closure)
+    * plus one explode + partial aggregate; no cartesian anywhere. The
+    * (deg, id) total order travels WITH the oriented edges (deg columns
+    * carried, compared tuple-wise) so no global rank assignment — and so
+    * no global sort — is ever needed.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select("src", "dst")
+    val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
+    // orient each undirected edge once: (deg, id)-smaller endpoint first
+    val o = e
+      .join(deg.withColumnRenamed("n", "src").withColumnRenamed("deg", "dsrc"), "src")
+      .join(deg.withColumnRenamed("n", "dst").withColumnRenamed("deg", "ddst"), "dst")
+      .filter(col("dsrc") < col("ddst") ||
+        (col("dsrc") === col("ddst") && col("src") < col("dst")))
+      .select(col("src").as("a"), col("dst").as("b"),
+        col("ddst").as("degb"))
+      // o feeds THREE scans (both wedge sides + the closure probe):
+      // materialize the oriented half-edges once — the upstream edge
+      // build (fact self-join + distinct + two degree joins) is the
+      // expensive part and must not run three times
+      .cache()
+    // wedges from the orientation-least corner; b1 ≺ b2 in the SAME
+    // (deg, id) order so the closing edge (b1 → b2) is oriented if present
+    val wedges = o.as("x").join(o.as("y"), col("x.a") === col("y.a") &&
+        (col("x.degb") < col("y.degb") ||
+          (col("x.degb") === col("y.degb") && col("x.b") < col("y.b"))))
+      .select(col("x.a").as("a"), col("x.b").as("b1"), col("y.b").as("b2"))
+    val tris = wedges.as("w").join(o.as("z"),
+        col("w.b1") === col("z.a") && col("w.b2") === col("z.b"))
+      .select(col("w.a").as("a"), col("w.b1").as("b1"), col("w.b2").as("b2"))
+    tris
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
 }

@@ -612,18 +612,37 @@ object AnalyticsQueries {
     // TPC-H orders hold ≤ 7 lineitems, so the self-join fan-out is bounded
     // per key and the edge build is linear in the fact table. The graph is
     // symmetric by construction (a,b) ⇔ (b,a) — no dangling mass.
-    "parts_pagerank" -> ((s, dir) => {
-      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-      val e = li.as("a").join(li.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .distinct()
+    "parts_pagerank" -> ((s, dir) =>
       // symmetric edges ⇒ dst covers every node: the left-join completion
       // is skipped (one fewer join + rank-table shuffle per iteration)
-      Graph.pageRank(e, iters = 5, symmetric = true)
-    })
+      Graph.pageRank(coPurchaseEdges(s, dir), iters = 5, symmetric = true)),
+
+    // C61: triangle counting over the same co-purchase graph — the local
+    // cluster-density member of the graph family (C57 ranks global
+    // influence, B18 finds components, this measures how tightly each
+    // part's neighborhood interlocks: parts whose co-purchase partners are
+    // ALSO bought together, i.e. genuine bundles vs hub coincidence).
+    // Degree-oriented wedge join (see operators.Graph.triangleCounts for
+    // the O(m^{3/2}) bound); top-15 parts under the total
+    // (n_tri desc, node) order so both engines cut identically.
+    "parts_triangles" -> ((s, dir) =>
+      Graph.triangleCounts(coPurchaseEdges(s, dir))
+        .orderBy(col("n_tri").desc, col("node").asc)
+        .limit(15))
   )
+
+  /** Distinct symmetric part co-purchase pairs — parts sharing an order.
+    * TPC-H orders hold ≤ 7 lineitems, so the self-join fan-out is bounded
+    * per key and the edge build is linear in the fact table; (a,b) ⇔
+    * (b,a) by construction (the join predicate is symmetric). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .distinct()
+  }
 
   val oracle: Map[String, String] = Map(
     "events_asof" ->
@@ -968,6 +987,28 @@ object AnalyticsQueries {
          |$iterCtes
          |SELECT node, r FROM r5""".stripMargin
     },
+
+    // identical degree-orientation + wedge-closure walk: every comparison
+    // is on integers, so both engines enumerate the same triangles
+    "parts_triangles" ->
+      """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey != b.l_partkey),
+        |deg AS (SELECT src AS n, count(*) AS deg FROM e GROUP BY src),
+        |o AS (SELECT e.src AS a, e.dst AS b, d2.deg AS degb
+        |  FROM e JOIN deg d1 ON d1.n = e.src JOIN deg d2 ON d2.n = e.dst
+        |  WHERE d1.deg < d2.deg OR (d1.deg = d2.deg AND e.src < e.dst)),
+        |w AS (SELECT x.a AS a, x.b AS b1, y.b AS b2
+        |  FROM o x JOIN o y ON x.a = y.a
+        |  AND (x.degb < y.degb OR (x.degb = y.degb AND x.b < y.b))),
+        |t AS (SELECT w.a, w.b1, w.b2
+        |  FROM w JOIN o z ON w.b1 = z.a AND w.b2 = z.b),
+        |c AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |  SELECT a AS node FROM t
+        |  UNION ALL SELECT b1 FROM t
+        |  UNION ALL SELECT b2 FROM t)
+        |  GROUP BY node)
+        |SELECT node, n_tri FROM c ORDER BY n_tri DESC, node ASC LIMIT 15""".stripMargin,
 
     "events_attribution_bucketed" ->
       """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us

@@ -46,6 +46,49 @@ class GraphSpec extends SparkSpec {
     assert(sym == gen)
   }
 
+  private def sym(pairs: (Long, Long)*): Seq[(Long, Long)] =
+    pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+
+  private def tri(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.triangleCounts(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+
+  test("triangles: K4 gives every node C(3,2)=3; a 4-ring gives none") {
+    val k4 = sym(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L, 1L -> 3L, 2L -> 3L)
+    assert(tri(k4) == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    val ring4 = sym(0L -> 1L, 1L -> 2L, 2L -> 3L, 3L -> 0L)
+    assert(tri(ring4).isEmpty, "a chordless cycle has no triangles")
+  }
+
+  test("triangles: pendant node stays out, shared-edge triangles both count") {
+    // two triangles sharing edge (1,2), plus pendant 5 hanging off node 1
+    val g = sym(1L -> 2L, 1L -> 3L, 2L -> 3L, 1L -> 4L, 2L -> 4L, 1L -> 5L)
+    assert(tri(g) == Map(1L -> 2L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("triangleCounts matches a brute-force enumeration on the sf0.001 graph") {
+    val dir = "/root/testdata/sf0.001"
+    val got = AnalyticsQueries.defs("parts_triangles")(spark, dir)
+      .as[(Long, Long)].collect()
+    // brute force: adjacency sets, count closed corner triples per node
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").as[(Long, Long)].collect()
+    val adj = li.groupBy(_._1).values
+      .flatMap(g => g.map(_._2).distinct.combinations(2).map(_.sorted))
+      .flatMap { case Array(a, b) => Seq(a -> b, b -> a) }
+      .toSeq.distinct
+      .groupBy(_._1).map { case (n, es) => n -> es.map(_._2).toSet }
+    val counts = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      (a, nbrs) <- adj
+      Seq(b, c) <- nbrs.filter(_ > a).toSeq.sorted.combinations(2)
+      if adj(b).contains(c)
+    } { counts(a) += 1; counts(b) += 1; counts(c) += 1 }
+    val expect = counts.toSeq.sortBy { case (n, k) => (-k, n) }.take(15)
+    assert(got.toSeq.sortBy { case (n, k) => (-k, n) } == expect)
+    assert(got.nonEmpty)
+  }
+
   test("parts_pagerank is deterministic and covers every co-purchased part") {
     val dir = "/root/testdata/sf0.001"
     val a = AnalyticsQueries.defs("parts_pagerank")(spark, dir)

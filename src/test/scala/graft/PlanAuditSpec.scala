@@ -304,6 +304,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("parts_triangles: every join keyed — wedge fan-out bounded, no cartesian") {
+    // degree orientation exists to make the wedge self-join a KEY join on
+    // the shared corner; a cartesian/BNLJ anywhere means the O(m^{3/2})
+    // bound is gone and a hub node re-creates the all-pairs blowup
+    val p = plan("parts_triangles")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(3000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+  }
+
   test("multivector_maxsim: broadcast query bag, both aggregates partial, TakeOrdered") {
     val p = plan("multivector_maxsim")
     // the query bag arrives broadcast; per-(doc,q_pos) max and per-doc sum
