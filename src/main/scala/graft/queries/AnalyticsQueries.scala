@@ -915,7 +915,7 @@ object AnalyticsQueries {
       """WITH ev AS (SELECT event_type, epoch_us(ts) // 86400000000 AS d,
         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
         |c AS (SELECT min(d) + (max(d) - min(d)) // 2 AS cut FROM ev)
-        |SELECT event_type, count(*) AS n_total, sum(cents) AS cents_total,
+        |SELECT event_type, count(*) AS n_total, CAST(sum(cents) AS BIGINT) AS cents_total,
         |  CAST(count(CASE WHEN d >= (SELECT cut FROM c) THEN 1 END) AS BIGINT) AS n_delta
         |FROM ev GROUP BY event_type""".stripMargin,
 

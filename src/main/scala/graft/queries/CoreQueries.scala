@@ -365,9 +365,9 @@ object CoreQueries {
 
     "moving_avg" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey
+        | CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) OVER (PARTITION BY o_custkey
         |   ORDER BY o_orderdate ASC, o_orderkey ASC
-        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS ma3_cents
+        |   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma3_cents
         |FROM orders WHERE o_custkey < 100""".stripMargin,
 
     "bucketed_join" ->
@@ -390,10 +390,10 @@ object CoreQueries {
         |  CASE WHEN regexp_matches(json_extract_string(props, '$.k'), '^-?[0-9]+$')
         |       THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
         |  FROM events)
-        |SELECT event_type, count(*) AS n, sum(k) AS sum_k, count(k) AS n_k,
-        | CASE WHEN count(k) = 0 THEN NULL ELSE
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, count(k) AS n_k,
+        | CAST(CASE WHEN count(k) = 0 THEN NULL ELSE
         |   (sum(k) * 10000 - (((sum(k) * 10000) % count(k) + count(k)) % count(k)))
-        |     // count(k) END AS avg_k
+        |     // count(k) END AS BIGINT) AS avg_k
         |FROM x GROUP BY event_type""".stripMargin
   )
 }

@@ -281,7 +281,7 @@ object CurationQueries {
          |x AS (SELECT doc_id, n, off,
          |  unnest(range(off // $SeqLen, (off + n - 1) // $SeqLen + 1)) AS seq_id FROM o)
          |SELECT seq_id, count(*) AS n_docs,
-         |  sum(least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off)) AS n_tokens,
+         |  CAST(sum(least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off)) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM x GROUP BY seq_id""".stripMargin,
 

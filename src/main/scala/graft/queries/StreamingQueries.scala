@@ -319,7 +319,7 @@ object StreamingQueries {
     Map(
       "streaming_window" ->
         """SELECT epoch_us(date_trunc('hour', ts)) // 60000000 AS hour_min, event_type,
-          | count(*) AS n, sum(CAST(floor(value * 100.0) AS BIGINT)) AS sum_cents
+          | count(*) AS n, CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
 
       "streaming_enrich" ->
