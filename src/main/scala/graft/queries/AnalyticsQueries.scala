@@ -696,7 +696,7 @@ object AnalyticsQueries {
         |  CAST(floor(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
         |w AS (SELECT pri, cents,
         |  ntile(4) OVER (PARTITION BY pri ORDER BY cents, o_orderkey) AS q FROM o)
-        |SELECT pri, q, CAST(count(*) AS BIGINT) AS n,
+        |SELECT pri, CAST(q AS INTEGER) AS q, CAST(count(*) AS BIGINT) AS n,
         |  min(cents) AS lo, max(cents) AS hi
         |FROM w GROUP BY 1, 2""".stripMargin,
 

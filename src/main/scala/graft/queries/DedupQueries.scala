@@ -299,7 +299,7 @@ object DedupQueries {
           .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
         s"""WITH ${minhashPairCtes(sigCols, bandSelects)},
            |est AS (
-           |  SELECT p.a_id, p.b_id, ((($matchSum) * 1000000) // $NumHashes) AS est_jac
+           |  SELECT p.a_id, p.b_id, CAST(((($matchSum) * 1000000) // $NumHashes) AS BIGINT) AS est_jac
            |  FROM pairs p
            |  JOIN sig sa ON sa.doc_id = p.a_id
            |  JOIN sig sb ON sb.doc_id = p.b_id),

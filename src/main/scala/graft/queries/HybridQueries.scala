@@ -732,7 +732,7 @@ object HybridQueries {
          |      i -> (ed.q[i] - c.cent[i]) * (ed.q[i] - c.cent[i]))) AS BIGINT) AS dist
          |  FROM ed JOIN cent c USING (source))
          |SELECT source, CAST(count(*) AS BIGINT) AS n,
-         |  sum(dist) // count(*) AS mean_dist, max(dist) AS max_dist
+         |  CAST(sum(dist) // count(*) AS BIGINT) AS mean_dist, max(dist) AS max_dist
          |FROM m GROUP BY source""".stripMargin,
 
     // power method unrolled: center on the integer floor-mean, then
@@ -836,7 +836,7 @@ object HybridQueries {
     "recall_probe_sweep" -> {
       val sweep = Seq(1, 2, 4, 8)
       val perNp = sweep.map { np =>
-        s"""SELECT $np AS n_probe, q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
+        s"""SELECT CAST($np AS BIGINT) AS n_probe, q.q_id, CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit
            |FROM qs q LEFT JOIN (
            |  SELECT a.q_id, count(*) AS n_hit
            |  FROM (SELECT q_id, vec_id FROM (

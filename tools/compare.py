@@ -16,6 +16,12 @@ def norm(rows):
         out.append(tuple(str(v) for v in r))
     return sorted(out)
 
+def col_types(con, sql):
+    """Map column name -> DuckDB logical type (e.g. BIGINT vs HUGEINT).
+    The driver's hash is type-sensitive, so a value-equal HUGEINT/BIGINT
+    mismatch must fail here too."""
+    return {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -36,6 +42,8 @@ def main(sf_dir, out_dir):
             duck = con.execute(oracle[name])
             duck_rows = duck.fetchall()
             duck_cols = [d[0] for d in duck.description]
+            s_types = col_types(con, f"SELECT * FROM read_parquet({files!r})")
+            d_types = col_types(con, f"({oracle[name]})")
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
         # driver sorts columns by name before hashing
@@ -43,6 +51,11 @@ def main(sf_dir, out_dir):
         d_idx = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL {name}: columns {sorted(spark_cols)} vs {sorted(duck_cols)}")
+            n_fail += 1; continue
+        type_mismatch = {c: (s_types[c], d_types[c]) for c in s_types
+                         if c in d_types and s_types[c] != d_types[c]}
+        if type_mismatch:
+            print(f"FAIL {name}: column type mismatch {type_mismatch}")
             n_fail += 1; continue
         s = norm([[r[i] for i in s_idx] for r in spark_rows])
         d = norm([[r[i] for i in d_idx] for r in duck_rows])
