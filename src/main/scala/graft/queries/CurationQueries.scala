@@ -58,6 +58,47 @@ object CurationQueries {
   private val SemNumPlanes = 4
   private val SemDims = 64
 
+  /** B27's distributed exclusive prefix-sum of per-doc token counts in
+    * ascending doc_id order — `(doc_id, n) → (doc_id, n, off)`.
+    *
+    * Two-level reduction: per-doc counts fold into `doc_id div span`
+    * bucket subtotals, those fold again into `span²`-wide superbucket
+    * subtotals, and ONLY the superbucket rows (n/span² — at 100 TB with
+    * span 32, ~10⁵ rows per 10¹¹ docs) are collected for the driver-side
+    * exclusive scan, the k·d-model-state analogue. Bucket bases are then
+    * recovered distributively — a ≤span-row window inside each
+    * superbucket — and doc offsets by a ≤span-row window inside each
+    * bucket, so no window partition exceeds `span` rows and nothing
+    * else leaves its partition. Bucketing is deterministic `div` (no
+    * RangePartitioner sampling), so re-evaluation cannot shift
+    * partition boundaries; offsets are independent of `span` (any two
+    * bucketings agree — PackOffsetsSpec pins this). The n/span-row
+    * bucket-base side is an equi-join on `b`, broadcast while it fits
+    * (AQE's call), a plain shuffle join beyond that. */
+  private[graft] def packOffsets(s: SparkSession, nt: DataFrame,
+                                 span: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sub = nt.groupBy(expr(s"doc_id div $span").as("b"))
+      .agg(sum("n").as("bn"))
+      .withColumn("sb", expr(s"b div $span"))
+    val superSub = sub.groupBy("sb").agg(sum("bn").as("sbn"))
+      .orderBy("sb").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val sbases = superSub.map { case (sb, sbn) => val r = (sb, acc); acc += sbn; r }
+    val sbaseDf = s.createDataFrame(sbases.toIndexedSeq).toDF("sb", "sbase")
+    val wb = Window.partitionBy("sb").orderBy("b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val baseDf = sub.withColumn("cumb", sum("bn").over(wb))
+      .join(broadcast(sbaseDf), "sb")
+      .selectExpr("b", "sbase + cumb - bn AS base")
+    val w = Window.partitionBy("b").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nt.withColumn("b", expr(s"doc_id div $span"))
+      .withColumn("cum", sum("n").over(w))
+      .join(baseDf, "b")
+      .selectExpr("doc_id", "n", "base + cum - n AS off")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B13: top-K token vocabulary with counts (tokenizer-vocab extraction)
     "text_vocab" -> ((s, dir) =>
@@ -129,31 +170,14 @@ object CurationQueries {
     // order) into fixed SeqLen-token training sequences, reporting per
     // sequence its contributing docs and token count (the "how many docs
     // does a training row straddle" audit). The global token offset is a
-    // DISTRIBUTED PREFIX-SUM, never a global-order window: per-doc counts
-    // reduce to per-(doc_id div span) bucket subtotals (one tiny
-    // aggregate), the bucket bases are an exclusive scan over those
-    // subtotals (driver-side — n/span rows, the k·d-model-state analogue;
-    // at 100 TB add a third level, same shape), and each doc's offset is
-    // base + a window bounded by the span (≤32 rows per window partition,
-    // deterministic doc_id bucketing — no RangePartitioner sampling, so
-    // re-evaluation cannot shift partition boundaries). A doc spanning
-    // sequences contributes to each via a bounded explode (n/SeqLen + 1).
+    // DISTRIBUTED PREFIX-SUM (packOffsets), never a global-order window;
+    // driver state is O(n/span²). A doc spanning sequences contributes to
+    // each via a bounded explode (n/SeqLen + 1).
     "pack_sequences" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val nt = docs(s, dir)
         .selectExpr("doc_id", s"CAST(size($sTok) AS BIGINT) AS n")
         .filter(col("n") > 0)
-        .withColumn("b", expr(s"doc_id div $PackBucketSpan"))
-      val subtotals = nt.groupBy("b").agg(sum("n").as("bn"))
-        .orderBy("b").collect().map(r => (r.getLong(0), r.getLong(1)))
-      var acc = 0L
-      val bases = subtotals.map { case (b, bn) => val r = (b, acc); acc += bn; r }
-      val baseDf = s.createDataFrame(bases.toIndexedSeq).toDF("b", "base")
-      val w = Window.partitionBy("b").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      nt.withColumn("cum", sum("n").over(w))
-        .join(broadcast(baseDf), "b")
-        .selectExpr("doc_id", "n", "base + cum - n AS off")
+      packOffsets(s, nt, PackBucketSpan)
         .selectExpr("doc_id", "n", "off",
           s"explode(sequence(off div $SeqLen, (off + n - 1) div $SeqLen)) AS seq_id")
         .selectExpr("seq_id", "doc_id",
