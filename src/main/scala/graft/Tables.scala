@@ -2,14 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.expr
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Parquet table loader for the harness testdata layout.
   *
-  * `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 only reads with
-  * `spark.sql.legacy.parquet.nanosAsLong=true` (as epoch-nanos LongType).
-  * We convert to a micros timestamp with integer floor-division — the same
-  * truncation DuckDB applies when it reads the file, so the oracle agrees.
+  * `events.ts` has shipped in two vintages, normalized here to ONE engine
+  * type — TIMESTAMP (instant, session tz pinned to UTC) — so every query
+  * downstream sees identical semantics:
+  *  - TIMESTAMP(NANOS): Spark 4 only reads it with
+  *    `spark.sql.legacy.parquet.nanosAsLong=true` (as epoch-nanos
+  *    LongType); converted via integer floor-division to micros — the
+  *    same truncation DuckDB applies reading the file.
+  *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+  *    TIMESTAMP_NTZ; cast to TIMESTAMP interprets the wall-clock in the
+  *    UTC session zone — the same instant DuckDB sees.
   */
 object Tables {
   val NanoTimestampCols = Set("ts")
@@ -26,6 +32,8 @@ object Tables {
     s.fields.foldLeft(df) {
       case (d, f) if NanoTimestampCols(f.name) && f.dataType == LongType =>
         d.withColumn(f.name, expr(s"timestamp_micros(${f.name} div 1000)"))
+      case (d, f) if NanoTimestampCols(f.name) && f.dataType == TimestampNTZType =>
+        d.withColumn(f.name, expr(s"cast(${f.name} as timestamp)"))
       case (d, _) => d
     }
   }
