@@ -149,9 +149,8 @@ object Hnsw {
       if (level > topLevel) { topLevel = level; entryPoint = node }
     }
 
-    /** top-k (id, score) with score = floor(√sq·10⁴ + 0.5), id-tie order. */
-    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Long)] = {
-      if (entryPoint < 0) return Seq.empty
+    /** Greedy descent through the upper layers to the layer-0 entry. */
+    private def descendToLayer0(q: Array[Float]): Int = {
       var ep = entryPoint
       var l = topLevel
       while (l > 0) {
@@ -167,12 +166,111 @@ object Hnsw {
         }
         l -= 1
       }
-      searchLayer(q, ep, math.max(ef, k), 0)
+      ep
+    }
+
+    /** top-k (id, score) with score = floor(√sq·10⁴ + 0.5), id-tie order. */
+    def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Long)] = {
+      if (entryPoint < 0) return Seq.empty
+      searchLayer(q, descendToLayer0(q), math.max(ef, k), 0)
         .map { case (d, n) =>
           (extIds(n), math.floor(math.sqrt(d) * 10000.0 + 0.5).toLong)
         }
         .sortBy { case (id, s) => (s, id) }
         .take(k).toSeq
+    }
+
+    /** Layer-0 beam search with a VISIT BUDGET and a returnability mask —
+      * the ACORN-1 traversal primitive (/root/reference/acorn.py:149
+      * `knn_query(query, max_visits=visits, blocked=filtered_set, ...)`).
+      * Non-returnable (blocked) nodes stay on the traversal frontier —
+      * the walk routes THROUGH them — but never enter the result heap;
+      * `maxVisits` caps how many nodes the walk may touch. With few
+      * returnable results the heap stays under `ef`, so the prune
+      * condition never fires and the beam naturally widens — exactly the
+      * behavior that lets ACORN survive selective predicates. */
+    private def searchLayer0Bounded(q: Array[Float], ep: Int, ef: Int, maxVisits: Int,
+                                    returnable: Int => Boolean): mutable.ArrayBuffer[(Double, Int)] = {
+      val byDist = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
+      val visited = mutable.BitSet(ep)
+      var nVisits = 1
+      val candidates = mutable.PriorityQueue.empty[(Double, Int)](byDist.reverse)
+      val results = mutable.PriorityQueue.empty[(Double, Int)](byDist)
+      val d0 = sq(q, vecs(ep))
+      candidates.enqueue((d0, ep))
+      if (returnable(ep)) results.enqueue((d0, ep))
+      while (candidates.nonEmpty && nVisits < maxVisits) {
+        val (cd, c) = candidates.dequeue()
+        if (results.size >= ef && cd > results.head._1) candidates.clear()
+        else {
+          links(c)(0).foreach { n =>
+            if (!visited(n) && nVisits < maxVisits) {
+              visited += n; nVisits += 1
+              val d = sq(q, vecs(n))
+              if (results.size < ef || d < results.head._1) {
+                candidates.enqueue((d, n))
+                if (returnable(n)) {
+                  results.enqueue((d, n))
+                  if (results.size > ef) results.dequeue()
+                }
+              }
+            }
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Double, Int)]
+      results.foreach(out += _)
+      out.sortInPlace()
+      out
+    }
+
+    /** ACORN-1 filtered search (/root/reference/acorn.py:149–237
+      * `acorn_search`): repeated bounded-visit traversals with a growing
+      * budget. Each round returns up to `largeK` non-blocked candidates;
+      * candidates failing `pred` are BLOCKED for later rounds (still
+      * traversable, never returnable) and the budget grows by 1 — unless
+      * the round produced NO survivors, in which case the failures are
+      * pinned un-blockable (the reference's class-3 anti-stall extension:
+      * blocking every frontier node would strand the walk) and the budget
+      * jumps by 10. Survivors accumulate across rounds; final answer is
+      * the distinct survivor set's top-k. Scores are exact-rescored
+      * (floor(√l2·10⁴+0.5), lowest-id ties) per the engine convention.
+      *
+      * `metaSearch` is the reference's recall/cost knob: the loop runs
+      * while visits ≤ metaSearch. Once the budget reaches partition size
+      * a round visits every reachable node, so further rounds cannot
+      * change the survivor set — the loop exits early (pure optimization:
+      * identical results, reference semantics). */
+    def searchFiltered(q: Array[Float], k: Int, pred: Long => Boolean, metaSearch: Int,
+                       largeK: Int = 200, ef: Int = 200): Seq[(Long, Long)] = {
+      if (entryPoint < 0) return Seq.empty
+      val ep0 = descendToLayer0(q)
+      val blocked = mutable.BitSet.empty
+      val unblockable = mutable.BitSet.empty
+      val survivors = mutable.BitSet.empty
+      var visits = 2
+      var saturated = false
+      val beam = math.max(math.max(ef, largeK), k)
+      while (visits <= metaSearch && !saturated) {
+        val cands = searchLayer0Bounded(q, ep0, beam, visits, n => !blocked(n)).take(largeK)
+        val (pass, fail) = cands.partition { case (_, n) => pred(extIds(n)) }
+        pass.foreach { case (_, n) => survivors += n }
+        // saturation is judged on the budget that JUST ran: only a round
+        // that could visit the whole partition proves no further round
+        // can change the survivor set (a post-increment check could jump
+        // past `size` without ever running the full-coverage round)
+        saturated = visits >= size && beam >= size
+        if (pass.nonEmpty) {
+          fail.foreach { case (_, n) => if (!unblockable(n)) blocked += n }
+          visits += 1
+        } else {
+          fail.foreach { case (_, n) => unblockable += n }
+          visits += 10
+        }
+      }
+      survivors.iterator.map { n =>
+        (extIds(n), math.floor(math.sqrt(sq(q, vecs(n))) * 10000.0 + 0.5).toLong)
+      }.toSeq.sortBy { case (id, s) => (s, id) }.take(k)
     }
   }
 
@@ -195,6 +293,38 @@ object Hnsw {
           val g = new Graph(dims, m, efConstruction)
           rows.foreach { case (id, v) => g.insert(id, v) }
           g.search(query, k, ef).iterator
+        }
+      }
+    perPart.toDF("vec_id", "score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
+  /** Distributed ACORN-1: one predicate-aware graph walk per partition.
+    * `corpus` must expose (vec_id: long, embedding: array<float>,
+    * pass: boolean) — the metadata predicate is evaluated ONCE, relationally
+    * (join + filter pushdown territory), and shipped as a bit per row; the
+    * graph is built over ALL rows (that is ACORN's point: one
+    * filter-agnostic index serves every predicate) and only the traversal
+    * consults the bit. Per-partition survivors merge to the global top-k —
+    * ≤ P·k rows, the TakeOrdered shape, no corpus shuffle. */
+  def searchFilteredPerPartition(corpus: DataFrame, query: Array[Float], k: Int,
+                                 metaSearch: Int, m: Int = 16, efConstruction: Int = 64,
+                                 ef: Int = 200, largeK: Int = 200): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dims = query.length
+    val perPart: Dataset[(Long, Long)] = corpus
+      .select(col("vec_id").cast("long"), col("embedding"), col("pass").cast("boolean"))
+      .as[(Long, Array[Float], Boolean)]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val passing = rows.iterator.collect { case (id, _, true) => id }.toSet
+          val g = new Graph(dims, m, efConstruction)
+          rows.foreach { case (id, v, _) => g.insert(id, v) }
+          g.searchFiltered(query, k, passing, metaSearch, largeK, ef).iterator
         }
       }
     perPart.toDF("vec_id", "score")

@@ -53,6 +53,63 @@ class HnswSpec extends SparkSpec {
     assert(a.size == 10)
   }
 
+  // ----- ACORN-1 filtered traversal (acorn.py:149 acorn_search) -----
+
+  private def corpusWithPass(pred: org.apache.spark.sql.Column, exclId: Long) = {
+    val d = Tables(spark, dir, "documents")
+    emb.filter(col("vec_id") =!= exclId).select("vec_id", "embedding")
+      .join(d.filter(pred).select(col("doc_id"), lit(true).as("pass")),
+        col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("pass"), lit(false)).as("pass"))
+      .repartition(4, col("vec_id"))
+  }
+
+  test("saturated ACORN walk equals the exact pre-filtered top-k") {
+    import graft.operators.MetaPredicate
+    val pred = MetaPredicate("lang" -> ("exact", "zh"))
+    val q = queryVec(11)
+    val got = Hnsw.searchFilteredPerPartition(corpusWithPass(pred, 11), q, 10, metaSearch = 256)
+      .select("vec_id", "score").as[(Long, Long)].collect().toSeq
+    val exact = Knn.prefilterKnn(
+        emb.filter(col("vec_id") =!= 11).select("vec_id", "embedding"),
+        Tables(spark, dir, "documents"), pred,
+        emb.filter(col("vec_id") === 11).select(col("embedding").as("q_vec")),
+        10, Knn.L2)
+      .select("vec_id", "score").as[(Long, Long)].collect().toSeq
+    assert(got == exact)
+  }
+
+  test("ACORN walk routes THROUGH blocked nodes to survivors behind them") {
+    // a 1-D chain: only the far end passes the filter, so every path from
+    // the entry runs through filter-failing nodes. Blocking must leave
+    // them traversable or the walk strands at the near end.
+    val g = new Hnsw.Graph(2, 4, 16)
+    (0 until 40).foreach(i => g.insert(i.toLong, Array(i.toFloat, 0f)))
+    val far = (35L to 39L).toSet
+    val got = g.searchFiltered(Array(0f, 0f), 5, far, metaSearch = 64).map(_._1).toSet
+    assert(got == far, s"expected the far-end survivors, got $got")
+  }
+
+  test("filtered search is deterministic and only returns passing ids") {
+    import graft.operators.MetaPredicate
+    val pred = MetaPredicate("n_chars" -> ("<", 200))
+    val q = queryVec(3)
+    val passing = Tables(spark, dir, "documents").filter(pred)
+      .select("doc_id").as[Long].collect().toSet
+    val run = () => Hnsw.searchFilteredPerPartition(corpusWithPass(pred, 3), q, 10, metaSearch = 64)
+      .select("vec_id", "score").as[(Long, Long)].collect().toSeq
+    val a = run(); val b = run()
+    assert(a == b)
+    assert(a.nonEmpty && a.forall { case (id, _) => passing(id) })
+  }
+
+  test("nothing passes → empty result, walk does not stall") {
+    val g = new Hnsw.Graph(2, 4, 16)
+    (0 until 20).foreach(i => g.insert(i.toLong, Array(i.toFloat, 0f)))
+    assert(g.searchFiltered(Array(0f, 0f), 5, _ => false, metaSearch = 64).isEmpty)
+  }
+
   test("tiny and empty partitions") {
     val corpus = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
       .repartition(8, col("vec_id")) // most partitions empty
