@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Hll, Ivf, Knn, Pq}
+import graft.operators.{Dedup, Hll, Hnsw, Ivf, Knn, Pq}
 
 /** Scale dry-run: synthetic 100×-sf corpora generated distributively
   * (range + hash-derived values, no driver materialization), timing the
@@ -57,9 +57,48 @@ object ScaleProbe {
         "CAST(pmod(xxhash64(id + 13), 3) AS INT) + 1)").as("event_type"),
       pmod(xxhash64(col("id") + 19), lit(100000L)).as("cents"))
 
+  /** Wide-vector probe at the REFERENCE'S dimensionality: 2048-d ResNet-50
+    * embeddings over its 123k-image corpus (vector_embeddings.py:1–135,
+    * README §3: 51.35 s single-node HNSW build, 2.4 GB RSS). Answers "do
+    * the codegen kernels and the graph build hold at d=2048", which the
+    * d=64 gate corpus cannot. `sbt "runMain graft.ScaleProbe wide"`. */
+  private def runWide(spark: SparkSession, nVecs: Long): Unit = {
+    val dims = 2048
+    syntheticEmbeddings(spark, nVecs, dims)
+      .write.mode("overwrite").parquet("/root/repo/target/probe/emb2048")
+    val e = spark.read.parquet("/root/repo/target/probe/emb2048")
+    val q1 = e.filter(col("vec_id") === 7).select(col("embedding").as("q_vec"))
+    val results = Seq(
+      // brute-force cosine top-10: one narrow codegen'd scan + k-heap
+      time("exact_knn_2048")(
+        Knn.topK(e.select("vec_id", "embedding"), q1, 10, Knn.Cosine).count()),
+      // per-cluster centroid build: (labels×dims) values cross the shuffle
+      time("centroids_vecsum_2048")(Ivf.centroids(e).count()),
+      // integer Lloyd's: the kernel assignment E-step at full width
+      time("kmeans_assign_2048")(graft.operators.KMeans.fitInt(
+        e.select("vec_id", "embedding"), k = 16, iters = 1)._1.size),
+      // PQ: 16 subspaces × 128 dims, full encode + ADC shortlist + rerank
+      time("pq_encode_adc_2048")(graft.operators.Pq.searchRerank(
+        e, qid = 7, k = 10, numSub = 16, subDim = 128, numCodes = 64,
+        shortlist = 100).count()),
+      // the reference's headline: HNSW build+search over the same corpus
+      time("hnsw_build_search_2048") {
+        val qv = e.filter(col("vec_id") === 7).select("embedding")
+          .head.getSeq[Float](0).toArray
+        Hnsw.searchPerPartition(
+          e.select("vec_id", "embedding").repartition(32, col("vec_id")),
+          qv, 10).count()
+      })
+    val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_probe_wide","n_vecs":$nVecs,"dims":$dims,"sec":$js}""")
+  }
+
   def main(args: Array[String]): Unit = {
-    val nVecs = args.lift(0).map(_.toLong).getOrElse(500000L)
-    val nDocs = args.lift(1).map(_.toLong).getOrElse(500000L)
+    val wide = args.contains("wide")
+    val sized = args.filterNot(_ == "wide")
+    val nVecs = sized.lift(0).map(_.toLong)
+      .getOrElse(if (wide) 123000L else 500000L)
+    val nDocs = sized.lift(1).map(_.toLong).getOrElse(500000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -71,6 +110,8 @@ object ScaleProbe {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     clearAfter = () => spark.catalog.clearCache()
+
+    if (wide) { runWide(spark, nVecs); spark.stop(); return }
 
     val emb = syntheticEmbeddings(spark, nVecs)
     val docs = syntheticDocs(spark, nDocs)
