@@ -188,6 +188,97 @@ object Multimodal {
       }
   }
 
+  /** ONNX-backed `EmbedModel` — the real-inference drop-in for the slot
+    * above (reference: vector_embeddings.py:65 ResNet-50 forward pass).
+    * The ONNX Runtime is NOT in this build's dependency set (offline,
+    * fixed classpath), so the class binds to it purely REFLECTIVELY:
+    * it compiles and constructs everywhere, and only `embedBatch` needs
+    * the runtime — loading the session lazily once per executor/partition
+    * and amortizing it over every batch, exactly the torch-batch shape
+    * the reference uses. Without the runtime on the classpath,
+    * `embedBatch` fails with a clear IllegalStateException (callers pick
+    * the model via `EmbedModels.forSession`, which never selects this
+    * class when the runtime is absent).
+    *
+    * Preprocessing is the honest container-bound stand-in: the blob is
+    * downsampled to `inputTaps` normalized floats (a real deployment
+    * decodes pixels to the model's input tensor here — same slot, same
+    * shape). */
+  final class OnnxEmbedModel(modelPath: String, val dims: Int,
+                             inputTaps: Int = 4096) extends EmbedModel {
+    @transient private lazy val envAndSession: (AnyRef, AnyRef) = {
+      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val env = envCls.getMethod("getEnvironment").invoke(null)
+      val sess = envCls.getMethod("createSession", classOf[String])
+        .invoke(env, modelPath)
+      (env.asInstanceOf[AnyRef], sess.asInstanceOf[AnyRef])
+    }
+
+    private def preprocess(bytes: Array[Byte]): Array[Float] = {
+      val v = new Array[Float](inputTaps)
+      if (bytes != null && bytes.nonEmpty) {
+        val n = bytes.length
+        var j = 0
+        while (j < inputTaps) {
+          v(j) = ((bytes((j.toLong * n / inputTaps).toInt) & 0xff) / 255.0f) - 0.5f
+          j += 1
+        }
+      }
+      v
+    }
+
+    def embedBatch(batch: Seq[(Long, Array[Byte])]): Seq[Array[Float]] = {
+      val (env, sess) =
+        try envAndSession
+        catch {
+          case e: Throwable => throw new IllegalStateException(
+            "OnnxEmbedModel needs ai.onnxruntime on the classpath; " +
+              "use EmbedModels.forSession for runtime-aware dispatch", e)
+        }
+      val inputs: Array[Array[Float]] = batch.map { case (_, b) => preprocess(b) }.toArray
+      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+      val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")
+      val tensor = tensorCls.getMethod("createTensor", envCls, classOf[Object])
+        .invoke(null, env, inputs)
+      try {
+        val inputName = sess.getClass.getMethod("getInputNames").invoke(sess)
+          .asInstanceOf[java.util.Set[String]].iterator().next()
+        val result = sess.getClass.getMethod("run", classOf[java.util.Map[_, _]])
+          .invoke(sess, java.util.Collections.singletonMap(inputName, tensor))
+        try {
+          val firstOut = result.asInstanceOf[java.lang.Iterable[java.util.Map.Entry[String, AnyRef]]]
+            .iterator().next().getValue
+          firstOut.getClass.getMethod("getValue").invoke(firstOut)
+            .asInstanceOf[Array[Array[Float]]].toSeq
+        } finally result.getClass.getMethod("close").invoke(result)
+      } finally tensor.getClass.getMethod("close").invoke(tensor)
+    }
+  }
+
+  /** Config-flag model dispatch (r3 verdict item #8): an ONNX model path
+    * opts INTO real inference; the choice then depends only on whether the
+    * runtime classes exist, so the same job spec runs everywhere and
+    * degrades to the signal featurizer instead of crashing on
+    * runtime-less clusters. `runtimePresent` is injectable so the spec
+    * exercises BOTH dispatch arms in this runtime-less container. */
+  object EmbedModels {
+    val OnnxModelPathConf = "spark.graft.embed.onnx.modelPath"
+    val OnnxDimsConf = "spark.graft.embed.onnx.dims"
+
+    def onnxRuntimeAvailable(): Boolean =
+      try { Class.forName("ai.onnxruntime.OrtEnvironment"); true }
+      catch { case _: Throwable => false }
+
+    def forSession(spark: SparkSession,
+                   runtimePresent: () => Boolean = () => onnxRuntimeAvailable()): EmbedModel =
+      spark.conf.getOption(OnnxModelPathConf) match {
+        case Some(path) if runtimePresent() =>
+          new OnnxEmbedModel(path,
+            spark.conf.getOption(OnnxDimsConf).map(_.toInt).getOrElse(2048))
+        case _ => new SignalFeatureModel
+      }
+  }
+
   /** Batched embedding through a pluggable model: partitions stream in
     * `batchSize` groups so a native runtime amortizes per-batch overhead;
     * null blobs are skipped (no content, no vector). */

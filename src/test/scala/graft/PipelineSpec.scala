@@ -111,4 +111,35 @@ class PipelineSpec extends SparkSpec {
     val cos = v1.zip(v2).map { case (x, y) => x * y }.sum
     assert(cos > 0.99, s"near-dup cosine $cos")
   }
+
+  test("EmbedModels.forSession dispatches ONNX vs signal-featurizer both ways") {
+    import Multimodal.EmbedModels
+    // no model path configured → featurizer, regardless of runtime
+    spark.conf.unset(EmbedModels.OnnxModelPathConf)
+    assert(EmbedModels.forSession(spark, () => true)
+      .isInstanceOf[Multimodal.SignalFeatureModel])
+    try {
+      spark.conf.set(EmbedModels.OnnxModelPathConf, "/models/resnet50.onnx")
+      spark.conf.set(EmbedModels.OnnxDimsConf, "2048")
+      // path + runtime present → the ONNX model (construction must not
+      // touch the runtime; only embedBatch binds, lazily)
+      val m = EmbedModels.forSession(spark, () => true)
+      assert(m.isInstanceOf[Multimodal.OnnxEmbedModel])
+      assert(m.dims == 2048)
+      // path set but runtime ABSENT → degrade to the featurizer, not a crash
+      assert(EmbedModels.forSession(spark, () => false)
+        .isInstanceOf[Multimodal.SignalFeatureModel])
+      // this container genuinely has no ai.onnxruntime on the classpath:
+      // the default probe must say so, and a direct embedBatch call must
+      // fail LOUDLY with the dispatch hint rather than deep in reflection
+      assert(!EmbedModels.onnxRuntimeAvailable())
+      val err = intercept[IllegalStateException] {
+        m.asInstanceOf[Multimodal.OnnxEmbedModel].embedBatch(Seq((0L, Array[Byte](1, 2))))
+      }
+      assert(err.getMessage.contains("forSession"))
+    } finally {
+      spark.conf.unset(EmbedModels.OnnxModelPathConf)
+      spark.conf.unset(EmbedModels.OnnxDimsConf)
+    }
+  }
 }
