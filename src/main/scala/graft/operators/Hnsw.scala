@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** In-partition HNSW — the graph-ANN option for the regime where IVF
   * partition-probing loses recall (r2 verdict "What's missing" #2).
@@ -149,6 +149,25 @@ object Hnsw {
       if (level > topLevel) { topLevel = level; entryPoint = node }
     }
 
+    /** Serialize every node verbatim: (node, extId, vec, level, links). */
+    def dumpNodes: Seq[(Int, Long, Array[Float], Int, Array[Array[Int]])] =
+      (0 until size).map { n =>
+        (n, extIds(n), vecs(n), nodeLevels(n), links(n).map(_.toArray))
+      }
+
+    def entry: (Int, Int) = (entryPoint, topLevel)
+
+    /** Persisted-index load path: restore a node EXACTLY as dumped (caller
+      * supplies nodes in index order, then restoreEntry) — no re-insertion,
+      * no neighbor recomputation, so a restored graph is bit-identical to
+      * the built one. */
+    def restoreNode(id: Long, v: Array[Float], level: Int, nbrs: Array[Array[Int]]): Unit = {
+      vecs += v; extIds += id; nodeLevels += level
+      links += nbrs.map(a => mutable.ArrayBuffer.from(a))
+    }
+
+    def restoreEntry(ep: Int, top: Int): Unit = { entryPoint = ep; topLevel = top }
+
     /** Greedy descent through the upper layers to the layer-0 entry. */
     private def descendToLayer0(q: Array[Float]): Int = {
       var ep = entryPoint
@@ -293,6 +312,70 @@ object Hnsw {
           val g = new Graph(dims, m, efConstruction)
           rows.foreach { case (id, v) => g.insert(id, v) }
           g.search(query, k, ef).iterator
+        }
+      }
+    perPart.toDF("vec_id", "score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
+  /** One serialized graph node (part = the graph it belongs to; ep/top
+    * replicated per row — tiny, and keeps the layout one flat table). */
+  final case class PersistedNode(part: Int, node: Int, ext_id: Long,
+                                 vec: Array[Float], level: Int,
+                                 links: Array[Array[Int]], ep: Int, top: Int)
+
+  /** BUILD ONCE, SEARCH MANY — the 100 TB index lifecycle (the reference
+    * builds its hnswlib index once via add_items, acorn.py:61, then serves
+    * every query from it; README prices the build at 51 s and the query at
+    * 3.5 ms). Builds one graph per partition (ascending-id insert, so the
+    * same partitioning always yields the same graphs) and serializes every
+    * node — vectors, levels, adjacency, entry point — as one flat parquet
+    * table. Query-time cost then starts at the GRAPH, not at insertion:
+    * searchPersisted restores nodes verbatim (no re-insertion, no neighbor
+    * recomputation) and runs the same beam search `searchPerPartition`
+    * would. */
+  def buildAndWrite(corpus: DataFrame, path: String, dims: Int,
+                    m: Int = 16, efConstruction: Int = 64): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val part = org.apache.spark.TaskContext.getPartitionId()
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val g = new Graph(dims, m, efConstruction)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          val (ep, top) = g.entry
+          g.dumpNodes.iterator.map { case (n, id, v, lvl, nbrs) =>
+            PersistedNode(part, n, id, v, lvl, nbrs, ep, top)
+          }
+        }
+      }
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Search every persisted graph and merge to the global top-k. Graphs
+    * are restored verbatim per part (a Spark partition may carry several
+    * parts after the part-keyed repartition — grouped in one pass), so
+    * results are identical to searching the freshly-built graphs. */
+  def searchPersisted(spark: SparkSession, path: String, query: Array[Float],
+                      k: Int, ef: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dims = query.length
+    val nodes = spark.read.parquet(path).as[PersistedNode]
+    val perPart: Dataset[(Long, Long)] = nodes
+      .repartition(col("part"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_.part).iterator.flatMap { case (_, rows) =>
+          val g = new Graph(dims, 16, 64)
+          rows.sortBy(_.node).foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
+          g.restoreEntry(rows.head.ep, rows.head.top)
+          g.search(query, k, ef)
         }
       }
     perPart.toDF("vec_id", "score")

@@ -29,6 +29,21 @@ object HybridQueries {
 
   private def bucketSql(vec: String): String = DuckDialect.bucketSql(vec, NumPlanes, Dims)
 
+  // the persisted-HNSW "ingest" (A35c): graphs build+serialize once per
+  // (JVM, sfDir) — the one-time index cost the repeated searches amortize,
+  // same contract as bucketed_join's layout memo
+  private var hnswIndexFor: Option[String] = None
+  private def ensureHnswIndex(s: SparkSession, dir: String): String = synchronized {
+    val path = graft.TmpDirs.path("hnsw_index_" + new java.io.File(dir).getName)
+    if (!hnswIndexFor.contains(dir)) {
+      Hnsw.buildAndWrite(
+        emb(s, dir).select("vec_id", "embedding").repartition(8, col("vec_id")),
+        path, dims = Dims)
+      hnswIndexFor = Some(dir)
+    }
+    path
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A14: IVF index build — per-cluster centroids, one shuffle on (label,dim)
     "ivf_build" -> ((s, dir) =>
@@ -582,6 +597,20 @@ object HybridQueries {
       Hnsw.searchFilteredPerPartition(corpus, qv, 10, metaSearch = 128)
     }),
 
+    // A35c: the persisted-index LIFECYCLE driver-verified — the reference
+    // builds its hnswlib index once (acorn.py:61 add_items; README prices
+    // build at 51 s, query at 3.5 ms) and serves every query from it. The
+    // graphs here build+serialize once per (JVM, sfDir); the timed body
+    // restores nodes verbatim and beam-searches only. Query id 13 stays IN
+    // the corpus (query-by-indexed-item), so rank 1 is the self-hit at
+    // distance 0 on both sides.
+    "knn_hnsw_persisted" -> ((s, dir) => {
+      val path = ensureHnswIndex(s, dir)
+      val qv = emb(s, dir).filter(col("vec_id") === 13).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      Hnsw.searchPersisted(s, path, qv, 10, ef = 96)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1113,6 +1142,13 @@ object HybridQueries {
          |WHERE e.vec_id <> 11
          |  AND d.lang IS NOT NULL AND d.lang = 'zh'
          |  AND d.n_chars IS NOT NULL AND d.n_chars < 150
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // persisted restore+search == fresh build+search == exact at the
+    // saturating gate-scale beam; self-hit included (no exclusion)
+    "knn_hnsw_persisted" ->
+      s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 13) q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =

@@ -317,6 +317,9 @@ object StreamingQueries {
     def dH(v: String) = DuckDialect.hash(v)
 
     Map(
+      // bounded-sum assumption (ADVICE r4): CAST(HUGEINT AS BIGINT) errors
+      // on overflow in DuckDB while Spark's long sum wraps — unreachable at
+      // gate corpus scale, and an overflow would fail LOUDLY here, not pass
       "streaming_window" ->
         """SELECT epoch_us(date_trunc('hour', ts)) // 60000000 AS hour_min, event_type,
           | count(*) AS n, CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents

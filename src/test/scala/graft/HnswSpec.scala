@@ -110,6 +110,19 @@ class HnswSpec extends SparkSpec {
     assert(g.searchFiltered(Array(0f, 0f), 5, _ => false, metaSearch = 64).isEmpty)
   }
 
+  test("persisted graphs search identically to freshly built ones") {
+    val corpus = emb.select("vec_id", "embedding").repartition(4, col("vec_id"))
+    val q = queryVec(5)
+    val path = graft.TmpDirs.path("hnsw_spec_index")
+    Hnsw.buildAndWrite(corpus, path, dims = 64)
+    val fresh = Hnsw.searchPerPartition(corpus, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val persisted = Hnsw.searchPersisted(spark, path, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted == fresh)
+    assert(persisted.size == 10)
+  }
+
   test("tiny and empty partitions") {
     val corpus = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
       .repartition(8, col("vec_id")) // most partitions empty
