@@ -382,6 +382,40 @@ object Hnsw {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** APPEND while serving — A30's graph form (the reference add_items()s
+    * into a live index, acorn.py:61): restore the persisted graphs, insert
+    * the arriving rows per partition, search. Arriving rows route to their
+    * graph by replaying the build's hash partitioning (`pmod(hash(vec_id),
+    * numParts)` IS HashPartitioning's assignment), and appending preserves
+    * the ascending-id insertion discipline — when arriving ids exceed the
+    * indexed ids (the ingest case), the appended graph is BIT-IDENTICAL to
+    * a fresh full-corpus build under the same partitioning (spec-proved).
+    * Cogroup co-partitions graphs and arrivals in one shuffle of the
+    * (tiny) arriving side plus the node table. */
+  def searchAppended(spark: SparkSession, path: String, arriving: DataFrame,
+                     numParts: Int, query: Array[Float], k: Int, ef: Int = 64,
+                     m: Int = 16, efConstruction: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val dims = query.length
+    val nodes = spark.read.parquet(path).as[PersistedNode]
+    val arr = arriving.select(
+        pmod(hash(col("vec_id")), lit(numParts)).cast("int").as("part"),
+        col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .as[(Int, Long, Array[Float])]
+    val perPart = nodes.groupByKey(_.part).cogroup(arr.groupByKey(_._1)) {
+      (_, ns, as) =>
+        val nodeRows = ns.toArray.sortBy(_.node)
+        val g = new Graph(dims, m, efConstruction)
+        nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
+        if (nodeRows.nonEmpty) g.restoreEntry(nodeRows.head.ep, nodeRows.head.top)
+        as.toArray.sortBy(_._2).foreach { case (_, id, v) => g.insert(id, v) }
+        if (g.size == 0) Iterator.empty else g.search(query, k, ef).iterator
+    }
+    perPart.toDF("vec_id", "score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
   /** Distributed ACORN-1: one predicate-aware graph walk per partition.
     * `corpus` must expose (vec_id: long, embedding: array<float>,
     * pass: boolean) — the metadata predicate is evaluated ONCE, relationally

@@ -44,6 +44,20 @@ object HybridQueries {
     path
   }
 
+  // base-half index for the append entry (first IvfAppendSplit ids only)
+  private var hnswBaseFor: Option[String] = None
+  private def ensureHnswBase(s: SparkSession, dir: String): String = synchronized {
+    val path = graft.TmpDirs.path("hnsw_base_" + new java.io.File(dir).getName)
+    if (!hnswBaseFor.contains(dir)) {
+      Hnsw.buildAndWrite(
+        emb(s, dir).filter(col("vec_id") < IvfAppendSplit)
+          .select("vec_id", "embedding").repartition(8, col("vec_id")),
+        path, dims = Dims)
+      hnswBaseFor = Some(dir)
+    }
+    path
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A14: IVF index build — per-cluster centroids, one shuffle on (label,dim)
     "ivf_build" -> ((s, dir) =>
@@ -611,6 +625,23 @@ object HybridQueries {
       Hnsw.searchPersisted(s, path, qv, 10, ef = 96)
     }),
 
+    // A30's graph form: APPEND into the live persisted index (the
+    // reference add_items()s while serving). The first 400 ids are the
+    // persisted base; the rest arrive, route to their graph by replaying
+    // the build's hash partitioning, and insert in ascending-id order —
+    // which makes the appended graphs bit-identical to a full fresh build
+    // (HnswSpec), so the saturating-beam result is the full-corpus exact
+    // top-k and the brute-force oracle replays it.
+    "knn_hnsw_append" -> ((s, dir) => {
+      val path = ensureHnswBase(s, dir)
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 2).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      Hnsw.searchAppended(s, path,
+        e.filter(col("vec_id") >= IvfAppendSplit).select("vec_id", "embedding"),
+        numParts = 8, qv, 10, ef = 96)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1149,6 +1180,12 @@ object HybridQueries {
     "knn_hnsw_persisted" ->
       s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 13) q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // appended index == fresh full build == exact at the saturating beam
+    "knn_hnsw_append" ->
+      s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 2) q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =

@@ -123,6 +123,23 @@ class HnswSpec extends SparkSpec {
     assert(persisted.size == 10)
   }
 
+  test("append-after-restore equals the fresh full-corpus build exactly") {
+    val full = emb.select("vec_id", "embedding").repartition(4, col("vec_id"))
+    val base = emb.filter(col("vec_id") < 300)
+      .select("vec_id", "embedding").repartition(4, col("vec_id"))
+    val arriving = emb.filter(col("vec_id") >= 300).select("vec_id", "embedding")
+    val q = queryVec(5)
+    val path = graft.TmpDirs.path("hnsw_spec_append")
+    Hnsw.buildAndWrite(base, path, dims = 64)
+    val fresh = Hnsw.searchPerPartition(full, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // within every partition the arriving ids all exceed the base ids, so
+    // restore + ascending append replays the full build's insertion order
+    val appended = Hnsw.searchAppended(spark, path, arriving, 4, q, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(appended == fresh)
+  }
+
   test("tiny and empty partitions") {
     val corpus = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
       .repartition(8, col("vec_id")) // most partitions empty
