@@ -416,6 +416,40 @@ object Hnsw {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** ACORN against the PERSISTED index — the reference's actual serving
+    * path (one filter-agnostic index on disk, acorn.py:61; every filtered
+    * query walks it, acorn.py:149). The predicate is evaluated
+    * relationally at query time and ships as a per-partition id set via
+    * cogroup (ids route to their graph by replaying the build's hash
+    * partitioning), so ONE persisted index serves every predicate — the
+    * whole point of ACORN vs per-predicate indexes. */
+  def searchFilteredPersisted(spark: SparkSession, path: String, passing: DataFrame,
+                              numParts: Int, query: Array[Float], k: Int,
+                              metaSearch: Int, ef: Int = 200, largeK: Int = 200): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val nodes = spark.read.parquet(path).as[PersistedNode]
+    val pass = passing.select(
+        pmod(hash(col("vec_id")), lit(numParts)).cast("int").as("part"),
+        col("vec_id").cast("long").as("vec_id"))
+      .as[(Int, Long)]
+    val perPart = nodes.groupByKey(_.part).cogroup(pass.groupByKey(_._1)) {
+      (_, ns, ps) =>
+        val nodeRows = ns.toArray.sortBy(_.node)
+        if (nodeRows.isEmpty) Iterator.empty
+        else {
+          val dims = nodeRows.head.vec.length
+          val g = new Graph(dims, 16, 64)
+          nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
+          g.restoreEntry(nodeRows.head.ep, nodeRows.head.top)
+          val ok = ps.map(_._2).toSet
+          g.searchFiltered(query, k, ok, metaSearch, largeK, ef).iterator
+        }
+    }
+    perPart.toDF("vec_id", "score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
   /** Distributed ACORN-1: one predicate-aware graph walk per partition.
     * `corpus` must expose (vec_id: long, embedding: array<float>,
     * pass: boolean) — the metadata predicate is evaluated ONCE, relationally

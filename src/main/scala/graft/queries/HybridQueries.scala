@@ -642,6 +642,24 @@ object HybridQueries {
         numParts = 8, qv, 10, ef = 96)
     }),
 
+    // The reference's full SERVING path: the ONE persisted filter-agnostic
+    // index (A35c's) answering a predicate-aware query — ACORN's point is
+    // exactly that no per-predicate index exists; the passing-id set is
+    // computed relationally at query time and cogrouped to the graphs.
+    // Class-2 predicate (lang = zh) to complement hybrid_knn_hnsw's
+    // class-1; saturating budget at gate scale keeps the oracle replayable.
+    "hybrid_knn_hnsw_persisted" -> ((s, dir) => {
+      val path = ensureHnswIndex(s, dir)
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 11).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val passing = docs(s, dir)
+        .filter(MetaPredicate("lang" -> ("exact", "zh")))
+        .select(col("doc_id").as("vec_id"))
+      Hnsw.searchFilteredPersisted(s, path, passing, numParts = 8, qv, 10,
+        metaSearch = 128)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1186,6 +1204,17 @@ object HybridQueries {
     "knn_hnsw_append" ->
       s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 2) q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // saturated ACORN over the persisted index == exact pre-filter result
+    // (no self-exclusion: query id 11 is an indexed item; the predicate
+    // decides whether it appears, identically on both sides)
+    "hybrid_knn_hnsw_persisted" ->
+      s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 11) q
+         |WHERE d.lang IS NOT NULL AND d.lang = 'zh'
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =

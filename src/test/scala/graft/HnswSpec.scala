@@ -140,6 +140,32 @@ class HnswSpec extends SparkSpec {
     assert(appended == fresh)
   }
 
+  test("filtered search over the persisted index equals the fresh filtered walk") {
+    import graft.operators.MetaPredicate
+    val pred = MetaPredicate("lang" -> ("exact", "zh"))
+    val q = queryVec(11)
+    val corpus = emb.select("vec_id", "embedding").repartition(4, col("vec_id"))
+    val path = graft.TmpDirs.path("hnsw_spec_filtered")
+    Hnsw.buildAndWrite(corpus, path, dims = 64)
+    val passing = Tables(spark, dir, "documents").filter(pred)
+      .select(col("doc_id").as("vec_id"))
+    val persisted = Hnsw.searchFilteredPersisted(spark, path, passing, 4, q, 10,
+        metaSearch = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fresh = Hnsw.searchFilteredPerPartition(
+        emb.select("vec_id", "embedding")
+          .join(Tables(spark, dir, "documents").filter(pred)
+            .select(col("doc_id"), lit(true).as("pass")),
+            col("vec_id") === col("doc_id"), "left")
+          .select(col("vec_id"), col("embedding"),
+            coalesce(col("pass"), lit(false)).as("pass"))
+          .repartition(4, col("vec_id")),
+        q, 10, metaSearch = 256)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted == fresh)
+    assert(persisted.size == 10)
+  }
+
   test("tiny and empty partitions") {
     val corpus = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
       .repartition(8, col("vec_id")) // most partitions empty
