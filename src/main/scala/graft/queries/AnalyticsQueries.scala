@@ -637,11 +637,21 @@ object AnalyticsQueries {
     * (b,a) by construction (the join predicate is symmetric). */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_partkey")
-    li.as("a").join(li.as("b"),
+    // canonical HALF edges (src < dst) through the distinct — the
+    // symmetric closure of the distinct half equals the distinct of the
+    // symmetric set, and the self-join + distinct shuffle carry half the
+    // rows; the mirror union is a narrow map
+    val half = li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
+          col("a.l_partkey") < col("b.l_partkey"))
       .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .distinct()
+      // both union branches AND both consumers (degree pass + orientation
+      // pass in triangles; rank loop in pagerank) re-scan the half set —
+      // cache it (2 longs × |E|/2, ~20 MB at sf0.1) or the fact self-join
+      // re-runs once per branch per scan
+      .cache()
+    half.union(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   val oracle: Map[String, String] = Map(
