@@ -382,6 +382,39 @@ object Hnsw {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** BATCHED serving from the persisted index — the reference's evaluation
+    * loop (acorn.py __main__: one index, a whole query file): graphs
+    * restore ONCE per partition and answer the entire broadcast query set,
+    * so restore cost amortizes over |Q| and the shuffle carries ≤ P·|Q|·k
+    * rows into the same k-heap merge batchKnn uses. */
+  def searchPersistedBatch(spark: SparkSession, path: String,
+                           queries: Seq[(Long, Array[Float])], k: Int,
+                           ef: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val qb = spark.sparkContext.broadcast(queries)
+    val nodes = spark.read.parquet(path).as[PersistedNode]
+    val perPart: Dataset[(Long, Long, Long)] = nodes
+      .repartition(col("part"))
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_.part).iterator.flatMap { case (_, rows) =>
+          val dims = rows.head.vec.length
+          val g = new Graph(dims, 16, 64)
+          rows.sortBy(_.node).foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
+          g.restoreEntry(rows.head.ep, rows.head.top)
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            g.search(qv, k, ef).map { case (id, s) => (qid, id, s) }
+          }
+        }
+      }
+    perPart.toDF("q_id", "vec_id", "score")
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
+
   /** APPEND while serving — A30's graph form (the reference add_items()s
     * into a live index, acorn.py:61): restore the persisted graphs, insert
     * the arriving rows per partition, search. Arriving rows route to their

@@ -660,6 +660,19 @@ object HybridQueries {
         metaSearch = 128)
     }),
 
+    // A12's persisted-graph form: the whole query set served from ONE
+    // restore pass per partition (the reference's evaluation loop — one
+    // index, a query file). Output shape mirrors knn_batch; self-hits
+    // included (queries are indexed items).
+    "knn_hnsw_batch" -> ((s, dir) => {
+      val path = ensureHnswIndex(s, dir)
+      val qs = emb(s, dir).filter(col("vec_id") <= 4)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 96)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1216,6 +1229,17 @@ object HybridQueries {
          |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 11) q
          |WHERE d.lang IS NOT NULL AND d.lang = 'zh'
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // batch-served persisted graphs == per-query exact at the saturating
+    // beam; self-hits included
+    "knn_hnsw_batch" ->
+      s"""SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q.vec_id AS q_id, e.vec_id AS vec_id,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${l2Sql("e.embedding", "q.embedding")} ASC, e.vec_id ASC) AS BIGINT) AS rank,
+         |    ${l2Sql("e.embedding", "q.embedding")} AS score
+         |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 4) q
+         |) WHERE rank <= 3""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =
     // |exact|); the 'post' row is computed honestly and collapses

@@ -166,6 +166,34 @@ class HnswSpec extends SparkSpec {
     assert(persisted.size == 10)
   }
 
+  test("ACORN survivors grow monotonically with the visit budget") {
+    // the round sequence is deterministic, so a smaller metaSearch runs a
+    // strict PREFIX of a larger one's rounds — survivor sets must nest;
+    // and the saturating budget must recover the exact filtered top-k
+    import graft.operators.MetaPredicate
+    val pred = MetaPredicate("lang" -> ("exact", "zh"))
+    val q = queryVec(11)
+    val corpus = corpusWithPass(pred, 11)
+    // k=500 > any survivor count, so no global top-k cut interferes with
+    // the nesting property (a larger budget's better survivors would
+    // otherwise displace a smaller budget's from the top-10)
+    val at = Seq(4, 16, 64, 512).map { b =>
+      b -> Hnsw.searchFilteredPerPartition(corpus, q, 500, metaSearch = b)
+        .select("vec_id").as[Long].collect().toSet
+    }
+    at.sliding(2).foreach { case Seq((b1, s1), (b2, s2)) =>
+      assert(s1.subsetOf(s2), s"budget $b1 found ${s1 -- s2} that budget $b2 missed")
+    }
+    val exact = Knn.prefilterKnn(
+        emb.filter(col("vec_id") =!= 11).select("vec_id", "embedding"),
+        Tables(spark, dir, "documents"), pred,
+        emb.filter(col("vec_id") === 11).select(col("embedding").as("q_vec")),
+        10, Knn.L2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(exact.subsetOf(at.last._2),
+      s"saturated walk missed exact hits ${exact -- at.last._2}")
+  }
+
   test("tiny and empty partitions") {
     val corpus = emb.filter(col("vec_id") < 3).select("vec_id", "embedding")
       .repartition(8, col("vec_id")) // most partitions empty
