@@ -64,9 +64,10 @@ object ScaleProbe {
     * d=64 gate corpus cannot. `sbt "runMain graft.ScaleProbe wide"`. */
   private def runWide(spark: SparkSession, nVecs: Long): Unit = {
     val dims = 2048
+    val embPath = graft.TmpDirs.path("probe_emb2048")
     syntheticEmbeddings(spark, nVecs, dims)
-      .write.mode("overwrite").parquet("/root/repo/target/probe/emb2048")
-    val e = spark.read.parquet("/root/repo/target/probe/emb2048")
+      .write.mode("overwrite").parquet(embPath)
+    val e = spark.read.parquet(embPath)
     val q1 = e.filter(col("vec_id") === 7).select(col("embedding").as("q_vec"))
     val results = Seq(
       // brute-force cosine top-10: one narrow codegen'd scan + k-heap

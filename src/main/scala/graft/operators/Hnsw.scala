@@ -162,6 +162,7 @@ object Hnsw {
       * no neighbor recomputation, so a restored graph is bit-identical to
       * the built one. */
     def restoreNode(id: Long, v: Array[Float], level: Int, nbrs: Array[Array[Int]]): Unit = {
+      require(v.length == dims, s"hnsw restore: vector has ${v.length} dims, graph has $dims")
       vecs += v; extIds += id; nodeLevels += level
       links += nbrs.map(a => mutable.ArrayBuffer.from(a))
     }
@@ -275,10 +276,12 @@ object Hnsw {
         val (pass, fail) = cands.partition { case (_, n) => pred(extIds(n)) }
         pass.foreach { case (_, n) => survivors += n }
         // saturation is judged on the budget that JUST ran: only a round
-        // that could visit the whole partition proves no further round
-        // can change the survivor set (a post-increment check could jump
-        // past `size` without ever running the full-coverage round)
-        saturated = visits >= size && beam >= size
+        // that could visit the whole partition (budget AND beam AND the
+        // largeK return cut all >= size — a smaller largeK drops
+        // candidates later rounds would block and replace) proves no
+        // further round can change the survivor set (a post-increment
+        // check could jump past `size` without the full-coverage round)
+        saturated = visits >= size && beam >= size && largeK >= size
         if (pass.nonEmpty) {
           fail.foreach { case (_, n) => if (!unblockable(n)) blocked += n }
           visits += 1
@@ -295,7 +298,11 @@ object Hnsw {
 
   /** Distributed search: build a graph per partition (ascending-id insert),
     * search each, merge the ≤ P·k per-partition heaps to the global top-k.
-    * `corpus` must expose (vec_id: long, embedding: array<float>). */
+    * `corpus` must expose (vec_id: long, embedding: array<float>).
+    * `ef <= 0` is the SATURATING sentinel: the beam widens to each
+    * partition's size, so the local result is exact at ANY sf — the
+    * setting the oracle-replayed driver entries use (a fixed ef would
+    * silently turn approximate the moment a corpus outgrows it). */
   def searchPerPartition(corpus: DataFrame, query: Array[Float], k: Int,
                          m: Int = 16, efConstruction: Int = 64, ef: Int = 64): DataFrame = {
     val spark = corpus.sparkSession
@@ -311,7 +318,7 @@ object Hnsw {
         else {
           val g = new Graph(dims, m, efConstruction)
           rows.foreach { case (id, v) => g.insert(id, v) }
-          g.search(query, k, ef).iterator
+          g.search(query, k, if (ef > 0) ef else rows.length).iterator
         }
       }
     perPart.toDF("vec_id", "score")
@@ -334,13 +341,18 @@ object Hnsw {
     * searchPersisted restores nodes verbatim (no re-insertion, no neighbor
     * recomputation) and runs the same beam search `searchPerPartition`
     * would. */
-  def buildAndWrite(corpus: DataFrame, path: String, dims: Int,
+  def buildAndWrite(corpus: DataFrame, path: String, dims: Int, numParts: Int,
                     m: Int = 16, efConstruction: Int = 64): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
+    // cast BEFORE partitioning: the append/filtered serving paths replay
+    // this assignment as pmod(hash(vec_id AS BIGINT), numParts), and
+    // Murmur3 hashes INT and BIGINT differently — partitioning on a raw
+    // int column would route arrivals to the wrong graphs
     corpus
-      .select(col("vec_id").cast("long"), col("embedding"))
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .repartition(numParts, col("vec_id"))
       .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val part = org.apache.spark.TaskContext.getPartitionId()
@@ -366,16 +378,20 @@ object Hnsw {
                       k: Int, ef: Int = 64): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
-    val dims = query.length
     val nodes = spark.read.parquet(path).as[PersistedNode]
     val perPart: Dataset[(Long, Long)] = nodes
       .repartition(col("part"))
       .mapPartitions { it =>
         it.toSeq.groupBy(_.part).iterator.flatMap { case (_, rows) =>
+          // dims come from the STORED vectors — a wrong-width query must
+          // fail loudly, not silently compute truncated distances
+          val dims = rows.head.vec.length
+          require(query.length == dims,
+            s"hnsw query has ${query.length} dims, persisted index has $dims")
           val g = new Graph(dims, 16, 64)
           rows.sortBy(_.node).foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
           g.restoreEntry(rows.head.ep, rows.head.top)
-          g.search(query, k, ef)
+          g.search(query, k, if (ef > 0) ef else rows.length)
         }
       }
     perPart.toDF("vec_id", "score")
@@ -403,7 +419,9 @@ object Hnsw {
           rows.sortBy(_.node).foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
           g.restoreEntry(rows.head.ep, rows.head.top)
           qb.value.iterator.flatMap { case (qid, qv) =>
-            g.search(qv, k, ef).map { case (id, s) => (qid, id, s) }
+            require(qv.length == dims,
+              s"hnsw query $qid has ${qv.length} dims, persisted index has $dims")
+            g.search(qv, k, if (ef > 0) ef else rows.length).map { case (id, s) => (qid, id, s) }
           }
         }
       }
@@ -433,7 +451,9 @@ object Hnsw {
     val dims = query.length
     val nodes = spark.read.parquet(path).as[PersistedNode]
     val arr = arriving.select(
-        pmod(hash(col("vec_id")), lit(numParts)).cast("int").as("part"),
+        // hash the CAST column: Murmur3 over int vs long differs, and the
+        // build partitioned on the long form
+        pmod(hash(col("vec_id").cast("long")), lit(numParts)).cast("int").as("part"),
         col("vec_id").cast("long").as("vec_id"), col("embedding"))
       .as[(Int, Long, Array[Float])]
     val perPart = nodes.groupByKey(_.part).cogroup(arr.groupByKey(_._1)) {
@@ -443,7 +463,8 @@ object Hnsw {
         nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
         if (nodeRows.nonEmpty) g.restoreEntry(nodeRows.head.ep, nodeRows.head.top)
         as.toArray.sortBy(_._2).foreach { case (_, id, v) => g.insert(id, v) }
-        if (g.size == 0) Iterator.empty else g.search(query, k, ef).iterator
+        if (g.size == 0) Iterator.empty
+        else g.search(query, k, if (ef > 0) ef else g.size).iterator
     }
     perPart.toDF("vec_id", "score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
@@ -463,7 +484,7 @@ object Hnsw {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     val nodes = spark.read.parquet(path).as[PersistedNode]
     val pass = passing.select(
-        pmod(hash(col("vec_id")), lit(numParts)).cast("int").as("part"),
+        pmod(hash(col("vec_id").cast("long")), lit(numParts)).cast("int").as("part"),
         col("vec_id").cast("long").as("vec_id"))
       .as[(Int, Long)]
     val perPart = nodes.groupByKey(_.part).cogroup(pass.groupByKey(_._1)) {
@@ -472,11 +493,19 @@ object Hnsw {
         if (nodeRows.isEmpty) Iterator.empty
         else {
           val dims = nodeRows.head.vec.length
+          require(query.length == dims,
+            s"hnsw query has ${query.length} dims, persisted index has $dims")
           val g = new Graph(dims, 16, 64)
           nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
           g.restoreEntry(nodeRows.head.ep, nodeRows.head.top)
           val ok = ps.map(_._2).toSet
-          g.searchFiltered(query, k, ok, metaSearch, largeK, ef).iterator
+          val n = nodeRows.length
+          // metaSearch <= 0 → saturate (budget/beam/cut all >= partition
+          // size; +10 so the stepping cannot overshoot an exact cap)
+          val (ms, lk, e) =
+            if (metaSearch > 0) (metaSearch, largeK, ef)
+            else (n + 10, math.max(largeK, n), math.max(ef, n))
+          g.searchFiltered(query, k, ok, ms, lk, e).iterator
         }
     }
     perPart.toDF("vec_id", "score")
@@ -491,6 +520,11 @@ object Hnsw {
     * filter-agnostic index serves every predicate) and only the traversal
     * consults the bit. Per-partition survivors merge to the global top-k —
     * ≤ P·k rows, the TakeOrdered shape, no corpus shuffle. */
+  /** `metaSearch <= 0` is the SATURATING sentinel: budget, beam, and the
+    * largeK return cut all widen to each partition's size, so the walk
+    * provably recovers every reachable passing node at ANY sf — the
+    * setting the oracle-replayed driver entries use. A positive
+    * metaSearch is the reference's recall/cost knob. */
   def searchFilteredPerPartition(corpus: DataFrame, query: Array[Float], k: Int,
                                  metaSearch: Int, m: Int = 16, efConstruction: Int = 64,
                                  ef: Int = 200, largeK: Int = 200): DataFrame = {
@@ -508,7 +542,12 @@ object Hnsw {
           val passing = rows.iterator.collect { case (id, _, true) => id }.toSet
           val g = new Graph(dims, m, efConstruction)
           rows.foreach { case (id, v, _) => g.insert(id, v) }
-          g.searchFiltered(query, k, passing, metaSearch, largeK, ef).iterator
+          // size+10, not size: the +10 stepping could overshoot an exact
+          // `size` cap without ever running the full-coverage round
+          val (ms, lk, e) =
+            if (metaSearch > 0) (metaSearch, largeK, ef)
+            else (rows.length + 10, math.max(largeK, rows.length), math.max(ef, rows.length))
+          g.searchFiltered(query, k, passing, ms, lk, e).iterator
         }
       }
     perPart.toDF("vec_id", "score")

@@ -36,13 +36,24 @@ object HybridQueries {
   private def ensureHnswIndex(s: SparkSession, dir: String): String = synchronized {
     val path = graft.TmpDirs.path("hnsw_index_" + new java.io.File(dir).getName)
     if (!hnswIndexFor.contains(dir)) {
-      Hnsw.buildAndWrite(
-        emb(s, dir).select("vec_id", "embedding").repartition(8, col("vec_id")),
-        path, dims = Dims)
+      Hnsw.buildAndWrite(emb(s, dir).select("vec_id", "embedding"),
+        path, dims = Dims, numParts = 8)
       hnswIndexFor = Some(dir)
     }
     path
   }
+
+  /** The ACORN corpus shape: every row indexed, the predicate as ONE
+    * relationally-computed bit (shared by the filtered entries and their
+    * recall row so they can never desynchronize). */
+  private def withPassBit(s: SparkSession, dir: String,
+                          pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
+    emb(s, dir).filter(col("vec_id") =!= exclId).select("vec_id", "embedding")
+      .join(docs(s, dir).filter(pred).select(col("doc_id"), lit(true).as("pass")),
+        col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("pass"), lit(false)).as("pass"))
+      .repartition(8, col("vec_id"))
 
   // base-half index for the append entry (first IvfAppendSplit ids only)
   private var hnswBaseFor: Option[String] = None
@@ -50,9 +61,8 @@ object HybridQueries {
     val path = graft.TmpDirs.path("hnsw_base_" + new java.io.File(dir).getName)
     if (!hnswBaseFor.contains(dir)) {
       Hnsw.buildAndWrite(
-        emb(s, dir).filter(col("vec_id") < IvfAppendSplit)
-          .select("vec_id", "embedding").repartition(8, col("vec_id")),
-        path, dims = Dims)
+        emb(s, dir).filter(col("vec_id") < IvfAppendSplit).select("vec_id", "embedding"),
+        path, dims = Dims, numParts = 8)
       hnswBaseFor = Some(dir)
     }
     path
@@ -572,10 +582,10 @@ object HybridQueries {
     // A35 driver-verified: per-partition HNSW graph search, exact-rescored
     // global merge. The graph is deterministic (ascending-id insertion,
     // md5-derived levels) and the partitioning pinned, so the result is
-    // bit-stable; ef=96 exceeds the gate-scale partition size, so the
-    // layer-0 beam saturates each partition (local exactness) and the
-    // brute-force SQL oracle replays the answer. At larger sf the same
-    // call is a genuine bounded beam — recall bounds live in HnswSpec.
+    // bit-stable; ef=0 is the saturating sentinel (beam widens to each
+    // partition's size), so the local result is exact at ANY sf and the
+    // brute-force SQL oracle replays the answer. Realistic bounded-beam
+    // recall lives in HnswSpec.
     "knn_hnsw" -> ((s, dir) => {
       val e = emb(s, dir)
       // query vector is k·d driver-side model state (clustered_probe contract)
@@ -584,7 +594,7 @@ object HybridQueries {
       Hnsw.searchPerPartition(
         e.filter(col("vec_id") =!= 7).select("vec_id", "embedding")
           .repartition(8, col("vec_id")),
-        qv, 10, ef = 96)
+        qv, 10, ef = 0)
     }),
 
     // The reference's NAMESAKE algorithm driver-verified: ACORN-1
@@ -592,23 +602,20 @@ object HybridQueries {
     // acorn_search) under the class-1 selective predicate. One
     // filter-agnostic graph indexes ALL rows; the walk blocks
     // filter-failing nodes (traversable but unreturnable) under a growing
-    // visit budget with the +1/+10 schedule and anti-stall set. At sf0.01
-    // the budget saturates each partition, so the survivor set is exactly
-    // the filtered neighborhood and the prefilter SQL oracle replays the
-    // top-k; at scale the budget is the recall/cost knob.
+    // visit budget with the +1/+10 schedule and anti-stall set.
+    // metaSearch=0 is the saturating sentinel (budget/beam/cut widen to
+    // each partition's size), so the survivor set is exactly the filtered
+    // neighborhood at ANY sf and the prefilter SQL oracle replays the
+    // top-k; a positive budget is the recall/cost knob (HnswSpec sweeps
+    // it and proves survivor-set nesting).
     "hybrid_knn_hnsw" -> ((s, dir) => {
       val e = emb(s, dir)
       val d = docs(s, dir)
       val qv = e.filter(col("vec_id") === 11).select("embedding")
         .collect().head.getSeq[Float](0).toArray
       val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
-      val corpus = e.filter(col("vec_id") =!= 11).select("vec_id", "embedding")
-        .join(d.filter(pred).select(col("doc_id"), lit(true).as("pass")),
-          col("vec_id") === col("doc_id"), "left")
-        .select(col("vec_id"), col("embedding"),
-          coalesce(col("pass"), lit(false)).as("pass"))
-        .repartition(8, col("vec_id"))
-      Hnsw.searchFilteredPerPartition(corpus, qv, 10, metaSearch = 128)
+      Hnsw.searchFilteredPerPartition(withPassBit(s, dir, pred, 11), qv, 10,
+        metaSearch = 0)
     }),
 
     // A35c: the persisted-index LIFECYCLE driver-verified — the reference
@@ -622,7 +629,7 @@ object HybridQueries {
       val path = ensureHnswIndex(s, dir)
       val qv = emb(s, dir).filter(col("vec_id") === 13).select("embedding")
         .collect().head.getSeq[Float](0).toArray
-      Hnsw.searchPersisted(s, path, qv, 10, ef = 96)
+      Hnsw.searchPersisted(s, path, qv, 10, ef = 0)
     }),
 
     // A30's graph form: APPEND into the live persisted index (the
@@ -639,7 +646,7 @@ object HybridQueries {
         .collect().head.getSeq[Float](0).toArray
       Hnsw.searchAppended(s, path,
         e.filter(col("vec_id") >= IvfAppendSplit).select("vec_id", "embedding"),
-        numParts = 8, qv, 10, ef = 96)
+        numParts = 8, qv, 10, ef = 0)
     }),
 
     // The reference's full SERVING path: the ONE persisted filter-agnostic
@@ -647,7 +654,8 @@ object HybridQueries {
     // exactly that no per-predicate index exists; the passing-id set is
     // computed relationally at query time and cogrouped to the graphs.
     // Class-2 predicate (lang = zh) to complement hybrid_knn_hnsw's
-    // class-1; saturating budget at gate scale keeps the oracle replayable.
+    // class-1; the saturating sentinel keeps the oracle replayable at
+    // any sf.
     "hybrid_knn_hnsw_persisted" -> ((s, dir) => {
       val path = ensureHnswIndex(s, dir)
       val e = emb(s, dir)
@@ -657,7 +665,7 @@ object HybridQueries {
         .filter(MetaPredicate("lang" -> ("exact", "zh")))
         .select(col("doc_id").as("vec_id"))
       Hnsw.searchFilteredPersisted(s, path, passing, numParts = 8, qv, 10,
-        metaSearch = 128)
+        metaSearch = 0)
     }),
 
     // A12's persisted-graph form: the whole query set served from ONE
@@ -670,7 +678,7 @@ object HybridQueries {
         .select(col("vec_id"), col("embedding")).collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
         .sortBy(_._1)
-      Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 96)
+      Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 0)
     }),
 
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
@@ -689,15 +697,9 @@ object HybridQueries {
       val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
       val exact = Knn.prefilterKnn(all, d, pred, qDf, 10, Knn.L2).select("vec_id")
         .localCheckpoint(true)
-      val corpus = all
-        .join(d.filter(pred).select(col("doc_id"), lit(true).as("pass")),
-          col("vec_id") === col("doc_id"), "left")
-        .select(col("vec_id"), col("embedding"),
-          coalesce(col("pass"), lit(false)).as("pass"))
-        .repartition(8, col("vec_id"))
       val strategies = Seq(
-        "acorn" -> Hnsw.searchFilteredPerPartition(corpus, qv, 10, metaSearch = 128)
-          .select("vec_id"),
+        "acorn" -> Hnsw.searchFilteredPerPartition(withPassBit(s, dir, pred, 11),
+          qv, 10, metaSearch = 0).select("vec_id"),
         "post" -> Knn.postfilterKnn(all, d, pred, qDf, 10, 50, Knn.L2).select("vec_id"))
       strategies.map { case (strat, approx) =>
         approx.join(exact.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
@@ -1207,7 +1209,7 @@ object HybridQueries {
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // persisted restore+search == fresh build+search == exact at the
-    // saturating gate-scale beam; self-hit included (no exclusion)
+    // saturating beam (exact at any sf); self-hit included (no exclusion)
     "knn_hnsw_persisted" ->
       s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 13) q

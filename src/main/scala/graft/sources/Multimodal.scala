@@ -204,15 +204,24 @@ object Multimodal {
     * downsampled to `inputTaps` normalized floats (a real deployment
     * decodes pixels to the model's input tensor here — same slot, same
     * shape). */
+  /** One ONNX session per (executor JVM, model path) — deserialized task
+    * closures all share it, so the native session really is opened once
+    * per executor and amortized, and nothing leaks per task. Sessions
+    * live for the executor's lifetime (the JVM teardown reclaims them —
+    * the same lifecycle Spark's own native resources use). */
+  private object OnnxSessions {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, (AnyRef, AnyRef)]()
+    def get(modelPath: String): (AnyRef, AnyRef) =
+      cache.computeIfAbsent(modelPath, { p =>
+        val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
+        val env = envCls.getMethod("getEnvironment").invoke(null)
+        val sess = envCls.getMethod("createSession", classOf[String]).invoke(env, p)
+        (env.asInstanceOf[AnyRef], sess.asInstanceOf[AnyRef])
+      })
+  }
+
   final class OnnxEmbedModel(modelPath: String, val dims: Int,
                              inputTaps: Int = 4096) extends EmbedModel {
-    @transient private lazy val envAndSession: (AnyRef, AnyRef) = {
-      val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
-      val env = envCls.getMethod("getEnvironment").invoke(null)
-      val sess = envCls.getMethod("createSession", classOf[String])
-        .invoke(env, modelPath)
-      (env.asInstanceOf[AnyRef], sess.asInstanceOf[AnyRef])
-    }
 
     private def preprocess(bytes: Array[Byte]): Array[Float] = {
       val v = new Array[Float](inputTaps)
@@ -229,11 +238,15 @@ object Multimodal {
 
     def embedBatch(batch: Seq[(Long, Array[Byte])]): Seq[Array[Float]] = {
       val (env, sess) =
-        try envAndSession
+        try OnnxSessions.get(modelPath)
         catch {
-          case e: Throwable => throw new IllegalStateException(
-            "OnnxEmbedModel needs ai.onnxruntime on the classpath; " +
-              "use EmbedModels.forSession for runtime-aware dispatch", e)
+          // ONLY the missing-runtime case gets the dispatch hint; a bad
+          // model path or a session-creation failure with the runtime
+          // present must surface as itself, not be mislabeled
+          case e @ (_: ClassNotFoundException | _: NoClassDefFoundError) =>
+            throw new IllegalStateException(
+              "OnnxEmbedModel needs ai.onnxruntime on the classpath; " +
+                "use EmbedModels.forSession for runtime-aware dispatch", e)
         }
       val inputs: Array[Array[Float]] = batch.map { case (_, b) => preprocess(b) }.toArray
       val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")

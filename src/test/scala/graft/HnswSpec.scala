@@ -114,7 +114,7 @@ class HnswSpec extends SparkSpec {
     val corpus = emb.select("vec_id", "embedding").repartition(4, col("vec_id"))
     val q = queryVec(5)
     val path = graft.TmpDirs.path("hnsw_spec_index")
-    Hnsw.buildAndWrite(corpus, path, dims = 64)
+    Hnsw.buildAndWrite(corpus, path, dims = 64, numParts = 4)
     val fresh = Hnsw.searchPerPartition(corpus, q, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val persisted = Hnsw.searchPersisted(spark, path, q, 10)
@@ -125,12 +125,11 @@ class HnswSpec extends SparkSpec {
 
   test("append-after-restore equals the fresh full-corpus build exactly") {
     val full = emb.select("vec_id", "embedding").repartition(4, col("vec_id"))
-    val base = emb.filter(col("vec_id") < 300)
-      .select("vec_id", "embedding").repartition(4, col("vec_id"))
+    val base = emb.filter(col("vec_id") < 300).select("vec_id", "embedding")
     val arriving = emb.filter(col("vec_id") >= 300).select("vec_id", "embedding")
     val q = queryVec(5)
     val path = graft.TmpDirs.path("hnsw_spec_append")
-    Hnsw.buildAndWrite(base, path, dims = 64)
+    Hnsw.buildAndWrite(base, path, dims = 64, numParts = 4)
     val fresh = Hnsw.searchPerPartition(full, q, 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     // within every partition the arriving ids all exceed the base ids, so
@@ -146,7 +145,7 @@ class HnswSpec extends SparkSpec {
     val q = queryVec(11)
     val corpus = emb.select("vec_id", "embedding").repartition(4, col("vec_id"))
     val path = graft.TmpDirs.path("hnsw_spec_filtered")
-    Hnsw.buildAndWrite(corpus, path, dims = 64)
+    Hnsw.buildAndWrite(corpus, path, dims = 64, numParts = 4)
     val passing = Tables(spark, dir, "documents").filter(pred)
       .select(col("doc_id").as("vec_id"))
     val persisted = Hnsw.searchFilteredPersisted(spark, path, passing, 4, q, 10,
