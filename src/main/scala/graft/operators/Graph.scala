@@ -87,8 +87,17 @@ object Graph {
     * (deg, id) total order travels WITH the oriented edges (deg columns
     * carried, compared tuple-wise) so no global rank assignment — and so
     * no global sort — is ever needed.
+    *
+    * Fast path: when the ORIENTED half-edge set is small enough to ship
+    * (it is m/2 rows of 3 longs — 24 MB at 1M edges), both probe sides
+    * broadcast and the count becomes one shuffle-free scan + a tiny
+    * aggregate. The engine decides from its own exact count of the
+    * cached set (better stats than AQE's estimates); the shuffle shape
+    * above remains the default the moment the edge set outgrows the
+    * broadcast budget.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
+  def triangleCounts(edges: DataFrame,
+                     broadcastMaxEdges: Long = 4000000L): DataFrame = {
     val e = edges.select("src", "dst")
     val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
     // orient each undirected edge once: (deg, id)-smaller endpoint first
@@ -104,13 +113,16 @@ object Graph {
       // build (fact self-join + distinct + two degree joins) is the
       // expensive part and must not run three times
       .cache()
+    // the cache is materialized by this count, which is then FREE stats
+    val small = o.count() <= broadcastMaxEdges
+    def probe(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // wedges from the orientation-least corner; b1 ≺ b2 in the SAME
     // (deg, id) order so the closing edge (b1 → b2) is oriented if present
-    val wedges = o.as("x").join(o.as("y"), col("x.a") === col("y.a") &&
+    val wedges = o.as("x").join(probe(o.as("y")), col("x.a") === col("y.a") &&
         (col("x.degb") < col("y.degb") ||
           (col("x.degb") === col("y.degb") && col("x.b") < col("y.b"))))
       .select(col("x.a").as("a"), col("x.b").as("b1"), col("y.b").as("b2"))
-    val tris = wedges.as("w").join(o.as("z"),
+    val tris = wedges.as("w").join(probe(o.as("z")),
         col("w.b1") === col("z.a") && col("w.b2") === col("z.b"))
       .select(col("w.a").as("a"), col("w.b1").as("b1"), col("w.b2").as("b2"))
     tris
