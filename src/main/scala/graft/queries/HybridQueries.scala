@@ -681,6 +681,27 @@ object HybridQueries {
       Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 0)
     }),
 
+    // A11's graph-native form (acorn_attribute_specific.py:48–78): the
+    // graph indexes ONLY attribute-present rows (the reference keeps just
+    // images carrying model_year — index membership is itself a filter),
+    // and the query-time class-3 predicate runs as the ACORN walk over
+    // that narrower graph. k=3 and a leq+substring predicate, like the
+    // reference's query_metadata_class_3.
+    "attr_specific_knn_hnsw" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 9).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val pred = MetaPredicate("n_chars" -> ("leq", 400), "lang" -> ("substring", "e"))
+      val corpus = e.filter(col("vec_id") =!= 9).select("vec_id", "embedding")
+        .join(docs(s, dir).filter(col("n_chars").isNotNull)
+            .select(col("doc_id"), pred.as("p0")),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"),
+          coalesce(col("p0"), lit(false)).as("pass"))
+        .repartition(8, col("vec_id"))
+      Hnsw.searchFilteredPerPartition(corpus, qv, 3, metaSearch = 0)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1242,6 +1263,19 @@ object HybridQueries {
          |    ${l2Sql("e.embedding", "q.embedding")} AS score
          |  FROM embeddings e CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 4) q
          |) WHERE rank <= 3""".stripMargin,
+
+    // attribute-specific graph: membership (attr present) AND the
+    // query-time predicate both apply; saturated walk == exact
+    "attr_specific_knn_hnsw" ->
+      s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 9) q
+         |WHERE e.vec_id <> 9
+         |  AND d.n_chars IS NOT NULL
+         |  AND d.n_chars <= 400
+         |  AND d.lang IS NOT NULL AND position('e' IN d.lang) > 0
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 3""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =
     // |exact|); the 'post' row is computed honestly and collapses
