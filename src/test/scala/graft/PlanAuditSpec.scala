@@ -20,6 +20,15 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("parts_triangles: small oriented edge set broadcasts both probes") {
+    // the stats-guarded fast path: under the broadcast budget the wedge
+    // and closure joins must both be BroadcastHashJoin (shuffle-free
+    // count); the shuffle SMJ shape is reserved for over-budget edge sets
+    val p = plan("parts_triangles")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 2, s"expected both probe joins broadcast, found $n\n${p.take(3000)}")
+  }
+
   test("prefilter_knn: predicate pushed to the scan, top-k via TakeOrdered") {
     val p = plan("prefilter_knn")
     assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,"), p.take(2000))
