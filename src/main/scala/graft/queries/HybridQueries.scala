@@ -57,7 +57,7 @@ object HybridQueries {
 
   // base-half index for the append entry (first IvfAppendSplit ids only)
   private var hnswBaseFor: Option[String] = None
-  private def ensureHnswBase(s: SparkSession, dir: String): String = synchronized {
+  private[queries] def ensureHnswBase(s: SparkSession, dir: String): String = synchronized {
     val path = graft.TmpDirs.path("hnsw_base_" + new java.io.File(dir).getName)
     if (!hnswBaseFor.contains(dir)) {
       Hnsw.buildAndWrite(

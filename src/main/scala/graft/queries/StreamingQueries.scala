@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
-import graft.operators.{Dedup, Ivf}
+import graft.operators.{Dedup, Hnsw, Ivf}
 import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, JoinStream, SketchStream}
 
 /** §2.C7/C8/C17/C25/C31/C35 — the streaming components run AS streams under the
@@ -180,6 +180,27 @@ object StreamingQueries {
     // per source; emission floor-means and explodes to (source, dim,
     // cmean) rows. State is O(sources·d) forever — the live form of the
     // A34 drift monitor's centroid side, updating as the crawl lands.
+    // C58's GRAPH sibling: the live-ingest tier of the persisted HNSW
+    // index. The arriving half streams through a stateless narrow
+    // projection into the delta parquet sink (emission independent of
+    // batching — the same strongest-determinism contract as
+    // streaming_ivf_ingest), and the SERVE path then answers from the
+    // persisted base graphs + the streamed delta via the append walk
+    // (arrivals route by replaying the build's hash partitioning;
+    // ascending-id append ⇒ bit-identical to a full fresh build, so the
+    // brute-force oracle replays the answer at any sf).
+    "streaming_hnsw_append" -> ((s, dir) => {
+      val basePath = HybridQueries.ensureHnswBase(s, dir)
+      val delta = runToTable(s,
+        readStreamTable(s, dir, "embeddings")
+          .filter(col("vec_id") >= HybridQueries.IvfAppendSplit)
+          .select("vec_id", "embedding"),
+        "sq_hnsw_append", "append")
+      val qv = Tables(s, dir, "embeddings").filter(col("vec_id") === 6)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      Hnsw.searchAppended(s, basePath, delta, numParts = 8, qv, 10, ef = 0)
+    }),
+
     "streaming_drift" -> ((s, dir) => {
       val dim = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
       runToTable(s,
@@ -324,6 +345,15 @@ object StreamingQueries {
         """SELECT epoch_us(date_trunc('hour', ts)) // 60000000 AS hour_min, event_type,
           | count(*) AS n, CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
           |FROM events GROUP BY 1, 2""".stripMargin,
+
+      // stream-ingested delta + persisted base == full fresh build ==
+      // exact (saturating beam); self-hit included (query is indexed)
+      "streaming_hnsw_append" ->
+        """SELECT e.vec_id,
+          |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]),
+          |    CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
+          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 6) q
+          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
       "streaming_enrich" ->
         """SELECT epoch_us(date_trunc('hour', e.ts)) // 60000000 AS hour_min,
