@@ -189,10 +189,31 @@ object Hnsw {
       ep
     }
 
-    /** top-k (id, score) with score = floor(√sq·10⁴ + 0.5), id-tie order. */
+    /** top-k (id, score) with score = floor(√sq·10⁴ + 0.5), id-tie order.
+      *
+      * When the beam saturates (effective ef ≥ graph size) the contract is
+      * EXACT — but a saturated beam only covers the layer-0 component
+      * reachable from the entry point, and the one-sided degree prune in
+      * [[insert]] can leave a node with no surviving in-edges (ADVICE r5).
+      * So the saturating path SWEEPS the unvisited remainder: with
+      * ef ≥ size every visited node sits in the result heap (the enqueue
+      * condition `results.size < ef` never fails), so nodes absent from
+      * the beam result are exactly the unreached ones — scan them
+      * brute-force and merge. The graph walk still runs (the driver
+      * entries keep exercising build/descent/beam plumbing); the sweep
+      * only restores the orphans connectivity lost. */
     def search(q: Array[Float], k: Int, ef: Int): Seq[(Long, Long)] = {
       if (entryPoint < 0) return Seq.empty
-      searchLayer(q, descendToLayer0(q), math.max(ef, k), 0)
+      val effEf = math.max(ef, k)
+      val beam = searchLayer(q, descendToLayer0(q), effEf, 0)
+      val all =
+        if (effEf >= size && beam.length < size) {
+          val seen = mutable.BitSet.empty
+          beam.foreach { case (_, n) => seen += n }
+          beam ++ (0 until size).iterator.filterNot(seen)
+            .map(n => (sq(q, vecs(n)), n))
+        } else beam
+      all
         .map { case (d, n) =>
           (extIds(n), math.floor(math.sqrt(d) * 10000.0 + 0.5).toLong)
         }
@@ -290,6 +311,15 @@ object Hnsw {
           visits += 10
         }
       }
+      // saturated walks promise EXACTNESS, but they only cover the layer-0
+      // component reachable from the entry point — the one-sided degree
+      // prune in insert() can orphan a node (ADVICE r5). Sweep the
+      // remainder: any pred-passing node the walk missed joins the
+      // survivor set (reachable passing nodes are already in it, so this
+      // touches only orphans).
+      if (saturated) (0 until size).foreach { n =>
+        if (!survivors(n) && pred(extIds(n))) survivors += n
+      }
       survivors.iterator.map { n =>
         (extIds(n), math.floor(math.sqrt(sq(q, vecs(n))) * 10000.0 + 0.5).toLong)
       }.toSeq.sortBy { case (id, s) => (s, id) }.take(k)
@@ -341,8 +371,18 @@ object Hnsw {
     * searchPersisted restores nodes verbatim (no re-insertion, no neighbor
     * recomputation) and runs the same beam search `searchPerPartition`
     * would. */
+  /** `maxRowsPerGraph` guards the per-partition materialization: each
+    * graph is built over `it.toArray`, i.e. the WHOLE partition resident
+    * in one executor's heap (vectors + adjacency ≈ rows·(4·dims + 16·m)
+    * bytes). At 100 TB a skewed or under-partitioned corpus would OOM the
+    * executor silently mid-build — instead the build fails LOUDLY with
+    * the row count and the fix (repartition to more parts upstream; the
+    * default caps a 64-d graph partition at ~1.3 GB resident). */
+  val DefaultMaxRowsPerGraph: Int = 4000000
+
   def buildAndWrite(corpus: DataFrame, path: String, dims: Int, numParts: Int,
-                    m: Int = 16, efConstruction: Int = 64): Unit = {
+                    m: Int = 16, efConstruction: Int = 64,
+                    maxRowsPerGraph: Int = DefaultMaxRowsPerGraph): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -357,6 +397,12 @@ object Hnsw {
       .mapPartitions { it =>
         val part = org.apache.spark.TaskContext.getPartitionId()
         val rows = it.toArray.sortBy(_._1)
+        require(rows.length <= maxRowsPerGraph,
+          s"hnsw buildAndWrite: partition $part holds ${rows.length} rows > " +
+            s"maxRowsPerGraph=$maxRowsPerGraph; the whole partition is " +
+            "materialized in executor memory to build its graph — " +
+            "repartition the corpus to more partitions (raise numParts) " +
+            "or raise the knob if the executors have the headroom")
         if (rows.isEmpty) Iterator.empty
         else {
           val g = new Graph(dims, m, efConstruction)

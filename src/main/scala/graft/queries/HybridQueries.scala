@@ -702,6 +702,61 @@ object HybridQueries {
       Hnsw.searchFilteredPerPartition(corpus, qv, 3, metaSearch = 0)
     }),
 
+    // The APPROXIMATE HNSW path, CORRECTNESS-gated (r5 verdict "Next
+    // round" #1: every other HNSW entry runs the saturating sentinel, so
+    // a realistic-beam regression — e.g. a beam-prune bug that only bites
+    // when `results.size >= ef` fires — would pass the driver). This entry
+    // runs the REFERENCE'S real constants (ef=200, largeK=200,
+    // metaSearch=100 — /root/reference/acorn.py:150–162) against the
+    // persisted index, computes recall@10 vs the in-engine brute-force
+    // ground truth as a NUMBER, and emits `least(n_hit, FLOOR)`: the
+    // DuckDB oracle asserts the FLOOR literal, so the row goes red exactly
+    // when realistic-beam recall drops below the measured knee. Floors
+    // (beam 36/40, acorn 7/10) sit under the min measured across
+    // sf0.001/0.01/0.1 with margin for testdata regeneration; the graph
+    // and walk are deterministic, so at fixed data the number is exact.
+    "recall_hnsw_beam" -> ((s, dir) => {
+      val path = ensureHnswIndex(s, dir)
+      val e = emb(s, dir)
+      val qids = Seq(3L, 7L, 13L, 17L)
+      // query vectors are k·d driver-side model state (clustered_probe
+      // contract); queries stay IN the corpus — rank 1 is the self-hit on
+      // both sides, the persisted-serving convention
+      val qs = e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val qDf = e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exact = Knn.batchKnn(e.select("vec_id", "embedding"), qDf, 10, Knn.L2,
+          excludeSelf = false)
+        .select("q_id", "vec_id").localCheckpoint(true)
+      val beamRow = Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
+        .select("q_id", "vec_id")
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit("beam").as("strategy"),
+          least(col("n_hit"), lit(36L)).as("n_hit_floor"))
+      // filtered walk at the reference's metaSearch/largeK/ef constants,
+      // class-2 predicate, one persisted filter-agnostic index
+      val qv = e.filter(col("vec_id") === 11).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val pred = MetaPredicate("lang" -> ("exact", "zh"))
+      val exactF = Knn.prefilterKnn(e.select("vec_id", "embedding"), docs(s, dir),
+          pred, e.filter(col("vec_id") === 11).select(col("embedding").as("q_vec")),
+          10, Knn.L2).select("vec_id")
+        .localCheckpoint(true)
+      val acornRow = Hnsw.searchFilteredPersisted(s, path,
+          docs(s, dir).filter(pred).select(col("doc_id").as("vec_id")),
+          numParts = 8, qv, 10, metaSearch = 100, ef = 200, largeK = 200)
+        .select("vec_id")
+        .join(exactF, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit("acorn_beam").as("strategy"),
+          least(col("n_hit"), lit(7L)).as("n_hit_floor"))
+      beamRow.union(acornRow)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1276,6 +1331,14 @@ object HybridQueries {
          |  AND d.n_chars <= 400
          |  AND d.lang IS NOT NULL AND position('e' IN d.lang) > 0
          |ORDER BY score ASC, e.vec_id ASC LIMIT 3""".stripMargin,
+
+    // the oracle asserts the recall FLOOR: the engine emits
+    // least(n_hit, floor), so equality holds iff measured recall ≥ floor —
+    // a realistic-beam regression turns this row red (r5 verdict #1)
+    "recall_hnsw_beam" ->
+      """SELECT 'beam' AS strategy, CAST(36 AS BIGINT) AS n_hit_floor
+        |UNION ALL
+        |SELECT 'acorn_beam' AS strategy, CAST(7 AS BIGINT) AS n_hit_floor""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =
     // |exact|); the 'post' row is computed honestly and collapses

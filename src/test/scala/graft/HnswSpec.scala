@@ -200,4 +200,62 @@ class HnswSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(res == Set(0L, 1L, 2L))
   }
+
+  // ----- saturated-mode exactness under broken connectivity (ADVICE r5:
+  // the one-sided degree prune in insert() can orphan a node; the
+  // saturating contract is EXACT, so the sweep must recover it) -----
+
+  /** Adversarial graph via the restore path: nodes 0–3 interlinked at
+    * layer 0, node 4 with NO in- or out-edges — unreachable from the
+    * entry point by construction, and sitting exactly at the query. */
+  private def orphanGraph(): Hnsw.Graph = {
+    val g = new Hnsw.Graph(2, 16, 64)
+    val ring = Array(
+      Array(1.0f, 0.0f), Array(0.0f, 1.0f), Array(-1.0f, 0.0f), Array(0.0f, -1.0f))
+    val others = Array(Array(1, 2, 3), Array(0, 2, 3), Array(0, 1, 3), Array(0, 1, 2))
+    (0 until 4).foreach(i => g.restoreNode(i.toLong, ring(i), 0, Array(others(i))))
+    g.restoreNode(4L, Array(0.0f, 0.0f), 0, Array(Array.empty[Int]))
+    g.restoreEntry(0, 0)
+    g
+  }
+
+  test("saturated search sweeps orphaned nodes (exact despite connectivity)") {
+    val q = Array(0.0f, 0.0f) // the orphan IS the nearest neighbor
+    val g = orphanGraph()
+    // realistic beam: the walk cannot reach the orphan — documents that
+    // the sweep is what restores exactness, not the beam itself
+    val beamOnly = g.search(q, 1, ef = 2).map(_._1)
+    assert(beamOnly.nonEmpty && !beamOnly.contains(4L),
+      s"beam unexpectedly reached the orphan: $beamOnly")
+    // saturating beam (ef >= size): the sweep must surface the orphan
+    val exact = g.search(q, 1, ef = 5).map(_._1)
+    assert(exact == Seq(4L), s"saturated search missed the orphan: $exact")
+    assert(g.search(q, 5, ef = 5).map(_._1).toSet == Set(0L, 1L, 2L, 3L, 4L))
+  }
+
+  test("saturated filtered walk sweeps passing orphans") {
+    val q = Array(0.0f, 0.0f)
+    val g = orphanGraph()
+    // the sentinel parameterization the driver entries use: budget/beam/
+    // return-cut all >= size
+    val res = g.searchFiltered(q, 5, id => id != 1L, metaSearch = 15,
+      largeK = 5, ef = 5).map(_._1).toSet
+    assert(res == Set(0L, 2L, 3L, 4L), s"sweep missed a passing orphan: $res")
+    // realistic budget: orphan stays unreachable (no sweep below saturation)
+    val beam = g.searchFiltered(q, 5, id => id != 1L, metaSearch = 4,
+      largeK = 2, ef = 2).map(_._1).toSet
+    assert(!beam.contains(4L), s"unsaturated walk should not sweep: $beam")
+  }
+
+  test("buildAndWrite fails loudly past maxRowsPerGraph") {
+    val corpus = emb.select("vec_id", "embedding")
+    val err = intercept[Exception] {
+      Hnsw.buildAndWrite(corpus, graft.TmpDirs.path("hnsw_guard_spec"),
+        dims = 64, numParts = 2, maxRowsPerGraph = 10)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: messages(e.getCause))
+    assert(messages(err).exists(m => m != null && m.contains("maxRowsPerGraph")),
+      s"guard message missing: ${messages(err)}")
+  }
 }
