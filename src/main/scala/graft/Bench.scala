@@ -26,7 +26,8 @@ object Bench {
       name == "clustered_probe" || name == "selectivity_classes") "search"
     else "core"
 
-  /** Linux resident set size in MiB (the reference reports RSS per run). */
+  /** Linux resident set size in MiB (the reference reports RSS per run —
+    * pre-filter.py et al. read psutil.Process().memory_info().rss). */
   private def rssMb: Long = {
     try {
       val src = scala.io.Source.fromFile("/proc/self/status")
@@ -34,6 +35,17 @@ object Bench {
         .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
       finally src.close()
     } catch { case _: Throwable => -1L }
+  }
+
+  /** 1-minute load average — the machine-load marker (r5 verdict #3: the
+    * shared host drifted ~1.4× between rounds; without a load record a
+    * cross-round bench diff can't tell plan regressions from host
+    * contention). */
+  private def loadAvg: Double = {
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.getLines().next().split(" ")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
   }
 
   /** Locale-independent fixed-point formatting — f"%.3f" follows the JVM
@@ -88,7 +100,14 @@ object Bench {
       }
       spark.catalog.clearCache()
     }
+    val loadBefore = loadAvg
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
+      .withDefaultValue(Vector.empty)
+    // per-entry resident footprint: VmRSS sampled right after each pass
+    // (the reference's evaluation tables report memory beside latency per
+    // strategy — r5 verdict #4). VmHWM would be monotone across the run,
+    // so the post-pass RSS is the honest per-entry number in one JVM.
+    val rss = scala.collection.mutable.Map.empty[String, Vector[Long]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to nRuns; (name, fn) <- selected) {
       val t0 = System.nanoTime()
@@ -96,7 +115,9 @@ object Bench {
       val elapsed = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache() // per-query caches must not leak across timings
       times(name) = times(name) :+ elapsed
+      rss(name) = rss(name) :+ rssMb
     }
+    val loadAfter = loadAvg
     val med = selected.map { case (name, _) => name -> median(times(name)) }
     val mins = selected.map { case (name, _) => name -> times(name).min }.toMap
     // stall signature: even the median is >3× the entry's own best pass —
@@ -118,12 +139,17 @@ object Bench {
       "\"" + name + "\":[" + times(name).map(f3).mkString(",") + "]"
     }.mkString("{", ",", "}")
     val stalledJson = stalled.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val rssJson = selected.map { case (name, _) =>
+      val v = rss(name).sorted
+      "\"" + name + "\":" + (if (v.isEmpty) -1L else v((v.size - 1) / 2))
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","queries":${fmtQ(med)},"classes":$classes""" +
       s""","n_runs":$nRuns,"total_min":${f3(totalMin)},"stalled":$stalledJson""" +
-      s""","rss_mb":$rssMb,"sf":"$sfDir"}"""
+      s""","rss_mb":$rssMb,"loadavg":[${f3(loadBefore)},${f3(loadAfter)}]""" +
+      s""","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"runs":$full,"medians":${fmtQ(med)},"summary":$line}""")
+      s"""{"runs":$full,"medians":${fmtQ(med)},"rss_mb_entries":$rssJson,"summary":$line}""")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

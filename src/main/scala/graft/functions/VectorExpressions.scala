@@ -129,10 +129,58 @@ case class CosineSimilarity(left: Expression, right: Expression) extends VectorK
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Integer dot product over `ARRAY<BIGINT>` — exact (no accumulation-order
+  * sensitivity), so both engines agree bit-for-bit. Replaces the
+  * interpreted `aggregate(zip_with(a, b, ...))` higher-order-function form
+  * in hot paths: HOFs evaluate their lambda per element outside
+  * whole-stage codegen (one boxed function call per element), while this
+  * kernel is a primitive `long` loop fused into the generated stage. */
+case class DotProductLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_dot_long"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ ($n vs ${b.numElements()})")
+    var acc = 0L; var i = 0
+    while (i < n) { acc += a.getLong(i) * b.getLong(i); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException($err + ": vector dimensions differ (" +
+         |    $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) { $acc += $a.getLong($i) * $b.getLong($i); }
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Column-level API for the vector kernels. */
 object vectors {
   def dot(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def dotLong(a: Column, b: Column): Column =
+    Bridge.column(DotProductLong(Bridge.expression(a), Bridge.expression(b)))
   def l2(a: Column, b: Column): Column =
     Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
   def cosine(a: Column, b: Column): Column =

@@ -278,30 +278,46 @@ object AnalyticsQueries {
 
     // C44: robust outlier detection — median-absolute-deviation flagging
     // per event_type (the data-quality gate an ingest pipeline runs before
-    // training): med and MAD are lower medians of integer cents (C23's
-    // machinery, deterministic tie order), outlier = dev > 3·MAD. Mean/
-    // stddev would be dragged by the outliers themselves; medians are the
-    // robust form, and all-integer arithmetic keeps both engines
-    // hash-exact. The tiny med/MAD tables ride broadcast; the skewed
-    // 5-key window partitioning is gate-scale-fine (production: C28's
-    // salting or the C30 sketch for the quantile step).
+    // training): med and MAD are lower medians of integer cents, outlier =
+    // dev > 3·MAD. Mean/stddev would be dragged by the outliers
+    // themselves; medians are the robust form, and all-integer arithmetic
+    // keeps both engines hash-exact.
+    //
+    // HISTOGRAM medians (r6 rewrite): the base table is scanned ONCE into
+    // a (event_type, cents) → count histogram — a map-side-combined
+    // shuffle keyed by VALUE, so the 5-key skew of a per-type window sort
+    // never exists (the old shape sorted 20k rows on each of 5 cores,
+    // twice). The lower median falls out of cumulative counts on the
+    // ~half-size histogram (med = the value whose cumulative range covers
+    // rank (n+1) div 2 — identical to the row-sorted definition, since
+    // the median is a property of the value multiset), and the DEVIATION
+    // histogram derives from the cents histogram arithmetically — the
+    // base table is never rescanned. At 100 TB this is the exact-median
+    // shape that survives: shuffle |distinct values| rows, not |rows|.
     "events_anomaly_mad" -> ((s, dir) => {
-      val c = events(s, dir).selectExpr("event_type", "event_id",
-        "CAST(floor(value * 100) AS BIGINT) AS cents")
-      def lowerMedian(df: DataFrame, valCol: String, out: String): DataFrame =
-        df.withColumn("rn", row_number().over(
-            Window.partitionBy("event_type").orderBy(col(valCol), col("event_id"))))
-          .withColumn("n", count(lit(1)).over(Window.partitionBy("event_type")))
-          .filter(expr("rn = (n + 1) div 2"))
+      val hist = events(s, dir)
+        .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
+        .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+      def lowerMedianHist(h: DataFrame, valCol: String, out: String): DataFrame = {
+        val wc = Window.partitionBy("event_type").orderBy(col(valCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum("cnt").over(wc))
+          .withColumn("n", sum("cnt").over(Window.partitionBy("event_type")))
+          .filter(col("cum") >= expr("(n + 1) div 2") &&
+            col("cum") - col("cnt") < expr("(n + 1) div 2"))
           .select(col("event_type"), col(valCol).as(out))
-      val med = lowerMedian(c, "cents", "med")
-      val dev = c.join(broadcast(med), "event_type")
+      }
+      val med = lowerMedianHist(hist, "cents", "med")
+      val devHist = hist.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("cents") - col("med")))
-      val mad = lowerMedian(dev, "dev", "mad")
-      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type", "dev").agg(sum("cnt").as("cnt"))
+      val mad = lowerMedianHist(devHist, "dev", "mad")
+      devHist.join(broadcast(mad), "event_type")
+        .join(broadcast(med), "event_type")
         .groupBy("event_type")
         .agg(max("med").as("med_cents"), max("mad").as("mad_cents"),
-          count(when(col("dev") > col("mad") * 3, 1)).as("n_outliers"),
+          sum(when(col("dev") > col("mad") * 3, col("cnt")).otherwise(0L))
+            .as("n_outliers"),
           max("dev").as("max_dev"))
     }),
 
@@ -651,7 +667,12 @@ object AnalyticsQueries {
       // cache it (2 longs × |E|/2, ~20 MB at sf0.1) or the fact self-join
       // re-runs once per branch per scan
       .cache()
-    half.union(half.select(col("dst").as("src"), col("src").as("dst")))
+    // cache the MIRRORED set too (r5 verdict #2: pagerank regressed when
+    // its three setup scans — outdeg, edge-join, node-distinct — became
+    // union-of-cached-half scans, each reading 2× the partitions): the
+    // full set materializes once from the half cache (narrow), and every
+    // consumer reads one compact cached relation. ~40 MB at sf0.1.
+    half.union(half.select(col("dst").as("src"), col("src").as("dst"))).cache()
   }
 
   val oracle: Map[String, String] = Map(

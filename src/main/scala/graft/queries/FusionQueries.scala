@@ -162,8 +162,10 @@ object FusionQueries {
         .select(col("pos").as("q_pos"), col("pv").as("qv"))
       p.filter(col("doc_id") =!= MvQueryDoc)
         .crossJoin(broadcast(q))
-        .withColumn("dot",
-          expr("aggregate(zip_with(pv, qv, (a, b) -> a * b), 0L, (acc, x) -> acc + x)"))
+        // codegen'd integer kernel — the HOF form (aggregate ∘ zip_with)
+        // evaluates its lambda per element outside whole-stage codegen,
+        // which dominated this entry's wall time (r5 bench regression)
+        .withColumn("dot", graft.functions.vectors.dotLong(col("pv"), col("qv")))
         .groupBy("doc_id", "q_pos").agg(max("dot").as("m"))
         .groupBy("doc_id").agg(sum("m").as("maxsim"))
         .orderBy(col("maxsim").desc, col("doc_id").asc)
