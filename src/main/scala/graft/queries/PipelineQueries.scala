@@ -9,7 +9,60 @@ import graft.sources.Multimodal
 /** §2.B11 + C6 — multimodal ingest plumbing and gap-based sessionization. */
 object PipelineQueries {
 
+  // the multimodal persisted index builds once per (JVM, sfDir); keyed by
+  // the FULL dir (ADVICE r5: a basename-keyed path under a full-dir memo
+  // lets two dirs sharing a basename alternate into one location)
+  private val mmIndexFor = scala.collection.mutable.Map.empty[String, String]
+  private val MmQueryId = 5L
+
+  private def mediaEmbeddings(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMedia(s,
+      Tables(s, dir, "documents").filter(col("text").isNotNull))
+    val model = Multimodal.EmbedModels.forSession(s) // SignalFeatureModel here
+    // storage quantization to floor(x·10⁴ + 0.5) — the engine's
+    // integer-exact convention (KMeans.fitInt precedent): both engines
+    // agree on the quantized components bit-for-bit, so every distance
+    // downstream is exact and the DuckDB oracle can replay the whole
+    // serving path
+    Multimodal.embedWith(s, media, model).toDF()
+      .select(col("media_id").cast("long").as("vec_id"),
+        expr("transform(embedding, x -> CAST(CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT) / 10000.0 AS FLOAT))")
+          .as("embedding"))
+  }
+
+  private def ensureMmIndex(s: SparkSession, dir: String): String = synchronized {
+    mmIndexFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path(
+        "mm_hnsw_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      graft.operators.Hnsw.buildAndWrite(mediaEmbeddings(s, dir), path,
+        dims = 32, numParts = 8)
+      path
+    })
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The reference's own demo composition (acorn.py __main__: load query
+    // image → ResNet embed → filtered search against the one persisted
+    // index; vector_embeddings.py builds the corpus), r5 verdict #5:
+    // binary media column → EmbedModels.forSession (the SignalFeatureModel
+    // arm in this runtime-less container — real histogram+DCT features
+    // over content) → persisted filter-agnostic HNSW → ACORN filtered walk
+    // under a MIME predicate, end-to-end as ONE driver entry. The
+    // saturating sentinel keeps the brute-force oracle replayable; the
+    // featurization is content-deterministic so DuckDB recomputes the
+    // embeddings themselves (histogram bins + DCT + L2 norm + the same
+    // float truncation points), not just the search.
+    "multimodal_search" -> ((s, dir) => {
+      val path = ensureMmIndex(s, dir)
+      val qv = mediaEmbeddings(s, dir).filter(col("vec_id") === MmQueryId)
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val passing = Multimodal.asMedia(s,
+          Tables(s, dir, "documents").filter(col("text").isNotNull)).toDF()
+        .filter(col("mime") === "application/x-en")
+        .select(col("media_id").as("vec_id"))
+      graft.operators.Hnsw.searchFilteredPersisted(s, path, passing,
+        numParts = 8, qv, 10, metaSearch = 0)
+    }),
     // B11: binary media column → sha256 identity + stub decode via typed
     // mapPartitions (schema/partitioning/batching real; decode stubbed)
     "multimodal_ingest" -> ((s, dir) => {
@@ -55,6 +108,66 @@ object PipelineQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    // replays the WHOLE serving path: SignalFeatureModel's histogram+DCT
+    // featurization over the utf8 bytes (with the engine's exact float
+    // truncation points), L2 normalization, the floor(x·10⁴+0.5) storage
+    // quantization, then the brute-force filtered top-10 the saturating
+    // ACORN walk must equal. Byte access = hex(blob) pairs (DuckDB's
+    // range() can't lateral-correlate; unnest(range(n)) in the SELECT
+    // list can).
+    "multimodal_search" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS n,
+        |         hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents WHERE text IS NOT NULL),
+        |idx AS (
+        |  SELECT doc_id, n, hx, CAST(unnest(range(n)) AS BIGINT) AS i FROM base),
+        |bytes AS (
+        |  SELECT doc_id, n, i,
+        |         CAST('0x' || substr(hx, CAST(2 * i + 1 AS BIGINT), 2) AS INT) AS byte
+        |  FROM idx),
+        |hist AS (
+        |  SELECT doc_id, byte // 16 AS dim,
+        |         CAST(CAST(count(*) AS FLOAT) / CAST(any_value(n) AS FLOAT) AS FLOAT) AS vraw
+        |  FROM bytes GROUP BY doc_id, byte // 16),
+        |tapidx AS (
+        |  SELECT doc_id, n, CAST(unnest(range(64)) AS BIGINT) AS j FROM base WHERE n > 0),
+        |taps AS (
+        |  SELECT s.doc_id, s.j, bt.byte
+        |  FROM (SELECT doc_id, n, j, (j * n) // 64 AS bi FROM tapidx) s
+        |  JOIN bytes bt ON bt.doc_id = s.doc_id AND bt.i = s.bi),
+        |kdim AS (
+        |  SELECT doc_id, j, byte, CAST(unnest(range(16)) AS BIGINT) AS k FROM taps),
+        |dct AS (
+        |  SELECT doc_id, 16 + k AS dim,
+        |         CAST(sum(((byte / 255.0) - 0.5) * cos(pi() * k * (2 * j + 1) / 128.0)) AS FLOAT) AS vraw
+        |  FROM kdim GROUP BY doc_id, k),
+        |comps AS (
+        |  SELECT b.doc_id, d.range AS dim,
+        |    coalesce(h.vraw, dc.vraw, CAST(0 AS FLOAT)) AS vf
+        |  FROM base b CROSS JOIN range(32) d
+        |  LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.dim = d.range AND d.range < 16
+        |  LEFT JOIN dct dc ON dc.doc_id = b.doc_id AND dc.dim = d.range AND d.range >= 16),
+        |norms AS (
+        |  SELECT doc_id, sqrt(sum(CAST(vf AS DOUBLE) * CAST(vf AS DOUBLE))) AS nrm
+        |  FROM comps GROUP BY doc_id),
+        |qcomps AS (
+        |  SELECT c.doc_id, c.dim,
+        |    CAST(CAST(floor(CAST(
+        |      CASE WHEN n.nrm > 0 THEN CAST(CAST(c.vf AS DOUBLE) / n.nrm AS FLOAT) ELSE c.vf END
+        |      AS DOUBLE) * 10000 + 0.5) AS BIGINT) / 10000.0 AS FLOAT) AS vqf
+        |  FROM comps c JOIN norms n ON n.doc_id = c.doc_id),
+        |qvec AS (SELECT dim, vqf FROM qcomps WHERE doc_id = 5),
+        |dists AS (
+        |  SELECT c.doc_id,
+        |    sum((CAST(c.vqf AS DOUBLE) - CAST(q.vqf AS DOUBLE)) * (CAST(c.vqf AS DOUBLE) - CAST(q.vqf AS DOUBLE))) AS sq
+        |  FROM qcomps c JOIN qvec q USING (dim)
+        |  GROUP BY c.doc_id)
+        |SELECT d.doc_id AS vec_id, CAST(floor(sqrt(d.sq) * 10000 + 0.5) AS BIGINT) AS score
+        |FROM dists d JOIN base b ON b.doc_id = d.doc_id
+        |WHERE 'application/x-' || b.lang = 'application/x-en'
+        |ORDER BY score ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     // width/height mirror Multimodal.stubDecode; sha over the utf8 bytes
     "multimodal_ingest" ->
       """SELECT doc_id AS media_id, sha256(text) AS content_sha,
