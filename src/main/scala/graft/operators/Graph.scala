@@ -88,16 +88,31 @@ object Graph {
     * carried, compared tuple-wise) so no global rank assignment — and so
     * no global sort — is ever needed.
     *
-    * Fast path: when the ORIENTED half-edge set is small enough to ship
-    * (it is m/2 rows of 3 longs — 24 MB at 1M edges), both probe sides
-    * broadcast and the count becomes one shuffle-free scan + a tiny
-    * aggregate. The engine decides from its own exact count of the
-    * cached set (better stats than AQE's estimates); the shuffle shape
-    * above remains the default the moment the edge set outgrows the
+    * Fast path: when the ORIENTED half-edge set is small enough to ship,
+    * both probe sides broadcast and the count becomes one shuffle-free
+    * scan + a tiny aggregate. The engine decides from its own exact count
+    * of the cached set (better stats than AQE's estimates); the shuffle
+    * shape above remains the default the moment the edge set outgrows the
     * broadcast budget.
-    */
+    *
+    * Budget honesty (ADVICE r5): the resident cost is NOT the 24 raw
+    * column bytes/row — each probe side becomes a HashedRelation
+    * (~150–250 bytes/row with the hash map + UnsafeRow overhead), and the
+    * two joins key differently (wedge on `a`, closure on `(a, b)`), so
+    * they CANNOT share one relation — two copies live on the driver and
+    * every executor. The default therefore sizes against the actual heap:
+    * ~7.5% of Runtime.maxMemory across both relations at 400 B/row (an
+    * 8 GiB heap → ~1.6M edges, which keeps the sf0.1 co-purchase graph's
+    * 1.2M oriented edges — measured ~480 MB resident for both relations,
+    * r5 — on the fast path; a 128 GiB heap → ~24M). Pass an explicit cap
+    * to pin behavior. */
+  def defaultBroadcastMaxEdges: Long =
+    math.max(250000L, (Runtime.getRuntime.maxMemory() * 0.075 / 400).toLong)
+
   def triangleCounts(edges: DataFrame,
-                     broadcastMaxEdges: Long = 4000000L): DataFrame = {
+                     broadcastMaxEdges: Long = -1L): DataFrame = {
+    val maxEdges =
+      if (broadcastMaxEdges >= 0) broadcastMaxEdges else defaultBroadcastMaxEdges
     val e = edges.select("src", "dst")
     val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
     // orient each undirected edge once: (deg, id)-smaller endpoint first
@@ -114,7 +129,7 @@ object Graph {
       // expensive part and must not run three times
       .cache()
     // the cache is materialized by this count, which is then FREE stats
-    val small = o.count() <= broadcastMaxEdges
+    val small = o.count() <= maxEdges
     def probe(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     // wedges from the orientation-least corner; b1 ≺ b2 in the SAME
     // (deg, id) order so the closing edge (b1 → b2) is oriented if present

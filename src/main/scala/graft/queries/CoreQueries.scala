@@ -19,29 +19,35 @@ object CoreQueries {
   // not per query) — so it runs once per (JVM, sfDir) and the timed entry
   // body is the join alone (r4 verdict #4: two saveAsTable calls were ~4×
   // the entry's median). Guarded by the class monitor: Bench's interleaved
-  // repeats must not double-write.
-  private var bucketedLayoutDir: Option[String] = None
+  // repeats must not double-write. Tables are named PER sfDir (ADVICE r5:
+  // the in-memory ExternalCatalog lives in SharedState, i.e. is JVM-WIDE
+  // across sessions of one context — globally-named tables under a
+  // single-slot memo let two sessions interleaving different sfDirs read
+  // each other's data).
+  private val bucketedLayoutFor = scala.collection.mutable.Set.empty[String]
+  private[graft] def bucketedTable(dir: String, base: String): String =
+    "graft_buckets." + base + "_" + dir.replaceAll("[^A-Za-z0-9_]", "_")
   private def ensureBucketedLayout(s: SparkSession, dir: String): Unit = synchronized {
-    // re-check the catalog too: a NEW session in the same JVM (tests spin
-    // several) has an empty in-memory catalog even when the memo is warm
-    if (!bucketedLayoutDir.contains(dir) ||
-        !s.catalog.tableExists("graft_buckets.orders_b")) {
+    // re-check the catalog too: a NEW spark context in the same JVM (tests
+    // stop/start several) resets SharedState even when the memo is warm
+    if (!bucketedLayoutFor.contains(dir) ||
+        !s.catalog.tableExists(bucketedTable(dir, "orders_b"))) {
       s.sql("CREATE DATABASE IF NOT EXISTS graft_buckets")
-      // the catalog is in-memory per session: orphan table dirs from a
-      // previous JVM trip LOCATION_ALREADY_EXISTS — drop + clear both
-      for (tbl <- Seq("orders_b", "customer_b")) {
-        s.sql(s"DROP TABLE IF EXISTS graft_buckets.$tbl")
+      for ((tbl, src, key) <- Seq(
+          ("orders_b", "orders", "o_custkey"),
+          ("customer_b", "customer", "c_custkey"))) {
+        val name = bucketedTable(dir, tbl)
+        // orphan table dirs from a previous JVM trip
+        // LOCATION_ALREADY_EXISTS — drop + clear both
+        s.sql(s"DROP TABLE IF EXISTS $name")
         val p = new org.apache.hadoop.fs.Path(
-          s"${s.conf.get("spark.sql.warehouse.dir")}/graft_buckets.db/$tbl")
+          s"${s.conf.get("spark.sql.warehouse.dir")}/graft_buckets.db/${name.stripPrefix("graft_buckets.")}")
         p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+        t(s, dir, src).write.mode("overwrite")
+          .bucketBy(8, key).sortBy(key)
+          .format("parquet").saveAsTable(name)
       }
-      t(s, dir, "orders").write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .format("parquet").saveAsTable("graft_buckets.orders_b")
-      t(s, dir, "customer").write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .format("parquet").saveAsTable("graft_buckets.customer_b")
-      bucketedLayoutDir = Some(dir)
+      bucketedLayoutFor += dir
     }
   }
 
@@ -224,8 +230,8 @@ object CoreQueries {
     // is the one-time layout cost the repeated-join saving amortizes.
     "bucketed_join" -> ((s, dir) => {
       ensureBucketedLayout(s, dir)
-      s.table("graft_buckets.orders_b")
-        .join(s.table("graft_buckets.customer_b"),
+      s.table(bucketedTable(dir, "orders_b"))
+        .join(s.table(bucketedTable(dir, "customer_b")),
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_orders"), scaled(sum("o_totalprice"), 0).as("total"))

@@ -31,16 +31,20 @@ object HybridQueries {
 
   // the persisted-HNSW "ingest" (A35c): graphs build+serialize once per
   // (JVM, sfDir) — the one-time index cost the repeated searches amortize,
-  // same contract as bucketed_join's layout memo
-  private var hnswIndexFor: Option[String] = None
+  // same contract as bucketed_join's layout memo. Memo AND on-disk path
+  // both key on the FULL dir (ADVICE r5: a basename-derived path under a
+  // full-dir memo let two dirs sharing a basename alternate into one
+  // location, silently rebuilding per switch — and a concurrent session
+  // could observe a mid-overwrite index).
+  private val hnswIndexFor = scala.collection.mutable.Map.empty[String, String]
+  private def dirKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9._-]", "_")
   private def ensureHnswIndex(s: SparkSession, dir: String): String = synchronized {
-    val path = graft.TmpDirs.path("hnsw_index_" + new java.io.File(dir).getName)
-    if (!hnswIndexFor.contains(dir)) {
+    hnswIndexFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("hnsw_index_" + dirKey(dir))
       Hnsw.buildAndWrite(emb(s, dir).select("vec_id", "embedding"),
         path, dims = Dims, numParts = 8)
-      hnswIndexFor = Some(dir)
-    }
-    path
+      path
+    })
   }
 
   /** The ACORN corpus shape: every row indexed, the predicate as ONE
@@ -56,16 +60,15 @@ object HybridQueries {
       .repartition(8, col("vec_id"))
 
   // base-half index for the append entry (first IvfAppendSplit ids only)
-  private var hnswBaseFor: Option[String] = None
+  private val hnswBaseFor = scala.collection.mutable.Map.empty[String, String]
   private[queries] def ensureHnswBase(s: SparkSession, dir: String): String = synchronized {
-    val path = graft.TmpDirs.path("hnsw_base_" + new java.io.File(dir).getName)
-    if (!hnswBaseFor.contains(dir)) {
+    hnswBaseFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("hnsw_base_" + dirKey(dir))
       Hnsw.buildAndWrite(
         emb(s, dir).filter(col("vec_id") < IvfAppendSplit).select("vec_id", "embedding"),
         path, dims = Dims, numParts = 8)
-      hnswBaseFor = Some(dir)
-    }
-    path
+      path
+    })
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(

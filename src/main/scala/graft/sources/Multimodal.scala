@@ -200,6 +200,15 @@ object Multimodal {
     * the model via `EmbedModels.forSession`, which never selects this
     * class when the runtime is absent).
     *
+    * INPUT CONTRACT (ADVICE r5): this model feeds a FLAT
+    * `float[batch][inputTaps]` tensor — it suits models whose input is a
+    * rank-2 [N, inputTaps] float signal, NOT pixel models like the
+    * reference's ResNet-50 (NCHW [N, 3, 224, 224]); serving ResNet
+    * requires a real image decode in `preprocess` producing the NCHW
+    * tensor. `embedBatch` therefore VALIDATES the session's declared
+    * input shape against the contract before run() and fails with the
+    * two shapes side by side instead of a deep runtime error.
+    *
     * Preprocessing is the honest container-bound stand-in: the blob is
     * downsampled to `inputTaps` normalized floats (a real deployment
     * decodes pixels to the model's input tensor here — same slot, same
@@ -248,6 +257,30 @@ object Multimodal {
               "OnnxEmbedModel needs ai.onnxruntime on the classpath; " +
                 "use EmbedModels.forSession for runtime-aware dispatch", e)
         }
+      // contract check BEFORE run(): the declared model input must be
+      // rank-2 with a free/matching batch dim and exactly inputTaps
+      // columns — a pixel model (e.g. NCHW ResNet) fails here with both
+      // shapes printed, not deep inside session.run
+      try {
+        val info = sess.getClass.getMethod("getInputInfo").invoke(sess)
+          .asInstanceOf[java.util.Map[String, AnyRef]]
+        if (!info.isEmpty) {
+          val node = info.values().iterator().next()
+          val ti = node.getClass.getMethod("getInfo").invoke(node)
+          val shape = ti.getClass.getMethod("getShape").invoke(ti)
+            .asInstanceOf[Array[Long]]
+          val ok = shape.length == 2 &&
+            (shape(1) == inputTaps.toLong || shape(1) < 0)
+          if (!ok) throw new IllegalArgumentException(
+            s"OnnxEmbedModel feeds a flat [batch, $inputTaps] float tensor, " +
+              s"but the model declares input shape [${shape.mkString(", ")}] — " +
+              "a pixel model (e.g. NCHW [N, 3, 224, 224] ResNet) needs a real " +
+              "image decode in preprocess, not the flat-signal stand-in")
+        }
+      } catch {
+        case e: IllegalArgumentException => throw e
+        case _: Throwable => () // shape introspection is best-effort across runtime versions
+      }
       val inputs: Array[Array[Float]] = batch.map { case (_, b) => preprocess(b) }.toArray
       val envCls = Class.forName("ai.onnxruntime.OrtEnvironment")
       val tensorCls = Class.forName("ai.onnxruntime.OnnxTensor")

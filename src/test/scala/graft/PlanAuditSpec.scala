@@ -70,8 +70,8 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast off so the plan must prove co-location, not hide it
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
-      val p = spark.table("graft_buckets.orders_b")
-        .join(spark.table("graft_buckets.customer_b"),
+      val p = spark.table(graft.queries.CoreQueries.bucketedTable(dir, "orders_b"))
+        .join(spark.table(graft.queries.CoreQueries.bucketedTable(dir, "customer_b")),
           org.apache.spark.sql.functions.col("o_custkey") ===
             org.apache.spark.sql.functions.col("c_custkey"))
         .select("o_orderkey", "c_mktsegment")
