@@ -89,7 +89,41 @@ object ScaleProbe {
         Hnsw.searchPerPartition(
           e.select("vec_id", "embedding").repartition(32, col("vec_id")),
           qv, 10).count()
-      })
+      }) ++ {
+      // the PERSISTED lifecycle at the reference's shape (r5 verdict #6:
+      // "restore amortizes" needs a measured number at 123k×2048-d, not
+      // just the gate corpus): build→persist once, then restore→serve,
+      // batched serve, append-while-serving, and the ACORN filtered walk
+      // at realistic constants — the four serving paths a reference user
+      // would run against the one on-disk index.
+      val qv = e.filter(col("vec_id") === 7).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val idxPath = graft.TmpDirs.path("probe_hnsw2048")
+      Seq(
+        time("hnsw_persist_build_2048")(
+          Hnsw.buildAndWrite(e.select("vec_id", "embedding"), idxPath,
+            dims = dims, numParts = 32)),
+        time("hnsw_restore_serve_2048")(
+          Hnsw.searchPersisted(spark, idxPath, qv, 10).count()),
+        time("hnsw_serve_batch8_2048") {
+          val qs = e.filter(col("vec_id") < 8).select("vec_id", "embedding")
+            .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            .sortBy(_._1)
+          Hnsw.searchPersistedBatch(spark, idxPath, qs, 10).count()
+        },
+        time("hnsw_append_serve_2048")(
+          Hnsw.searchAppended(spark, idxPath,
+            spark.range(nVecs, nVecs + 1000).select(
+              col("id").as("vec_id"),
+              expr(s"transform(sequence(0, ${dims - 1}), d -> " +
+                s"CAST(pmod(xxhash64(id * $dims + d), 997) / 997.0 AS FLOAT))")
+                .as("embedding")),
+            numParts = 32, qv, 10).count()),
+        time("hnsw_filtered_serve_2048")(
+          Hnsw.searchFilteredPersisted(spark, idxPath,
+            e.filter(col("vec_id") % 10 === 0).select("vec_id"),
+            numParts = 32, qv, 10, metaSearch = 100).count()))
+    }
     val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe_wide","n_vecs":$nVecs,"dims":$dims,"sec":$js}""")
   }
