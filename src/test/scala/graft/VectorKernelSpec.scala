@@ -60,4 +60,40 @@ class VectorKernelSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  // ----- integer dot kernel (the HOF replacement in multivector_maxsim) -----
+
+  private val la = Array(3L, -2L, 7L)
+  private val lb = Array(5L, 4L, -1L)
+
+  test("long dot matches scalar math and the HOF form it replaced") {
+    val df = Seq((la, lb)).toDF("a", "b")
+    val kernel = df.select(vectors.dotLong(col("a"), col("b")).as("r")).as[Long].head()
+    assert(kernel == 15L - 8L - 7L)
+    val hof = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> x * y), 0L, (acc, v) -> acc + v) AS r")
+      .as[Long].head()
+    assert(kernel == hof)
+  }
+
+  test("long dot: codegen and interpreted paths agree; mismatched dims fail") {
+    val df = Seq((la, lb)).toDF("a", "b")
+    val gen = df.select(vectors.dotLong(col("a"), col("b"))).head().getLong(0)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val interp = df.select(vectors.dotLong(col("a"), col("b"))).head().getLong(0)
+      assert(gen == interp)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    val bad = Seq((Array(1L, 2L, 3L), Array(1L, 2L))).toDF("a", "b")
+    val e = intercept[Exception] {
+      bad.select(vectors.dotLong(col("a"), col("b"))).collect()
+    }
+    def hasDimMessage(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("dimensions differ")) || hasDimMessage(t.getCause))
+    assert(hasDimMessage(e))
+  }
 }
