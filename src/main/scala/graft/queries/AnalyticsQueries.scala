@@ -295,9 +295,14 @@ object AnalyticsQueries {
     // base table is never rescanned. At 100 TB this is the exact-median
     // shape that survives: shuffle |distinct values| rows, not |rows|.
     "events_anomaly_mad" -> ((s, dir) => {
+      // eagerly materialized: the histogram feeds the med window, the
+      // deviation histogram AND (through it) the mad window + final agg —
+      // without the checkpoint each consumer re-expands the subtree and
+      // the base table is scanned 5× (PlanAuditSpec pins ≤1 live scan)
       val hist = events(s, dir)
         .selectExpr("event_type", "CAST(floor(value * 100) AS BIGINT) AS cents")
         .groupBy("event_type", "cents").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       def lowerMedianHist(h: DataFrame, valCol: String, out: String): DataFrame = {
         val wc = Window.partitionBy("event_type").orderBy(col(valCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -311,6 +316,7 @@ object AnalyticsQueries {
       val devHist = hist.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("cents") - col("med")))
         .groupBy("event_type", "dev").agg(sum("cnt").as("cnt"))
+        .localCheckpoint(true) // feeds the mad window AND the final agg
       val mad = lowerMedianHist(devHist, "dev", "mad")
       devHist.join(broadcast(mad), "event_type")
         .join(broadcast(med), "event_type")

@@ -20,6 +20,18 @@ class PlanAuditSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("events_anomaly_mad: histogram plan — base table feeds ONE live scan") {
+    // the r6 rewrite's contract: medians come from the (type, cents)
+    // histogram, the deviation histogram derives from it arithmetically,
+    // and the events table is never rescanned — extra live scans mean the
+    // derivation regressed to rescanning the base table
+    val p = plan("events_anomaly_mad")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    assert(scans - reused <= 1 || scans <= 1,
+      s"histogram plan rescans the base table: $scans scans, $reused reused\n${p.take(3000)}")
+  }
+
   test("parts_triangles: small oriented edge set broadcasts both probes") {
     // the stats-guarded fast path: under the broadcast budget the wedge
     // and closure joins must both be BroadcastHashJoin (shuffle-free
