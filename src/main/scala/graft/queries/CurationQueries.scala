@@ -142,6 +142,27 @@ object CurationQueries {
     // hash bucket — the assignment is a pure narrow map (reproducible
     // across runs/engines/reshards, unlike RNG-based randomSplit); the
     // only shuffle is the tiny per-(source, split) audit aggregate
+    // B33: deterministic EPOCH SHUFFLE + shard assignment — the step
+    // between curation and shard-writing: each epoch seed induces a
+    // reproducible pseudo-random training order (hash order), sharded for
+    // parallel readers. RNG shuffles (randomSplit / shuffle=True loaders)
+    // are neither engine- nor rerun-reproducible; the hash order is, so a
+    // resumed or re-run epoch reads byte-identical shards. Scale shape:
+    // shard = pmod(hash) is a NARROW map (uniform hash → balanced
+    // shards), the one shuffle keys by shard, and the in-shard position
+    // window sorts only |corpus|/nShards rows per shard — shards are
+    // sized to training files, so no global-order window ever runs
+    // (pack_sequences' B27 lesson).
+    "epoch_shuffle" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id",
+          s"${sH("concat('ep1_', CAST(doc_id AS STRING))")} AS hv")
+        .selectExpr("doc_id", "hv", "pmod(hv, 16) AS shard")
+        .withColumn("pos", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("shard")
+              .orderBy(col("hv"), col("doc_id"))).cast("long"))
+        .select("doc_id", "shard", "pos")),
+
     "split_assign" -> ((s, dir) =>
       docs(s, dir)
         .selectExpr("doc_id", "source",
@@ -244,6 +265,14 @@ object CurationQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${dH("'ep1_'||CAST(doc_id AS VARCHAR)")} AS hv FROM documents)
+         |SELECT doc_id, hv % 16 AS shard,
+         |  CAST(row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+         |    AS BIGINT) AS pos
+         |FROM h""".stripMargin,
+
     "text_vocab" ->
       s"""WITH t AS (SELECT unnest($dTok) AS tok FROM documents)
          |SELECT tok, CAST(count(*) AS BIGINT) AS n FROM t
