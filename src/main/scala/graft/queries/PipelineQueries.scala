@@ -15,9 +15,10 @@ object PipelineQueries {
   private val mmIndexFor = scala.collection.mutable.Map.empty[String, String]
   private val MmQueryId = 5L
 
-  private def mediaEmbeddings(s: SparkSession, dir: String): DataFrame = {
+  private def mediaEmbeddings(s: SparkSession, dir: String,
+                              docsDf: DataFrame => DataFrame = identity): DataFrame = {
     val media = Multimodal.asMedia(s,
-      Tables(s, dir, "documents").filter(col("text").isNotNull))
+      docsDf(Tables(s, dir, "documents").filter(col("text").isNotNull)))
     val model = Multimodal.EmbedModels.forSession(s) // SignalFeatureModel here
     // storage quantization to floor(x·10⁴ + 0.5) — the engine's
     // integer-exact convention (KMeans.fitInt precedent): both engines
@@ -54,7 +55,10 @@ object PipelineQueries {
     // float truncation points), not just the search.
     "multimodal_search" -> ((s, dir) => {
       val path = ensureMmIndex(s, dir)
-      val qv = mediaEmbeddings(s, dir).filter(col("vec_id") === MmQueryId)
+      // embed ONLY the query doc (a filter above mapPartitions cannot
+      // prune through it — filtering the scan side embeds one blob, not
+      // the corpus; per-item-pure model so the vector is identical)
+      val qv = mediaEmbeddings(s, dir, _.filter(col("doc_id") === MmQueryId))
         .select("embedding").collect().head.getSeq[Float](0).toArray
       val passing = Multimodal.asMedia(s,
           Tables(s, dir, "documents").filter(col("text").isNotNull)).toDF()

@@ -146,4 +146,26 @@ class CurationSpec extends SparkSpec {
       assert(exact(id) >= 3000L)
     }
   }
+
+  test("epoch_shuffle: a permutation, balanced shards, rerun-identical") {
+    val res = SparkEntry.queries("epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = Tables(spark, dir, "documents").count()
+    // a PERMUTATION of the corpus: every doc exactly once
+    assert(res.length == nDocs && res.map(_._1).distinct.length == nDocs)
+    // in-shard positions are contiguous 1..n_s (resumable shard reads)
+    res.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+    // uniform hash → every shard populated, none hot (3× ideal bound)
+    val sizes = res.groupBy(_._2).values.map(_.length)
+    assert(sizes.size == 16, s"expected 16 shards, got ${sizes.size}")
+    assert(sizes.max <= 3 * nDocs.toInt / 16,
+      s"hot shard: max ${sizes.max} vs ideal ${nDocs / 16}")
+    // deterministic: the rerun reads byte-identical order
+    val again = SparkEntry.queries("epoch_shuffle")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(res.sortBy(t => (t._2, t._3)).toSeq == again.sortBy(t => (t._2, t._3)).toSeq)
+  }
 }
