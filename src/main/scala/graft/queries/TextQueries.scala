@@ -72,6 +72,24 @@ object TextQueries {
   private val dBpe = """len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))"""
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // B34: BPE-style pair counting — the distributed primitive of
+    // tokenizer TRAINING (each BPE iteration asks "which adjacent token
+    // pair is globally most frequent?"; the driver applies the argmax
+    // merge and re-runs — this entry is one such iteration over the
+    // corpus). Scale shape: a narrow transform+explode (one pair row per
+    // adjacent token), ONE map-side-combined shuffle keyed by pair, then
+    // TakeOrdered top-20 — no global sort, no driver-side token loop.
+    // (n desc, pair asc) breaks boundary ties identically in both engines.
+    "bpe_pair_counts" -> ((s, dir) =>
+      docs(s, dir).selectExpr("doc_id", s"$sTok AS tk")
+        .where("size(tk) > 1")
+        .selectExpr("explode(transform(sequence(0, size(tk) - 2), " +
+          "i -> concat(element_at(tk, i + 1), ' ', element_at(tk, i + 2)))) AS pair")
+        .groupBy("pair").count().withColumnRenamed("count", "n")
+        .orderBy(org.apache.spark.sql.functions.col("n").desc,
+          org.apache.spark.sql.functions.col("pair").asc)
+        .limit(20)),
+
     // B7: language-ID via marker-token scoring, argmax with fixed tie order
     "text_langid" -> ((s, dir) =>
       docs(s, dir)
@@ -185,6 +203,14 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "bpe_pair_counts" ->
+      s"""WITH t AS (SELECT $dTok AS tk FROM documents),
+         |p AS (SELECT unnest(list_transform(range(len(tk) - 1),
+         |        i -> tk[i + 1] || ' ' || tk[i + 2])) AS pair
+         |      FROM t WHERE len(tk) > 1)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+         |GROUP BY pair ORDER BY n DESC, pair ASC LIMIT 20""".stripMargin,
+
     "text_langid" ->
       s"""WITH t AS (SELECT doc_id, lang, $dTok AS tk FROM documents),
          |sc AS (SELECT doc_id, lang,
