@@ -558,6 +558,54 @@ object Hnsw {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** BATCHED ACORN against the persisted index — the reference's README §3
+    * evaluation loop (one filter-agnostic index, a whole query file per
+    * selectivity class, acorn.py:296-302): graphs restore ONCE per
+    * partition, the predicate's surviving-id set ships once via cogroup
+    * (same routing replay as searchFilteredPersisted), and every broadcast
+    * query walks the restored graph. Restore cost amortizes over |Q| and
+    * the merge carries ≤ P·|Q|·k rows into the per-query k-heap —
+    * the searchPersistedBatch shape with the ACORN walk inside. */
+  def searchFilteredPersistedBatch(spark: SparkSession, path: String, passing: DataFrame,
+                                   numParts: Int, queries: Seq[(Long, Array[Float])], k: Int,
+                                   metaSearch: Int, ef: Int = 200, largeK: Int = 200): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod, posexplode}
+    val qb = spark.sparkContext.broadcast(queries)
+    val nodes = spark.read.parquet(path).as[PersistedNode]
+    val pass = passing.select(
+        pmod(hash(col("vec_id").cast("long")), lit(numParts)).cast("int").as("part"),
+        col("vec_id").cast("long").as("vec_id"))
+      .as[(Int, Long)]
+    val perPart = nodes.groupByKey(_.part).cogroup(pass.groupByKey(_._1)) {
+      (_, ns, ps) =>
+        val nodeRows = ns.toArray.sortBy(_.node)
+        if (nodeRows.isEmpty) Iterator.empty
+        else {
+          val dims = nodeRows.head.vec.length
+          val g = new Graph(dims, 16, 64)
+          nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
+          g.restoreEntry(nodeRows.head.ep, nodeRows.head.top)
+          val ok = ps.map(_._2).toSet
+          val n = nodeRows.length
+          val (ms, lk, e) =
+            if (metaSearch > 0) (metaSearch, largeK, ef)
+            else (n + 10, math.max(largeK, n), math.max(ef, n))
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            require(qv.length == dims,
+              s"hnsw query $qid has ${qv.length} dims, persisted index has $dims")
+            g.searchFiltered(qv, k, ok, ms, lk, e).map { case (id, sc) => (qid, id, sc) }
+          }
+        }
+    }
+    perPart.toDF("q_id", "vec_id", "score")
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
+
   /** Distributed ACORN-1: one predicate-aware graph walk per partition.
     * `corpus` must expose (vec_id: long, embedding: array<float>,
     * pass: boolean) — the metadata predicate is evaluated ONCE, relationally

@@ -208,6 +208,28 @@ object CurationQueries {
           min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
     }),
 
+    // B27b: sequence packing over TRAINED-BPE token counts — what a real
+    // pipeline packs on (r6 verdict missing #1: B27 packs whitespace
+    // tokens; training rows are measured in tokenizer tokens). Same
+    // distributed prefix-sum; the per-doc count comes from the
+    // dictionary-encode join (Bpe.wordSymLens — the merge chain runs over
+    // distinct words only, never the token stream). Oracle replays the
+    // whole BPE training inside its CTE chain, then the same packing.
+    "pack_sequences_bpe" -> ((s, dir) => {
+      val nt = docs(s, dir)
+        .selectExpr("doc_id", s"explode($sTok) AS word")
+        .join(graft.operators.Bpe.wordSymLens(docs(s, dir), dir), "word")
+        .groupBy("doc_id").agg(sum("n_sym").as("n"))
+      packOffsets(s, nt, PackBucketSpan)
+        .selectExpr("doc_id", "n", "off",
+          s"explode(sequence(off div $SeqLen, (off + n - 1) div $SeqLen)) AS seq_id")
+        .selectExpr("seq_id", "doc_id",
+          s"least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off) AS toks")
+        .groupBy("seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+    }),
+
     // B28: SEMANTIC benchmark decontamination — the embedding-space
     // complement of B15's n-gram overlap (catches paraphrased/translated
     // contamination that shares no shingles): training docs whose
@@ -337,6 +359,23 @@ object CurationQueries {
          |  CAST(sum(least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off)) AS BIGINT) AS n_tokens,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          |FROM x GROUP BY seq_id""".stripMargin,
+
+    "pack_sequences_bpe" -> {
+      val iters = graft.operators.Bpe.DefaultIters
+      s"""WITH ${DuckDialect.bpeChain(iters)},
+         |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM s$iters),
+         |dw AS (SELECT doc_id, unnest($dTok) AS word FROM documents),
+         |nt AS (SELECT doc_id, CAST(sum(n_sym) AS BIGINT) AS n
+         |  FROM dw JOIN wl USING (word) GROUP BY doc_id),
+         |o AS (SELECT doc_id, n,
+         |  CAST(sum(n) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS off FROM nt),
+         |x AS (SELECT doc_id, n, off,
+         |  unnest(range(off // $SeqLen, (off + n - 1) // $SeqLen + 1)) AS seq_id FROM o)
+         |SELECT seq_id, count(*) AS n_docs,
+         |  CAST(sum(least((seq_id + 1) * $SeqLen, off + n) - greatest(seq_id * $SeqLen, off)) AS BIGINT) AS n_tokens,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM x GROUP BY seq_id""".stripMargin
+    },
 
     "decontaminate_semantic" -> {
       def cs(a: String, b: String) =

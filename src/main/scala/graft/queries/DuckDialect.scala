@@ -32,6 +32,41 @@ object DuckDialect {
        |    GROUP BY e.label, d.dim)
        |  GROUP BY label""".stripMargin
 
+  /** BPE training unrolled as CTEs — mirrors operators.Bpe.train iteration
+    * for iteration (the knn_ivf_trained oracle pattern): w0/s0 is the
+    * distinct-word frequency table with character symbols; each iteration i
+    * contributes p_i (pair counts, weighted by word freq), m_i (the argmax
+    * merge under the shared (n DESC, l ASC, r ASC) tie order) and s_i (the
+    * greedy left-to-right fold — list_reduce seeds from the first element
+    * exactly like the Spark side's slice+element_at aggregate, and the
+    * ends_with separator anchor gives the identical non-overlapping merge
+    * scan). Returns the comma-joined CTE bodies; callers embed them in a
+    * WITH and read s<iters> / m1..m<iters>. */
+  def bpeChain(iters: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+              |  FROM (SELECT unnest($Tok) AS word FROM documents) GROUP BY word),
+              |s0 AS (SELECT word, freq,
+              |  list_transform(range(1, length(word) + 1),
+              |    i -> substring(word, CAST(i AS INT), 1)) AS syms FROM w0)""".stripMargin
+    for (i <- 1 to iters) {
+      val prev = s"s${i - 1}"
+      sb ++= s""",
+                |p$i AS (SELECT string_split(pr, chr(31))[1] AS l,
+                |    string_split(pr, chr(31))[2] AS r, CAST(sum(freq) AS BIGINT) AS n
+                |  FROM (SELECT freq, unnest(list_transform(range(1, len(syms)),
+                |      i -> syms[CAST(i AS INT)] || chr(31) || syms[CAST(i AS INT) + 1])) AS pr
+                |    FROM $prev WHERE len(syms) > 1)
+                |  GROUP BY l, r),
+                |m$i AS (SELECT l, r, n FROM p$i ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+                |s$i AS (SELECT word, freq, string_split(list_reduce(syms,
+                |    (acc, x) -> CASE WHEN (acc = m.l OR ends_with(acc, chr(31) || m.l))
+                |      AND x = m.r THEN acc || x ELSE acc || chr(31) || x END),
+                |    chr(31)) AS syms FROM $prev, m$i m)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** Random-hyperplane LSH bucket id — mirrors operators.Lsh.bucketCol with
     * the identical deterministic integer plane weights. */
   def bucketSql(vec: String, numPlanes: Int, dims: Int): String =

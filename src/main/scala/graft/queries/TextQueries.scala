@@ -90,6 +90,48 @@ object TextQueries {
           org.apache.spark.sql.functions.col("pair").asc)
         .limit(20)),
 
+    // B34b: the BPE training LOOP (r6 verdict missing #1 — bpe_pair_counts
+    // is ONE iteration; this is the whole driver-looped argmax-merge
+    // training, operators.Bpe.train): 8 iterations, each ONE pair-keyed
+    // map-side-combined shuffle over the cached distinct-word table + a
+    // narrow greedy fold applying the argmax merge. Emits the ordered
+    // merge table ('merge' rows: iteration, pair, weighted count) and the
+    // trained vocabulary slice ('vocab' rows: top-10 final symbols by
+    // corpus frequency). The oracle REPLAYS the full training as an
+    // unrolled CTE chain (DuckDialect.bpeChain), so every argmax decision
+    // and every fold application is cross-engine-verified.
+    "bpe_train" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.trainedMerges(docs(s, dir), dir)
+      val mergeRows = s.createDataFrame(
+          merges.zipWithIndex.map { case (m, i) =>
+            ("merge", (i + 1).toLong, m.l, m.r, m.n)
+          }.toIndexedSeq)
+        .toDF("kind", "i", "l", "r", "n")
+      val vocab = graft.operators.Bpe.applyMerges(docs(s, dir), merges)
+        .selectExpr("freq", "explode(syms) AS sym")
+        .groupBy("sym").agg(org.apache.spark.sql.functions.sum("freq").as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("n").desc,
+          org.apache.spark.sql.functions.col("sym").asc)
+        .limit(10)
+        .selectExpr("'vocab' AS kind", "CAST(0 AS BIGINT) AS i",
+          "sym AS l", "'' AS r", "n")
+      mergeRows.unionByName(vocab)
+    }),
+
+    // B34c: the tokenizer-APPLY path — encode the corpus with the trained
+    // merge table at the dictionary-encode shape: the merge chain runs
+    // once over DISTINCT words (operators.Bpe.wordSymLens), and the token
+    // stream only joins against that tiny (word → n_sym) map. Per doc:
+    // whitespace token count vs trained-BPE token count — the number a
+    // training pipeline actually packs on.
+    "bpe_encode" -> ((s, dir) =>
+      docs(s, dir).selectExpr("doc_id", s"explode($sTok) AS word")
+        .join(graft.operators.Bpe.wordSymLens(docs(s, dir), dir), "word")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_ws"),
+          org.apache.spark.sql.functions.sum("n_sym").as("n_bpe"))),
+
     // B7: language-ID via marker-token scoring, argmax with fixed tie order
     "text_langid" -> ((s, dir) =>
       docs(s, dir)
@@ -203,6 +245,29 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "bpe_train" -> {
+      val iters = graft.operators.Bpe.DefaultIters
+      val mergeSelects = (1 to iters).map(i =>
+        s"SELECT 'merge' AS kind, CAST($i AS BIGINT) AS i, l, r, n FROM m$i")
+      s"""WITH ${DuckDialect.bpeChain(iters)}
+         |${mergeSelects.mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT 'vocab' AS kind, CAST(0 AS BIGINT) AS i, sym AS l, '' AS r, n
+         |FROM (SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(syms) AS sym FROM s$iters)
+         |  GROUP BY sym ORDER BY n DESC, sym ASC LIMIT 10)""".stripMargin
+    },
+
+    "bpe_encode" -> {
+      val iters = graft.operators.Bpe.DefaultIters
+      s"""WITH ${DuckDialect.bpeChain(iters)},
+         |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM s$iters),
+         |dw AS (SELECT doc_id, unnest($dTok) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe
+         |FROM dw JOIN wl USING (word) GROUP BY doc_id""".stripMargin
+    },
+
     "bpe_pair_counts" ->
       s"""WITH t AS (SELECT $dTok AS tk FROM documents),
          |p AS (SELECT unnest(list_transform(range(len(tk) - 1),

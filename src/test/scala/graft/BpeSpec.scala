@@ -1,0 +1,67 @@
+package graft
+
+import graft.operators.Bpe
+
+/** B34b/B34c — BPE training loop + apply (operators.Bpe): the greedy
+  * left-to-right fold semantics the oracle's list_reduce replays, the
+  * driver-loop argmax order, and the dictionary-encode apply path. */
+class BpeSpec extends SparkSpec {
+
+  private def applyOne(word: String, l: String, r: String): Seq[String] = {
+    import spark.implicits._
+    val df = spark.createDataFrame(Seq(Tuple1(word))).toDF("w")
+      .selectExpr("transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms")
+      .selectExpr(Bpe.applyMergeExpr(Bpe.Merge(l, r, 0L)) + " AS syms")
+    df.as[Seq[String]].head()
+  }
+
+  test("merge fold is greedy left-to-right, non-overlapping") {
+    // the canonical tie chain: "aaa" merges the FIRST pair only (the
+    // merged symbol cannot immediately re-serve as l)
+    assert(applyOne("aaa", "a", "a") === Seq("aa", "a"))
+    assert(applyOne("aaaa", "a", "a") === Seq("aa", "aa"))
+    assert(applyOne("aaaaa", "a", "a") === Seq("aa", "aa", "a"))
+    // back-to-back disjoint pairs all merge
+    assert(applyOne("ababab", "a", "b") === Seq("ab", "ab", "ab"))
+    // no match leaves the word untouched; single symbol passes through
+    assert(applyOne("xyz", "a", "b") === Seq("x", "y", "z"))
+    assert(applyOne("a", "a", "a") === Seq("a"))
+  }
+
+  test("merged symbols cascade in later iterations") {
+    // after (a,b)->ab, a second rule (ab,c) must see "ab" as ONE symbol
+    import spark.implicits._
+    val df = spark.createDataFrame(Seq(Tuple1("abcabc"))).toDF("w")
+      .selectExpr("transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms")
+      .selectExpr(Bpe.applyMergeExpr(Bpe.Merge("a", "b", 0L)) + " AS syms")
+      .selectExpr(Bpe.applyMergeExpr(Bpe.Merge("ab", "c", 0L)) + " AS syms")
+    assert(df.as[Seq[String]].head() === Seq("abc", "abc"))
+  }
+
+  test("train picks the frequency-weighted argmax with (n desc, l asc, r asc) ties") {
+    // corpus: "ab" ×3, "cd" ×3 → pair counts tie at 3; (a,b) < (c,d)
+    val docs = spark.createDataFrame(Seq(
+      (1L, "ab ab cd"), (2L, "ab cd cd"))).toDF("doc_id", "text")
+    val (merges, words) = Bpe.train(docs, iters = 2)
+    assert(merges.map(m => (m.l, m.r, m.n)) === Seq(("a", "b", 3L), ("c", "d", 3L)))
+    // after both merges every word is a single symbol
+    import spark.implicits._
+    val syms = words.selectExpr("word", "syms").as[(String, Seq[String])]
+      .collect().toMap
+    assert(syms("ab") === Seq("ab") && syms("cd") === Seq("cd"))
+  }
+
+  test("wordSymLens dictionary-encode matches a direct per-word application") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, "aab aab bba"), (2L, "aab bba bba ab"))).toDF("doc_id", "text")
+    val merges = Bpe.trainedMerges(docs, "memo-test-" + System.nanoTime(), 2)
+    assert(merges.size === 2)
+    import spark.implicits._
+    val lens = Bpe.applyMerges(docs, merges)
+      .selectExpr("word", "CAST(size(syms) AS BIGINT) AS n_sym")
+      .as[(String, Long)].collect().toMap
+    // every distinct word present, every length within [1, len(word)]
+    assert(lens.keySet === Set("aab", "bba", "ab"))
+    lens.foreach { case (w, n) => assert(n >= 1L && n <= w.length.toLong) }
+  }
+}
