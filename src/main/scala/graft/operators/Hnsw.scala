@@ -355,11 +355,45 @@ object Hnsw {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** The persisted-index EXPORT CONTRACT version. The on-disk parquet is
+    * the hand-off artifact an external serving engine (FAISS / Milvus /
+    * hnswlib — reference README:257 points there for online serving)
+    * consumes, so its layout is versioned: any change to the column set,
+    * types, or the conventions documented on [[PersistedNode]] MUST bump
+    * this constant (HnswExportContractSpec fails on silent drift), and
+    * readers refuse a mismatched vintage loudly instead of walking a
+    * reinterpreted graph. */
+  val SchemaVersion = 1
+
   /** One serialized graph node (part = the graph it belongs to; ep/top
-    * replicated per row — tiny, and keeps the layout one flat table). */
+    * replicated per row — tiny, and keeps the layout one flat table).
+    *
+    * Export contract (schema_version 1):
+    *  - `part`: which per-partition graph the row belongs to — graphs are
+    *    independent; a consumer serves their union (merge per-graph top-k).
+    *  - `node`: dense 0-based node id WITHIN the part, assigned in
+    *    ascending `ext_id` insertion order.
+    *  - `ext_id`: the corpus row id (vec_id) — globally unique.
+    *  - `vec`: the stored float32 vector, UNQUANTIZED, original dims.
+    *  - `level`: the node's top layer; `links` has exactly level+1 entries,
+    *    links(l) = the node's neighbor list (local `node` ids) at layer l.
+    *    Degree bounds: ≤ 2M at layer 0, ≤ M above (M=16 default).
+    *  - `ep`, `top`: the graph's entry point (local node id) and top layer,
+    *    replicated on every row of the part.
+    *  - Distances are L2; reported scores are floor(sqrt(d²)·10⁴ + 0.5)
+    *    scaled longs (graft.functions.scaled convention). */
   final case class PersistedNode(part: Int, node: Int, ext_id: Long,
                                  vec: Array[Float], level: Int,
-                                 links: Array[Array[Int]], ep: Int, top: Int)
+                                 links: Array[Array[Int]], ep: Int, top: Int,
+                                 schema_version: Int = SchemaVersion)
+
+  /** Refuse a mismatched on-disk vintage loudly (first row per restored
+    * graph — free relative to the restore itself). */
+  @inline private[operators] def checkVersion(r: PersistedNode): Unit =
+    require(r.schema_version == SchemaVersion,
+      s"hnsw persisted index has schema_version ${r.schema_version}, " +
+        s"this engine reads $SchemaVersion — rebuild the index or use a " +
+        "matching engine version")
 
   /** BUILD ONCE, SEARCH MANY — the 100 TB index lifecycle (the reference
     * builds its hnswlib index once via add_items, acorn.py:61, then serves
@@ -431,6 +465,7 @@ object Hnsw {
         it.toSeq.groupBy(_.part).iterator.flatMap { case (_, rows) =>
           // dims come from the STORED vectors — a wrong-width query must
           // fail loudly, not silently compute truncated distances
+          checkVersion(rows.head)
           val dims = rows.head.vec.length
           require(query.length == dims,
             s"hnsw query has ${query.length} dims, persisted index has $dims")
@@ -460,6 +495,7 @@ object Hnsw {
       .repartition(col("part"))
       .mapPartitions { it =>
         it.toSeq.groupBy(_.part).iterator.flatMap { case (_, rows) =>
+          checkVersion(rows.head)
           val dims = rows.head.vec.length
           val g = new Graph(dims, 16, 64)
           rows.sortBy(_.node).foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
@@ -505,6 +541,7 @@ object Hnsw {
     val perPart = nodes.groupByKey(_.part).cogroup(arr.groupByKey(_._1)) {
       (_, ns, as) =>
         val nodeRows = ns.toArray.sortBy(_.node)
+        nodeRows.headOption.foreach(checkVersion)
         val g = new Graph(dims, m, efConstruction)
         nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))
         if (nodeRows.nonEmpty) g.restoreEntry(nodeRows.head.ep, nodeRows.head.top)
@@ -538,6 +575,7 @@ object Hnsw {
         val nodeRows = ns.toArray.sortBy(_.node)
         if (nodeRows.isEmpty) Iterator.empty
         else {
+          checkVersion(nodeRows.head)
           val dims = nodeRows.head.vec.length
           require(query.length == dims,
             s"hnsw query has ${query.length} dims, persisted index has $dims")
@@ -582,6 +620,7 @@ object Hnsw {
         val nodeRows = ns.toArray.sortBy(_.node)
         if (nodeRows.isEmpty) Iterator.empty
         else {
+          checkVersion(nodeRows.head)
           val dims = nodeRows.head.vec.length
           val g = new Graph(dims, 16, 64)
           nodeRows.foreach(r => g.restoreNode(r.ext_id, r.vec, r.level, r.links))

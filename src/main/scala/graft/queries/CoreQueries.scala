@@ -26,7 +26,7 @@ object CoreQueries {
   // each other's data).
   private val bucketedLayoutFor = scala.collection.mutable.Set.empty[String]
   private[graft] def bucketedTable(dir: String, base: String): String =
-    "graft_buckets." + base + "_" + dir.replaceAll("[^A-Za-z0-9_]", "_")
+    "graft_buckets." + base + "_" + graft.TmpDirs.dirKeyAlnum(dir)
   private def ensureBucketedLayout(s: SparkSession, dir: String): Unit = synchronized {
     // re-check the catalog too: a NEW spark context in the same JVM (tests
     // stop/start several) resets SharedState even when the memo is warm

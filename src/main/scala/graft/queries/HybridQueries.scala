@@ -37,7 +37,7 @@ object HybridQueries {
   // location, silently rebuilding per switch — and a concurrent session
   // could observe a mid-overwrite index).
   private val hnswIndexFor = scala.collection.mutable.Map.empty[String, String]
-  private def dirKey(dir: String): String = dir.replaceAll("[^A-Za-z0-9._-]", "_")
+  private def dirKey(dir: String): String = graft.TmpDirs.dirKey(dir)
   private def ensureHnswIndex(s: SparkSession, dir: String): String = synchronized {
     hnswIndexFor.getOrElseUpdate(dir, {
       val path = graft.TmpDirs.path("hnsw_index_" + dirKey(dir))

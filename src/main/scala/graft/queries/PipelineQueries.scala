@@ -33,8 +33,7 @@ object PipelineQueries {
 
   private def ensureMmIndex(s: SparkSession, dir: String): String = synchronized {
     mmIndexFor.getOrElseUpdate(dir, {
-      val path = graft.TmpDirs.path(
-        "mm_hnsw_" + dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val path = graft.TmpDirs.path("mm_hnsw_" + graft.TmpDirs.dirKey(dir))
       graft.operators.Hnsw.buildAndWrite(mediaEmbeddings(s, dir), path,
         dims = 32, numParts = 8)
       path
@@ -118,7 +117,12 @@ object PipelineQueries {
     // quantization, then the brute-force filtered top-10 the saturating
     // ACORN walk must equal. Byte access = hex(blob) pairs (DuckDB's
     // range() can't lateral-correlate; unnest(range(n)) in the SELECT
-    // list can).
+    // list can). Float reductions (DCT tap sums, norms, squared dists)
+    // fold ORDERED lists — list_aggregate(list(x ORDER BY j), 'sum') —
+    // not parallel SUM() (ADVICE r6: SUM's accumulation order is not
+    // guaranteed, so a knife-edge value at the floor(x·10⁴+0.5) boundary
+    // could flake run-to-run; the engine sums sequentially in index
+    // order, which the ordered-list fold mirrors).
     "multimodal_search" ->
       """WITH base AS (
         |  SELECT doc_id, lang, octet_length(CAST(text AS BLOB)) AS n,
@@ -144,7 +148,9 @@ object PipelineQueries {
         |  SELECT doc_id, j, byte, CAST(unnest(range(16)) AS BIGINT) AS k FROM taps),
         |dct AS (
         |  SELECT doc_id, 16 + k AS dim,
-        |         CAST(sum(((byte / 255.0) - 0.5) * cos(pi() * k * (2 * j + 1) / 128.0)) AS FLOAT) AS vraw
+        |         CAST(list_aggregate(list(
+        |           ((byte / 255.0) - 0.5) * cos(pi() * k * (2 * j + 1) / 128.0)
+        |           ORDER BY j), 'sum') AS FLOAT) AS vraw
         |  FROM kdim GROUP BY doc_id, k),
         |comps AS (
         |  SELECT b.doc_id, d.range AS dim,
@@ -153,7 +159,8 @@ object PipelineQueries {
         |  LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.dim = d.range AND d.range < 16
         |  LEFT JOIN dct dc ON dc.doc_id = b.doc_id AND dc.dim = d.range AND d.range >= 16),
         |norms AS (
-        |  SELECT doc_id, sqrt(sum(CAST(vf AS DOUBLE) * CAST(vf AS DOUBLE))) AS nrm
+        |  SELECT doc_id, sqrt(list_aggregate(list(
+        |    CAST(vf AS DOUBLE) * CAST(vf AS DOUBLE) ORDER BY dim), 'sum')) AS nrm
         |  FROM comps GROUP BY doc_id),
         |qcomps AS (
         |  SELECT c.doc_id, c.dim,
@@ -164,7 +171,9 @@ object PipelineQueries {
         |qvec AS (SELECT dim, vqf FROM qcomps WHERE doc_id = 5),
         |dists AS (
         |  SELECT c.doc_id,
-        |    sum((CAST(c.vqf AS DOUBLE) - CAST(q.vqf AS DOUBLE)) * (CAST(c.vqf AS DOUBLE) - CAST(q.vqf AS DOUBLE))) AS sq
+        |    list_aggregate(list(
+        |      (CAST(c.vqf AS DOUBLE) - CAST(q.vqf AS DOUBLE)) * (CAST(c.vqf AS DOUBLE) - CAST(q.vqf AS DOUBLE))
+        |      ORDER BY dim), 'sum') AS sq
         |  FROM qcomps c JOIN qvec q USING (dim)
         |  GROUP BY c.doc_id)
         |SELECT d.doc_id AS vec_id, CAST(floor(sqrt(d.sq) * 10000 + 0.5) AS BIGINT) AS score

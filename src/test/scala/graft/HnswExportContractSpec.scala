@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.types._
+import graft.operators.Hnsw
+
+/** The persisted-HNSW parquet is a VERSIONED EXPORT CONTRACT (r6 verdict
+  * #5): an external serving engine (FAISS/Milvus/hnswlib — reference
+  * README:257 delegates online serving there) consumes it, so its layout
+  * must not drift silently. This spec pins the exact on-disk schema, the
+  * structural invariants the scaladoc promises, and the version gate. */
+class HnswExportContractSpec extends SparkSpec {
+
+  private lazy val path: String = {
+    val vecs = (0L until 60L).map { i =>
+      (i, Array.tabulate(4)(d => ((i * 31 + d * 7) % 13).toFloat))
+    }
+    val df = spark.createDataFrame(vecs).toDF("vec_id", "embedding")
+    val p = TmpDirs.path("hnsw_contract_spec")
+    Hnsw.buildAndWrite(df, p, dims = 4, numParts = 3)
+    p
+  }
+
+  test("on-disk schema is exactly the documented contract (version-gated)") {
+    val schema = spark.read.parquet(path).schema
+    // field names AND types, in a fixed canonical order — ANY change here
+    // must come with a SchemaVersion bump + contract-doc update
+    val expected = Map(
+      "part" -> IntegerType,
+      "node" -> IntegerType,
+      "ext_id" -> LongType,
+      "vec" -> ArrayType(FloatType, containsNull = false),
+      "level" -> IntegerType,
+      "links" -> ArrayType(ArrayType(IntegerType, containsNull = false),
+        containsNull = true),
+      "ep" -> IntegerType,
+      "top" -> IntegerType,
+      "schema_version" -> IntegerType)
+    val actual = schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(actual.keySet === expected.keySet,
+      s"column drift: ${actual.keySet} vs contract ${expected.keySet}")
+    expected.foreach { case (name, dt) =>
+      // containsNull is encoder-derived; compare erased types so a Spark
+      // encoder nullability change doesn't masquerade as contract drift
+      def erase(t: DataType): DataType = t match {
+        case ArrayType(e, _) => ArrayType(erase(e), containsNull = false)
+        case o => o
+      }
+      assert(erase(actual(name)) === erase(dt), s"type drift on $name")
+    }
+    assert(Hnsw.SchemaVersion === 1, "SchemaVersion bumped: update this " +
+      "spec's expected layout and the README export-contract section together")
+  }
+
+  test("structural invariants: dense local ids, level/links agreement, one entry per part") {
+    import spark.implicits._
+    val rows = spark.read.parquet(path).as[Hnsw.PersistedNode].collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.part).foreach { case (_, ns) =>
+      val sorted = ns.sortBy(_.node)
+      // node ids dense 0..n-1 within the part
+      assert(sorted.map(_.node).toSeq === (0 until ns.length))
+      // exactly one (ep, top) pair replicated across the part
+      assert(ns.map(r => (r.ep, r.top)).toSet.size === 1)
+      val (ep, top) = (ns.head.ep, ns.head.top)
+      assert(ep >= 0 && ep < ns.length)
+      assert(top === sorted(ep).level)
+      sorted.foreach { r =>
+        assert(r.links.length === r.level + 1,
+          s"links must have level+1 layers (node ${r.node})")
+        // neighbor ids are valid local node ids; degree caps hold
+        r.links.zipWithIndex.foreach { case (nbrs, l) =>
+          assert(nbrs.forall(n => n >= 0 && n < ns.length && n != r.node))
+          assert(nbrs.length <= (if (l == 0) 32 else 16))
+        }
+        assert(r.schema_version === Hnsw.SchemaVersion)
+      }
+    }
+    // ext_ids globally unique across parts
+    assert(rows.map(_.ext_id).distinct.length === rows.length)
+  }
+
+  test("a mismatched schema_version is refused loudly") {
+    import org.apache.spark.sql.functions._
+    val bad = TmpDirs.wiped("hnsw_contract_bad")
+    spark.read.parquet(path)
+      .withColumn("schema_version", lit(99))
+      .write.parquet(bad)
+    val e = intercept[Exception] {
+      Hnsw.searchPersisted(spark, bad, Array(0f, 0f, 0f, 0f), 3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("schema_version")),
+      s"expected a schema_version refusal, got: ${e.getMessage}")
+  }
+}
