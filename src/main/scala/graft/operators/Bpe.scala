@@ -45,6 +45,12 @@ object Bpe {
   def wordTable(docs: DataFrame): DataFrame =
     docs.selectExpr(s"explode(${Dedup.TokExpr}) AS word")
       .groupBy("word").agg(count(lit(1)).as("freq"))
+      // explicit word-keyed spread: the distinct-word table is BYTES-tiny
+      // but CPU-heavy downstream (per-word merge passes), so AQE's
+      // size-based coalescing would funnel the whole merge workload onto
+      // one core; a user-specified partition count is exempt from
+      // coalescing and keeps the fold parallel at any corpus size
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("word"))
       .selectExpr("word", "freq",
         "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
 
@@ -67,8 +73,9 @@ object Bpe {
     * re-derived per action (CPU over a small cached table) rather than
     * materialized per iteration (N shuffling checkpoints). */
   def train(docs: DataFrame, iters: Int = DefaultIters): (Seq[Merge], DataFrame) = {
-    var words = wordTable(docs)
-    words.persist()
+    val base = wordTable(docs)
+    base.persist()
+    var words = base
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var i = 0
     while (i < iters) {
@@ -87,7 +94,12 @@ object Bpe {
         s"bpe: corpus exhausted after $i merges (asked for $iters)")
       val m = Merge(top.head.getString(0), top.head.getString(1), top.head.getLong(2))
       merges += m
-      words = words.selectExpr("word", "freq", applyMergeExpr(m) + " AS syms")
+      // iteration state = the FULL rule list applied to the cached base in
+      // one compiled pass (graft.functions.bpe kernel) — not an i-deep
+      // chain of interpreted folds over the previous state
+      words = base.select(col("word"), col("freq"),
+        graft.functions.bpe.applyMerges(col("syms"),
+          merges.toSeq.map(mm => (mm.l, mm.r))).as("syms"))
       i += 1
     }
     (merges.toSeq, words)
@@ -106,12 +118,14 @@ object Bpe {
     synchronized { trainedFor.getOrElseUpdate(dir, train(docs, iters)._1) }
 
   /** Final (word, freq, syms) state under a merge table: the base word
-    * table with the merge chain re-derived as narrow folds (lazy — no jobs
-    * until an action). */
+    * table with the full rule list applied in ONE compiled pass
+    * (graft.functions.bpe kernel; lazy — no jobs until an action).
+    * Semantics equal the per-rule `applyMergeExpr` fold chain the DuckDB
+    * oracle replays — differential-tested in BpeSpec. */
   def applyMerges(docs: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(wordTable(docs)) { (df, m) =>
-      df.selectExpr("word", "freq", applyMergeExpr(m) + " AS syms")
-    }
+    wordTable(docs).select(col("word"), col("freq"),
+      graft.functions.bpe.applyMerges(col("syms"),
+        merges.map(m => (m.l, m.r))).as("syms"))
 
   /** The tokenizer-APPLY side at its scalable shape: encode the DISTINCT
     * words once (the dictionary-encode trick — the merge chain never runs

@@ -119,6 +119,25 @@ object CurationQueries {
           s"${sH("concat('smp', CAST(doc_id AS STRING))")} % 100 AS bucket")
         .filter(col("bucket") < col("rate"))),
 
+    // B14b: temperature-scaled mixture weights — the multilingual sampling
+    // rule (exponent-smoothed language weights, α = 1/2: w_l ∝ n_l^α, the
+    // XLM-R/mT5 upsampling family): per-language token counts feed an
+    // integer-exact isqrt (floor of an IEEE sqrt over an exactly-
+    // representable BIGINT — bit-identical in any engine), normalized to
+    // parts-per-million by integer division. Languages are a bounded
+    // dimension, so this is one map-side-combined aggregate + a broadcast
+    // scalar at any corpus size; the emitted w_ppm column IS the sampling
+    // rate `sample_mixture`-style deterministic filters consume.
+    "mixture_temperature" -> ((s, dir) => {
+      val n = docs(s, dir)
+        .selectExpr("lang", s"CAST(size($sTok) AS BIGINT) AS ntok")
+        .groupBy("lang").agg(sum("ntok").as("n_tok"))
+        .selectExpr("lang", "n_tok",
+          "CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s")
+      n.crossJoin(broadcast(n.agg(sum("s").as("ts"))))
+        .selectExpr("lang", "n_tok", "s", "(s * 1000000) div ts AS w_ppm")
+    }),
+
     // B16: PII-style scrub — mask digit runs in the semi-structured props
     // payload; pure narrow scan (regex is codegen'd), no shuffle at any SF
     "pii_scrub" -> ((s, dir) =>
@@ -306,6 +325,15 @@ object CurationQueries {
          |  ${dH("'smp'||CAST(doc_id AS VARCHAR)")} % 100 AS bucket
          |  FROM documents)
          |SELECT doc_id, source, rate, bucket FROM m WHERE bucket < rate""".stripMargin,
+
+    "mixture_temperature" ->
+      s"""WITH n AS (SELECT lang, CAST(sum(len($dTok)) AS BIGINT) AS n_tok
+         |  FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n_tok,
+         |  CAST(floor(sqrt(CAST(n_tok AS DOUBLE))) AS BIGINT) AS s FROM n),
+         |t AS (SELECT CAST(sum(s) AS BIGINT) AS ts FROM w)
+         |SELECT lang, n_tok, s, (s * 1000000) // ts AS w_ppm
+         |FROM w CROSS JOIN t""".stripMargin,
 
     "pii_scrub" ->
       """SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS scrubbed,

@@ -57,6 +57,13 @@ object DedupQueries {
   private val EmbPairThreshold = 1000L
   private val EmbNumPlanes = 4
   private val EmbDims = 64
+  // B35 SemDeDup: cluster count / Lloyd's iterations — knn_ivf_trained's
+  // constants, so the oracle's unrolled CTE chain stays the shared shape
+  private val SemClusters = 10
+  private val SemIters = 3
+  // B36: sliding-gram width for cross-doc span coverage — B25's chunk
+  // width (4 tokens yields a non-trivial cross-doc gram set at every sf)
+  private val SpanGram = 4
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: exact dedup — one shuffle on the content hash
@@ -90,6 +97,56 @@ object DedupQueries {
       Dedup.embeddingPairsAuto(
         Tables(s, dir, "embeddings").select("vec_id", "embedding"), CosineTauScaled,
         EmbNumPlanes, EmbDims, EmbPairThreshold)),
+
+    // B35: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
+    // at the published scale shape: k-means-cluster the embedding space,
+    // then compute cosine near-dup pairs ONLY within each cluster. Pair
+    // work drops from O(n²) to O(Σ|cluster|²) ≈ O(n²/k), and the pair join
+    // shuffles on the cluster id — at 100 TB k grows to ~5·10⁴ (the paper's
+    // LAION setting) so each cluster's members fit one task. Training is
+    // the integer-exact Lloyd's shared with knn_ivf_trained (bounded model
+    // state on the driver, bit-identical in any engine), so the DuckDB
+    // oracle replays clustering AND pairing end-to-end. Cross-cluster
+    // near-dups are invisible by design — the algorithm's documented
+    // recall trade (B5 is the exact small-corpus baseline).
+    "dedup_semdedup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
+      val (cent, qemb) = graft.operators.KMeans.fitInt(e, k = SemClusters, iters = SemIters)
+      val asg = qemb.select(col("vec_id"),
+        graft.functions.centroids.nearestLong(col("q"), cent).getField("label").as("cl"))
+      val m = e.join(asg, "vec_id")
+      val a = m.select(col("cl"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val b = m.select(col("cl"), col("vec_id").as("b_id"), col("embedding").as("eb"))
+      a.join(b, Seq("cl")).filter(col("a_id") < col("b_id"))
+        .withColumn("cs", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("ea"), col("eb")), 4))
+        .filter(col("cs") >= CosineTauScaled)
+        .select(col("cl"), col("a_id"), col("b_id"), col("cs"))
+    }),
+
+    // B36: per-document duplicated-span coverage — the "fraction of text in
+    // a duplicated ≥n-token span" metric from the exact-substring dedup line
+    // (Lee et al. 2022, arXiv:2107.06499), at its distributed approximation:
+    // a doc position counts as duplicated when its 4-token sliding gram also
+    // occurs in ANOTHER document. Two key-partitioned shuffles, both on the
+    // 60-bit gram hash: one aggregate (distinct-doc count per gram), one
+    // join back + per-doc aggregate. No all-pairs anywhere — cost is
+    // O(corpus grams), the same shape at 100 TB.
+    "dedup_span_coverage" -> ((s, dir) => {
+      val g = docs(s, dir)
+        .select(col("doc_id"),
+          graft.functions.text.shingles(expr(Dedup.TokExpr), SpanGram).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .select(col("doc_id"), explode(col("sh")).as("gram"))
+        .selectExpr("doc_id", Dedup.hashExpr("gram") + " AS gh")
+      val df = g.groupBy("gh").agg(countDistinct("doc_id").as("nd"))
+      g.join(df, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .selectExpr("doc_id", "n_grams", "n_dup",
+          "(n_dup * 1000000) div n_grams AS cov_ppm")
+    }),
 
     // B18: candidate pairs → dedup GROUPS via min-label connected
     // components ("keep one per cluster" = doc_id = cluster); the oracle
@@ -379,6 +436,36 @@ object DedupQueries {
            |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled
            |  AND (SELECT c FROM nr) > $EmbPairThreshold""".stripMargin
+      },
+
+      // B36: the same gram hash on the DuckDB side — distinct-doc count
+      // per gram, joined back for the per-doc covered-position aggregate
+      "dedup_span_coverage" -> {
+        val gram = s"array_to_string(tk[i+1:i+$SpanGram], ' ')"
+        s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+           |g AS (SELECT doc_id, ${dH("gram")} AS gh FROM (
+           |  SELECT doc_id, unnest(list_transform(range(len(tk) - ${SpanGram - 1}),
+           |    i -> $gram)) AS gram
+           |  FROM t WHERE len(tk) >= $SpanGram)),
+           |d AS (SELECT gh, count(DISTINCT doc_id) AS nd FROM g GROUP BY gh)
+           |SELECT doc_id, n_grams, n_dup, (n_dup * 1000000) // n_grams AS cov_ppm FROM (
+           |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           |    CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+           |  FROM g JOIN d USING (gh) GROUP BY doc_id)""".stripMargin
+      },
+
+      // B35: the Lloyd's chain (shared with knn_ivf_trained) assigns the
+      // clusters, then the cosine pair join runs within each cluster only
+      "dedup_semdedup" -> {
+        def cs(a: String, b: String) =
+          s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+        s"""WITH ed AS (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS q FROM embeddings),
+           |${DuckDialect.lloydChain(SemClusters, SemIters)},
+           |m AS (SELECT e.vec_id, e.embedding, a.cl FROM embeddings e JOIN af a USING (vec_id))
+           |SELECT a.cl AS cl, a.vec_id AS a_id, b.vec_id AS b_id,
+           |  ${cs("a.embedding", "b.embedding")} AS cs
+           |FROM m a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id
+           |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled""".stripMargin
       }
     )
   }

@@ -67,6 +67,40 @@ object DuckDialect {
     sb.toString
   }
 
+  /** Integer-exact Lloyd's unrolled as CTEs — mirrors operators.KMeans.fitInt
+    * over a caller-provided CTE `ed` (cols vec_id, q = quantizeVec output):
+    * c0 seeds from the k lowest ids; each iteration i contributes a_i
+    * (nearest-centroid assignment, lower-cl ties), n_i (per-(cluster,dim)
+    * integer sums) and c_{i+1} (floor-mean centroids, empty clusters keep
+    * their previous centroid); `af` is the final assignment under c<iters>.
+    * The knn_ivf_trained / dedup_semdedup oracles embed this in a WITH. */
+  def lloydChain(k: Int, iters: Int): String = {
+    def dsq(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val sb = new StringBuilder
+    sb ++= s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS cent
+              |  FROM (SELECT vec_id, q FROM ed ORDER BY vec_id LIMIT $k))""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s""",
+                |a$i AS (SELECT vec_id, cl FROM (
+                |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+                |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
+                |  FROM ed e CROSS JOIN c$i c) WHERE rn = 1),
+                |n$i AS (SELECT a.cl, dd.dim, sum(e.q[dd.dim + 1]) AS s, count(*) AS cnt
+                |  FROM a$i a JOIN ed e USING (vec_id) CROSS JOIN range(64) dd(dim)
+                |  GROUP BY a.cl, dd.dim),
+                |c${i + 1} AS (SELECT c.cl, coalesce(m.cent, c.cent) AS cent FROM c$i c LEFT JOIN (
+                |  SELECT cl, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent
+                |  FROM n$i GROUP BY cl) m USING (cl))""".stripMargin
+    }
+    sb ++= s""",
+              |af AS (SELECT vec_id, cl FROM (
+              |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
+              |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
+              |  FROM ed e CROSS JOIN c$iters c) WHERE rn = 1)""".stripMargin
+    sb.toString
+  }
+
   /** Random-hyperplane LSH bucket id — mirrors operators.Lsh.bucketCol with
     * the identical deterministic integer plane weights. */
   def bucketSql(vec: String, numPlanes: Int, dims: Int): String =

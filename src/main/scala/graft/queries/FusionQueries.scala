@@ -36,6 +36,10 @@ object FusionQueries {
   private val QueryTerms = Seq("join", "vector", "stream")
   private val FuseR = 50 // fuse the top-R of each ranking
   private val RrfK = 60  // standard RRF dampening constant
+  // A41: coarse-candidate count for the SQ8→exact refine stage; 5× the
+  // final k absorbs quantization rank noise (FAISS's default k_factor
+  // ballpark) while keeping the rerank join broadcast-trivially small
+  private val RefineR = 50
 
   /** A37 binary quantization: 32 sign bits of `vec` starting at dim
     * `off` packed into one non-negative BIGINT — 32 explicit codegen'd
@@ -373,6 +377,35 @@ object FusionQueries {
         .selectExpr("vec_id", graft.functions.sqDistLongSql("qa", "qb") + " AS dist")
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // A41: two-stage refine/rerank — the published coarse-then-refine
+    // composition (FAISS's IndexRefineFlat; reference README §4 pairs the
+    // compressed scan with an exact re-check the same way): the 1-byte-per-
+    // dim SQ8 codes rank the WHOLE corpus (64 B/vec scanned instead of
+    // 256 B), only the top RefineR=50 candidate ids join back to full-
+    // precision vectors for an integer-exact rerank. At 100 TB the coarse
+    // scan is the only full pass and the rerank is a broadcast join on R
+    // ids — the refine cost is independent of corpus size.
+    "knn_refine_rerank" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val ed = e.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = ed.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val q = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val coarse = ed.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+        .selectExpr("vec_id",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS ca",
+          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS cb")
+        .selectExpr("vec_id", graft.functions.sqDistLongSql("ca", "cb") + " AS coarse")
+        .orderBy(col("coarse").asc, col("vec_id").asc).limit(RefineR)
+      val qz = Pq.quantized(e)
+      val qvec = qz.filter(col("vec_id") === 0).select(col("q").as("qq"))
+      qz.join(broadcast(coarse), "vec_id")
+        .crossJoin(broadcast(qvec))
+        .selectExpr("vec_id", "coarse",
+          graft.functions.sqDistLongSql("q", "qq") + " AS score")
+        .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     })
   )
 
@@ -621,7 +654,31 @@ object FusionQueries {
          |SELECT vec_id,
          |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
          |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
-         |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin
+         |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // A41: the same SQ8 coarse CTE feeding the top-R cut, then the exact
+    // quantized-integer rerank over the candidate ids only
+    "knn_refine_rerank" ->
+      s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0),
+         |qz AS (SELECT vec_id,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS ca,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS cb
+         |  FROM b CROSS JOIN q CROSS JOIN st),
+         |coarse AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, len(ca) + 1),
+         |    i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))) AS BIGINT) AS coarse
+         |  FROM qz ORDER BY coarse ASC, vec_id ASC LIMIT $RefineR),
+         |ex AS (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS eq FROM embeddings),
+         |eq0 AS (SELECT ${DuckDialect.quantizeVec("embedding")} AS qq
+         |  FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id, c.coarse,
+         |  CAST(list_sum(list_transform(range(1, len(e.eq) + 1),
+         |    i -> (e.eq[i] - q.qq[i]) * (e.eq[i] - q.qq[i]))) AS BIGINT) AS score
+         |FROM coarse c JOIN ex e USING (vec_id) CROSS JOIN eq0 q
+         |ORDER BY score ASC, c.vec_id ASC LIMIT 10""".stripMargin
   )
 
   /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —

@@ -1060,30 +1060,12 @@ object HybridQueries {
       def dsq(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
       val qz = DuckDialect.quantizeVec("embedding")
-      val iterCtes = (0 until iters).map { i =>
-        s"""a$i AS (SELECT vec_id, cl FROM (
-           |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
-           |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
-           |  FROM ed e CROSS JOIN c$i c) WHERE rn = 1),
-           |n$i AS (SELECT a.cl, dd.dim, sum(e.q[dd.dim + 1]) AS s, count(*) AS cnt
-           |  FROM a$i a JOIN ed e USING (vec_id) CROSS JOIN range(64) dd(dim)
-           |  GROUP BY a.cl, dd.dim),
-           |c${i + 1} AS (SELECT c.cl, coalesce(m.cent, c.cent) AS cent FROM c$i c LEFT JOIN (
-           |  SELECT cl, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent
-           |  FROM n$i GROUP BY cl) m USING (cl))""".stripMargin
-      }.mkString(",\n")
       s"""WITH ed AS (SELECT vec_id, $qz AS q FROM embeddings WHERE vec_id <> 7),
          |qq AS (SELECT $qz AS q FROM embeddings WHERE vec_id = 7),
-         |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS cent
-         |  FROM (SELECT vec_id, q FROM ed ORDER BY vec_id LIMIT $k)),
-         |$iterCtes,
+         |${DuckDialect.lloydChain(k, iters)},
          |probes AS (SELECT cl FROM (
          |  SELECT c.cl, row_number() OVER (ORDER BY ${dsq("c.cent", "q.q")} ASC, c.cl ASC) AS rn
-         |  FROM c$iters c CROSS JOIN qq q) WHERE rn <= $np),
-         |af AS (SELECT vec_id, cl FROM (
-         |  SELECT e.vec_id, c.cl, row_number() OVER (PARTITION BY e.vec_id
-         |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
-         |  FROM ed e CROSS JOIN c$iters c) WHERE rn = 1)
+         |  FROM c$iters c CROSS JOIN qq q) WHERE rn <= $np)
          |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
          |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin

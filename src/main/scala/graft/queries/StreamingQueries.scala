@@ -162,6 +162,21 @@ object StreamingQueries {
           col("segment"), col("n"))
     }),
 
+    // C62: trained-BPE token accounting AS a stream — the live "tokens
+    // ingested per source" meter: arriving docs explode to words (narrow),
+    // stream-static-join the batch-trained dictionary (stateless broadcast
+    // join), and feed a complete-mode per-source aggregate (bounded
+    // dimension ⇒ bounded state). Training stays batch-side (the
+    // Bpe.trainedMerges memo — the stream only joins the (word, n_sym)
+    // map); the oracle replays training end-to-end via the bpeChain CTEs.
+    "streaming_bpe_tokens" -> ((s, dir) => {
+      val wl = graft.operators.Bpe.wordSymLens(Tables(s, dir, "documents"), dir)
+      runToTable(s,
+        graft.streaming.TokenStream.tokenTotals(readStreamTable(s, dir, "documents"), wl),
+        "sq_bpetok", "complete")
+        .select(col("source"), col("n_ws"), col("n_bpe"))
+    }),
+
     // C25: bucket-level HLL sketch AS a stream — bounded state (≤256 rows
     // per window/type), max-rho merge is associative so complete-mode
     // state equals the batch sketch
@@ -369,6 +384,18 @@ object StreamingQueries {
            |  CAST(bucket AS BIGINT) AS bucket,
            |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
            |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+      // stream state ≡ the batch per-source aggregate over the SAME
+      // trained dictionary (the bpe_encode oracle's wl CTE, re-keyed)
+      "streaming_bpe_tokens" -> {
+        val iters = graft.operators.Bpe.DefaultIters
+        s"""WITH ${DuckDialect.bpeChain(iters)},
+           |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM s$iters),
+           |dw AS (SELECT source, unnest($dTok) AS word FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_ws,
+           |  CAST(sum(n_sym) AS BIGINT) AS n_bpe
+           |FROM dw JOIN wl USING (word) GROUP BY source""".stripMargin
+      },
 
       "streaming_dedup" ->
         "SELECT DISTINCT md5(text) AS h FROM documents WHERE text IS NOT NULL",

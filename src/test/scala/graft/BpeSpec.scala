@@ -64,4 +64,44 @@ class BpeSpec extends SparkSpec {
     assert(lens.keySet === Set("aab", "bba", "ab"))
     lens.foreach { case (w, n) => assert(n >= 1L && n <= w.length.toLong) }
   }
+
+  test("compiled kernel == per-rule SQL fold chain (differential, codegen on AND off)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // adversarial rules: overlapping self-merges, cascades, a rule whose l
+    // is a previously-merged symbol, a never-matching rule
+    val rules = Seq(("a", "a"), ("aa", "b"), ("b", "c"), ("x", "y"), ("aab", "bc"))
+    val words = Seq("aaaaa", "aaab", "aabbc", "aabc", "abcabc", "xyxy", "q", "",
+      "aaaabbcc", "bcbc", "ax", "ya", "aabbcaabbc")
+    val base = words.toDF("word")
+      .select(col("word"),
+        org.apache.spark.sql.functions.expr(
+          "transform(sequence(1, length(word)), i -> substring(word, i, 1))").as("syms"))
+    def viaFold() = rules.foldLeft(base) { (df, r) =>
+      df.selectExpr("word", Bpe.applyMergeExpr(Bpe.Merge(r._1, r._2, 0L)) + " AS syms")
+    }.as[(String, Seq[String])].collect().toMap
+    def viaKernel() = base
+      .select(col("word"), graft.functions.bpe.applyMerges(col("syms"), rules).as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    val fold = viaFold()
+    assert(viaKernel() === fold)
+    // the interpreted eval path must agree with the generated code path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(viaKernel() === fold)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // and the sf0.001 corpus end-to-end: trained merges applied both ways
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+    val merges = Bpe.trainedMerges(docs, dir)
+    val viaF = merges.foldLeft(Bpe.wordTable(docs)) { (df, m) =>
+      df.selectExpr("word", "freq", Bpe.applyMergeExpr(m) + " AS syms")
+    }.selectExpr("word", "syms").as[(String, Seq[String])].collect().toMap
+    val viaK = Bpe.applyMerges(docs, merges)
+      .selectExpr("word", "syms").as[(String, Seq[String])].collect().toMap
+    assert(viaK === viaF)
+  }
 }

@@ -168,4 +168,28 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(res.sortBy(t => (t._2, t._3)).toSeq == again.sortBy(t => (t._2, t._3)).toSeq)
   }
+
+  test("B14b mixture_temperature: integer isqrt weights, driver-recomputed") {
+    import org.apache.spark.sql.functions.col
+    val rows = q("mixture_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val ts = rows.map(_._3).sum
+    rows.foreach { case (lang, nTok, s, wPpm) =>
+      assert(s == math.sqrt(nTok.toDouble).floor.toLong, s"$lang: isqrt($nTok) != $s")
+      assert(wPpm == s * 1000000L / ts, s"$lang: w_ppm mismatch")
+    }
+    // α = 1/2 compresses the spread: the weight ratio between the largest
+    // and smallest language is the sqrt of their token ratio
+    val tokMax = rows.map(_._2).max.toDouble
+    val tokMin = rows.map(_._2).min.toDouble
+    val wMax = rows.map(_._4).max.toDouble
+    val wMin = rows.map(_._4).min.toDouble
+    if (tokMin > 0 && wMin > 0)
+      assert(wMax / wMin < tokMax / tokMin || tokMax == tokMin,
+        "temperature scaling must compress the sampling spread")
+    // weights normalize to ~1e6 (integer-floor slack < #langs)
+    val wSum = rows.map(_._4).sum
+    assert(wSum <= 1000000L && wSum > 1000000L - rows.length)
+  }
 }

@@ -315,4 +315,44 @@ class DedupSpec extends SparkSpec {
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
   }
+
+  test("B35 dedup_semdedup == exact cosine pairs restricted to shared k-means clusters") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    // the entry's own training constants, re-run independently
+    val (cent, qemb) = graft.operators.KMeans.fitInt(e, k = 10, iters = 3)
+    val asg = qemb.select(col("vec_id"),
+        graft.functions.centroids.nearestLong(col("q"), cent).getField("label").as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.embeddingPairs(e, 4500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.queries.DedupQueries.defs("dedup_semdedup")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val expected = exact.filter { case (a, b) => asg(a) == asg(b) }
+    assert(got == expected, s"semdedup pairs ${got.size} != cluster-scoped exact ${expected.size}")
+    // non-vacuity: the sf0.001 corpus has exact near-dup pairs to scope
+    assert(exact.nonEmpty, "no exact cosine pairs at sf0.001 — test is vacuous")
+  }
+
+  test("B36 dedup_span_coverage == independent raw-gram computation") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    // independent path: RAW gram strings (no hashing), explode + two aggs
+    val g = Tables(spark, dir, "documents")
+      .select(col("doc_id"), graft.functions.text.shingles(expr(Dedup.TokExpr), 4).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), explode(col("sh")).as("gram"))
+    val nd = g.groupBy("gram").agg(countDistinct("doc_id").as("nd"))
+    val expected = g.join(nd, "gram").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .selectExpr("doc_id", "n_grams", "n_dup", "(n_dup * 1000000) div n_grams AS cov_ppm")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = graft.queries.DedupQueries.defs("dedup_span_coverage")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected)
+    // non-vacuity: some doc shares a 4-gram with another doc
+    assert(got.values.exists(_._2 > 0), "no cross-doc grams at sf0.001 — test is vacuous")
+  }
 }

@@ -218,6 +218,29 @@ class FusionSpec extends SparkSpec {
       "MMR picks equal the undiversified top-k — no diversification happened")
   }
 
+  test("knn_refine_rerank: reranked scores are the exact quantized L2, recall beats coarse") {
+    val e = Tables(spark, dir, "embeddings")
+    val qz = graft.operators.Pq.quantized(e)
+    val qv = qz.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    val exact = qz.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+      .selectExpr("vec_id", graft.functions.sqDistLongSql("q", "qq") + " AS score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = q("knn_refine_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(got.length == 10)
+    // every returned score IS the exact integer distance (the refine stage
+    // really reranked at full precision, not on the coarse codes)
+    got.foreach { case (id, score) =>
+      val full = qz.filter(col("vec_id") === id).crossJoin(broadcast(qv))
+        .selectExpr(graft.functions.sqDistLongSql("q", "qq")).head.getLong(0)
+      assert(score == full, s"vec $id: reranked score $score != exact $full")
+    }
+    // the R=50 shortlist retains nearly all of the true top-10
+    val overlap = (got.map(_._1).toSet intersect exact.keySet).size
+    assert(overlap >= 8, s"refine recall too low: $overlap/10")
+  }
+
   test("knn_sq8 preserves most of the exact-L2 top-10 (quantization recall)") {
     val e = Tables(spark, dir, "embeddings")
     val exact = Knn.topK(

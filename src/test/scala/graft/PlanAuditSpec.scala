@@ -377,4 +377,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Join"), p.take(2000))
     assert(!p.contains("Exchange"), p.take(2000))
   }
+
+  test("knn_refine_rerank: coarse cut via TakeOrdered, refine joins broadcast") {
+    // the refine contract: the coarse SQ8 scan is the ONLY full corpus
+    // pass (TakeOrderedAndProject cut, no global Sort), and the exact
+    // rerank reaches the corpus through a BroadcastHashJoin on the R ids —
+    // a SortMergeJoin here would shuffle the whole corpus to rerank 50 rows
+    val p = plan("knn_refine_rerank")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("dedup_span_coverage: key-partitioned shuffles only, no broadcast of the gram table") {
+    // both shuffles key on the gram hash / doc id; the gram-df side grows
+    // with the corpus, so it must NOT plan as a broadcast (driver OOM at
+    // scale) and there must be no nested-loop anywhere
+    val p = plan("dedup_span_coverage")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("dedup_semdedup: pair join keys on the cluster id, never cartesian") {
+    val p = plan("dedup_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("mixture_temperature: one aggregate over the scan + broadcast scalar") {
+    val p = plan("mixture_temperature")
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
 }

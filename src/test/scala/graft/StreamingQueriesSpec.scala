@@ -134,4 +134,19 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming_bpe_tokens equals the batch per-source aggregate (same dictionary)") {
+    val streamed = run("streaming_bpe_tokens").collect().toSet
+    val docs = Tables(spark, dir, "documents")
+    val wl = graft.operators.Bpe.wordSymLens(docs, dir)
+    val batch = graft.streaming.TokenStream.tokenTotals(docs, wl)
+      .select(col("source"), col("n_ws"), col("n_bpe"))
+      .collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    // every word encodes to ≥1 symbol, so n_bpe ≥ n_ws by construction
+    streamed.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1), s"source ${r.getString(0)}: n_bpe < n_ws")
+    }
+  }
 }
