@@ -150,6 +150,107 @@ object Pq {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** A42: residual IVF-PQ search — the real FAISS IVFPQ encoding (Jégou et
+    * al. 2011 §IV-A): vectors PQ-encode their RESIDUAL against the coarse
+    * (cluster) centroid rather than the raw vector — the residual
+    * distribution is far tighter than the raw one, so the same code budget
+    * quantizes finer (A24 `knn_ivfpq` is the direct-encode baseline).
+    *
+    * INTEGER-EXACT throughout: quantized components, the KMeans.fitInt
+    * floor-mean centroid arithmetic, integer squared L2 for the probe,
+    * encode argmin, per-cluster ADC and the final rerank — so the whole
+    * composition (centroids → probe → residual seeds → encode →
+    * per-cluster ADC → shortlist → exact rerank) replays in DuckDB.
+    *
+    * Scale shape: centroids + residual codebook are k·d / K·M·d model
+    * state (driver-held, literal-embedded — the KMeans contract). The
+    * probed members' encode is one narrow codegen'd kernel projection; the
+    * ADC is a per-label literal lookup (one CASE arm per probed cluster);
+    * shortlist via TakeOrdered; the exact rerank touches `shortlist` rows.
+    * At 100 TB codes pre-exist from ingest and the probe prunes the code
+    * scan to ~nProbe/k of the corpus — the residual transform changes
+    * WHAT is encoded, not the scan shape. */
+  def ivfpqResidual(emb: DataFrame, qid: Int, k: Int, numSub: Int, subDim: Int,
+                    numCodes: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = numSub * subDim
+    val qe = emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+      graft.functions.quantizeVecSql("embedding") + " AS q")
+    // coarse centroids: integer floor-mean per label, over the FULL corpus
+    // (index-build state — the query row is part of the ingested index)
+    val cent: Map[Long, Array[Long]] = qe.groupBy("label")
+      .agg(graft.functions.aggs.vecSumLong(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .selectExpr("label", graft.functions.floorMeanVecSql("s", "cnt") + " AS cent")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qv = qe.filter(col("vec_id") === qid).select("q").head.getSeq[Long](0).toArray
+    def sqdFull(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // probe: nProbe nearest centroids, ties to the lower label
+    val probed: Seq[Long] = cent.toSeq
+      .map { case (l, c) => (l, sqdFull(c, qv)) }
+      .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
+    // residual codebook: codes 0..K-1 = residuals of the K lowest-id
+    // vectors (the seededCodebook convention, residual-transformed)
+    val seedRows = qe.filter(col("vec_id") < numCodes)
+      .select("vec_id", "label", "q").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Long](2).toArray
+        val c = cent(r.getLong(1))
+        (r.getLong(0), Array.tabulate(dims)(i => v(i) - c(i)))
+      }
+    require(seedRows.map(_._1).toSeq == (0L until numCodes.toLong),
+      s"ivfpqResidual: seed ids not dense 0..${numCodes - 1} — " +
+        "the literal ADC lookup indexes by code; re-densify vec_id first")
+    val cb: Seq[(Int, Long, Array[Long])] =
+      for { m <- 0 until numSub; (code, rv) <- seedRows.toSeq }
+        yield (m, code, rv.slice(m * subDim, (m + 1) * subDim))
+    // probed members, residual-transformed (broadcast centroid join + one
+    // narrow zip_with over nProbe/k of the corpus)
+    val centDf = cent.toSeq.map { case (l, c) => (l, c.toSeq) }.toDF("label", "cent")
+    val members = qe.filter(col("label").isin(probed: _*) && col("vec_id") =!= qid)
+      .join(broadcast(centDf), "label")
+      .selectExpr("vec_id", "label", "q", "zip_with(q, cent, (a, b) -> a - b) AS r")
+    // encode: nearest residual codeword per subspace (codegen'd kernel,
+    // ties to the lowest code — matching the oracle's min-join)
+    val codeCols = (0 until numSub).map { m =>
+      val table = cb.filter(_._1 == m).map { case (_, c, cw) => (c, cw) }
+      graft.functions.centroids.nearestLong(
+        expr(s"slice(r, ${m * subDim + 1}, $subDim)"), table)
+        .getField("label").as(s"code_$m")
+    }
+    val codes = members.select(Seq(col("vec_id"), col("label"), col("q")) ++ codeCols: _*)
+    // per-cluster ADC: td(label, m, code) = ||(q − cent_label)_sub − cw||²,
+    // embedded as literal arrays behind one CASE arm per probed cluster
+    val adcByLabel: Map[Long, IndexedSeq[IndexedSeq[Long]]] = probed.map { l =>
+      val qr = Array.tabulate(dims)(i => qv(i) - cent(l)(i))
+      l -> (0 until numSub).map { m =>
+        cb.filter(_._1 == m).sortBy(_._2).map { case (_, _, cw) =>
+          var acc = 0L; var j = 0
+          while (j < subDim) { val d = qr(m * subDim + j) - cw(j); acc += d * d; j += 1 }
+          acc
+        }.toIndexedSeq
+      }.toIndexedSeq
+    }.toMap
+    def adistFor(l: Long): String = (0 until numSub).map { m =>
+      val tds = adcByLabel(l)(m).map(v => s"${v}L").mkString(", ")
+      s"element_at(array($tds), CAST(code_$m AS INT) + 1)"
+    }.mkString(" + ")
+    val whens = probed.init.map(l => s"WHEN label = ${l}L THEN (${adistFor(l)})").mkString(" ")
+    val caseExpr =
+      if (probed.size == 1) adistFor(probed.head)
+      else s"CASE $whens ELSE (${adistFor(probed.last)}) END"
+    val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+    codes.selectExpr("vec_id", "q", s"CAST($caseExpr AS BIGINT) AS adist")
+      .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
+      .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
   /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
   def seededCodebook(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int): DataFrame =
     emb.filter(col("vec_id") < numCodes)

@@ -379,6 +379,14 @@ object FusionQueries {
         .limit(10)
     }),
 
+    // A42: residual IVF-PQ — the real FAISS IVFPQ encoding (Jégou et al.
+    // 2011 §IV-A): PQ codes quantize the residual against the coarse
+    // centroid, not the raw vector (A24 is the direct-encode baseline).
+    // Integer-exact end-to-end; see operators.Pq.ivfpqResidual.
+    "knn_ivfpq_residual" -> ((s, dir) =>
+      Pq.ivfpqResidual(Tables(s, dir, "embeddings"), qid = 0, k = 10,
+        numSub = 8, subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100)),
+
     // A41: two-stage refine/rerank — the published coarse-then-refine
     // composition (FAISS's IndexRefineFlat; reference README §4 pairs the
     // compressed scan with an exact re-check the same way): the 1-byte-per-
@@ -655,6 +663,50 @@ object FusionQueries {
          |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
          |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
          |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // A42: the full residual-IVFPQ composition in integer CTEs — floor-mean
+    // centroids, probe, residual transform, seeded residual codebook,
+    // argmin encode, per-cluster ADC, shortlist, exact rerank
+    "knn_ivfpq_residual" -> {
+      def sqd8(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def sqd64(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      s"""WITH qe AS (SELECT vec_id, CAST(label AS BIGINT) AS label, $qz AS q FROM embeddings),
+         |cent AS (SELECT label, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent FROM (
+         |    SELECT label, d.dim AS dim, sum(q[d.dim + 1]) AS s, count(*) AS cnt
+         |    FROM qe CROSS JOIN range(64) d(dim) GROUP BY label, d.dim) GROUP BY label),
+         |qq AS (SELECT q FROM qe WHERE vec_id = 0),
+         |probes AS (SELECT label FROM (
+         |  SELECT c.label, row_number() OVER (ORDER BY ${sqd64("c.cent", "q.q")} ASC, c.label ASC) AS rn
+         |  FROM cent c CROSS JOIN qq q) WHERE rn <= 2),
+         |res AS (SELECT e.vec_id, e.label,
+         |  list_transform(range(1, 65), i -> e.q[i] - c.cent[i]) AS r, e.q AS q
+         |  FROM qe e JOIN cent c USING (label)),
+         |cb AS (SELECT m.m AS m, s.vec_id AS code, s.r[m.m*8+1 : m.m*8+8] AS cw
+         |  FROM res s, (SELECT unnest(range(8)) AS m) m WHERE s.vec_id < 16),
+         |body AS (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN probes USING (label)
+         |  WHERE b.vec_id <> 0),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  ${sqd8("(b.r[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |  GROUP BY 1, 2),
+         |qres AS (SELECT p.label, list_transform(range(1, 65), i -> q.q[i] - c.cent[i]) AS qr
+         |  FROM probes p JOIN cent c USING (label) CROSS JOIN qq q),
+         |adc AS (SELECT qr.label, cb.m, cb.code, ${sqd8("(qr.qr[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS td
+         |  FROM cb CROSS JOIN qres qr),
+         |short AS (SELECT enc.vec_id FROM enc
+         |  JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
+         |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
+         |  GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)
+         |SELECT b.vec_id, ${sqd64("b.q", "q2.q")} AS score
+         |FROM body b JOIN short USING (vec_id) CROSS JOIN qq q2
+         |ORDER BY score ASC, b.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // A41: the same SQ8 coarse CTE feeding the top-R cut, then the exact
     // quantized-integer rerank over the candidate ids only

@@ -218,6 +218,44 @@ class FusionSpec extends SparkSpec {
       "MMR picks equal the undiversified top-k — no diversification happened")
   }
 
+  test("knn_ivfpq_residual: exact reranked scores, probed-cluster recall holds") {
+    val e = Tables(spark, dir, "embeddings")
+    val qz = graft.operators.Pq.quantized(e)
+    val qv = qz.filter(col("vec_id") === 0).select(col("q").as("qq"))
+    val got = q("knn_ivfpq_residual").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 10)
+    // the rerank stage really reranked at full (quantized) precision
+    got.foreach { case (id, score) =>
+      val full = qz.filter(col("vec_id") === id).crossJoin(broadcast(qv))
+        .selectExpr(graft.functions.sqDistLongSql("q", "qq")).head.getLong(0)
+      assert(score == full, s"vec $id: reranked score $score != exact $full")
+    }
+    // recall measured WITHIN the probed clusters (PQ quality; the probe
+    // trade itself is characterized by recall_probe_sweep): replicate the
+    // integer floor-mean centroid probe, then brute-force the members
+    val qe = e.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+      graft.functions.quantizeVecSql("embedding") + " AS q")
+    val cent = qe.groupBy("label")
+      .agg(graft.functions.aggs.vecSumLong(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .selectExpr("label", graft.functions.floorMeanVecSql("s", "cnt") + " AS cent")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qvec = qz.filter(col("vec_id") === 0).select("q").head.getSeq[Long](0).toArray
+    def sqd(a: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - qvec(i); acc += d * d; i += 1 }
+      acc
+    }
+    val probed = cent.toSeq.map { case (l, c) => (l, sqd(c)) }
+      .sortBy { case (l, d) => (d, l) }.take(2).map(_._1)
+    val probedExact = qe.filter(col("label").isin(probed: _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .selectExpr("vec_id", graft.functions.sqDistLongSql("q", "qq") + " AS s")
+      .orderBy(col("s").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = (got.map(_._1).toSet intersect probedExact).size
+    assert(overlap >= 8, s"residual-PQ probed recall too low: $overlap/10")
+  }
+
   test("knn_refine_rerank: reranked scores are the exact quantized L2, recall beats coarse") {
     val e = Tables(spark, dir, "embeddings")
     val qz = graft.operators.Pq.quantized(e)
