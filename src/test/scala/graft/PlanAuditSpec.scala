@@ -389,6 +389,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("knn_ivfpq_residual: literal ADC (no join), broadcast residual transform, TakeOrdered") {
+    // the codebook/ADC must be literal-embedded model state: the only join
+    // in the scan path is the broadcast centroid join for the residual
+    // transform; shortlist and rerank cut via TakeOrdered, never a sort
+    val p = plan("knn_ivfpq_residual")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("dedup_span_coverage: key-partitioned shuffles only, no broadcast of the gram table") {
     // both shuffles key on the gram hash / doc id; the gram-df side grows
     // with the corpus, so it must NOT plan as a broadcast (driver OOM at
