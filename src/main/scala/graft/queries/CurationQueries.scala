@@ -37,9 +37,11 @@ object CurationQueries {
   private val VocabTopK = 20
 
   /** B15: minimum shared (hashed, per-doc-distinct) 3-gram shingles with the
-    * benchmark split before a training doc is flagged as contaminated. */
-  private val MinSharedShingles = 5
-  private val BenchmarkSource = "src0"
+    * benchmark split before a training doc is flagged as contaminated.
+    * private[queries]: C63 `streaming_decontaminate` runs the SAME gate as
+    * a stream and must share the constants (and the oracle). */
+  private[queries] val MinSharedShingles = 5
+  private[queries] val BenchmarkSource = "src0"
 
   /** B21: quality-gate threshold (score ∈ [0, 10⁴]; ~median of the corpus)
     * and the per-source quota of the final sampling stage. */

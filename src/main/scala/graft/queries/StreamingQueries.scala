@@ -162,6 +162,34 @@ object StreamingQueries {
           col("segment"), col("n"))
     }),
 
+    // C63: benchmark decontamination AS a stream — the live contamination
+    // guard at the ingest edge (B15's batch backstop, the dedup_incremental
+    // lambda contract): the benchmark's distinct shingle-hash set is
+    // BOUNDED model state, sorted once on the driver and shipped as a
+    // codegen reference object; each arriving doc's per-doc-distinct
+    // 3-gram hashes are membership-counted ROW-LOCALLY by the
+    // CountInSortedSet kernel (O(k log n), inside WholeStageCodegen), so
+    // the plan is a stateless narrow append-mode map — no join state, no
+    // aggregation state, at any ingest volume. Same constants and the
+    // SAME oracle as batch B15.
+    "streaming_decontaminate" -> ((s, dir) => {
+      val bench: Array[Long] = graft.operators.Dedup
+        .shingledExploded(Tables(s, dir, "documents")
+          .filter(col("source") === CurationQueries.BenchmarkSource))
+        .selectExpr(graft.operators.Dedup.hashExpr("g") + " AS g").distinct()
+        .collect().map(_.getLong(0))
+      val flagged = readStreamTable(s, dir, "documents")
+        .filter(col("source") =!= CurationQueries.BenchmarkSource)
+        .select(col("doc_id"),
+          graft.functions.text.shingles(expr(graft.operators.Dedup.TokExpr), 3).as("sh"))
+        .selectExpr("doc_id",
+          s"transform(array_distinct(sh), g -> ${graft.operators.Dedup.hashExpr("g")}) AS hs")
+        .select(col("doc_id"),
+          graft.functions.sets.countIn(col("hs"), bench).as("n_shared"))
+        .filter(col("n_shared") >= CurationQueries.MinSharedShingles)
+      runToTable(s, flagged, "sq_decontam", "append")
+    }),
+
     // C62: trained-BPE token accounting AS a stream — the live "tokens
     // ingested per source" meter: arriving docs explode to words (narrow),
     // stream-static-join the batch-trained dictionary (stateless broadcast
@@ -384,6 +412,10 @@ object StreamingQueries {
            |  CAST(bucket AS BIGINT) AS bucket,
            |  CAST(max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS BIGINT) AS rho
            |FROM b GROUP BY 1, 2, 3""".stripMargin,
+
+      // C63 runs B15's exact gate as a stream — the oracle IS B15's
+      // (shared constants, shared hash, shared threshold)
+      "streaming_decontaminate" -> CurationQueries.oracle("decontaminate"),
 
       // stream state ≡ the batch per-source aggregate over the SAME
       // trained dictionary (the bpe_encode oracle's wl CTE, re-keyed)

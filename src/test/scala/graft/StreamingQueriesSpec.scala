@@ -135,6 +135,38 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_decontaminate equals batch decontaminate (same gate, kernel path)") {
+    val streamed = run("streaming_decontaminate").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.queries.CurationQueries.defs("decontaminate")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
+  test("CountInSortedSet kernel: interpreted eval == codegen, boundary membership") {
+    import spark.implicits._
+    val set = Array(3L, 7L, 100L, Long.MaxValue)
+    val df = Seq(
+      (1L, Seq(3L, 7L, 100L, Long.MaxValue)), // all present
+      (2L, Seq(1L, 2L, 4L, 99L, 101L)),       // none
+      (3L, Seq(7L, 7L, 7L)),                  // duplicates each counted
+      (4L, Seq.empty[Long]),
+      (5L, Seq(Long.MinValue, 0L, 3L))
+    ).toDF("id", "xs")
+    def run() = df.select($"id", graft.functions.sets.countIn($"xs", set).as("n"))
+      .as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 4L, 2L -> 0L, 3L -> 3L, 4L -> 0L, 5L -> 1L)
+    assert(run() == expect)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try assert(run() == expect)
+    finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
   test("streaming_bpe_tokens equals the batch per-source aggregate (same dictionary)") {
     val streamed = run("streaming_bpe_tokens").collect().toSet
     val docs = Tables(spark, dir, "documents")
