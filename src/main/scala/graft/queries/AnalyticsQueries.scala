@@ -35,6 +35,11 @@ object AnalyticsQueries {
 
   private val EventTypes = Seq("click", "view", "purchase", "signup", "error")
 
+  /** C64/C65: KMV sketch size — K smallest distinct hashes per group;
+    * standard error ≈ 1/√K ≈ 12.5% at 64, enough for the est-vs-exact
+    * report while the per-group synopsis stays broadcast-trivial. */
+  private val KmvK = 64
+
   /** HLL precision: p=8 → m=256 buckets; hash is the shared 60-bit md5, so
     * the bucket takes 8 bits and the rho word w the remaining 52 (rho ∈
     * [1, 53], with empty-word rho = 53). alpha_256 = 0.7213/(1+1.079/256),
@@ -392,6 +397,77 @@ object AnalyticsQueries {
       graft.operators.Hll.estimate(sketch, Seq("event_type"))
         .join(exact, "event_type")
         .select("event_type", "est", "n_exact")
+    }),
+
+    // C64: KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
+    // member of the sketch family (Bar-Yossef et al. 2002; Beyer et al.
+    // 2007): per event type, keep the K smallest distinct 60-bit user
+    // hashes; the K-th smallest U_K estimates the distinct-user count as
+    // (K−1)·2⁶⁰/U_K. Unlike HLL (C24) the KMV synopsis supports SET
+    // OPERATIONS (C65 builds audience-overlap Jaccard from these same
+    // sketches). Tri-scale exercises BOTH branches: 15 users/type at
+    // sf0.001 (n_sk < K exact path), 150/1500 above (estimator path).
+    // Shape at 100 TB: one distinct shuffle on (group, hash), then the
+    // TopKHits k-bounded heap partial-aggregates map-side — ≤K rows per
+    // group cross the second shuffle. Estimator arithmetic: one int→double
+    // conversion + one division + floor, identical IEEE ops both engines.
+    "kmv_distinct_est" -> ((s, dir) => {
+      val h = events(s, dir)
+        .selectExpr("event_type",
+          s"${Dedup.hashExpr("concat('kmv', CAST(user_id AS STRING))")} AS h")
+        .distinct()
+      val sk = h.groupBy("event_type")
+        .agg(graft.functions.aggs.topK(col("h"), col("h"), KmvK, asc = true).as("hits"))
+        .selectExpr("event_type", "CAST(size(hits) AS BIGINT) AS n_sk",
+          "array_max(transform(hits, x -> x.score)) AS kth")
+      val exact = h.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      sk.join(exact, "event_type")
+        .selectExpr("event_type", "n_sk", "kth",
+          s"""CASE WHEN n_sk < $KmvK THEN n_sk
+             | ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0D
+             |   / CAST(kth AS DOUBLE), 9.0e18D)) AS BIGINT) END AS est""".stripMargin,
+          "n_exact")
+    }),
+
+    // C65: KMV set-operation estimate — pairwise audience-overlap Jaccard
+    // between event types from the C64 sketches (Beyer et al. 2007 §4):
+    // the combined sketch is the K smallest of the union;
+    // ρ = |combined ∩ A_sk ∩ B_sk| / |combined| estimates J(A,B). The
+    // whole pair computation runs on ≤K-element arrays per group (bounded
+    // — event_type is a dimension), with the exact pairwise Jaccard joined
+    // alongside (the dedup_minhash_est est-vs-exact reporting pattern).
+    // At 100 TB the sketches are the only thing that moves — the hash
+    // scan never pairs.
+    "kmv_jaccard_est" -> ((s, dir) => {
+      val h = events(s, dir)
+        .selectExpr("event_type",
+          s"${Dedup.hashExpr("concat('kmv', CAST(user_id AS STRING))")} AS h")
+        .distinct()
+      val sk = h.groupBy("event_type")
+        .agg(graft.functions.aggs.topK(col("h"), col("h"), KmvK, asc = true).as("hits"))
+        .selectExpr("event_type", "transform(hits, x -> x.score) AS hs",
+          "CAST(size(hits) AS BIGINT) AS n_sk")
+      val pairs = sk.selectExpr("event_type AS sa", "hs AS ha")
+        .join(sk.selectExpr("event_type AS sb", "hs AS hb"), expr("sa < sb"))
+        .selectExpr("sa", "sb",
+          s"slice(array_sort(array_union(ha, hb)), 1, $KmvK) AS comb", "ha", "hb")
+        .selectExpr("sa", "sb", "CAST(size(comb) AS BIGINT) AS n_comb",
+          "CAST(size(filter(comb, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT) AS n_shared")
+        .selectExpr("sa", "sb", "n_comb", "n_shared",
+          "(n_shared * 1000000) div n_comb AS j_est_ppm")
+      val cnt = h.groupBy("event_type").agg(count(lit(1)).as("n"))
+      val inter = h.selectExpr("event_type AS sa", "h")
+        .join(h.selectExpr("event_type AS sb", "h"), Seq("h"))
+        .filter(col("sa") < col("sb"))
+        .groupBy("sa", "sb").agg(count(lit(1)).as("ni"))
+      pairs
+        .join(cnt.selectExpr("event_type AS sa", "n AS na"), "sa")
+        .join(cnt.selectExpr("event_type AS sb", "n AS nb"), "sb")
+        .join(inter, Seq("sa", "sb"), "left")
+        .selectExpr("sa", "sb", "n_comb", "n_shared", "j_est_ppm",
+          "coalesce(ni, CAST(0 AS BIGINT)) AS ni2", "na", "nb")
+        .selectExpr("sa", "sb", "n_comb", "n_shared", "j_est_ppm",
+          "(ni2 * 1000000) div (na + nb - ni2) AS j_exact_ppm")
     }),
 
     // C48: session path mining — per session, the ordered event-type path
@@ -863,6 +939,44 @@ object AnalyticsQueries {
         |filled AS (SELECT user_id, unnest(generate_series(mn, mx)) AS d FROM span)
         |SELECT f.user_id, f.d, coalesce(dy.n, 0) AS n
         |FROM filled f LEFT JOIN daily dy USING (user_id, d)""".stripMargin,
+
+    // C64: per-source K smallest distinct hashes via row_number, the same
+    // (K−1)·2⁶⁰/U_K estimator with identical IEEE ops
+    "kmv_distinct_est" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |  ${DuckDialect.hash("'kmv'||CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sk, CAST(max(h) AS BIGINT) AS kth
+         |  FROM rk WHERE rn <= $KmvK GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_exact FROM h GROUP BY event_type)
+         |SELECT event_type, n_sk, kth,
+         |  CASE WHEN n_sk < $KmvK THEN n_sk
+         |   ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0
+         |     / CAST(kth AS DOUBLE), 9.0e18)) AS BIGINT) END AS est, n_exact
+         |FROM sk JOIN ex USING (event_type)""".stripMargin,
+
+    // C65: combined-sketch Jaccard over ≤K-element lists + the exact
+    // pairwise Jaccard from the same distinct-hash relation
+    "kmv_jaccard_est" ->
+      s"""WITH h AS (SELECT DISTINCT event_type,
+         |  ${DuckDialect.hash("'kmv'||CAST(user_id AS VARCHAR)")} AS h FROM events),
+         |rk AS (SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+         |sk AS (SELECT event_type, list(h ORDER BY h) AS hs FROM rk WHERE rn <= $KmvK GROUP BY event_type),
+         |pr AS (SELECT a.event_type AS sa, b.event_type AS sb,
+         |    list_sort(list_distinct(a.hs || b.hs))[1 : $KmvK] AS comb, a.hs AS ha, b.hs AS hb
+         |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+         |est AS (SELECT sa, sb, CAST(len(comb) AS BIGINT) AS n_comb,
+         |    CAST(len(list_filter(comb, x -> list_contains(ha, x) AND list_contains(hb, x))) AS BIGINT) AS n_shared
+         |  FROM pr),
+         |cnt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM h GROUP BY event_type),
+         |itr AS (SELECT a.event_type AS sa, b.event_type AS sb, CAST(count(*) AS BIGINT) AS ni
+         |  FROM h a JOIN h b ON a.h = b.h AND a.event_type < b.event_type GROUP BY 1, 2)
+         |SELECT e.sa, e.sb, e.n_comb, e.n_shared,
+         |  (e.n_shared * 1000000) // e.n_comb AS j_est_ppm,
+         |  (coalesce(i.ni, 0) * 1000000) // (ca.n + cb.n - coalesce(i.ni, 0)) AS j_exact_ppm
+         |FROM est e
+         |JOIN cnt ca ON ca.event_type = e.sa JOIN cnt cb ON cb.event_type = e.sb
+         |LEFT JOIN itr i ON i.sa = e.sa AND i.sb = e.sb""".stripMargin,
 
     "approx_distinct_hll" ->
       s"""WITH h AS (SELECT event_type,

@@ -286,4 +286,28 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("event_type") === "view").select("user_id").distinct().count()
     assert(ns(0) == viewUsers)
   }
+
+  test("C64/C65 KMV: exact below K, estimator within 1/sqrt(K) error band above") {
+    // sf0.001: 15 users/type < K=64 → the exact branch, est == n_exact
+    q("kmv_distinct_est").collect().foreach { r =>
+      assert(r.getLong(1) < 64, "expected the sub-K branch at sf0.001")
+      assert(r.getLong(3) == r.getLong(4), s"${r.getString(0)}: sub-K est must be exact")
+    }
+    // sf0.01: 150 users/type > K → the order-statistics estimator; KMV
+    // standard error is 1/√(K−2) ≈ 12.7%, assert within 4σ
+    AnalyticsQueries.defs("kmv_distinct_est")(spark, "/root/testdata/sf0.01")
+      .collect().foreach { r =>
+        assert(r.getLong(1) == 64)
+        val est = r.getLong(3).toDouble; val ex = r.getLong(4).toDouble
+        assert(math.abs(est - ex) / ex < 0.51, s"${r.getString(0)}: est $est vs exact $ex")
+      }
+    // audience Jaccard: all 10 type pairs present; estimate within an
+    // additive 4σ band of the exact ppm value
+    val j = AnalyticsQueries.defs("kmv_jaccard_est")(spark, "/root/testdata/sf0.01").collect()
+    assert(j.length == 10)
+    j.foreach { r =>
+      assert(math.abs(r.getLong(4) - r.getLong(5)) <= 510000,
+        s"${r.getString(0)}-${r.getString(1)}: est ${r.getLong(4)} vs exact ${r.getLong(5)}")
+    }
+  }
 }
