@@ -220,6 +220,21 @@ object ScaleProbe {
           .groupBy("lang_k", "bin").agg(count(lit(1)).as("cnt")).count()),
       // passage-level dedup: narrow HOF chunking, one 8-byte-key shuffle
       time("passage_dedup")(Dedup.passageDups(d, chunkTokens = 4).count()),
+      // trained-BPE apply at the dictionary-encode scale: nDocs DISTINCT
+      // words (≈9–11 chars), an 8-rule cascade-heavy merge table in ONE
+      // compiled BpeApplyMerges pass — the r7 hot-spot fix's throughput
+      // probe (the interpreted fold chain it replaced pinned one core for
+      // >100 min on 1/10 this word count)
+      time("bpe_apply_kernel") {
+        val rules = Seq(("w", "1"), ("w1", "2"), ("1", "0"), ("0", "0"),
+          ("2", "3"), ("w", "9"), ("9", "9"), ("w19", "0"))
+        spark.range(nDocs).selectExpr(
+            "concat('w', CAST(1000000000 + pmod(xxhash64(id), 1000000000) AS STRING)) AS word")
+          .selectExpr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
+          .select(graft.functions.bpe.applyMerges(col("syms"), rules).as("s"))
+          .selectExpr("sum(size(s))").collect()
+      },
       // z-order write of the full corpus: narrow Morton map + range
       // exchange + in-partition sort — the layout cost a 2-D-box workload
       // amortizes

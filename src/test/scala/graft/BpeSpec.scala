@@ -70,9 +70,12 @@ class BpeSpec extends SparkSpec {
     import spark.implicits._
     // adversarial rules: overlapping self-merges, cascades, a rule whose l
     // is a previously-merged symbol, a never-matching rule
-    val rules = Seq(("a", "a"), ("aa", "b"), ("b", "c"), ("x", "y"), ("aab", "bc"))
+    val rules = Seq(("a", "a"), ("aa", "b"), ("b", "c"), ("x", "y"), ("aab", "bc"),
+      // multi-byte symbols: UTF8String equality/concat must agree with the
+      // SQL fold's string ops on non-ASCII characters
+      ("é", "中"), ("é中", "a"))
     val words = Seq("aaaaa", "aaab", "aabbc", "aabc", "abcabc", "xyxy", "q", "",
-      "aaaabbcc", "bcbc", "ax", "ya", "aabbcaabbc")
+      "aaaabbcc", "bcbc", "ax", "ya", "aabbcaabbc", "é中a", "éé中中", "aé中")
     val base = words.toDF("word")
       .select(col("word"),
         org.apache.spark.sql.functions.expr(
