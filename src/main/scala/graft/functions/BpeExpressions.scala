@@ -29,12 +29,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * merged symbol cannot immediately re-serve as the same rule's `l`
   * (l||r != l — the fold's greedy non-overlap), and later rules see
   * merged symbols as single units (the cascade contract).
+  *
+  * The bit-equal-to-the-oracle claim assumes no symbol contains the
+  * 0x1D–0x1F control bytes the oracle's joined-string folds use as
+  * separators — guaranteed upstream by `operators.Bpe.wordTable`'s
+  * WordGuardExpr filter (mirrored in the oracle's w0 CTE), not here:
+  * the kernel itself is separator-free and correct for any symbols.
   */
 case class BpeApplyMerges(child: Expression, rules: Seq[(String, String)])
     extends UnaryExpression {
 
   override def prettyName: String = "bpe_apply_merges"
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  /** output nullability mirrors the input's (r7 ADVICE): a null element
+    * passes through untouched (it can never match a rule side), so the
+    * result contains nulls exactly when the input may. */
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, cn) => ArrayType(StringType, containsNull = cn)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -54,7 +67,10 @@ case class BpeApplyMerges(child: Expression, rules: Seq[(String, String)])
     val n = syms.numElements()
     val cur = new Array[UTF8String](n)
     var i = 0
-    while (i < n) { cur(i) = syms.getUTF8String(i); i += 1 }
+    while (i < n) {
+      cur(i) = if (syms.isNullAt(i)) null else syms.getUTF8String(i)
+      i += 1
+    }
     var len = n
     var k = 0
     while (k < lArr.length) {
@@ -63,7 +79,9 @@ case class BpeApplyMerges(child: Expression, rules: Seq[(String, String)])
       var j = 0
       while (j < len) {
         val s = cur(j)
-        if (w > 0 && cur(w - 1).equals(l) && s.equals(r)) cur(w - 1) = m
+        // null elements never match a rule side (r7 ADVICE NPE guard)
+        if (w > 0 && s != null && cur(w - 1) != null &&
+          cur(w - 1).equals(l) && s.equals(r)) cur(w - 1) = m
         else { cur(w) = s; w += 1 }
         j += 1
       }
@@ -90,13 +108,16 @@ case class BpeApplyMerges(child: Expression, rules: Seq[(String, String)])
       s"""
          |int $n = $v.numElements();
          |$u8[] $cur = new $u8[$n];
-         |for (int $i = 0; $i < $n; $i++) { $cur[$i] = $v.getUTF8String($i); }
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $cur[$i] = $v.isNullAt($i) ? null : $v.getUTF8String($i);
+         |}
          |int $len = $n;
          |for (int $k = 0; $k < ${rules.length}; $k++) {
          |  int $w = 0;
          |  for (int $j = 0; $j < $len; $j++) {
          |    $u8 $s = $cur[$j];
-         |    if ($w > 0 && $cur[$w - 1].equals($ls[$k]) && $s.equals($rs[$k])) {
+         |    if ($w > 0 && $s != null && $cur[$w - 1] != null
+         |        && $cur[$w - 1].equals($ls[$k]) && $s.equals($rs[$k])) {
          |      $cur[$w - 1] = $ms[$k];
          |    } else { $cur[$w] = $s; $w++; }
          |  }

@@ -21,11 +21,14 @@ import org.apache.spark.sql.types._
   * searches each element — O(k log n) per row inside WholeStageCodegen,
   * stateless, so the streaming plan stays a narrow append-mode map.
   */
+/** PRECONDITION: `sortedSet` must be strictly ascending (binary search is
+  * meaningless otherwise). NOT validated here — Catalyst copies/transforms
+  * this node on every plan rewrite (each streaming micro-batch re-plans),
+  * and a constructor-time O(n) scan of a multi-million-entry set would run
+  * per copy (r7 ADVICE). Construct via [[sets.countIn]], which sorts and
+  * dedups once on the driver and so guarantees the invariant. */
 case class CountInSortedSet(child: Expression, sortedSet: Array[Long])
     extends UnaryExpression {
-  require(sortedSet.length <= 1 || (1 until sortedSet.length).forall(i =>
-    sortedSet(i - 1) < sortedSet(i)),
-    "countInSortedSet requires a strictly ascending set")
 
   override def prettyName: String = "count_in_sorted_set"
   override def dataType: DataType = LongType
@@ -68,7 +71,9 @@ case class CountInSortedSet(child: Expression, sortedSet: Array[Long])
 /** Column-level API for model-state set kernels. */
 object sets {
   /** Count of `xs` elements (array<bigint>) present in `set` — `set` is
-    * sorted once on the driver and rides as a codegen reference object. */
+    * sorted + deduped ONCE here on the driver (establishing the kernel's
+    * strictly-ascending precondition) and rides as a codegen reference
+    * object; plan copies share the validated array by reference. */
   def countIn(xs: Column, set: Array[Long]): Column =
     Bridge.column(CountInSortedSet(Bridge.expression(xs), set.sorted.distinct))
 }

@@ -39,11 +39,31 @@ object Bpe {
 
   private def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
 
-  /** Initial symbol table: one row per distinct word, syms = its characters.
+  /** Words containing the BPE control separators are EXCLUDED from the
+    * word table (r7 ADVICE): the DuckDB oracle replays merges through
+    * chr(31)-joined accumulator strings (and the batched-selection fold
+    * adds chr(29)/chr(30) framing), so a corpus token containing one of
+    * those bytes would silently diverge engine from oracle. The identical
+    * filter sits in the oracle's w0 CTE (DuckDialect.bpeChain), keeping
+    * both dialects in lock-step; real text never carries 0x1D–0x1F. */
+  val WordGuardExpr: String =
+    "NOT (contains(word, chr(29)) OR contains(word, chr(30)) OR contains(word, chr(31)))"
+
+  /** The END-OF-WORD marker (Sennrich et al. 2016 §3.2): appended as a
+    * final symbol so merges distinguish word-internal from word-final
+    * contexts ("er" inside a word vs "er" ending one get separate
+    * statistics — real tokenizers need the distinction to re-segment
+    * text reversibly). Plain ASCII, so both dialects handle it verbatim. */
+  val EowMarker = "</w>"
+
+  /** Initial symbol table: one row per distinct word, syms = its characters
+    * (+ the `</w>` end-of-word marker when `eow` — the Sennrich form).
     * `docs` needs a `text` column; tokenization is the corpus-wide
     * whitespace tokenizer (Dedup.TokExpr) shared with every text entry. */
-  def wordTable(docs: DataFrame): DataFrame =
+  def wordTable(docs: DataFrame, eow: Boolean = false): DataFrame = {
+    val marker = if (eow) s" || array('$EowMarker')" else ""
     docs.selectExpr(s"explode(${Dedup.TokExpr}) AS word")
+      .where(WordGuardExpr)
       .groupBy("word").agg(count(lit(1)).as("freq"))
       // explicit word-keyed spread: the distinct-word table is BYTES-tiny
       // but CPU-heavy downstream (per-word merge passes), so AQE's
@@ -52,7 +72,8 @@ object Bpe {
       // coalescing and keeps the fold parallel at any corpus size
       .repartition(docs.sparkSession.sparkContext.defaultParallelism, col("word"))
       .selectExpr("word", "freq",
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
+        s"transform(sequence(1, length(word)), i -> substring(word, i, 1))$marker AS syms")
+  }
 
   /** One merge rule applied to `syms` — the greedy fold (see scaladoc).
     * slice(…, 2, …) + element_at(…, 1) seeds the fold with the first

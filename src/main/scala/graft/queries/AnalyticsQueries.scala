@@ -40,6 +40,37 @@ object AnalyticsQueries {
     * report while the per-group synopsis stays broadcast-trivial. */
   private val KmvK = 64
 
+  /** C65 pair-fan-out cap (r7 verdict "wrong" #3): pairwise Jaccard over D
+    * sketch groups is inherently D·(D−1)/2 pairs — bounded here (5 event
+    * types → 10 pairs) but quadratic in the grouping dimension's
+    * cardinality. The guard makes the 100 TB contract explicit, the repo's
+    * cap-with-triage convention: past the cap the entry REFUSES with the
+    * measured cardinality and the fix (pre-select top-D groups, or raise
+    * the cap deliberately) instead of silently launching a D² nested-loop
+    * join. */
+  private[graft] val KmvPairDimCap = 64
+
+  /** The C65 pair expansion over a (event_type, hs, n_sk) sketch frame,
+    * behind the cardinality guard — split out so the guard is spec-testable
+    * on synthetic over-cap frames (AnalyticsSpec). */
+  private[graft] def kmvPairwiseJaccard(sk: DataFrame): DataFrame = {
+    // the sketch frame is one row per group BY CONSTRUCTION (post-agg), so
+    // counting it is a ≤(cap+1)-row action, not a corpus scan
+    val d = sk.limit(KmvPairDimCap + 1).count()
+    require(d <= KmvPairDimCap,
+      s"kmv_jaccard_est: $d sketch groups exceed KmvPairDimCap=$KmvPairDimCap — " +
+        "pairwise Jaccard is O(D²) in group cardinality; pre-select the top-D " +
+        "groups (e.g. by n_sk/exact count) or raise the cap deliberately")
+    sk.selectExpr("event_type AS sa", "hs AS ha")
+      .join(sk.selectExpr("event_type AS sb", "hs AS hb"), expr("sa < sb"))
+      .selectExpr("sa", "sb",
+        s"slice(array_sort(array_union(ha, hb)), 1, $KmvK) AS comb", "ha", "hb")
+      .selectExpr("sa", "sb", "CAST(size(comb) AS BIGINT) AS n_comb",
+        "CAST(size(filter(comb, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT) AS n_shared")
+      .selectExpr("sa", "sb", "n_comb", "n_shared",
+        "(n_shared * 1000000) div n_comb AS j_est_ppm")
+  }
+
   /** HLL precision: p=8 → m=256 buckets; hash is the shared 60-bit md5, so
     * the bucket takes 8 bits and the rho word w the remaining 52 (rho ∈
     * [1, 53], with empty-word rho = 53). alpha_256 = 0.7213/(1+1.079/256),
@@ -447,14 +478,7 @@ object AnalyticsQueries {
         .agg(graft.functions.aggs.topK(col("h"), col("h"), KmvK, asc = true).as("hits"))
         .selectExpr("event_type", "transform(hits, x -> x.score) AS hs",
           "CAST(size(hits) AS BIGINT) AS n_sk")
-      val pairs = sk.selectExpr("event_type AS sa", "hs AS ha")
-        .join(sk.selectExpr("event_type AS sb", "hs AS hb"), expr("sa < sb"))
-        .selectExpr("sa", "sb",
-          s"slice(array_sort(array_union(ha, hb)), 1, $KmvK) AS comb", "ha", "hb")
-        .selectExpr("sa", "sb", "CAST(size(comb) AS BIGINT) AS n_comb",
-          "CAST(size(filter(comb, x -> array_contains(ha, x) AND array_contains(hb, x))) AS BIGINT) AS n_shared")
-        .selectExpr("sa", "sb", "n_comb", "n_shared",
-          "(n_shared * 1000000) div n_comb AS j_est_ppm")
+      val pairs = kmvPairwiseJaccard(sk)
       val cnt = h.groupBy("event_type").agg(count(lit(1)).as("n"))
       val inter = h.selectExpr("event_type AS sa", "h")
         .join(h.selectExpr("event_type AS sb", "h"), Seq("h"))

@@ -45,7 +45,10 @@ object DuckDialect {
   def bpeChain(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= s"""w0 AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
-              |  FROM (SELECT unnest($Tok) AS word FROM documents) GROUP BY word),
+              |  FROM (SELECT unnest($Tok) AS word FROM documents)
+              |  WHERE NOT (contains(word, chr(29)) OR contains(word, chr(30))
+              |    OR contains(word, chr(31)))
+              |  GROUP BY word),
               |s0 AS (SELECT word, freq,
               |  list_transform(range(1, length(word) + 1),
               |    i -> substring(word, CAST(i AS INT), 1)) AS syms FROM w0)""".stripMargin

@@ -27,10 +27,16 @@ object TokenStream {
     * aggregate regardless of micro-batch boundaries (no distinct
     * aggregates — streaming forbids them, and the meter doesn't need one).
     * Works identically on a stream or a batch frame — the parity contract
-    * every `graft.streaming` transform carries. */
+    * every `graft.streaming` transform carries.
+    *
+    * No broadcast hint on the dictionary join (r7 ADVICE): a hint is
+    * honored at ANY size, which would pin an over-threshold distinct-word
+    * table into executor heap; unhinted, Spark broadcasts while the stats
+    * say it fits and degrades to the key-partitioned stream-static shuffle
+    * join when they don't — the documented 100 TB shape. */
   def tokenTotals(docs: DataFrame, wordLens: DataFrame): DataFrame =
     docs.selectExpr("source", s"explode(${graft.operators.Dedup.TokExpr}) AS word")
-      .join(broadcast(wordLens), Seq("word"))
+      .join(wordLens, Seq("word"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_ws"), sum("n_sym").as("n_bpe"))
 }

@@ -310,4 +310,19 @@ class AnalyticsSpec extends SparkSpec {
         s"${r.getString(0)}-${r.getString(1)}: est ${r.getLong(4)} vs exact ${r.getLong(5)}")
     }
   }
+
+  test("C65 pair fan-out guard refuses over-cap sketch dimensions (cap-with-triage)") {
+    // cap+1 groups → the D² pair expansion must REFUSE, naming the cap
+    val over = (0 to AnalyticsQueries.KmvPairDimCap)
+      .map(i => (s"t$i", Seq(i.toLong), 1L)).toDF("event_type", "hs", "n_sk")
+    val e = intercept[IllegalArgumentException] {
+      AnalyticsQueries.kmvPairwiseJaccard(over).collect()
+    }
+    assert(e.getMessage.contains("KmvPairDimCap"),
+      s"guard message must name the cap knob: ${e.getMessage}")
+    // an in-cap frame passes and produces the full D·(D−1)/2 pair set
+    val ok = (0 until 4).map(i => (s"t$i", Seq(i.toLong), 1L))
+      .toDF("event_type", "hs", "n_sk")
+    assert(AnalyticsQueries.kmvPairwiseJaccard(ok).count() === 6L)
+  }
 }

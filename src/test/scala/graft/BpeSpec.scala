@@ -107,4 +107,30 @@ class BpeSpec extends SparkSpec {
       .selectExpr("word", "syms").as[(String, Seq[String])].collect().toMap
     assert(viaK === viaF)
   }
+
+  test("kernel passes null elements through untouched — no NPE (r7 ADVICE)") {
+    import spark.implicits._
+    val df = spark.createDataFrame(Seq(Tuple1(Seq("a", null, "a", "b"))))
+      .toDF("syms")
+    // null can never match a rule side; a merge across it must not happen
+    val out = df.select(
+        graft.functions.bpe.applyMerges(
+          org.apache.spark.sql.functions.col("syms"), Seq(("a", "b"))).as("s"))
+      .as[Seq[String]].head()
+    assert(out === Seq("a", null, "ab"))
+    // output type mirrors the input's element nullability
+    val dt = df.select(graft.functions.bpe.applyMerges(
+      org.apache.spark.sql.functions.col("syms"), Seq(("a", "b")))).schema.head.dataType
+    assert(dt === org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = true))
+  }
+
+  test("control-separator words are excluded from the word table (oracle lock-step guard)") {
+    val docs = spark.createDataFrame(Seq(
+      (1L, s"ok ok bad${31.toChar}x also${30.toChar}bad and${29.toChar}this"),
+      (2L, "ok fine"))).toDF("doc_id", "text")
+    import spark.implicits._
+    val words = Bpe.wordTable(docs).select("word").as[String].collect().toSet
+    assert(words === Set("ok", "fine"))
+  }
 }
