@@ -235,6 +235,14 @@ object ScaleProbe {
           .select(graft.functions.bpe.applyMerges(col("syms"), rules).as("s"))
           .selectExpr("sum(size(s))").collect()
       },
+      // B34d batched BPE training at probe scale: BatchScans(=8) pair-count
+      // scan jobs over ~nDocs distinct words yield 64+ merges — the
+      // jobs-per-merge probe (sequential training pays 1 job per merge;
+      // batched pays scans/merges ≈ 0.1). The kernel re-applies the full
+      // flat rule list per scan, so this also exercises cascade re-encode
+      // at dictionary scale.
+      time("bpe_train_batched_8scans")(
+        graft.operators.Bpe.trainBatched(d.select("doc_id", "text"))._1.size),
       // z-order write of the full corpus: narrow Morton map + range
       // exchange + in-partition sort — the layout cost a 2-D-box workload
       // amortizes

@@ -118,6 +118,59 @@ object TextQueries {
       mergeRows.unionByName(vocab)
     }),
 
+    // B34d: BATCHED training at production iteration shape (r7 verdict
+    // "next" #1 — one driver-argmax job per merge cannot reach 10⁴-merge
+    // vocabularies): each of 8 scan jobs accepts up to 16 mutually-non-
+    // interacting merges from the top-64 pair pool (operators.Bpe.
+    // trainBatched — ≥80 merges tri-scale from 8 jobs, ~1/10th the jobs
+    // per merge of B34b). The oracle replays EVERYTHING: the pair
+    // recounts, the greedy accepted-only selection (a framed-string
+    // list_reduce fold), and the in-order rule application — so the
+    // batch-selection semantics are cross-engine-pinned, not just the
+    // final vocabulary.
+    "bpe_train_batched" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.trainedBatched(docs(s, dir), dir)
+      val mergeRows = s.createDataFrame(
+          merges.map(m => ("merge", m.scan.toLong, m.idx.toLong, m.l, m.r, m.n))
+            .toIndexedSeq)
+        .toDF("kind", "scan", "i", "l", "r", "n")
+      val vocab = graft.operators.Bpe
+        .applyMergeRules(docs(s, dir), merges.map(m => (m.l, m.r)))
+        .selectExpr("freq", "explode(syms) AS sym")
+        .groupBy("sym").agg(org.apache.spark.sql.functions.sum("freq").as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("n").desc,
+          org.apache.spark.sql.functions.col("sym").asc)
+        .limit(10)
+        .selectExpr("'vocab' AS kind", "CAST(0 AS BIGINT) AS scan",
+          "CAST(0 AS BIGINT) AS i", "sym AS l", "'' AS r", "n")
+      mergeRows.unionByName(vocab)
+    }),
+
+    // B34e: end-of-word-marked training (Sennrich §3.2) — every word's
+    // symbol sequence ends in '</w>', so word-final contexts train their
+    // own merges (('e','</w>') etc. — required for reversible
+    // re-segmentation). Same sequential loop and oracle replay as B34b
+    // over the marked word table; BpeBatchSpec pins the divergence from
+    // the unmarked vocabulary.
+    "bpe_train_eow" -> ((s, dir) => {
+      val merges = graft.operators.Bpe.trainedMergesEow(docs(s, dir), dir)
+      val mergeRows = s.createDataFrame(
+          merges.zipWithIndex.map { case (m, i) =>
+            ("merge", (i + 1).toLong, m.l, m.r, m.n)
+          }.toIndexedSeq)
+        .toDF("kind", "i", "l", "r", "n")
+      val vocab = graft.operators.Bpe
+        .applyMergeRules(docs(s, dir), merges.map(m => (m.l, m.r)), eow = true)
+        .selectExpr("freq", "explode(syms) AS sym")
+        .groupBy("sym").agg(org.apache.spark.sql.functions.sum("freq").as("n"))
+        .orderBy(org.apache.spark.sql.functions.col("n").desc,
+          org.apache.spark.sql.functions.col("sym").asc)
+        .limit(10)
+        .selectExpr("'vocab' AS kind", "CAST(0 AS BIGINT) AS i",
+          "sym AS l", "'' AS r", "n")
+      mergeRows.unionByName(vocab)
+    }),
+
     // B34c: the tokenizer-APPLY path — encode the corpus with the trained
     // merge table at the dictionary-encode shape: the merge chain runs
     // once over DISTINCT words (operators.Bpe.wordSymLens), and the token
@@ -245,6 +298,35 @@ object TextQueries {
   )
 
   val oracle: Map[String, String] = Map(
+    "bpe_train_batched" -> {
+      val (sc, m, c) = (graft.operators.Bpe.BatchScans,
+        graft.operators.Bpe.BatchM, graft.operators.Bpe.BatchC)
+      val mergeSelects = (1 to sc).map(s =>
+        s"""SELECT 'merge' AS kind, CAST($s AS BIGINT) AS scan, m.bi AS i,
+           |  m.l, m.r, p.n FROM m$s m JOIN p$s p USING (l, r)""".stripMargin)
+      s"""WITH ${DuckDialect.bpeBatchChain(sc, m, c)}
+         |${mergeSelects.mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT 'vocab' AS kind, CAST(0 AS BIGINT) AS scan,
+         |  CAST(0 AS BIGINT) AS i, sym AS l, '' AS r, n
+         |FROM (SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(syms) AS sym FROM t${sc}_$m)
+         |  GROUP BY sym ORDER BY n DESC, sym ASC LIMIT 10)""".stripMargin
+    },
+
+    "bpe_train_eow" -> {
+      val iters = graft.operators.Bpe.DefaultIters
+      val mergeSelects = (1 to iters).map(i =>
+        s"SELECT 'merge' AS kind, CAST($i AS BIGINT) AS i, l, r, n FROM m$i")
+      s"""WITH ${DuckDialect.bpeChain(iters, eow = true)}
+         |${mergeSelects.mkString("\nUNION ALL\n")}
+         |UNION ALL
+         |SELECT 'vocab' AS kind, CAST(0 AS BIGINT) AS i, sym AS l, '' AS r, n
+         |FROM (SELECT sym, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, unnest(syms) AS sym FROM s$iters)
+         |  GROUP BY sym ORDER BY n DESC, sym ASC LIMIT 10)""".stripMargin
+    },
+
     "bpe_train" -> {
       val iters = graft.operators.Bpe.DefaultIters
       val mergeSelects = (1 to iters).map(i =>

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.Bpe
+
+/** B34d/B34e — batched BPE training (top-M mutually-non-interacting merges
+  * per scan job) and the end-of-word-marked variant. The driver oracle
+  * replays both end-to-end; these specs pin the STRUCTURAL claims the
+  * oracle can't see: the ≥64-merges-from-8-jobs bar, the non-interaction
+  * invariant inside every accepted batch, batched-vs-sequential agreement
+  * where batching is exact, and the eow divergence. */
+class BpeBatchSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def docs = Tables(spark, dir, "documents")
+
+  test("batched training clears the 64-merge bar in BatchScans scan jobs") {
+    val merges = Bpe.trainedBatched(docs, dir)
+    assert(merges.length >= 64,
+      s"r7 verdict bar: >=64 merges from ${Bpe.BatchScans} scans, got ${merges.length}")
+    // one pair-count job per scan → jobs-per-merge strictly better than
+    // the sequential trainer's 1.0
+    assert(merges.map(_.scan).max <= Bpe.BatchScans)
+    assert(Bpe.BatchScans.toDouble / merges.length < 0.15,
+      s"jobs-per-merge ${Bpe.BatchScans.toDouble / merges.length}")
+    // idx dense 1..k within each scan, rank order preserved
+    merges.groupBy(_.scan).foreach { case (s, ms) =>
+      assert(ms.map(_.idx).sorted == (1 to ms.length),
+        s"scan $s: idx not dense: ${ms.map(_.idx)}")
+    }
+  }
+
+  test("every accepted batch is mutually non-interacting ({l, r, l||r} triples disjoint)") {
+    val merges = Bpe.trainedBatched(docs, dir)
+    merges.groupBy(_.scan).foreach { case (s, ms) =>
+      val triples = ms.sortBy(_.idx).map(m => Set(m.l, m.r, m.l + m.r))
+      for (i <- triples.indices; j <- 0 until i)
+        assert((triples(i) & triples(j)).isEmpty,
+          s"scan $s: batch members $j and $i interact: ${triples(j)} ∩ ${triples(i)}")
+    }
+  }
+
+  test("within a scan, counts follow the sequential trainer's rank order") {
+    // accepted rules are a subsequence of the (n DESC, l, r) candidate
+    // ranking, so counts must be non-increasing within each scan
+    Bpe.trainedBatched(docs, dir).groupBy(_.scan).foreach { case (s, ms) =>
+      val ns = ms.sortBy(_.idx).map(_.n)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"scan $s: counts not ranked: $ns")
+    }
+  }
+
+  test("batch 1 rule 1 equals the sequential trainer's first merge (rank-1 always accepted)") {
+    val seq = Bpe.trainedMerges(docs, dir)
+    val bat = Bpe.trainedBatched(docs, dir)
+    val b1 = bat.find(m => m.scan == 1 && m.idx == 1).get
+    assert((b1.l, b1.r, b1.n) === (seq.head.l, seq.head.r, seq.head.n))
+  }
+
+  test("eow training diverges from unmarked and merges the word-final marker") {
+    val plain = Bpe.trainedMerges(docs, dir).map(m => (m.l, m.r))
+    val eow = Bpe.trainedMergesEow(docs, dir).map(m => (m.l, m.r))
+    assert(plain !== eow, "the marker must change the merge statistics")
+    assert(eow.exists { case (l, r) => r == Bpe.EowMarker || r.endsWith(Bpe.EowMarker) },
+      s"expected a word-final merge in $eow")
+    // the marker never starts a merged symbol's LEFT side before appearing
+    // as a right side (it is word-FINAL: nothing follows it)
+    assert(eow.forall { case (l, _) => !l.startsWith(Bpe.EowMarker) },
+      s"'</w>' can never be followed by another symbol: $eow")
+    // every eow word's symbol sequence still ends with the marker
+    import spark.implicits._
+    val st = Bpe.applyMergeRules(docs, eow, eow = true)
+      .selectExpr("syms").as[Seq[String]].collect()
+    assert(st.forall(s => s.last.endsWith(Bpe.EowMarker)))
+  }
+
+  test("batched final state equals the kernel applied to the flat rule list") {
+    import spark.implicits._
+    val (merges, words) = Bpe.trainBatched(docs)
+    val direct = Bpe.applyMergeRules(docs, merges.map(m => (m.l, m.r)))
+      .selectExpr("word", "syms").as[(String, Seq[String])].collect().toMap
+    val trained = words.selectExpr("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(trained === direct)
+  }
+}
