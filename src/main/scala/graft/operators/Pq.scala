@@ -374,4 +374,78 @@ object Pq {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
       .select("vec_id", "score")
   }
+
+  /** BATCHED PQ search (r7 verdict "next" #2): the reference's main loop is
+    * per-query over a query FILE, and the compressed path must amortize
+    * the way the exact/HNSW batch entries (A12/A35f) do — ONE code scan
+    * serving every query. Encoding runs ONCE over the whole corpus (in
+    * production the codes pre-exist from ingest; here the one encode pass
+    * is the honest build cost); each query contributes only a literal
+    * 512-entry ADC table to the projection. The scan then computes |Q|
+    * adist columns per row, stacks them to (q_id, adist) rows — a narrow
+    * generate, nothing shuffles yet — and the per-query shortlist comes
+    * out of the map-side k-heap aggregate (TopKHits: ≤ |Q|·shortlist rows
+    * per partition cross the only shuffle, never the |corpus|·|Q| scored
+    * rows). The exact rerank joins ≤ |Q|·shortlist ids broadcast against
+    * full vectors, per-query k-heaps again. Per-query results are
+    * IDENTICAL to `searchRerank` (encode is per-row independent, so
+    * encode-all-then-exclude ≡ exclude-then-encode) — spec-pinned.
+    * Output: (q_id, vec_id, rank, score), the A12 batch convention. */
+  def searchRerankBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
+                        subDim: Int, numCodes: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    require(qids.nonEmpty && qids.size <= 64,
+      s"searchRerankBatch: |Q|=${qids.size} — each query adds a literal ADC " +
+        "table and an adist column to the scan projection; chunk the query " +
+        "file above 64 per pass")
+    val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ONE encode pass over the FULL corpus (query rows included — each is
+    // corpus for the other queries); same janino-depth split as the
+    // single-query path
+    val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
+    // all queries' ADC tables in ONE Spark job (|Q|·K·M rows of model
+    // state), keyed by q_id
+    val qvs = cast.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val cbDf = emb.sparkSession.createDataFrame(
+      cbRows.toIndexedSeq.map { case (m, c, cw) => (m, c, cw.toSeq) })
+      .toDF("m", "code", "cw")
+    val td = cbDf.crossJoin(broadcast(qvs))
+      .selectExpr("q_id", "m", "code",
+        s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
+      .selectExpr("q_id", "m", "code",
+        s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    def adistFor(q: Long): String = (0 until numSub).map { m =>
+      val tds = cbRows.filter(_._1 == m).sortBy(_._2)
+        .map { case (_, c, _) => s"${td((q, m, c))}L" }
+      s"element_at(array(${tds.mkString(", ")}), CAST(code_$m AS INT) + 1)"
+    }.mkString(" + ")
+    val adistCols = qids.map(q => s"CAST(${adistFor(q)} AS BIGINT) AS adist_$q")
+    val stackExpr = s"stack(${qids.size}, " + qids.map(q =>
+      s"CAST($q AS BIGINT), adist_$q").mkString(", ") + ") AS (q_id, adist)"
+    val short = codes
+      .selectExpr(Seq("vec_id") ++ adistCols: _*)
+      .selectExpr("vec_id", stackExpr)
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
+        asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"))
+    val qfull = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    emb.select("vec_id", "embedding")
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qfull), "q_id")
+      .withColumn("score", scaled(vectors.l2(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
 }

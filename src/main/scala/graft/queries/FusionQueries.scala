@@ -387,6 +387,54 @@ object FusionQueries {
       Pq.ivfpqResidual(Tables(s, dir, "embeddings"), qid = 0, k = 10,
         numSub = 8, subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100)),
 
+    // A21b: BATCHED PQ search (r7 verdict "next" #2 — the reference's main
+    // loop serves a query FILE, and until now only the exact/hybrid/HNSW
+    // paths amortized it): ONE corpus encode + ONE code scan answer all 5
+    // queries — each query is a literal 512-entry ADC table in the
+    // projection and a map-side k-heap in the shortlist aggregate.
+    // Per-query results are IDENTICAL to knn_pq (spec-pinned); plan audit
+    // pins the one-scan shape.
+    "knn_pq_batch" -> ((s, dir) =>
+      Pq.searchRerankBatch(Tables(s, dir, "embeddings"), qids = (0L to 4L),
+        k = 10, numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
+
+    // A41b: BATCHED refine/rerank — the SQ8 coarse scan computes all 5
+    // queries' code distances in one pass over the corpus (the coarse
+    // codes of a row are shared; only the query-side codes differ), the
+    // per-query top-R cut partial-aggregates map-side (TopKHits), and the
+    // exact integer rerank joins ≤ |Q|·R candidate ids broadcast. The
+    // refine cost stays independent of corpus size AND now amortizes the
+    // scan over the query set.
+    "knn_refine_rerank_batch" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val ed = e.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = ed.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val qs = ed.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val coarse = ed.crossJoin(broadcast(qs)).crossJoin(broadcast(stats))
+        .filter(col("vec_id") =!= col("q_id"))
+        .selectExpr("q_id", "vec_id",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS ca",
+          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS cb")
+        .selectExpr("q_id", "vec_id", graft.functions.sqDistLongSql("ca", "cb") + " AS coarse")
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("coarse"), col("vec_id"), RefineR,
+          asc = true).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), col("hit.id").as("vec_id"), col("hit.score").as("coarse"))
+      val qz = Pq.quantized(e)
+      val qq = qz.filter(col("vec_id") <= 4)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      qz.join(broadcast(coarse), "vec_id")
+        .join(broadcast(qq), "q_id")
+        .selectExpr("q_id", "vec_id", "coarse",
+          graft.functions.sqDistLongSql("q", "qq") + " AS score")
+        .withColumn("rank", row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").asc, col("vec_id").asc)).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("q_id", "vec_id", "rank", "coarse", "score")
+    }),
+
     // A41: two-stage refine/rerank — the published coarse-then-refine
     // composition (FAISS's IndexRefineFlat; reference README §4 pairs the
     // compressed scan with an exact re-check the same way): the 1-byte-per-
@@ -537,6 +585,72 @@ object FusionQueries {
 
     "knn_pq" -> pqOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0"),
+
+    // A21b: the batch form — one enc over ALL rows (encode is per-row
+    // independent, so encode-all-then-exclude ≡ the single-query oracle's
+    // exclude-then-encode), per-query ADC/shortlist/rerank via window cuts
+    "knn_pq_batch" ->
+      s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+         |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+         |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+         |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |        GROUP BY 1, 2),
+         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id <= 4),
+         |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+         |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+         |adc AS (SELECT q.q_id, cb.m, cb.code,
+         |  CAST(floor((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+         |  FROM cb JOIN q ON cb.m = q.m),
+         |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+         |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+         |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
+         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM sums) WHERE rn <= 100),
+         |rr AS (SELECT s.q_id, s.vec_id,
+         |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+         |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+         |WHERE rank <= 10""".stripMargin,
+
+    // A41b: batched SQ8-coarse + exact integer rerank, per-query windows
+    "knn_refine_rerank_batch" ->
+      s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id <= 4),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |qz AS (SELECT qs.q_id, b.vec_id,
+         |  list_transform(b.v,   x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS ca,
+         |  list_transform(qs.qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS cb
+         |  FROM b CROSS JOIN qs CROSS JOIN st WHERE b.vec_id <> qs.q_id),
+         |c0 AS (SELECT q_id, vec_id,
+         |  CAST(list_sum(list_transform(range(1, len(ca) + 1),
+         |    i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))) AS BIGINT) AS coarse FROM qz),
+         |coarse AS (SELECT q_id, vec_id, coarse FROM (SELECT q_id, vec_id, coarse,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY coarse ASC, vec_id ASC) AS rn
+         |  FROM c0) WHERE rn <= $RefineR),
+         |ex AS (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS eq FROM embeddings),
+         |eqq AS (SELECT vec_id AS q_id, ${DuckDialect.quantizeVec("embedding")} AS qq
+         |  FROM embeddings WHERE vec_id <= 4),
+         |rr AS (SELECT c.q_id, c.vec_id, c.coarse,
+         |    CAST(list_sum(list_transform(range(1, len(e.eq) + 1),
+         |      i -> (e.eq[i] - q.qq[i]) * (e.eq[i] - q.qq[i]))) AS BIGINT) AS score
+         |  FROM coarse c JOIN ex e USING (vec_id) JOIN eqq q USING (q_id))
+         |SELECT q_id, vec_id, rank, coarse, score FROM (
+         |  SELECT q_id, vec_id, coarse, score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank FROM rr)
+         |WHERE rank <= 10""".stripMargin,
 
     // integer-exact per-subspace Lloyd's replayed as unrolled CTEs:
     // quantize → seed codebook (16 lowest sample ids) → [assign →

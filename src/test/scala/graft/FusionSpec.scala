@@ -289,4 +289,32 @@ class FusionSpec extends SparkSpec {
     assert(sq.size == 10)
     assert((sq intersect exact).size >= 5, s"sq8 recall too low: ${(sq intersect exact).size}/10")
   }
+
+  test("knn_pq_batch per-query slice equals the single-query knn_pq (one scan, |Q| answers)") {
+    // encode is per-row independent, so encode-all-then-exclude must give
+    // exactly the single-query path's results for EVERY query id
+    val single = q("knn_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = q("knn_pq_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L),
+      "all five queries answered")
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
+    assert(q0 === single, s"batch q0 $q0 vs single $single")
+    // ranks dense 1..10 per query
+    batch.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to 10L), s"q$qid ranks")
+    }
+  }
+
+  test("knn_refine_rerank_batch per-query slice equals the single-query refine path") {
+    val single = q("knn_refine_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = q("knn_refine_rerank_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3)
+      .map(t => (t._2, t._4, t._5)).toSeq
+    assert(q0 === single, s"batch q0 $q0 vs single $single")
+  }
 }

@@ -389,6 +389,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("knn_pq_batch: ONE code scan serves all queries — map-side k-heaps, no Window") {
+    // the batch contract (r7 verdict #2): the materialized code table is
+    // scanned ONCE with |Q| literal ADC columns stacked to (q_id, adist)
+    // rows; both the shortlist and the rerank cut are partial k-heap
+    // aggregates (never a window over the scored corpus); the rerank
+    // reaches full vectors via BroadcastHashJoin on the candidate ids
+    val p = plan("knn_pq_batch")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 1,
+      s"expected exactly one code scan\n${p.take(3000)}")
+    assert("partial_top_k_hits".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("knn_refine_rerank_batch: coarse cut via map-side k-heaps, bounded final rank") {
+    // one SQ8 coarse pass over the corpus (broadcast query set), per-query
+    // top-R via the partial k-heap aggregate; the final rank runs over
+    // ≤|Q|·R broadcast-joined rows under a WindowGroupLimit (both phases),
+    // so no unbounded window ever sees corpus-sized input
+    val p = plan("knn_refine_rerank_batch")
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("knn_ivfpq_residual: literal ADC (no join), broadcast residual transform, TakeOrdered") {
     // the codebook/ADC must be literal-embedded model state: the only join
     // in the scan path is the broadcast centroid join for the residual
