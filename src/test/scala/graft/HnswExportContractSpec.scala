@@ -79,6 +79,38 @@ class HnswExportContractSpec extends SparkSpec {
     assert(rows.map(_.ext_id).distinct.length === rows.length)
   }
 
+  test("an external (non-JVM) consumer reads the export and reproduces the engine's answer") {
+    // the r7 verdict #8 executed fact: tools/hnsw_reader.py restores the
+    // graphs from the parquet contract with pyarrow alone and walks them —
+    // its answer must equal searchPersisted's bit-for-bit, at a REAL beam
+    // (ef=16 < part size: the walk, not a saturated sweep) and at the
+    // saturating sentinel (ef=0: exactness incl. the orphan sweep)
+    import scala.sys.process._
+    val q = Array(1f, 5f, 9f, 2f)
+    for (ef <- Seq(16, 0)) {
+      val engine = Hnsw.searchPersisted(spark, path, q, 5, ef = ef)
+        .collect().map(r => s"${r.getLong(0)},${r.getLong(1)}").toSeq
+      val external = Seq("python3", "tools/hnsw_reader.py", path, "5",
+        ef.toString, q.map(_.toString).mkString(",")).!!
+        .trim.split("\n").toSeq
+      assert(external === engine, s"ef=$ef: reader $external vs engine $engine")
+    }
+  }
+
+  test("the external reader refuses a mismatched schema_version like the engine does") {
+    import org.apache.spark.sql.functions._
+    import scala.sys.process._
+    val bad = TmpDirs.wiped("hnsw_contract_bad_py")
+    spark.read.parquet(path)
+      .withColumn("schema_version", lit(99))
+      .write.parquet(bad)
+    val err = new StringBuilder
+    val code = Seq("python3", "tools/hnsw_reader.py", bad, "3", "16", "0,0,0,0")
+      .!(ProcessLogger(_ => (), e => err ++= e))
+    assert(code != 0, "reader must exit non-zero on a version mismatch")
+    assert(err.toString.contains("schema_version"), err.toString)
+  }
+
   test("a mismatched schema_version is refused loudly") {
     import org.apache.spark.sql.functions._
     val bad = TmpDirs.wiped("hnsw_contract_bad")
