@@ -171,6 +171,24 @@ object TextQueries {
       mergeRows.unionByName(vocab)
     }),
 
+    // B34f: the apply path under the BATCHED-trained vocabulary — closes
+    // the train→encode loop for B34d exactly as B34c does for B34b: the
+    // batched merge table encodes the DISTINCT words once (one kernel
+    // pass over the dictionary), the token stream only joins (word →
+    // n_sym). Same dictionary-encode scale shape; the oracle replays
+    // batched training (bpeBatchChain) and then the join.
+    "bpe_encode_batched" -> ((s, dir) => {
+      val rules = graft.operators.Bpe.trainedBatched(docs(s, dir), dir)
+        .map(m => (m.l, m.r))
+      docs(s, dir).selectExpr("doc_id", s"explode($sTok) AS word")
+        .join(graft.operators.Bpe.applyMergeRules(docs(s, dir), rules)
+          .selectExpr("word", "CAST(size(syms) AS BIGINT) AS n_sym"), "word")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_ws"),
+          org.apache.spark.sql.functions.sum("n_sym").as("n_bpe"))
+    }),
+
     // B34c: the tokenizer-APPLY path — encode the corpus with the trained
     // merge table at the dictionary-encode shape: the merge chain runs
     // once over DISTINCT words (operators.Bpe.wordSymLens), and the token
@@ -312,6 +330,17 @@ object TextQueries {
          |FROM (SELECT sym, CAST(sum(freq) AS BIGINT) AS n
          |  FROM (SELECT freq, unnest(syms) AS sym FROM t${sc}_$m)
          |  GROUP BY sym ORDER BY n DESC, sym ASC LIMIT 10)""".stripMargin
+    },
+
+    "bpe_encode_batched" -> {
+      val (sc, m, c) = (graft.operators.Bpe.BatchScans,
+        graft.operators.Bpe.BatchM, graft.operators.Bpe.BatchC)
+      s"""WITH ${DuckDialect.bpeBatchChain(sc, m, c)},
+         |wl AS (SELECT word, CAST(len(syms) AS BIGINT) AS n_sym FROM t${sc}_$m),
+         |dw AS (SELECT doc_id, unnest($dTok) AS word FROM documents)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ws,
+         |  CAST(sum(n_sym) AS BIGINT) AS n_bpe
+         |FROM dw JOIN wl USING (word) GROUP BY doc_id""".stripMargin
     },
 
     "bpe_train_eow" -> {

@@ -73,6 +73,24 @@ class BpeBatchSpec extends SparkSpec {
     assert(st.forall(s => s.last.endsWith(Bpe.EowMarker)))
   }
 
+  test("batched-vocabulary encode: per-doc token counts bounded and compressing") {
+    import org.apache.spark.sql.functions._
+    val enc = graft.queries.TextQueries.defs("bpe_encode_batched")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(enc.nonEmpty)
+    // every word encodes to >= 1 symbol, so n_bpe >= n_ws; and 80+ merges
+    // must compress well below character count corpus-wide
+    enc.foreach { case (d, nWs, nBpe) =>
+      assert(nBpe >= nWs, s"doc $d: $nBpe < $nWs")
+    }
+    val chars = Tables(spark, dir, "documents")
+      .selectExpr(s"explode(${graft.operators.Dedup.TokExpr}) AS w")
+      .agg(sum(length(col("w")))).head.getLong(0)
+    val totBpe = enc.map(_._3).sum
+    assert(totBpe < chars / 2,
+      s"batched vocabulary barely compresses: $totBpe symbols vs $chars chars")
+  }
+
   test("batched final state equals the kernel applied to the flat rule list") {
     import spark.implicits._
     val (merges, words) = Bpe.trainBatched(docs)
