@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Hll, Hnsw, Ivf, Knn, Pq}
+import graft.operators.{Bpe, Dedup, Hll, Hnsw, Ivf, Knn, Pq}
 
 /** Scale dry-run: synthetic 100×-sf corpora generated distributively
   * (range + hash-derived values, no driver materialization), timing the
@@ -56,6 +56,21 @@ object ScaleProbe {
       expr("element_at(array('view', 'click', 'purchase'), " +
         "CAST(pmod(xxhash64(id + 13), 3) AS INT) + 1)").as("event_type"),
       pmod(xxhash64(col("id") + 19), lit(100000L)).as("cents"))
+
+  /** Shared BPE apply-kernel workload (used by both the default and wide
+    * probes — one rule list, one pipeline, so the two can't silently
+    * desynchronize): n distinct ~11-char words × an 8-rule cascade-heavy
+    * merge table in ONE compiled BpeApplyMerges pass. */
+  private def bpeApplyKernelProbe(spark: SparkSession, n: Long): Unit = {
+    val rules = Seq(("w", "1"), ("w1", "2"), ("1", "0"), ("0", "0"),
+      ("2", "3"), ("w", "9"), ("9", "9"), ("w19", "0"))
+    spark.range(n).selectExpr(
+        "concat('w', CAST(1000000000 + pmod(xxhash64(id), 1000000000) AS STRING)) AS word")
+      .selectExpr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
+      .select(graft.functions.bpe.applyMerges(col("syms"), rules).as("s"))
+      .selectExpr("sum(size(s))").collect()
+  }
 
   /** Wide-vector probe at the REFERENCE'S dimensionality: 2048-d ResNet-50
     * embeddings over its 123k-image corpus (vector_embeddings.py:1–135,
@@ -124,7 +139,18 @@ object ScaleProbe {
             e.filter(col("vec_id") % 10 === 0).select("vec_id"),
             numParts = 32, qv, 10, metaSearch = 100).count()))
     }
-    val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val results2 = results ++ Seq(
+      // the r7 BPE kernel at its bench-relevant shape (r7 verdict "next"
+      // #3 asks the wide probe to carry this row) — the throughput bound
+      // of every tokenizer-apply entry
+      time("bpe_apply_kernel_500k")(bpeApplyKernelProbe(spark, 500000)),
+      // batched BPE training end-to-end: 8 scan jobs over a 20M-token
+      // corpus (500k docs × 40 tokens, 5k-word vocabulary) → 64+ merges
+      // (jobs-per-merge ≈ 0.1 vs sequential training's 1.0)
+      time("bpe_train_batched_20Mtok")(
+        Bpe.trainBatched(syntheticDocs(spark, 500000)
+          .select(col("doc_id"), col("text")))._1.size))
+    val js = results2.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe_wide","n_vecs":$nVecs,"dims":$dims,"sec":$js}""")
   }
 
@@ -225,16 +251,7 @@ object ScaleProbe {
       // compiled BpeApplyMerges pass — the r7 hot-spot fix's throughput
       // probe (the interpreted fold chain it replaced pinned one core for
       // >100 min on 1/10 this word count)
-      time("bpe_apply_kernel") {
-        val rules = Seq(("w", "1"), ("w1", "2"), ("1", "0"), ("0", "0"),
-          ("2", "3"), ("w", "9"), ("9", "9"), ("w19", "0"))
-        spark.range(nDocs).selectExpr(
-            "concat('w', CAST(1000000000 + pmod(xxhash64(id), 1000000000) AS STRING)) AS word")
-          .selectExpr(
-            "transform(sequence(1, length(word)), i -> substring(word, i, 1)) AS syms")
-          .select(graft.functions.bpe.applyMerges(col("syms"), rules).as("s"))
-          .selectExpr("sum(size(s))").collect()
-      },
+      time("bpe_apply_kernel")(bpeApplyKernelProbe(spark, nDocs)),
       // B34d batched BPE training at probe scale: BatchScans(=8) pair-count
       // scan jobs over ~nDocs distinct words yield 64+ merges — the
       // jobs-per-merge probe (sequential training pays 1 job per merge;

@@ -54,15 +54,18 @@ object AnalyticsQueries {
     * behind the cardinality guard — split out so the guard is spec-testable
     * on synthetic over-cap frames (AnalyticsSpec). */
   private[graft] def kmvPairwiseJaccard(sk: DataFrame): DataFrame = {
-    // the sketch frame is one row per group BY CONSTRUCTION (post-agg), so
-    // counting it is a ≤(cap+1)-row action, not a corpus scan
-    val d = sk.limit(KmvPairDimCap + 1).count()
+    // materialize the D-row sketch frame ONCE: the guard count, and both
+    // sides of the pair self-join below, all read the materialized rows —
+    // without this the sketch aggregation would run three times (guard +
+    // two join sides), an extra corpus scan per run (r8 review finding)
+    val skM = Dedup.materialize(sk)
+    val d = skM.limit(KmvPairDimCap + 1).count()
     require(d <= KmvPairDimCap,
       s"kmv_jaccard_est: $d sketch groups exceed KmvPairDimCap=$KmvPairDimCap — " +
         "pairwise Jaccard is O(D²) in group cardinality; pre-select the top-D " +
         "groups (e.g. by n_sk/exact count) or raise the cap deliberately")
-    sk.selectExpr("event_type AS sa", "hs AS ha")
-      .join(sk.selectExpr("event_type AS sb", "hs AS hb"), expr("sa < sb"))
+    skM.selectExpr("event_type AS sa", "hs AS ha")
+      .join(skM.selectExpr("event_type AS sb", "hs AS hb"), expr("sa < sb"))
       .selectExpr("sa", "sb",
         s"slice(array_sort(array_union(ha, hb)), 1, $KmvK) AS comb", "ha", "hb")
       .selectExpr("sa", "sb", "CAST(size(comb) AS BIGINT) AS n_comb",

@@ -409,13 +409,18 @@ object FusionQueries {
       val e = Tables(s, dir, "embeddings")
       val ed = e.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       val stats = ed.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
-      val qs = ed.filter(col("vec_id") <= 4)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val coarse = ed.crossJoin(broadcast(qs)).crossJoin(broadcast(stats))
+      // row codes depend only on (v, mn, mx): quantize each corpus row
+      // ONCE before the query fan-out (per-(row, query) quantization would
+      // do |Q|× the transform work for identical values — r8 review
+      // finding); the |Q| query codes quantize on the broadcast side
+      val qcodes = ed.filter(col("vec_id") <= 4).crossJoin(broadcast(stats))
+        .selectExpr("vec_id AS q_id",
+          "transform(v, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS cb")
+      val coarse = ed.crossJoin(broadcast(stats))
+        .selectExpr("vec_id",
+          "transform(v, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS ca")
+        .crossJoin(broadcast(qcodes))
         .filter(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS ca",
-          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS cb")
         .selectExpr("q_id", "vec_id", graft.functions.sqDistLongSql("ca", "cb") + " AS coarse")
         .groupBy("q_id")
         .agg(graft.functions.aggs.topK(col("coarse"), col("vec_id"), RefineR,

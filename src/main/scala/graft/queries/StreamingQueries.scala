@@ -192,8 +192,10 @@ object StreamingQueries {
 
     // C62: trained-BPE token accounting AS a stream — the live "tokens
     // ingested per source" meter: arriving docs explode to words (narrow),
-    // stream-static-join the batch-trained dictionary (stateless broadcast
-    // join), and feed a complete-mode per-source aggregate (bounded
+    // stream-static-join the batch-trained dictionary (stateless; UNHINTED
+    // since r8 — broadcast while the dictionary's stats fit, degrading to
+    // a key-partitioned shuffle join when they don't, see TokenStream),
+    // and feed a complete-mode per-source aggregate (bounded
     // dimension ⇒ bounded state). Training stays batch-side (the
     // Bpe.trainedMerges memo — the stream only joins the (word, n_sym)
     // map); the oracle replays training end-to-end via the bpeChain CTEs.
