@@ -50,6 +50,23 @@ object Ivf {
       .limit(nProbe)
       .select(clusterCol)
 
+  /** Per-query probes for a BROADCAST query set — [[probe]]'s ordering
+    * (metric order, then lower cluster id) replayed per q_id over the
+    * C×|Q| scored centroid frame (tiny: centroids are model state), via a
+    * window rank. Returns (q_id, clusterCol) pairs — the label-keyed
+    * membership form the batched compressed searches join on. */
+  def probeBatch(cent: DataFrame, queries: DataFrame, nProbe: Int,
+                 clusterCol: String = "label", qVecCol: String = "q_vec",
+                 metric: Knn.Metric = Knn.Cosine): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    cent.crossJoin(broadcast(queries))
+      .withColumn("cscore", scaled(metric.score(col("cent"), col(qVecCol)), Knn.ScoreDigits))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(metric.order(col("cscore")), col(clusterCol).asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col(clusterCol))
+  }
+
   /** The reference's ACORN loop widens traversal until enough
     * filter-passing survivors accumulate (/root/reference/acorn.py:162,
     * `while visits <= meta_search`). Batch analogue: double the probed

@@ -394,10 +394,6 @@ object Pq {
   def searchRerankBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
                         subDim: Int, numCodes: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
-    require(qids.nonEmpty && qids.size <= 64,
-      s"searchRerankBatch: |Q|=${qids.size} — each query adds a literal ADC " +
-        "table and an adist column to the scan projection; chunk the query " +
-        "file above 64 per pass")
     val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
@@ -405,37 +401,69 @@ object Pq {
     // corpus for the other queries); same janino-depth split as the
     // single-query path
     val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
-    // all queries' ADC tables in ONE Spark job (|Q|·K·M rows of model
-    // state), keyed by q_id
-    val qvs = cast.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
-    val cbDf = emb.sparkSession.createDataFrame(
-      cbRows.toIndexedSeq.map { case (m, c, cw) => (m, c, cw.toSeq) })
-      .toDF("m", "code", "cw")
-    val td = cbDf.crossJoin(broadcast(qvs))
-      .selectExpr("q_id", "m", "code",
-        s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
-      .selectExpr("q_id", "m", "code",
-        s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
-    def adistFor(q: Long): String = (0 until numSub).map { m =>
-      val tds = cbRows.filter(_._1 == m).sortBy(_._2)
-        .map { case (_, c, _) => s"${td((q, m, c))}L" }
-      s"element_at(array(${tds.mkString(", ")}), CAST(code_$m AS INT) + 1)"
-    }.mkString(" + ")
-    val adistCols = qids.map(q => s"CAST(${adistFor(q)} AS BIGINT) AS adist_$q")
-    val stackExpr = s"stack(${qids.size}, " + qids.map(q =>
-      s"CAST($q AS BIGINT), adist_$q").mkString(", ") + ") AS (q_id, adist)"
+    val td = adcTables(emb, qids, cbRows, subDim)
     val short = codes
-      .selectExpr(Seq("vec_id") ++ adistCols: _*)
-      .selectExpr("vec_id", stackExpr)
+      .selectExpr(Seq("vec_id") ++ adistCols(qids, cbRows, td, numSub): _*)
+      .selectExpr("vec_id", stackExpr(qids))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy("q_id")
       .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
         asc = true).as("hits"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("q_id"), col("hit.id").as("vec_id"))
+    exactRerankBatch(emb, short, qids, k)
+  }
+
+  /** All queries' ADC tables in ONE Spark job (|Q|·K·M rows of model
+    * state), keyed (q_id, m, code) → td. Computed BY Spark (not the
+    * driver) so the literal tables are bit-identical to the joined form
+    * in both engines — the searchRerank convention, batched. */
+  def adcTables(emb: DataFrame, qids: Seq[Long],
+                cbRows: Array[(Int, Long, Array[Double])],
+                subDim: Int): Map[(Long, Int, Long), Long] = {
+    require(qids.nonEmpty && qids.size <= 64,
+      s"batched PQ: |Q|=${qids.size} — each query adds a literal ADC table " +
+        "and an adist column to the scan projection; chunk the query file " +
+        "above 64 per pass")
+    val qvs = emb.filter(col("vec_id").isin(qids: _*))
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val cbDf = emb.sparkSession.createDataFrame(
+      cbRows.toIndexedSeq.map { case (m, c, cw) => (m, c, cw.toSeq) })
+      .toDF("m", "code", "cw")
+    cbDf.crossJoin(broadcast(qvs))
+      .selectExpr("q_id", "m", "code",
+        s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
+      .selectExpr("q_id", "m", "code",
+        s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+  }
+
+  /** One literal-array td-lookup adist column per query (`adist_<q>`)
+    * over bound code_0..code_{M-1} columns. */
+  def adistCols(qids: Seq[Long], cbRows: Array[(Int, Long, Array[Double])],
+                td: Map[(Long, Int, Long), Long], numSub: Int): Seq[String] =
+    qids.map { q =>
+      val sum = (0 until numSub).map { m =>
+        val tds = cbRows.filter(_._1 == m).sortBy(_._2)
+          .map { case (_, c, _) => s"${td((q, m, c))}L" }
+        s"element_at(array(${tds.mkString(", ")}), CAST(code_$m AS INT) + 1)"
+      }.mkString(" + ")
+      s"CAST($sum AS BIGINT) AS adist_$q"
+    }
+
+  /** stack() the per-query adist columns to (q_id, adist) rows — a narrow
+    * generate, nothing shuffles. */
+  def stackExpr(qids: Seq[Long]): String =
+    s"stack(${qids.size}, " + qids.map(q =>
+      s"CAST($q AS BIGINT), adist_$q").mkString(", ") + ") AS (q_id, adist)"
+
+  /** Exact rerank of a (q_id, vec_id) candidate frame: broadcast joins to
+    * full vectors + the per-query k-heap, emitting the A12 batch shape
+    * (q_id, vec_id, rank, score). */
+  def exactRerankBatch(emb: DataFrame, short: DataFrame, qids: Seq[Long],
+                       k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
     val qfull = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     emb.select("vec_id", "embedding")
@@ -447,5 +475,47 @@ object Pq {
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("q_id"), col("hit.id").as("vec_id"),
         (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
+
+  /** BATCHED IVF×PQ (A24's batch form): per-query coarse probes prune the
+    * code scan to the probed clusters' UNION, membership resolves per
+    * (q_id, label) via a broadcast join of the ≤|Q|·nProbe probe pairs,
+    * and everything downstream is the searchRerankBatch machinery — one
+    * encode of the union, one code scan with |Q| literal ADC columns,
+    * per-query k-heap shortlists, broadcast exact rerank. At 100 TB the
+    * scan reads (distinct probed clusters)/C of an already-compressed
+    * corpus — the batch shares clusters probed by several queries. */
+  def ivfpqBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
+                 subDim: Int, numCodes: Int, nProbe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = Dedup.materialize(Ivf.probeBatch(Ivf.centroids(emb), qs, nProbe))
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // encode ONLY the probed-cluster union, carrying label for membership
+    val body = emb.join(broadcast(probes.select("label").distinct()), "label")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val codeCols = (0 until numSub).map { m =>
+      val cw = cbRows.filter(_._1 == m).sortBy(_._2).map(_._3)
+      pq.nearestCode(col("v"), cw, m, subDim).as(s"code_$m")
+    }
+    val codes = Dedup.materialize(
+      body.select(Seq(col("vec_id"), col("label")) ++ codeCols: _*))
+    val td = adcTables(emb, qids, cbRows, subDim)
+    val short = codes
+      .selectExpr(Seq("vec_id", "label") ++ adistCols(qids, cbRows, td, numSub): _*)
+      .selectExpr("vec_id", "label", stackExpr(qids))
+      .filter(col("vec_id") =!= col("q_id"))
+      // per-(row, query) membership: the row's cluster must be one of THIS
+      // query's probes — the label-keyed form that survives 100 TB (never
+      // a per-vec_id membership list)
+      .join(broadcast(probes), Seq("q_id", "label"))
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
+        asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"))
+    exactRerankBatch(emb, short, qids, k)
   }
 }

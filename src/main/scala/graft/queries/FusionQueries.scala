@@ -398,6 +398,18 @@ object FusionQueries {
       Pq.searchRerankBatch(Tables(s, dir, "embeddings"), qids = (0L to 4L),
         k = 10, numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
 
+    // A24b: BATCHED IVF×PQ — the full 100 TB composition (coarse probe
+    // pruning × 32× code compression) amortized over the query file: the
+    // per-query probes prune the ONE code scan to the probed clusters'
+    // union, membership resolves per (q_id, label) via a broadcast join
+    // of the ≤|Q|·nProbe probe pairs (label-keyed — scalable, never a
+    // per-row membership list), then the shared batch machinery
+    // (per-query ADC columns, k-heap shortlists, broadcast exact rerank).
+    "knn_ivfpq_batch" -> ((s, dir) =>
+      Pq.ivfpqBatch(Tables(s, dir, "embeddings"), qids = (0L to 4L),
+        k = 10, numSub = 8, subDim = 8, numCodes = 64, nProbe = 2,
+        shortlist = 100)),
+
     // A41b: BATCHED refine/rerank — the SQ8 coarse scan computes all 5
     // queries' code distances in one pass over the corpus (the coarse
     // codes of a row are shared; only the query-side codes differ), the
@@ -622,6 +634,53 @@ object FusionQueries {
          |rr AS (SELECT s.q_id, s.vec_id,
          |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
          |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+         |WHERE rank <= 10""".stripMargin,
+
+    // A24b: per-query probes (the hybrid_knn centroid ordering, windowed
+    // per q), union-label body encode, (q_id, label) membership join,
+    // then the batch ADC/shortlist/rerank window cuts
+    "knn_ivfpq_batch" ->
+      s"""WITH cent AS (${DuckDialect.centSql("embeddings")}),
+         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |         embedding AS qemb
+         |       FROM embeddings WHERE vec_id <= 4),
+         |probes AS (SELECT q_id, label FROM (
+         |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+         |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |      CAST(qs.qemb AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
+         |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
+         |ul AS (SELECT DISTINCT label FROM probes),
+         |cb AS (SELECT m.m AS m, e.vec_id AS code,
+         |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+         |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+         |body AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+         |  FROM embeddings e JOIN ul USING (label)),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |        GROUP BY 1, 2),
+         |q8 AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+         |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+         |adc AS (SELECT q8.q_id, cb.m, cb.code,
+         |  CAST(floor((${pqTerms("q8.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+         |  FROM cb JOIN q8 ON cb.m = q8.m),
+         |sums AS (SELECT p.q_id, b.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+         |  FROM enc JOIN body b USING (vec_id)
+         |  JOIN probes p ON p.label = b.label
+         |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code
+         |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2),
+         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM sums) WHERE rn <= 100),
+         |rr AS (SELECT s.q_id, s.vec_id,
+         |    CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+         |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
          |SELECT q_id, vec_id, rank, score FROM (
          |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
          |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)

@@ -404,6 +404,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("knn_ivfpq_batch: one union-pruned code scan, label-keyed membership, k-heaps") {
+    // ONE materialized code scan (of the probed-cluster union) serves all
+    // queries; membership is the broadcast (q_id, label) join — never a
+    // per-row list; both cuts are partial k-heaps; no shuffle join
+    val p = plan("knn_ivfpq_batch")
+    assert("Scan ExistingRDD".r.findAllIn(p).length >= 1, p.take(3000))
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("knn_refine_rerank_batch: coarse cut via map-side k-heaps, bounded final rank") {
     // one SQ8 coarse pass over the corpus (broadcast query set), per-query
     // top-R via the partial k-heap aggregate; the final rank runs over
