@@ -251,6 +251,118 @@ object Pq {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** BATCHED residual IVF-PQ (A42's batch form). The residual structure is
+    * QUERY-INDEPENDENT — residuals, seeds, codebook, and codes all encode
+    * against each row's OWN cluster centroid — so one encode of the
+    * probed-cluster UNION serves every query; only the per-(query, probed
+    * cluster) ADC tables differ, and they ride as literal lookup arrays
+    * behind one CASE arm per cluster, per query (query-count-bounded model
+    * state, the ivfpqResidual convention). Membership is encoded in the
+    * same CASE: a row whose cluster is not among THIS query's probes gets
+    * NULL adist and is filtered — no membership join at all. Integer-exact
+    * end-to-end like the single-query form; per-query results ≡
+    * ivfpqResidual (spec-pinned). */
+  def ivfpqResidualBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
+                         subDim: Int, numCodes: Int, nProbe: Int,
+                         shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dims = numSub * subDim
+    val qe = emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+      graft.functions.quantizeVecSql("embedding") + " AS q")
+    val cent: Map[Long, Array[Long]] = qe.groupBy("label")
+      .agg(graft.functions.aggs.vecSumLong(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .selectExpr("label", graft.functions.floorMeanVecSql("s", "cnt") + " AS cent")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qvs: Map[Long, Array[Long]] = qe.filter(col("vec_id").isin(qids: _*))
+      .select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def sqdFull(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    // per-query probes: nProbe nearest integer centroids, ties lower label
+    val probedByQ: Map[Long, Seq[Long]] = qids.map { qid =>
+      qid -> cent.toSeq.map { case (l, c) => (l, sqdFull(c, qvs(qid))) }
+        .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
+    }.toMap
+    val unionLabels = probedByQ.values.flatten.toSeq.distinct
+    // residual codebook (query-independent): residuals of the K lowest-id
+    // vectors against their OWN centroids
+    val seedRows = qe.filter(col("vec_id") < numCodes)
+      .select("vec_id", "label", "q").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Long](2).toArray
+        val c = cent(r.getLong(1))
+        (r.getLong(0), Array.tabulate(dims)(i => v(i) - c(i)))
+      }
+    require(seedRows.map(_._1).toSeq == (0L until numCodes.toLong),
+      s"ivfpqResidualBatch: seed ids not dense 0..${numCodes - 1} — " +
+        "the literal ADC lookup indexes by code; re-densify vec_id first")
+    val cb: Seq[(Int, Long, Array[Long])] =
+      for { m <- 0 until numSub; (code, rv) <- seedRows.toSeq }
+        yield (m, code, rv.slice(m * subDim, (m + 1) * subDim))
+    val centDf = cent.toSeq.map { case (l, c) => (l, c.toSeq) }.toDF("label", "cent")
+    val members = qe.filter(col("label").isin(unionLabels: _*))
+      .join(broadcast(centDf), "label")
+      .selectExpr("vec_id", "label", "q", "zip_with(q, cent, (a, b) -> a - b) AS r")
+    val codeCols = (0 until numSub).map { m =>
+      val table = cb.filter(_._1 == m).map { case (_, c, cw) => (c, cw) }
+      graft.functions.centroids.nearestLong(
+        expr(s"slice(r, ${m * subDim + 1}, $subDim)"), table)
+        .getField("label").as(s"code_$m")
+    }
+    val codes = Dedup.materialize(
+      members.select(Seq(col("vec_id"), col("label")) ++ codeCols: _*))
+    // per-(query, probed cluster) ADC literal tables
+    val adcByQL: Map[(Long, Long), IndexedSeq[IndexedSeq[Long]]] =
+      (for { qid <- qids; l <- probedByQ(qid) } yield {
+        val qr = Array.tabulate(dims)(i => qvs(qid)(i) - cent(l)(i))
+        (qid, l) -> (0 until numSub).map { m =>
+          cb.filter(_._1 == m).sortBy(_._2).map { case (_, _, cw) =>
+            var acc = 0L; var j = 0
+            while (j < subDim) { val d = qr(m * subDim + j) - cw(j); acc += d * d; j += 1 }
+            acc
+          }.toIndexedSeq
+        }.toIndexedSeq
+      }).toMap
+    def adistFor(qid: Long, l: Long): String = (0 until numSub).map { m =>
+      val tds = adcByQL((qid, l))(m).map(v => s"${v}L").mkString(", ")
+      s"element_at(array($tds), CAST(code_$m AS INT) + 1)"
+    }.mkString(" + ")
+    // membership IS the CASE: labels outside this query's probes → NULL
+    val adistColsQ = qids.map { qid =>
+      val whens = probedByQ(qid)
+        .map(l => s"WHEN label = ${l}L THEN (${adistFor(qid, l)})").mkString(" ")
+      s"CAST(CASE $whens END AS BIGINT) AS adist_$qid"
+    }
+    val short = codes
+      .selectExpr(Seq("vec_id", "label") ++ adistColsQ: _*)
+      .selectExpr("vec_id", stackExpr(qids))
+      .filter(col("adist").isNotNull && col("vec_id") =!= col("q_id"))
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
+        asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"))
+    // exact integer rerank in quantized space (the single-query convention)
+    val qqDf = qe.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    qe.select("vec_id", "q")
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qqDf), "q_id")
+      .selectExpr("q_id", "vec_id",
+        graft.functions.sqDistLongSql("q", "qq") + " AS score")
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
+
   /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
   def seededCodebook(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int): DataFrame =
     emb.filter(col("vec_id") < numCodes)

@@ -410,6 +410,18 @@ object FusionQueries {
         k = 10, numSub = 8, subDim = 8, numCodes = 64, nProbe = 2,
         shortlist = 100)),
 
+    // A42b: BATCHED residual IVF-PQ — completes the batch family for the
+    // last compressed path (the r7 verdict named all four: sq8 ranks
+    // inside A41b's coarse stage, pq = A21b, ivfpq = A24b, residual =
+    // this). The residual structure is query-independent (rows encode
+    // against their OWN centroid), so ONE union encode serves every
+    // query; membership lives inside each query's per-cluster ADC CASE
+    // (non-probed labels → NULL adist, filtered) — zero membership joins.
+    "knn_ivfpq_residual_batch" -> ((s, dir) =>
+      Pq.ivfpqResidualBatch(Tables(s, dir, "embeddings"), qids = (0L to 4L),
+        k = 10, numSub = 8, subDim = 8, numCodes = 16, nProbe = 2,
+        shortlist = 100)),
+
     // A41b: BATCHED refine/rerank — the SQ8 coarse scan computes all 5
     // queries' code distances in one pass over the corpus (the coarse
     // codes of a row are shared; only the query-side codes differ), the
@@ -884,6 +896,59 @@ object FusionQueries {
          |SELECT b.vec_id, ${sqd64("b.q", "q2.q")} AS score
          |FROM body b JOIN short USING (vec_id) CROSS JOIN qq q2
          |ORDER BY score ASC, b.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A42b: the residual composition per query — per-q integer probes,
+    // union-label residual body, query-independent codebook/encode, the
+    // per-(q, cluster) ADC join enforcing membership, per-q window cuts
+    "knn_ivfpq_residual_batch" -> {
+      def sqd8(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def sqd64(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      s"""WITH qe AS (SELECT vec_id, CAST(label AS BIGINT) AS label, $qz AS q FROM embeddings),
+         |cent AS (SELECT label, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent FROM (
+         |    SELECT label, d.dim AS dim, sum(q[d.dim + 1]) AS s, count(*) AS cnt
+         |    FROM qe CROSS JOIN range(64) d(dim) GROUP BY label, d.dim) GROUP BY label),
+         |qs AS (SELECT vec_id AS q_id, q FROM qe WHERE vec_id <= 4),
+         |probes AS (SELECT q_id, label FROM (
+         |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+         |    ORDER BY ${sqd64("c.cent", "qs.q")} ASC, c.label ASC) AS rn
+         |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
+         |ul AS (SELECT DISTINCT label FROM probes),
+         |res AS (SELECT e.vec_id, e.label,
+         |  list_transform(range(1, 65), i -> e.q[i] - c.cent[i]) AS r, e.q AS q
+         |  FROM qe e JOIN cent c USING (label)),
+         |cb AS (SELECT m.m AS m, s.vec_id AS code, s.r[m.m*8+1 : m.m*8+8] AS cw
+         |  FROM res s, (SELECT unnest(range(8)) AS m) m WHERE s.vec_id < 16),
+         |body AS (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN ul USING (label)),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  ${sqd8("(b.r[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |  GROUP BY 1, 2),
+         |qres AS (SELECT p.q_id, p.label,
+         |  list_transform(range(1, 65), i -> qs.q[i] - c.cent[i]) AS qr
+         |  FROM probes p JOIN cent c USING (label) JOIN qs ON qs.q_id = p.q_id),
+         |adc AS (SELECT qr.q_id, qr.label, cb.m, cb.code,
+         |  ${sqd8("(qr.qr[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS td
+         |  FROM cb CROSS JOIN qres qr),
+         |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+         |  FROM enc JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
+         |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
+         |  WHERE bl.vec_id <> adc.q_id GROUP BY 1, 2),
+         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM sums) WHERE rn <= 100),
+         |rr AS (SELECT s.q_id, s.vec_id, ${sqd64("b.q", "qs.q")} AS score
+         |  FROM short s JOIN body b USING (vec_id) JOIN qs ON qs.q_id = s.q_id)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+         |WHERE rank <= 10""".stripMargin
     },
 
     // A41: the same SQ8 coarse CTE feeding the top-R cut, then the exact

@@ -320,6 +320,16 @@ class FusionSpec extends SparkSpec {
     assert(q0 === single, s"batch q0 $q0 vs single $single")
   }
 
+  test("knn_ivfpq_residual_batch per-query slice equals the single-query residual path") {
+    val single = q("knn_ivfpq_residual").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = q("knn_ivfpq_residual_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
+    assert(q0 === single, s"batch q0 $q0 vs single $single")
+  }
+
   test("knn_refine_rerank_batch per-query slice equals the single-query refine path") {
     val single = q("knn_refine_rerank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq

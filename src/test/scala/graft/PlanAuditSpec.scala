@@ -416,6 +416,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("knn_ivfpq_residual_batch: membership lives in the ADC CASE — no membership join") {
+    // one materialized union encode; per-query ADC CASE arms (non-probed
+    // label → NULL, filtered) mean NO join resolves membership; both cuts
+    // are partial k-heaps; rerank joins broadcast
+    val p = plan("knn_ivfpq_residual_batch")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 1, p.take(3000))
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("knn_refine_rerank_batch: coarse cut via map-side k-heaps, bounded final rank") {
     // one SQ8 coarse pass over the corpus (broadcast query set), per-query
     // top-R via the partial k-heap aggregate; the final rank runs over
