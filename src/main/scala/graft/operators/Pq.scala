@@ -278,6 +278,11 @@ object Pq {
     val qvs: Map[Long, Array[Long]] = qe.filter(col("vec_id").isin(qids: _*))
       .select("vec_id", "q").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    // absent query ids must refuse loudly, not silently drop from the
+    // answer set (the adcTables convention)
+    require(qids.forall(qvs.contains),
+      s"ivfpqResidualBatch: query ids absent from the corpus: " +
+        qids.filterNot(qvs.contains).mkString(", "))
     def sqdFull(a: Array[Long], b: Array[Long]): Long = {
       var acc = 0L; var i = 0
       while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
@@ -542,13 +547,19 @@ object Pq {
     val cbDf = emb.sparkSession.createDataFrame(
       cbRows.toIndexedSeq.map { case (m, c, cw) => (m, c, cw.toSeq) })
       .toDF("m", "code", "cw")
-    cbDf.crossJoin(broadcast(qvs))
+    val td = cbDf.crossJoin(broadcast(qvs))
       .selectExpr("q_id", "m", "code",
         s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
       .selectExpr("q_id", "m", "code",
         s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
       .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    // a query id absent from the corpus would otherwise just vanish from
+    // the answer set (the isin filter drops it) — refuse loudly instead
+    val missing = qids.filterNot(q => td.contains((q, cbRows.head._1, cbRows.head._2)))
+    require(missing.isEmpty,
+      s"batched PQ: query ids absent from the corpus: ${missing.mkString(", ")}")
+    td
   }
 
   /** One literal-array td-lookup adist column per query (`adist_<q>`)

@@ -73,6 +73,31 @@ class BpeBatchSpec extends SparkSpec {
     assert(st.forall(s => s.last.endsWith(Bpe.EowMarker)))
   }
 
+  test("iteration count scales: 16 scans yield 150+ merges on a rich vocabulary") {
+    // the production-shape claim behind B34d — merge count grows linearly
+    // in scan count at fixed jobs-per-scan (600 distinct synthetic words;
+    // the reference python simulation of this exact corpus accepts 184)
+    import spark.implicits._
+    val docs = (0 until 300).map { i =>
+      val w = s"${('a' + i % 17).toChar}${('a' + (i / 17) % 13).toChar}x${i % 7}q${i % 11}"
+      (i.toLong, s"$w $w ${('a' + i % 23).toChar}z$i")
+    }.toDF("doc_id", "text")
+    val (merges, words) = Bpe.trainBatched(docs, scans = 16, batchM = 16, poolC = 64)
+    assert(merges.length >= 150, s"got ${merges.length} merges from 16 scans")
+    // non-interaction holds in every batch at this depth
+    merges.groupBy(_.scan).foreach { case (s, ms) =>
+      val triples = ms.sortBy(_.idx).map(m => Set(m.l, m.r, m.l + m.r))
+      for (i <- triples.indices; j <- 0 until i)
+        assert((triples(i) & triples(j)).isEmpty, s"scan $s interaction")
+    }
+    // the deep flat rule list still applies as ONE kernel pass ≡ the state
+    val direct = Bpe.applyMergeRules(docs, merges.map(m => (m.l, m.r)))
+      .selectExpr("word", "syms").as[(String, Seq[String])].collect().toMap
+    val trained = words.selectExpr("word", "syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(trained === direct)
+  }
+
   test("batched-vocabulary encode: per-doc token counts bounded and compressing") {
     import org.apache.spark.sql.functions._
     val enc = graft.queries.TextQueries.defs("bpe_encode_batched")(spark, dir)

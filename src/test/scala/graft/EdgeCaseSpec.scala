@@ -144,4 +144,25 @@ class EdgeCaseSpec extends SparkSpec {
       numSub = 2, subDim = 8, shortlist = 10)
     assert(r.count() == 5)
   }
+
+  test("batched PQ paths refuse query ids absent from the corpus") {
+    // a silently-dropped query would vanish from the answer set — the
+    // guard names the missing ids instead
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100))).toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Pq.searchRerankBatch(emb, qids = Seq(0L, 999999L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, shortlist = 10).collect()
+    }
+    assert(e1.getMessage.contains("999999"), e1.getMessage)
+    val embL = (0L until 40L).map(i =>
+      (i, (i % 4).toInt, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100)))
+      .toDF("vec_id", "label", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Pq.ivfpqResidualBatch(embL, qids = Seq(999999L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, nProbe = 2,
+        shortlist = 10).collect()
+    }
+    assert(e2.getMessage.contains("999999"), e2.getMessage)
+  }
 }
