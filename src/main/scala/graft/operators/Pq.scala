@@ -508,15 +508,23 @@ object Pq {
     * IDENTICAL to `searchRerank` (encode is per-row independent, so
     * encode-all-then-exclude ≡ exclude-then-encode) — spec-pinned.
     * Output: (q_id, vec_id, rank, score), the A12 batch convention. */
+  /** `keep` (optional, single `vec_id` column) restricts the search to a
+    * metadata-qualified subset — the ACORN-hybrid composition over the
+    * compressed index, batched (query-INDEPENDENT filter: one keep set
+    * serves the whole query file, so the pruned encode/scan still runs
+    * once). Queries need no codes of their own (their side of the ADC is
+    * the raw vector), so the code table holds keep members only. */
   def searchRerankBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
-                        subDim: Int, numCodes: Int, shortlist: Int): DataFrame = {
+                        subDim: Int, numCodes: Int, shortlist: Int,
+                        keep: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
-    val cast = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
     val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    // ONE encode pass over the FULL corpus (query rows included — each is
-    // corpus for the other queries); same janino-depth split as the
-    // single-query path
+    // ONE encode pass over the (keep-pruned) corpus — query rows included
+    // when unfiltered (each is corpus for the other queries); same
+    // janino-depth split as the single-query path
     val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
     val td = adcTables(emb, qids, cbRows, subDim)
     val short = codes

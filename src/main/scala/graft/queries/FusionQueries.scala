@@ -398,6 +398,20 @@ object FusionQueries {
       Pq.searchRerankBatch(Tables(s, dir, "embeddings"), qids = (0L to 4L),
         k = 10, numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
 
+    // A23b: BATCHED filtered PQ — the ACORN-hybrid composition over the
+    // compressed index, amortized: the metadata filter is query-
+    // INDEPENDENT, so ONE keep-pruned encode + ONE code scan serve the
+    // whole query file (queries need no codes — their ADC side is the raw
+    // vector). Per-query results ≡ hybrid_knn_pq (spec).
+    "hybrid_knn_pq_batch" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Pq.searchRerankBatch(Tables(s, dir, "embeddings"), qids = (0L to 4L),
+        k = 10, numSub = 8, subDim = 8, numCodes = 64, shortlist = 100,
+        keep = Some(keep))
+    }),
+
     // A24b: BATCHED IVF×PQ — the full 100 TB composition (coarse probe
     // pruning × 32× code compression) amortized over the query file: the
     // per-query probes prune the ONE code scan to the probed clusters'
@@ -618,38 +632,15 @@ object FusionQueries {
     // A21b: the batch form — one enc over ALL rows (encode is per-row
     // independent, so encode-all-then-exclude ≡ the single-query oracle's
     // exclude-then-encode), per-query ADC/shortlist/rerank via window cuts
-    "knn_pq_batch" ->
-      s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
-         |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
-         |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-         |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-         |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
-         |  FROM body b CROSS JOIN cb),
-         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-         |        GROUP BY 1, 2),
-         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-         |       FROM embeddings WHERE vec_id <= 4),
-         |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
-         |      FROM qs, (SELECT unnest(range(8)) AS m) m),
-         |adc AS (SELECT q.q_id, cb.m, cb.code,
-         |  CAST(floor((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
-         |  FROM cb JOIN q ON cb.m = q.m),
-         |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-         |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-         |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
-         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
-         |  FROM sums) WHERE rn <= 100),
-         |rr AS (SELECT s.q_id, s.vec_id,
-         |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
-         |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
-         |SELECT q_id, vec_id, rank, score FROM (
-         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
-         |WHERE rank <= 10""".stripMargin,
+    "knn_pq_batch" -> pqBatchOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings"),
+
+    // A23b: the same batch pipeline over the metadata-qualified body only
+    "hybrid_knn_pq_batch" -> pqBatchOracleSql(
+      """SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |  WHERE d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin),
+
 
     // A24b: per-query probes (the hybrid_knn centroid ordering, windowed
     // per q), union-label body encode, (q_id, label) membership join,
@@ -975,6 +966,45 @@ object FusionQueries {
          |FROM coarse c JOIN ex e USING (vec_id) CROSS JOIN eq0 q
          |ORDER BY score ASC, c.vec_id ASC LIMIT 10""".stripMargin
   )
+
+  /** The BATCH PQ pipeline oracle, parameterized by the body CTE — the
+    * unfiltered (A21b) and metadata-filtered (A23b) batch entries share
+    * everything else: one enc over the body, per-query ADC, k-heap-
+    * equivalent window cuts, per-query exact rerank. Queries always come
+    * from the FULL embeddings table (the filter applies to candidates,
+    * never to who may ask). */
+  private def pqBatchOracleSql(bodySelect: String): String =
+    s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+       |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+       |body AS ($bodySelect),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |        GROUP BY 1, 2),
+       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM embeddings WHERE vec_id <= 4),
+       |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+       |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+       |adc AS (SELECT q.q_id, cb.m, cb.code,
+       |  CAST(floor((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+       |  FROM cb JOIN q ON cb.m = q.m),
+       |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+       |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sums) WHERE rn <= 100),
+       |rr AS (SELECT s.q_id, s.vec_id,
+       |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+       |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+       |WHERE rank <= 10""".stripMargin
 
   /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —
     * the unfiltered, metadata-filtered, and IVF-probed entries share

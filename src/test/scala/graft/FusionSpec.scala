@@ -307,6 +307,21 @@ class FusionSpec extends SparkSpec {
     }
   }
 
+  test("hybrid_knn_pq_batch per-query slice equals the single-query hybrid_knn_pq") {
+    val single = q("hybrid_knn_pq").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val batch = q("hybrid_knn_pq_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
+    assert(q0 === single, s"batch q0 $q0 vs single $single")
+    // the filter really constrains candidates: only en-doc ids appear
+    val keep = Tables(spark, dir, "documents")
+      .filter(col("lang") === "en").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(batch.forall(t => keep(t._2)), "a non-en candidate slipped through")
+  }
+
   test("knn_ivfpq_batch per-query slice equals the single-query knn_ivfpq") {
     // per-q probes replay Ivf.probe's ordering and encode is per-row
     // independent, so the batch must reproduce the single-query
