@@ -262,10 +262,21 @@ object Pq {
     * NULL adist and is filtered — no membership join at all. Integer-exact
     * end-to-end like the single-query form; per-query results ≡
     * ivfpqResidual (spec-pinned). */
+  /** The batch-family |Q| guard, checked at FUNCTION ENTRY (before any
+    * Spark work — r8 review: a 65-query call must refuse before paying a
+    * corpus encode): each query adds literal ADC state and an adist
+    * column to the scan projection; chunk the query file above 64. */
+  private def requireBatchQids(qids: Seq[Long], who: String): Unit =
+    require(qids.nonEmpty && qids.size <= 64,
+      s"$who: |Q|=${qids.size} — each query adds a literal ADC table and " +
+        "an adist column to the scan projection; chunk the query file " +
+        "above 64 per pass (and pass at least one query)")
+
   def ivfpqResidualBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
                          subDim: Int, numCodes: Int, nProbe: Int,
                          shortlist: Int): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
+    requireBatchQids(qids, "ivfpqResidualBatch")
     val spark = emb.sparkSession
     import spark.implicits._
     val dims = numSub * subDim
@@ -518,15 +529,18 @@ object Pq {
                         subDim: Int, numCodes: Int, shortlist: Int,
                         keep: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
+    requireBatchQids(qids, "searchRerankBatch")
     val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
     val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ADC tables FIRST (they carry the absent-query-id guard and need no
+    // encode) so a bad query set refuses before the corpus pays anything
+    val td = adcTables(emb, qids, cbRows, subDim)
     // ONE encode pass over the (keep-pruned) corpus — query rows included
     // when unfiltered (each is corpus for the other queries); same
     // janino-depth split as the single-query path
     val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
-    val td = adcTables(emb, qids, cbRows, subDim)
     val short = codes
       .selectExpr(Seq("vec_id") ++ adistCols(qids, cbRows, td, numSub): _*)
       .selectExpr("vec_id", stackExpr(qids))
@@ -546,10 +560,7 @@ object Pq {
   def adcTables(emb: DataFrame, qids: Seq[Long],
                 cbRows: Array[(Int, Long, Array[Double])],
                 subDim: Int): Map[(Long, Int, Long), Long] = {
-    require(qids.nonEmpty && qids.size <= 64,
-      s"batched PQ: |Q|=${qids.size} — each query adds a literal ADC table " +
-        "and an adist column to the scan projection; chunk the query file " +
-        "above 64 per pass")
+    requireBatchQids(qids, "batched PQ")
     val qvs = emb.filter(col("vec_id").isin(qids: _*))
       .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
     val cbDf = emb.sparkSession.createDataFrame(
@@ -619,11 +630,15 @@ object Pq {
   def ivfpqBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
                  subDim: Int, numCodes: Int, nProbe: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ADC tables FIRST: adcTables holds the |Q| and absent-query-id
+    // guards, and needs only (emb, qids, codebook) — refusing here costs
+    // one tiny job instead of a probe pass + a union encode (r8 review)
+    val td = adcTables(emb, qids, cbRows, subDim)
     val qs = emb.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val probes = Dedup.materialize(Ivf.probeBatch(Ivf.centroids(emb), qs, nProbe))
-    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     // encode ONLY the probed-cluster union, carrying label for membership
     val body = emb.join(broadcast(probes.select("label").distinct()), "label")
       .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
@@ -633,7 +648,6 @@ object Pq {
     }
     val codes = Dedup.materialize(
       body.select(Seq(col("vec_id"), col("label")) ++ codeCols: _*))
-    val td = adcTables(emb, qids, cbRows, subDim)
     val short = codes
       .selectExpr(Seq("vec_id", "label") ++ adistCols(qids, cbRows, td, numSub): _*)
       .selectExpr("vec_id", "label", stackExpr(qids))

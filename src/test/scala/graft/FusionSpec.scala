@@ -290,18 +290,24 @@ class FusionSpec extends SparkSpec {
     assert((sq intersect exact).size >= 5, s"sq8 recall too low: ${(sq intersect exact).size}/10")
   }
 
-  test("knn_pq_batch per-query slice equals the single-query knn_pq (one scan, |Q| answers)") {
+  test("knn_pq_batch: EVERY per-query slice equals the single-query operator") {
     // encode is per-row independent, so encode-all-then-exclude must give
-    // exactly the single-query path's results for EVERY query id
-    val single = q("knn_pq").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exactly the single-query path's results for EVERY query id (r8
+    // review: a q0-only check misses wiring bugs in the per-query ADC)
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
     val batch = q("knn_pq_batch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L),
       "all five queries answered")
-    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
-    assert(q0 === single, s"batch q0 $q0 vs single $single")
-    // ranks dense 1..10 per query
+    for (qid <- 0 to 4) {
+      val single = Pq.searchRerank(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 64, shortlist = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = batch.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: batch $slice vs single $single")
+    }
     batch.groupBy(_._1).foreach { case (qid, rows) =>
       assert(rows.map(_._3).sorted.toSeq === (1L to 10L), s"q$qid ranks")
     }
@@ -315,6 +321,19 @@ class FusionSpec extends SparkSpec {
     assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L))
     val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
     assert(q0 === single, s"batch q0 $q0 vs single $single")
+    // and EVERY slice equals the single-query operator with the same keep
+    val en0 = Tables(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    for (qid <- 1 to 4) {
+      val s1 = graft.operators.Pq.searchRerank(Tables(spark, dir, "embeddings"),
+        qid = qid, k = 10, numSub = 8, subDim = 8, numCodes = 64,
+        shortlist = 100, keep = Some(en0)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val sl = batch.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(sl === s1, s"q$qid: batch $sl vs single $s1")
+    }
     // the filter really constrains candidates: only en-doc ids appear
     val keep = Tables(spark, dir, "documents")
       .filter(col("lang") === "en").select("doc_id")
@@ -322,27 +341,42 @@ class FusionSpec extends SparkSpec {
     assert(batch.forall(t => keep(t._2)), "a non-en candidate slipped through")
   }
 
-  test("knn_ivfpq_batch per-query slice equals the single-query knn_ivfpq") {
+  test("knn_ivfpq_batch: EVERY per-query slice equals the single-query composition") {
     // per-q probes replay Ivf.probe's ordering and encode is per-row
     // independent, so the batch must reproduce the single-query
-    // composition exactly for every query id
-    val single = q("knn_ivfpq").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // composition (probe -> keep -> searchRerank) for every query id
+    import graft.operators.{Ivf, Pq}
+    val e = Tables(spark, dir, "embeddings")
     val batch = q("knn_ivfpq_batch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L))
-    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
-    assert(q0 === single, s"batch q0 $q0 vs single $single")
+    for (qid <- 0 to 4) {
+      val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(e), qv, nProbe = 2)
+      val keep = e.join(broadcast(probed), "label").select("vec_id")
+      val single = Pq.searchRerank(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 64, shortlist = 100, keep = Some(keep))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = batch.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: batch $slice vs single $single")
+    }
   }
 
-  test("knn_ivfpq_residual_batch per-query slice equals the single-query residual path") {
-    val single = q("knn_ivfpq_residual").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+  test("knn_ivfpq_residual_batch: EVERY per-query slice equals the single-query residual path") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
     val batch = q("knn_ivfpq_residual_batch").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(batch.map(_._1).distinct.sorted.toSeq === (0L to 4L))
-    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4)).toSeq
-    assert(q0 === single, s"batch q0 $q0 vs single $single")
+    for (qid <- 0 to 4) {
+      val single = Pq.ivfpqResidual(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = batch.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: batch $slice vs single $single")
+    }
   }
 
   test("knn_refine_rerank_batch per-query slice equals the single-query refine path") {
