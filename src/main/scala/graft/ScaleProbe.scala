@@ -260,6 +260,23 @@ object ScaleProbe {
       // at dictionary scale.
       time("bpe_train_batched_8scans")(
         graft.operators.Bpe.trainBatched(d.select("doc_id", "text"))._1.size),
+      // THOUSAND-merge batched training (r8 verdict next #2: the gate
+      // corpus's 31-word vocabulary caps at ~82 merges, so production
+      // depth rested on extrapolation): a 20k-word vocabulary trained to
+      // ≥1000 merges in ~scans jobs — the row that turns "could train a
+      // production tokenizer" into a measurement. poolC widens with the
+      // vocabulary (the r7/r8 design note) so batches stay near-full.
+      time("bpe_train_batched_1k_merges") {
+        val wide = spark.range(100000).select(
+          col("id").as("doc_id"),
+          expr("""concat_ws(' ', transform(sequence(0, 39), t ->
+            concat('w', pmod(xxhash64(id * 40 + t), 20000))))""").as("text"))
+        val m = graft.operators.Bpe.trainBatched(wide,
+          scans = 100, batchM = 16, poolC = 256)._1
+        require(m.size >= 1000,
+          s"thousand-merge probe fell short: ${m.size} merges in 100 scans")
+        m.size
+      },
       // z-order write of the full corpus: narrow Morton map + range
       // exchange + in-partition sort — the layout cost a 2-D-box workload
       // amortizes

@@ -124,7 +124,14 @@ object Bpe {
           merges.toSeq.map(mm => (mm.l, mm.r))).as("syms"))
       i += 1
     }
-    (merges.toSeq, words)
+    // materialize the FINAL state so the cached base can be released NOW:
+    // without this every train() call — including memoized per-dir builds —
+    // pinned a word table in executor storage for the JVM lifetime (r8
+    // ADVICE). One extra job over the compressed word table buys the
+    // cache back; the returned frame no longer references base at all.
+    val fin = Dedup.materialize(words)
+    base.unpersist()
+    (merges.toSeq, fin)
   }
 
   /** Per-(JVM, dir) training memo — the hnswIndexFor contract: training is
@@ -218,7 +225,12 @@ object Bpe {
           merges.toSeq.map(m => (m.l, m.r))).as("syms"))
       s += 1
     }
-    (merges.toSeq, words)
+    // release the cached base once the final state is materialized — the
+    // train() convention (r8 ADVICE: each distinct-docs invocation,
+    // ScaleProbe's included, otherwise pins a cache for the JVM lifetime)
+    val fin = Dedup.materialize(words)
+    base.unpersist()
+    (merges.toSeq, fin)
   }
 
   private val trainedBatchedFor =

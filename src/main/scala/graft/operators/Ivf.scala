@@ -57,15 +57,19 @@ object Ivf {
     * membership form the batched compressed searches join on. */
   def probeBatch(cent: DataFrame, queries: DataFrame, nProbe: Int,
                  clusterCol: String = "label", qVecCol: String = "q_vec",
-                 metric: Knn.Metric = Knn.Cosine): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                 metric: Knn.Metric = Knn.Cosine,
+                 qIdCol: String = "q_id"): DataFrame =
+    // per-query cut via the k-heap aggregate, not a window: the frame is
+    // C×|Q| model state either way, but the heap partial-aggregates
+    // map-side and keeps every batch consumer's plan Window-free (the
+    // PlanAuditSpec invariant). TopKHits ties to the lower id — exactly
+    // [[probe]]'s (metric order, cluster id asc) contract, spec-pinned.
     cent.crossJoin(broadcast(queries))
       .withColumn("cscore", scaled(metric.score(col("cent"), col(qVecCol)), Knn.ScoreDigits))
-      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
-        .orderBy(metric.order(col("cscore")), col(clusterCol).asc)))
-      .filter(col("rn") <= nProbe)
-      .select(col("q_id"), col(clusterCol))
-  }
+      .groupBy(qIdCol)
+      .agg(graft.functions.aggs.topK(col("cscore"), col(clusterCol), nProbe,
+        asc = metric.ascending).as("hits"))
+      .select(col(qIdCol), explode(col("hits.id")).as(clusterCol))
 
   /** The reference's ACORN loop widens traversal until enough
     * filter-passing survivors accumulate (/root/reference/acorn.py:162,
@@ -209,12 +213,13 @@ object Ivf {
                      excludeSelf: Boolean = true,
                      precomputedCent: Option[DataFrame] = None): DataFrame = {
     val cent = precomputedCent.getOrElse(centroids(emb, idCol, vecCol, clusterCol))
-    val probes = cent.crossJoin(broadcast(queries))
-      .withColumn("cscore", scaled(vectors.cosine(col("cent"), col(qVecCol)), Knn.ScoreDigits))
-      .groupBy(qIdCol)
-      .agg(graft.functions.aggs.topK(col("cscore"), col(clusterCol), nProbe, asc = false)
-        .as("hits"))
-      .select(col(qIdCol), explode(col("hits.id")).as(clusterCol))
+    // probe via the shared metric-honoring [[probeBatch]] (r8 deferred
+    // item c: an inline copy here hardcoded cosine ordering, so an
+    // L2-metric batch probed with the wrong ranking; the probe-ordering
+    // contract — metric order, then lower cluster id — is single-sourced
+    // now, and IvfLshSpec pins probe-order identity)
+    val probes = probeBatch(cent, queries, nProbe, clusterCol, qVecCol,
+      metric, qIdCol)
     // probes is |Q|·nProbe rows — always the broadcast side, so the 100 TB
     // corpus is never the build side regardless of size estimates
     var pruned = emb.select(col(idCol), col(vecCol), col(clusterCol))

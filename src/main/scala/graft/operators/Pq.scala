@@ -112,14 +112,16 @@ object Pq {
   /** Wide integer codes (vec_id, q, code_0 … code_{M-1}) — one narrow
     * projection of `NearestCentroidLong` kernels over sliced sub-vectors. */
   private def encodeIntCols(qemb: DataFrame, cb: Seq[(Int, Long, Array[Long])],
-                            numSub: Int, subDim: Int): DataFrame = {
+                            numSub: Int, subDim: Int,
+                            carry: Seq[String] = Seq("vec_id", "q"),
+                            vecCol: String = "q"): DataFrame = {
     val cols = (0 until numSub).map { m =>
       val table = cb.filter(_._1 == m).map { case (_, c, cw) => (c, cw) }
       graft.functions.centroids.nearestLong(
-        expr(s"slice(q, ${m * subDim + 1}, $subDim)"), table)
+        expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)"), table)
         .getField("label").as(s"code_$m")
     }
-    qemb.select(col("vec_id") +: col("q") +: cols: _*)
+    qemb.select(carry.map(col) ++ cols: _*)
   }
 
   /** Integer-exact ADC shortlist + exact integer rerank over a trained
@@ -172,74 +174,22 @@ object Pq {
     * WHAT is encoded, not the scan shape. */
   def ivfpqResidual(emb: DataFrame, qid: Int, k: Int, numSub: Int, subDim: Int,
                     numCodes: Int, nProbe: Int, shortlist: Int): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val dims = numSub * subDim
-    val qe = emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
-      graft.functions.quantizeVecSql("embedding") + " AS q")
-    // coarse centroids: integer floor-mean per label, over the FULL corpus
-    // (index-build state — the query row is part of the ingested index)
-    val cent: Map[Long, Array[Long]] = qe.groupBy("label")
-      .agg(graft.functions.aggs.vecSumLong(col("q")).as("s"), count(lit(1)).as("cnt"))
-      .selectExpr("label", graft.functions.floorMeanVecSql("s", "cnt") + " AS cent")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qe = quantizedLabeled(emb)
+    val model = residualModel(qe, numSub, subDim, numCodes, "ivfpqResidual")
     val qv = qe.filter(col("vec_id") === qid).select("q").head.getSeq[Long](0).toArray
-    def sqdFull(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
     // probe: nProbe nearest centroids, ties to the lower label
-    val probed: Seq[Long] = cent.toSeq
+    val probed: Seq[Long] = model.cent.toSeq
       .map { case (l, c) => (l, sqdFull(c, qv)) }
       .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
-    // residual codebook: codes 0..K-1 = residuals of the K lowest-id
-    // vectors (the seededCodebook convention, residual-transformed)
-    val seedRows = qe.filter(col("vec_id") < numCodes)
-      .select("vec_id", "label", "q").collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Long](2).toArray
-        val c = cent(r.getLong(1))
-        (r.getLong(0), Array.tabulate(dims)(i => v(i) - c(i)))
-      }
-    require(seedRows.map(_._1).toSeq == (0L until numCodes.toLong),
-      s"ivfpqResidual: seed ids not dense 0..${numCodes - 1} — " +
-        "the literal ADC lookup indexes by code; re-densify vec_id first")
-    val cb: Seq[(Int, Long, Array[Long])] =
-      for { m <- 0 until numSub; (code, rv) <- seedRows.toSeq }
-        yield (m, code, rv.slice(m * subDim, (m + 1) * subDim))
-    // probed members, residual-transformed (broadcast centroid join + one
-    // narrow zip_with over nProbe/k of the corpus)
-    val centDf = cent.toSeq.map { case (l, c) => (l, c.toSeq) }.toDF("label", "cent")
-    val members = qe.filter(col("label").isin(probed: _*) && col("vec_id") =!= qid)
-      .join(broadcast(centDf), "label")
-      .selectExpr("vec_id", "label", "q", "zip_with(q, cent, (a, b) -> a - b) AS r")
-    // encode: nearest residual codeword per subspace (codegen'd kernel,
-    // ties to the lowest code — matching the oracle's min-join)
-    val codeCols = (0 until numSub).map { m =>
-      val table = cb.filter(_._1 == m).map { case (_, c, cw) => (c, cw) }
-      graft.functions.centroids.nearestLong(
-        expr(s"slice(r, ${m * subDim + 1}, $subDim)"), table)
-        .getField("label").as(s"code_$m")
-    }
-    val codes = members.select(Seq(col("vec_id"), col("label"), col("q")) ++ codeCols: _*)
+    val codes = residualCodes(qe.filter(col("vec_id") =!= qid), model, probed,
+      numSub, subDim, carry = Seq("vec_id", "label", "q"))
     // per-cluster ADC: td(label, m, code) = ||(q − cent_label)_sub − cw||²,
     // embedded as literal arrays behind one CASE arm per probed cluster
-    val adcByLabel: Map[Long, IndexedSeq[IndexedSeq[Long]]] = probed.map { l =>
-      val qr = Array.tabulate(dims)(i => qv(i) - cent(l)(i))
-      l -> (0 until numSub).map { m =>
-        cb.filter(_._1 == m).sortBy(_._2).map { case (_, _, cw) =>
-          var acc = 0L; var j = 0
-          while (j < subDim) { val d = qr(m * subDim + j) - cw(j); acc += d * d; j += 1 }
-          acc
-        }.toIndexedSeq
-      }.toIndexedSeq
+    val adcByLabel = probed.map { l =>
+      val qr = Array.tabulate(qv.length)(i => qv(i) - model.cent(l)(i))
+      l -> residualAdc(qr, model.cb, numSub, subDim)
     }.toMap
-    def adistFor(l: Long): String = (0 until numSub).map { m =>
-      val tds = adcByLabel(l)(m).map(v => s"${v}L").mkString(", ")
-      s"element_at(array($tds), CAST(code_$m AS INT) + 1)"
-    }.mkString(" + ")
+    def adistFor(l: Long): String = adistLookupExpr(adcByLabel(l), numSub)
     val whens = probed.init.map(l => s"WHEN label = ${l}L THEN (${adistFor(l)})").mkString(" ")
     val caseExpr =
       if (probed.size == 1) adistFor(probed.head)
@@ -249,6 +199,113 @@ object Pq {
       .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
       .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
+  }
+
+  // ---- shared residual-IVFPQ construction (r8 verdict deferred item a):
+  // the single-query, literal-batch, and joined-wide forms build the SAME
+  // query-independent structure — integer coarse centroids, the dense-seed
+  // residual codebook, and the residual-transformed member encode — from
+  // ONE construction path each, instead of three inline copies.
+
+  /** (vec_id, label, q): the quantized labeled corpus every residual form
+    * starts from. */
+  private def quantizedLabeled(emb: DataFrame): DataFrame =
+    emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
+      graft.functions.quantizeVecSql("embedding") + " AS q")
+
+  private final case class ResidualModel(cent: Map[Long, Array[Long]],
+                                         centDf: DataFrame,
+                                         cb: Seq[(Int, Long, Array[Long])])
+
+  /** Coarse centroids (integer floor-mean per label over the FULL corpus —
+    * index-build state; query rows are part of the ingested index) + the
+    * residual codebook: codes 0..K−1 = residuals of the K lowest-id vectors
+    * against their OWN centroids (the seededCodebook convention,
+    * residual-transformed). Driver state is k·d + K·M·d — the KMeans
+    * model-state contract. */
+  private def residualModel(qe: DataFrame, numSub: Int, subDim: Int,
+                            numCodes: Int, who: String): ResidualModel = {
+    val spark = qe.sparkSession
+    import spark.implicits._
+    val dims = numSub * subDim
+    val cent: Map[Long, Array[Long]] = qe.groupBy("label")
+      .agg(graft.functions.aggs.vecSumLong(col("q")).as("s"), count(lit(1)).as("cnt"))
+      .selectExpr("label", graft.functions.floorMeanVecSql("s", "cnt") + " AS cent")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val seedRows = qe.filter(col("vec_id") < numCodes)
+      .select("vec_id", "label", "q").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val v = r.getSeq[Long](2).toArray
+        val c = cent(r.getLong(1))
+        (r.getLong(0), Array.tabulate(dims)(i => v(i) - c(i)))
+      }
+    require(seedRows.map(_._1).toSeq == (0L until numCodes.toLong),
+      s"$who: seed ids not dense 0..${numCodes - 1} — " +
+        "the ADC lookup indexes by code; re-densify vec_id first")
+    val cb: Seq[(Int, Long, Array[Long])] =
+      for { m <- 0 until numSub; (code, rv) <- seedRows.toSeq }
+        yield (m, code, rv.slice(m * subDim, (m + 1) * subDim))
+    val centDf = cent.toSeq.map { case (l, c) => (l, c.toSeq) }.toDF("label", "cent")
+    ResidualModel(cent, centDf, cb)
+  }
+
+  /** Members of `labels`, residual-transformed and encoded: one broadcast
+    * centroid join, one narrow zip_with, one NearestCentroidLong kernel
+    * projection (encodeIntCols over the residual column — codegen'd, ties
+    * to the lowest code, matching the oracle's min-join). */
+  private def residualCodes(qe: DataFrame, model: ResidualModel,
+                            labels: Seq[Long], numSub: Int, subDim: Int,
+                            carry: Seq[String]): DataFrame = {
+    val members = qe.filter(col("label").isin(labels: _*))
+      .join(broadcast(model.centDf), "label")
+      .selectExpr("vec_id", "label", "q", "zip_with(q, cent, (a, b) -> a - b) AS r")
+    encodeIntCols(members, model.cb, numSub, subDim, carry = carry, vecCol = "r")
+  }
+
+  /** One (query, cluster) td table: tds(m)(code) = ||qr_sub − cw||², exact
+    * integer arithmetic both engines replay. */
+  private def residualAdc(qr: Array[Long], cb: Seq[(Int, Long, Array[Long])],
+                          numSub: Int, subDim: Int): IndexedSeq[IndexedSeq[Long]] =
+    (0 until numSub).map { m =>
+      cb.filter(_._1 == m).sortBy(_._2).map { case (_, _, cw) =>
+        var acc = 0L; var j = 0
+        while (j < subDim) { val d = qr(m * subDim + j) - cw(j); acc += d * d; j += 1 }
+        acc
+      }.toIndexedSeq
+    }.toIndexedSeq
+
+  /** Literal element_at lookup summing the M subspace td's over bound
+    * code_0..code_{M−1} columns. */
+  private def adistLookupExpr(tds: IndexedSeq[IndexedSeq[Long]], numSub: Int): String =
+    (0 until numSub).map { m =>
+      val vals = tds(m).map(v => s"${v}L").mkString(", ")
+      s"element_at(array($vals), CAST(code_$m AS INT) + 1)"
+    }.mkString(" + ")
+
+  private def sqdFull(a: Array[Long], b: Array[Long]): Long = {
+    var acc = 0L; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** Exact integer rerank of a (q_id, vec_id) candidate frame in quantized
+    * space — the batch tail the residual literal and wide forms share. */
+  private def exactRerankIntBatch(qe: DataFrame, short: DataFrame,
+                                  qids: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    val qqDf = qe.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+    qe.select("vec_id", "q")
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qqDf), "q_id")
+      .selectExpr("q_id", "vec_id",
+        graft.functions.sqDistLongSql("q", "qq") + " AS score")
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
   }
 
   /** BATCHED residual IVF-PQ (A42's batch form). The residual structure is
@@ -266,26 +323,28 @@ object Pq {
     * Spark work — r8 review: a 65-query call must refuse before paying a
     * corpus encode): each query adds literal ADC state and an adist
     * column to the scan projection; chunk the query file above 64. */
-  private def requireBatchQids(qids: Seq[Long], who: String): Unit =
+  private def requireBatchQids(qids: Seq[Long], who: String): Unit = {
     require(qids.nonEmpty && qids.size <= 64,
       s"$who: |Q|=${qids.size} — each query adds a literal ADC table and " +
         "an adist column to the scan projection; chunk the query file " +
-        "above 64 per pass (and pass at least one query)")
+        "above 64 per pass (and pass at least one query), or use the " +
+        "joined-ADC wide form (searchRerankBatchWide) for large query files")
+    // duplicated qids would emit two identical adist_<q> columns and
+    // duplicate stack() arms — an ambiguous-reference AnalysisException
+    // far from the cause (r8 ADVICE); refuse here, naming the ids
+    val dups = qids.diff(qids.distinct).distinct
+    require(dups.isEmpty,
+      s"$who: duplicate query ids: ${dups.mkString(", ")} — each qid " +
+        "contributes one ADC table and one adist column; dedupe the query file")
+  }
 
   def ivfpqResidualBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
                          subDim: Int, numCodes: Int, nProbe: Int,
                          shortlist: Int): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
     requireBatchQids(qids, "ivfpqResidualBatch")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val dims = numSub * subDim
-    val qe = emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
-      graft.functions.quantizeVecSql("embedding") + " AS q")
-    val cent: Map[Long, Array[Long]] = qe.groupBy("label")
-      .agg(graft.functions.aggs.vecSumLong(col("q")).as("s"), count(lit(1)).as("cnt"))
-      .selectExpr("label", graft.functions.floorMeanVecSql("s", "cnt") + " AS cent")
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val qe = quantizedLabeled(emb)
+    val model = residualModel(qe, numSub, subDim, numCodes, "ivfpqResidualBatch")
     val qvs: Map[Long, Array[Long]] = qe.filter(col("vec_id").isin(qids: _*))
       .select("vec_id", "q").collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
@@ -294,65 +353,25 @@ object Pq {
     require(qids.forall(qvs.contains),
       s"ivfpqResidualBatch: query ids absent from the corpus: " +
         qids.filterNot(qvs.contains).mkString(", "))
-    def sqdFull(a: Array[Long], b: Array[Long]): Long = {
-      var acc = 0L; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
-      acc
-    }
     // per-query probes: nProbe nearest integer centroids, ties lower label
     val probedByQ: Map[Long, Seq[Long]] = qids.map { qid =>
-      qid -> cent.toSeq.map { case (l, c) => (l, sqdFull(c, qvs(qid))) }
+      qid -> model.cent.toSeq.map { case (l, c) => (l, sqdFull(c, qvs(qid))) }
         .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
     }.toMap
     val unionLabels = probedByQ.values.flatten.toSeq.distinct
-    // residual codebook (query-independent): residuals of the K lowest-id
-    // vectors against their OWN centroids
-    val seedRows = qe.filter(col("vec_id") < numCodes)
-      .select("vec_id", "label", "q").collect()
-      .sortBy(_.getLong(0))
-      .map { r =>
-        val v = r.getSeq[Long](2).toArray
-        val c = cent(r.getLong(1))
-        (r.getLong(0), Array.tabulate(dims)(i => v(i) - c(i)))
-      }
-    require(seedRows.map(_._1).toSeq == (0L until numCodes.toLong),
-      s"ivfpqResidualBatch: seed ids not dense 0..${numCodes - 1} — " +
-        "the literal ADC lookup indexes by code; re-densify vec_id first")
-    val cb: Seq[(Int, Long, Array[Long])] =
-      for { m <- 0 until numSub; (code, rv) <- seedRows.toSeq }
-        yield (m, code, rv.slice(m * subDim, (m + 1) * subDim))
-    val centDf = cent.toSeq.map { case (l, c) => (l, c.toSeq) }.toDF("label", "cent")
-    val members = qe.filter(col("label").isin(unionLabels: _*))
-      .join(broadcast(centDf), "label")
-      .selectExpr("vec_id", "label", "q", "zip_with(q, cent, (a, b) -> a - b) AS r")
-    val codeCols = (0 until numSub).map { m =>
-      val table = cb.filter(_._1 == m).map { case (_, c, cw) => (c, cw) }
-      graft.functions.centroids.nearestLong(
-        expr(s"slice(r, ${m * subDim + 1}, $subDim)"), table)
-        .getField("label").as(s"code_$m")
-    }
-    val codes = Dedup.materialize(
-      members.select(Seq(col("vec_id"), col("label")) ++ codeCols: _*))
+    val codes = Dedup.materialize(residualCodes(qe, model, unionLabels,
+      numSub, subDim, carry = Seq("vec_id", "label")))
     // per-(query, probed cluster) ADC literal tables
     val adcByQL: Map[(Long, Long), IndexedSeq[IndexedSeq[Long]]] =
       (for { qid <- qids; l <- probedByQ(qid) } yield {
-        val qr = Array.tabulate(dims)(i => qvs(qid)(i) - cent(l)(i))
-        (qid, l) -> (0 until numSub).map { m =>
-          cb.filter(_._1 == m).sortBy(_._2).map { case (_, _, cw) =>
-            var acc = 0L; var j = 0
-            while (j < subDim) { val d = qr(m * subDim + j) - cw(j); acc += d * d; j += 1 }
-            acc
-          }.toIndexedSeq
-        }.toIndexedSeq
+        val qr = Array.tabulate(qvs(qid).length)(i => qvs(qid)(i) - model.cent(l)(i))
+        (qid, l) -> residualAdc(qr, model.cb, numSub, subDim)
       }).toMap
-    def adistFor(qid: Long, l: Long): String = (0 until numSub).map { m =>
-      val tds = adcByQL((qid, l))(m).map(v => s"${v}L").mkString(", ")
-      s"element_at(array($tds), CAST(code_$m AS INT) + 1)"
-    }.mkString(" + ")
     // membership IS the CASE: labels outside this query's probes → NULL
     val adistColsQ = qids.map { qid =>
       val whens = probedByQ(qid)
-        .map(l => s"WHEN label = ${l}L THEN (${adistFor(qid, l)})").mkString(" ")
+        .map(l => s"WHEN label = ${l}L THEN " +
+          s"(${adistLookupExpr(adcByQL((qid, l)), numSub)})").mkString(" ")
       s"CAST(CASE $whens END AS BIGINT) AS adist_$qid"
     }
     val short = codes
@@ -365,18 +384,74 @@ object Pq {
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("q_id"), col("hit.id").as("vec_id"))
     // exact integer rerank in quantized space (the single-query convention)
-    val qqDf = qe.filter(col("vec_id").isin(qids: _*))
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
-    qe.select("vec_id", "q")
-      .join(broadcast(short), "vec_id")
-      .join(broadcast(qqDf), "q_id")
+    exactRerankIntBatch(qe, short, qids, k)
+  }
+
+  /** WIDE-batch residual IVF-PQ: [[ivfpqResidualBatch]] semantics past the
+    * 64-query literal wall. Per-query probes AND per-(query, cluster) ADC
+    * tables are computed IN SPARK (query vectors never collect — the wide
+    * contract) and ride as ONE broadcast (q_id, label, tds) relation whose
+    * label key is BOTH the membership predicate and the ADC lookup: a
+    * row joins only the queries that probed its cluster. Plan size O(1) in
+    * |Q|; integer-exact end-to-end; per-query results ≡ ivfpqResidual
+    * (spec-pinned). */
+  def ivfpqResidualBatchWide(emb: DataFrame, qids: Seq[Long], k: Int,
+                             numSub: Int, subDim: Int, numCodes: Int,
+                             nProbe: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    import org.apache.spark.sql.expressions.Window
+    requireWideQids(qids, "ivfpqResidualBatchWide")
+    val qe = quantizedLabeled(emb)
+    val model = residualModel(qe, numSub, subDim, numCodes, "ivfpqResidualBatchWide")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cbDf = model.cb.map { case (m, c, cw) => (m, c, cw.toSeq) }
+      .toDF("m", "code", "cw")
+    val qs = qe.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("q"))
+    // per-query integer probes (d asc, label asc — the driver sort of the
+    // literal form, relationally) over the C×|Q| scored centroid frame
+    val probes = qs.crossJoin(broadcast(model.centDf))
+      .withColumn("d", expr(graft.functions.sqDistLongSql("cent", "q")))
+      .withColumn("rn", row_number().over(Window.partitionBy("q_id")
+        .orderBy(col("d").asc, col("label").asc)))
+      .filter(col("rn") <= nProbe)
+      .select(col("q_id"), col("label"), col("q"), col("cent"))
+    // per-(query, probed cluster) ADC: qr = q − cent_label; td per (m, code)
+    // with the exact integer arithmetic of residualAdc, grouped to nested
+    // code-ordered arrays (≤ |Q|·nProbe·M·K rows of model state)
+    val adcRel = Dedup.materialize(probes
+      .selectExpr("q_id", "label", "zip_with(q, cent, (a, b) -> a - b) AS qr")
+      .crossJoin(broadcast(cbDf))
+      .selectExpr("q_id", "label", "m", "code",
+        graft.functions.sqDistLongSql(s"slice(qr, m * $subDim + 1, $subDim)", "cw")
+          + " AS td")
+      .groupBy("q_id", "label", "m")
+      .agg(sort_array(collect_list(struct(col("code"), col("td")))).as("bym"))
+      .selectExpr("q_id", "label", "m", "transform(bym, x -> x.td) AS tda")
+      .groupBy("q_id", "label")
+      .agg(sort_array(collect_list(struct(col("m"), col("tda")))).as("byq"))
+      .selectExpr("q_id", "label", "transform(byq, x -> x.tda) AS tds"))
+    val presentQ = adcRel.select("q_id").distinct().collect()
+      .map(_.getLong(0)).toSet
+    require(qids.forall(presentQ),
+      s"ivfpqResidualBatchWide: query ids absent from the corpus: " +
+        qids.filterNot(presentQ).mkString(", "))
+    val unionLabels = adcRel.select("label").distinct().collect()
+      .map(_.getLong(0)).toSeq
+    val codes = Dedup.materialize(residualCodes(qe, model, unionLabels,
+      numSub, subDim, carry = Seq("vec_id", "label")))
+    val short = codes
+      .join(broadcast(adcRel), "label")
+      .filter(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id",
-        graft.functions.sqDistLongSql("q", "qq") + " AS score")
+        s"CAST(${wideAdistExpr(numSub)} AS BIGINT) AS adist")
       .groupBy("q_id")
-      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
+        asc = true).as("hits"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("q_id"), col("hit.id").as("vec_id"),
-        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+      .select(col("q_id"), col("hit.id").as("vec_id"))
+    exactRerankIntBatch(qe, short, qids, k)
   }
 
   /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
@@ -428,8 +503,12 @@ object Pq {
     * the driver oracle through `searchRerank`. Returns wide codes
     * (vec_id, code_0 … code_{M-1}). */
   def encodeFast(body: DataFrame, cbRows: Array[(Int, Long, Array[Double])],
-                 numSub: Int, subDim: Int): DataFrame = {
-    val cols = col("vec_id") +: (0 until numSub).map { m =>
+                 numSub: Int, subDim: Int,
+                 carry: Seq[String] = Seq("vec_id")): DataFrame = {
+    // `carry` columns ride through the kernel projection (r8 deferred
+    // item b: the ivfpq batch paths carried `label` via an inline copy of
+    // this loop — one kernel-projection construction site now)
+    val cols = carry.map(col) ++ (0 until numSub).map { m =>
       val cw = cbRows.filter(_._1 == m).sortBy(_._2).map(_._3)
       pq.nearestCode(col("v"), cw, m, subDim).as(s"code_$m")
     }
@@ -553,6 +632,108 @@ object Pq {
     exactRerankBatch(emb, short, qids, k)
   }
 
+  /** Joined-ADC wide-batch cap: the broadcast ADC relation carries
+    * |Q|·M·K BIGINT entries (~|Q|·4 KB at M=8, K=64) and the rerank
+    * broadcasts |Q|·shortlist candidate ids — ~16 MB + model state at the
+    * cap, comfortably broadcastable. Past it, shard the query file across
+    * passes: each pass still scans the corpus ONCE at any |Q| ≤ cap
+    * (unlike the literal form's 64-query plan-size wall). */
+  val WideBatchCap = 4096
+
+  private def requireWideQids(qids: Seq[Long], who: String): Unit = {
+    require(qids.nonEmpty && qids.size <= WideBatchCap,
+      s"$who: |Q|=${qids.size} — the broadcast ADC relation and the rerank " +
+        "candidate set scale linearly in |Q|; shard the query file above " +
+        s"$WideBatchCap per pass (and pass at least one query)")
+    val dups = qids.diff(qids.distinct).distinct
+    require(dups.isEmpty,
+      s"$who: duplicate query ids: ${dups.mkString(", ")} — a duplicated " +
+        "query would double-join every code row; dedupe the query file")
+  }
+
+  /** The joined-ADC form of [[adcTables]] (r8 verdict next #1): ALL
+    * queries' td tables as ONE broadcastable relation (q_id, tds) with
+    * tds[m+1][code+1] = ||q_sub − cw||² — plan size O(1) in |Q|, so one
+    * code scan serves a query file of ANY size up to [[WideBatchCap]]
+    * (the literal [[adistCols]] columns cap at 64 queries per pass).
+    * Computed BY Spark with the exact [[sqDistExpr]] arithmetic (the
+    * searchRerank convention), grouped to nested code-ordered arrays,
+    * materialized once. Carries the absent-query-id guard. */
+  def adcRelation(emb: DataFrame, qids: Seq[Long],
+                  cbRows: Array[(Int, Long, Array[Double])],
+                  subDim: Int): DataFrame = {
+    requireWideQids(qids, "adcRelation")
+    val qvs = emb.filter(col("vec_id").isin(qids: _*))
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val cbDf = emb.sparkSession.createDataFrame(
+      cbRows.toIndexedSeq.map { case (m, c, cw) => (m, c, cw.toSeq) })
+      .toDF("m", "code", "cw")
+    val rel = Dedup.materialize(cbDf.crossJoin(broadcast(qvs))
+      .selectExpr("q_id", "m", "code",
+        s"slice(qv, m * $subDim + 1, $subDim) AS qsub", "cw")
+      .selectExpr("q_id", "m", "code",
+        s"${sqDistExpr("qsub", "cw", subDim, offset = false)} AS td")
+      .groupBy("q_id", "m")
+      .agg(sort_array(collect_list(struct(col("code"), col("td")))).as("bym"))
+      .selectExpr("q_id", "m", "transform(bym, x -> x.td) AS tda")
+      .groupBy("q_id")
+      .agg(sort_array(collect_list(struct(col("m"), col("tda")))).as("byq"))
+      .selectExpr("q_id", "transform(byq, x -> x.tda) AS tds"))
+    // a query id absent from the corpus would silently vanish from the
+    // answer set — refuse loudly (the adcTables convention)
+    val present = rel.select("q_id").collect().map(_.getLong(0)).toSet
+    val missing = qids.filterNot(present)
+    require(missing.isEmpty,
+      s"joined-ADC batch: query ids absent from the corpus: ${missing.mkString(", ")}")
+    rel
+  }
+
+  /** Sum of M nested-array lookups over the joined `tds` column — constant
+    * plan size regardless of |Q| (the wide counterpart of [[adistCols]]). */
+  private def wideAdistExpr(numSub: Int): String =
+    (0 until numSub).map(m =>
+      s"element_at(element_at(tds, ${m + 1}), CAST(code_$m AS INT) + 1)")
+      .mkString(" + ")
+
+  /** WIDE-batch PQ search (r8 verdict next #1 — the 64-query literal wall
+    * was the first production limit a reference user hit): identical
+    * per-query semantics to [[searchRerankBatch]], but the ADC tables ride
+    * as the ONE broadcast-joined [[adcRelation]] instead of |Q| literal
+    * columns. The code scan crossJoins the broadcast relation — a
+    * pipelined map-side generate; the n·|Q| scored rows exist only inside
+    * the task and flow straight into the same map-side k-heaps (TopKHits:
+    * ≤ P·|Q|·R rows cross the only shuffle) — then the shared broadcast
+    * exact rerank. ONE corpus scan at any |Q| ≤ [[WideBatchCap]]; a 10⁴-
+    * query eval pays ⌈10⁴/4096⌉ = 3 scans instead of the literal form's
+    * 157. Same Spark-computed td values, same tie-breaks ⇒ per-query
+    * results IDENTICAL to searchRerank (spec-pinned). The literal form
+    * stays preferable below its cap (no join in the scan); this is the
+    * scale path for the reference's unbounded query files. */
+  def searchRerankBatchWide(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
+                            subDim: Int, numCodes: Int, shortlist: Int,
+                            keep: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    requireWideQids(qids, "searchRerankBatchWide")
+    val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ADC relation FIRST (it carries the absent-id guard): refuse before
+    // the corpus pays the encode — the batch-family convention
+    val adc = adcRelation(emb, qids, cbRows, subDim)
+    val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
+    val short = codes.crossJoin(broadcast(adc))
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"CAST(${wideAdistExpr(numSub)} AS BIGINT) AS adist")
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
+        asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"))
+    exactRerankBatch(emb, short, qids, k)
+  }
+
   /** All queries' ADC tables in ONE Spark job (|Q|·K·M rows of model
     * state), keyed (q_id, m, code) → td. Computed BY Spark (not the
     * driver) so the literal tables are bit-identical to the joined form
@@ -630,6 +811,10 @@ object Pq {
   def ivfpqBatch(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
                  subDim: Int, numCodes: Int, nProbe: Int, shortlist: Int): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
+    // entry-point guard BEFORE any Spark work (r8 ADVICE: adcTables'
+    // internal guard fires only after the seededCodebook collect has
+    // already paid a corpus job)
+    requireBatchQids(qids, "ivfpqBatch")
     val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     // ADC tables FIRST: adcTables holds the |Q| and absent-query-id
@@ -642,12 +827,8 @@ object Pq {
     // encode ONLY the probed-cluster union, carrying label for membership
     val body = emb.join(broadcast(probes.select("label").distinct()), "label")
       .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-    val codeCols = (0 until numSub).map { m =>
-      val cw = cbRows.filter(_._1 == m).sortBy(_._2).map(_._3)
-      pq.nearestCode(col("v"), cw, m, subDim).as(s"code_$m")
-    }
     val codes = Dedup.materialize(
-      body.select(Seq(col("vec_id"), col("label")) ++ codeCols: _*))
+      encodeFast(body, cbRows, numSub, subDim, carry = Seq("vec_id", "label")))
     val short = codes
       .selectExpr(Seq("vec_id", "label") ++ adistCols(qids, cbRows, td, numSub): _*)
       .selectExpr("vec_id", "label", stackExpr(qids))
@@ -656,6 +837,45 @@ object Pq {
       // query's probes — the label-keyed form that survives 100 TB (never
       // a per-vec_id membership list)
       .join(broadcast(probes), Seq("q_id", "label"))
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
+        asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"))
+    exactRerankBatch(emb, short, qids, k)
+  }
+
+  /** WIDE-batch IVF×PQ: [[ivfpqBatch]] semantics past the 64-query literal
+    * wall. Membership AND ADC resolve in ONE broadcast join: the
+    * ≤ |Q|·nProbe (q_id, label) probe pairs join the [[adcRelation]] on
+    * q_id (both model-state-sized), and the result joins the union-pruned
+    * code scan on label — the label-keyed form that survives 100 TB, now
+    * with O(1) plan size in |Q|. Per-query results ≡ ivfpqBatch /
+    * the single-query composition (spec-pinned). */
+  def ivfpqBatchWide(emb: DataFrame, qids: Seq[Long], k: Int, numSub: Int,
+                     subDim: Int, numCodes: Int, nProbe: Int,
+                     shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    requireWideQids(qids, "ivfpqBatchWide")
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ADC relation FIRST — carries the |Q| and absent-query-id guards
+    val adc = adcRelation(emb, qids, cbRows, subDim)
+    val qs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probes = Dedup.materialize(Ivf.probeBatch(Ivf.centroids(emb), qs, nProbe))
+    val body = emb.join(broadcast(probes.select("label").distinct()), "label")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val codes = Dedup.materialize(
+      encodeFast(body, cbRows, numSub, subDim, carry = Seq("vec_id", "label")))
+    val short = codes
+      // both sides of the inner membership×ADC join are model state — hint
+      // the inner side too, or the stats-blind localCheckpoint relations
+      // plan a SortMergeJoin for the |Q|·nProbe-row join
+      .join(broadcast(probes.join(broadcast(adc), "q_id")), "label")
+      .filter(col("vec_id") =!= col("q_id"))
+      .selectExpr("q_id", "vec_id",
+        s"CAST(${wideAdistExpr(numSub)} AS BIGINT) AS adist")
       .groupBy("q_id")
       .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
         asc = true).as("hits"))

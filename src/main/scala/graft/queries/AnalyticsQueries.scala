@@ -59,11 +59,15 @@ object AnalyticsQueries {
     // without this the sketch aggregation would run three times (guard +
     // two join sides), an extra corpus scan per run (r8 review finding)
     val skM = Dedup.materialize(sk)
+    // counted via limit(cap+1): the guard learns "over the cap", not the
+    // real cardinality — the message must not claim a measurement it
+    // didn't make (r8 ADVICE)
     val d = skM.limit(KmvPairDimCap + 1).count()
     require(d <= KmvPairDimCap,
-      s"kmv_jaccard_est: $d sketch groups exceed KmvPairDimCap=$KmvPairDimCap — " +
-        "pairwise Jaccard is O(D²) in group cardinality; pre-select the top-D " +
-        "groups (e.g. by n_sk/exact count) or raise the cap deliberately")
+      s"kmv_jaccard_est: more than KmvPairDimCap=$KmvPairDimCap sketch groups " +
+        "(guard stops counting at cap+1) — pairwise Jaccard is O(D²) in group " +
+        "cardinality; pre-select the top-D groups (e.g. by n_sk/exact count) " +
+        "or raise the cap deliberately")
     skM.selectExpr("event_type AS sa", "hs AS ha")
       .join(skM.selectExpr("event_type AS sb", "hs AS hb"), expr("sa < sb"))
       .selectExpr("sa", "sb",

@@ -436,6 +436,35 @@ object FusionQueries {
         k = 10, numSub = 8, subDim = 8, numCodes = 16, nProbe = 2,
         shortlist = 100)),
 
+    // A21c: WIDE-batch PQ search (r8 verdict next #1): the literal batch
+    // form walls at 64 queries (each adds an ADC table to the plan); the
+    // reference's evaluation loop runs UNBOUNDED query files. Here all 256
+    // queries' ADC tables ride as ONE broadcast-joined (q_id, tds)
+    // relation — plan size O(1) in |Q|, ONE corpus encode + ONE code scan
+    // at any query-file size up to Pq.WideBatchCap=4096. Per-query results
+    // are IDENTICAL to knn_pq / knn_pq_batch (spec-pinned); plan audit
+    // pins one-code-scan / no per-query projection columns / k-heaps.
+    "knn_pq_batch_wide" -> ((s, dir) =>
+      Pq.searchRerankBatchWide(Tables(s, dir, "embeddings"),
+        qids = (0L until 256L), k = 10, numSub = 8, subDim = 8,
+        numCodes = 64, shortlist = 100)),
+
+    // A24c: WIDE-batch IVF×PQ — membership and ADC resolve in ONE
+    // broadcast (q_id, label, tds) join against the union-pruned code
+    // scan; 128 queries, one scan, O(1) plan.
+    "knn_ivfpq_batch_wide" -> ((s, dir) =>
+      Pq.ivfpqBatchWide(Tables(s, dir, "embeddings"), qids = (0L until 128L),
+        k = 10, numSub = 8, subDim = 8, numCodes = 64, nProbe = 2,
+        shortlist = 100)),
+
+    // A42c: WIDE-batch residual IVF-PQ — per-query probes AND ADC tables
+    // computed in Spark (query vectors never collect), label-keyed
+    // broadcast membership+lookup join; integer-exact end-to-end.
+    "knn_ivfpq_residual_batch_wide" -> ((s, dir) =>
+      Pq.ivfpqResidualBatchWide(Tables(s, dir, "embeddings"),
+        qids = (0L until 128L), k = 10, numSub = 8, subDim = 8,
+        numCodes = 16, nProbe = 2, shortlist = 100)),
+
     // A41b: BATCHED refine/rerank — the SQ8 coarse scan computes all 5
     // queries' code distances in one pass over the corpus (the coarse
     // codes of a row are shared; only the query-side codes differ), the
@@ -642,52 +671,21 @@ object FusionQueries {
         |  WHERE d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin),
 
 
+    // A21c: the wide form shares the batch pipeline oracle verbatim — the
+    // joined-ADC relation IS the oracle's adc CTE shape; only |Q| widens
+    "knn_pq_batch_wide" -> pqBatchOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      qsWhere = "vec_id < 256"),
+
+    // A24c / A42c: same relational replay as the literal batch forms,
+    // wider query set
+    "knn_ivfpq_batch_wide" -> ivfpqBatchOracleSql("vec_id < 128"),
+    "knn_ivfpq_residual_batch_wide" -> ivfpqResidualBatchOracleSql("vec_id < 128"),
+
     // A24b: per-query probes (the hybrid_knn centroid ordering, windowed
     // per q), union-label body encode, (q_id, label) membership join,
     // then the batch ADC/shortlist/rerank window cuts
-    "knn_ivfpq_batch" ->
-      s"""WITH cent AS (${DuckDialect.centSql("embeddings")}),
-         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
-         |         embedding AS qemb
-         |       FROM embeddings WHERE vec_id <= 4),
-         |probes AS (SELECT q_id, label FROM (
-         |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
-         |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
-         |      CAST(qs.qemb AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
-         |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
-         |ul AS (SELECT DISTINCT label FROM probes),
-         |cb AS (SELECT m.m AS m, e.vec_id AS code,
-         |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
-         |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-         |body AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
-         |  FROM embeddings e JOIN ul USING (label)),
-         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-         |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
-         |  FROM body b CROSS JOIN cb),
-         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-         |        GROUP BY 1, 2),
-         |q8 AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
-         |      FROM qs, (SELECT unnest(range(8)) AS m) m),
-         |adc AS (SELECT q8.q_id, cb.m, cb.code,
-         |  CAST(floor((${pqTerms("q8.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
-         |  FROM cb JOIN q8 ON cb.m = q8.m),
-         |sums AS (SELECT p.q_id, b.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-         |  FROM enc JOIN body b USING (vec_id)
-         |  JOIN probes p ON p.label = b.label
-         |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code
-         |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2),
-         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
-         |  FROM sums) WHERE rn <= 100),
-         |rr AS (SELECT s.q_id, s.vec_id,
-         |    CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), qs.qv) * 10000 + 0.5) AS BIGINT) AS score
-         |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
-         |SELECT q_id, vec_id, rank, score FROM (
-         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
-         |WHERE rank <= 10""".stripMargin,
+    "knn_ivfpq_batch" -> ivfpqBatchOracleSql("vec_id <= 4"),
 
     // A41b: batched SQ8-coarse + exact integer rerank, per-query windows
     "knn_refine_rerank_batch" ->
@@ -892,55 +890,7 @@ object FusionQueries {
     // A42b: the residual composition per query — per-q integer probes,
     // union-label residual body, query-independent codebook/encode, the
     // per-(q, cluster) ADC join enforcing membership, per-q window cuts
-    "knn_ivfpq_residual_batch" -> {
-      def sqd8(a: String, b: String) =
-        s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
-      def sqd64(a: String, b: String) =
-        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
-      val qz = DuckDialect.quantizeVec("embedding")
-      s"""WITH qe AS (SELECT vec_id, CAST(label AS BIGINT) AS label, $qz AS q FROM embeddings),
-         |cent AS (SELECT label, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent FROM (
-         |    SELECT label, d.dim AS dim, sum(q[d.dim + 1]) AS s, count(*) AS cnt
-         |    FROM qe CROSS JOIN range(64) d(dim) GROUP BY label, d.dim) GROUP BY label),
-         |qs AS (SELECT vec_id AS q_id, q FROM qe WHERE vec_id <= 4),
-         |probes AS (SELECT q_id, label FROM (
-         |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
-         |    ORDER BY ${sqd64("c.cent", "qs.q")} ASC, c.label ASC) AS rn
-         |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
-         |ul AS (SELECT DISTINCT label FROM probes),
-         |res AS (SELECT e.vec_id, e.label,
-         |  list_transform(range(1, 65), i -> e.q[i] - c.cent[i]) AS r, e.q AS q
-         |  FROM qe e JOIN cent c USING (label)),
-         |cb AS (SELECT m.m AS m, s.vec_id AS code, s.r[m.m*8+1 : m.m*8+8] AS cw
-         |  FROM res s, (SELECT unnest(range(8)) AS m) m WHERE s.vec_id < 16),
-         |body AS (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN ul USING (label)),
-         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-         |  ${sqd8("(b.r[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS d
-         |  FROM body b CROSS JOIN cb),
-         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-         |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-         |  GROUP BY 1, 2),
-         |qres AS (SELECT p.q_id, p.label,
-         |  list_transform(range(1, 65), i -> qs.q[i] - c.cent[i]) AS qr
-         |  FROM probes p JOIN cent c USING (label) JOIN qs ON qs.q_id = p.q_id),
-         |adc AS (SELECT qr.q_id, qr.label, cb.m, cb.code,
-         |  ${sqd8("(qr.qr[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS td
-         |  FROM cb CROSS JOIN qres qr),
-         |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-         |  FROM enc JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
-         |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
-         |  WHERE bl.vec_id <> adc.q_id GROUP BY 1, 2),
-         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
-         |  FROM sums) WHERE rn <= 100),
-         |rr AS (SELECT s.q_id, s.vec_id, ${sqd64("b.q", "qs.q")} AS score
-         |  FROM short s JOIN body b USING (vec_id) JOIN qs ON qs.q_id = s.q_id)
-         |SELECT q_id, vec_id, rank, score FROM (
-         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
-         |WHERE rank <= 10""".stripMargin
-    },
+    "knn_ivfpq_residual_batch" -> ivfpqResidualBatchOracleSql("vec_id <= 4"),
 
     // A41: the same SQ8 coarse CTE feeding the top-R cut, then the exact
     // quantized-integer rerank over the candidate ids only
@@ -973,7 +923,8 @@ object FusionQueries {
     * equivalent window cuts, per-query exact rerank. Queries always come
     * from the FULL embeddings table (the filter applies to candidates,
     * never to who may ask). */
-  private def pqBatchOracleSql(bodySelect: String): String =
+  private def pqBatchOracleSql(bodySelect: String,
+                               qsWhere: String = "vec_id <= 4"): String =
     s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
        |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
        |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
@@ -986,7 +937,7 @@ object FusionQueries {
        |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
        |        GROUP BY 1, 2),
        |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-       |       FROM embeddings WHERE vec_id <= 4),
+       |       FROM embeddings WHERE $qsWhere),
        |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
        |      FROM qs, (SELECT unnest(range(8)) AS m) m),
        |adc AS (SELECT q.q_id, cb.m, cb.code,
@@ -1005,6 +956,110 @@ object FusionQueries {
        |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
        |WHERE rank <= 10""".stripMargin
+
+  /** The BATCH IVF×PQ oracle, parameterized by the query-set predicate —
+    * the literal (A24b, 5 queries) and joined-wide (A24c, 128 queries)
+    * entries replay the SAME relational pipeline: per-query probes,
+    * union-label body encode, (q_id, label) membership join, per-query
+    * ADC/shortlist/rerank window cuts. */
+  private def ivfpqBatchOracleSql(qsWhere: String): String =
+    s"""WITH cent AS (${DuckDialect.centSql("embeddings")}),
+       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+       |         embedding AS qemb
+       |       FROM embeddings WHERE $qsWhere),
+       |probes AS (SELECT q_id, label FROM (
+       |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+       |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+       |      CAST(qs.qemb AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
+       |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
+       |ul AS (SELECT DISTINCT label FROM probes),
+       |cb AS (SELECT m.m AS m, e.vec_id AS code,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+       |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+       |body AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM embeddings e JOIN ul USING (label)),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  CAST(floor((${pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |        GROUP BY 1, 2),
+       |q8 AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+       |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+       |adc AS (SELECT q8.q_id, cb.m, cb.code,
+       |  CAST(floor((${pqTerms("q8.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+       |  FROM cb JOIN q8 ON cb.m = q8.m),
+       |sums AS (SELECT p.q_id, b.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN body b USING (vec_id)
+       |  JOIN probes p ON p.label = b.label
+       |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code
+       |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sums) WHERE rn <= 100),
+       |rr AS (SELECT s.q_id, s.vec_id,
+       |    CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+       |  FROM short s JOIN embeddings e ON e.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+       |WHERE rank <= 10""".stripMargin
+
+  /** The BATCH residual-IVFPQ oracle, parameterized by the query-set
+    * predicate — shared by the literal (A42b) and joined-wide (A42c)
+    * entries: per-q integer probes, union-label residual body,
+    * query-independent codebook/encode, the per-(q, cluster) ADC join
+    * enforcing membership, per-q window cuts. */
+  private def ivfpqResidualBatchOracleSql(qsWhere: String): String = {
+    def sqd8(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 9), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def sqd64(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val qz = DuckDialect.quantizeVec("embedding")
+    s"""WITH qe AS (SELECT vec_id, CAST(label AS BIGINT) AS label, $qz AS q FROM embeddings),
+       |cent AS (SELECT label, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent FROM (
+       |    SELECT label, d.dim AS dim, sum(q[d.dim + 1]) AS s, count(*) AS cnt
+       |    FROM qe CROSS JOIN range(64) d(dim) GROUP BY label, d.dim) GROUP BY label),
+       |qs AS (SELECT vec_id AS q_id, q FROM qe WHERE $qsWhere),
+       |probes AS (SELECT q_id, label FROM (
+       |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+       |    ORDER BY ${sqd64("c.cent", "qs.q")} ASC, c.label ASC) AS rn
+       |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
+       |ul AS (SELECT DISTINCT label FROM probes),
+       |res AS (SELECT e.vec_id, e.label,
+       |  list_transform(range(1, 65), i -> e.q[i] - c.cent[i]) AS r, e.q AS q
+       |  FROM qe e JOIN cent c USING (label)),
+       |cb AS (SELECT m.m AS m, s.vec_id AS code, s.r[m.m*8+1 : m.m*8+8] AS cw
+       |  FROM res s, (SELECT unnest(range(8)) AS m) m WHERE s.vec_id < 16),
+       |body AS (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN ul USING (label)),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  ${sqd8("(b.r[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |  GROUP BY 1, 2),
+       |qres AS (SELECT p.q_id, p.label,
+       |  list_transform(range(1, 65), i -> qs.q[i] - c.cent[i]) AS qr
+       |  FROM probes p JOIN cent c USING (label) JOIN qs ON qs.q_id = p.q_id),
+       |adc AS (SELECT qr.q_id, qr.label, cb.m, cb.code,
+       |  ${sqd8("(qr.qr[cb.m*8+1 : cb.m*8+8])", "cb.cw")} AS td
+       |  FROM cb CROSS JOIN qres qr),
+       |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
+       |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
+       |  WHERE bl.vec_id <> adc.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sums) WHERE rn <= 100),
+       |rr AS (SELECT s.q_id, s.vec_id, ${sqd64("b.q", "qs.q")} AS score
+       |  FROM short s JOIN body b USING (vec_id) JOIN qs ON qs.q_id = s.q_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+       |WHERE rank <= 10""".stripMargin
+  }
 
   /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —
     * the unfiltered, metadata-filtered, and IVF-probed entries share

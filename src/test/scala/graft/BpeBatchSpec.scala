@@ -116,6 +116,75 @@ class BpeBatchSpec extends SparkSpec {
       s"batched vocabulary barely compresses: $totBpe symbols vs $chars chars")
   }
 
+  test("deep batched training matches the driver simulation scan-for-scan") {
+    // the depth pin behind the thousand-merge ScaleProbe row (r8 verdict
+    // next #2): on a 2500-word vocabulary, EVERY scan's accepted batch —
+    // pair counts, pool order, greedy disjoint selection, rank order —
+    // must equal an independent driver-side simulation of the published
+    // selection rule, hundreds of merges deep; and the engine's first
+    // merge must equal the sequential trainer's argmax (rank-1 ≡
+    // sequential at depth 0, the continuity anchor).
+    import spark.implicits._
+    val docs = (0 until 2500).map { i =>
+      (i.toLong, s"w${i}x${i % 97} w$i y${i % 31}k")
+    }.toDF("doc_id", "text")
+    val scans = 24; val batchM = 16; val poolC = 128
+    val (merges, _) = Bpe.trainBatched(docs, scans, batchM, poolC)
+    // ~8.6 accepted/scan on this vocabulary; the ≥10³-merge demonstration
+    // itself is the ScaleProbe bpe_train_batched_1k_merges row
+    assert(merges.length >= 200, s"expected depth: got ${merges.length}")
+
+    // driver simulation from the same base word table
+    val base = Bpe.wordTable(docs)
+      .selectExpr("word", "freq", "syms")
+      .as[(String, Long, Seq[String])].collect()
+    def applyRule(syms: Array[String], l: String, r: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      for (x <- syms) {
+        if (out.nonEmpty && out.last == l && x == r)
+          out(out.length - 1) = out.last + x
+        else out += x
+      }
+      out.toArray
+    }
+    var state = base.map { case (_, f, s) => (f, s.toArray) }
+    val sim = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String, String, Long)]
+    for (scan <- 1 to scans) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (f, syms) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      val pool = counts.toSeq
+        .sortBy { case ((l, r), n) => (-n, l, r) }.take(poolC)
+      val blocked = scala.collection.mutable.Set.empty[String]
+      val batch = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var accepted = 0
+      for (((l, r), n) <- pool if accepted < batchM) {
+        if (!blocked(l) && !blocked(r) && !blocked(l + r)) {
+          accepted += 1
+          sim += ((scan, accepted, l, r, n))
+          batch += ((l, r))
+          blocked ++= Seq(l, r, l + r)
+        }
+      }
+      state = state.map { case (f, syms) =>
+        (f, batch.foldLeft(syms)((s, m) => applyRule(s, m._1, m._2)))
+      }
+    }
+    val engine = merges.map(m => (m.scan, m.idx, m.l, m.r, m.n))
+    assert(engine === sim.toSeq,
+      s"engine diverged from the simulation at depth ${merges.length}")
+    // continuity anchor: scan 1 rank 1 == the sequential trainer's argmax
+    val seq1 = Bpe.train(docs, iters = 1)._1.head
+    assert((merges.head.l, merges.head.r, merges.head.n)
+      === ((seq1.l, seq1.r, seq1.n)))
+  }
+
   test("batched final state equals the kernel applied to the flat rule list") {
     import spark.implicits._
     val (merges, words) = Bpe.trainBatched(docs)

@@ -165,4 +165,53 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("999999"), e2.getMessage)
   }
+
+  test("batched PQ paths refuse duplicate query ids, naming them") {
+    // duplicated qids would otherwise surface as an ambiguous-reference
+    // AnalysisException on adist_<q> far from the cause (r8 ADVICE)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pq.searchRerankBatch(emb, qids = Seq(0L, 1L, 0L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, shortlist = 10)
+    }
+    assert(e.getMessage.contains("duplicate") && e.getMessage.contains("0"), e.getMessage)
+  }
+
+  test("wide-batch PQ guards: over-cap at entry, duplicates named, absent ids refused") {
+    import graft.operators.Pq
+    // over-cap refuses BEFORE any Spark work (emptyDataFrame would throw
+    // its own error on any action)
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchWide(spark.emptyDataFrame, qids = (0L until 4097L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, shortlist = 10)
+    }
+    assert(e1.getMessage.contains("4097") && e1.getMessage.contains("shard"),
+      e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.ivfpqResidualBatchWide(spark.emptyDataFrame, qids = Seq(1L, 2L, 1L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, nProbe = 2, shortlist = 10)
+    }
+    assert(e2.getMessage.contains("duplicate") && e2.getMessage.contains("1"),
+      e2.getMessage)
+    val emb = (0L until 40L).map(i =>
+      (i, Array.tabulate(16)(d => (i * 16 + d).toFloat / 100))).toDF("vec_id", "embedding")
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchWide(emb, qids = Seq(0L, 999999L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, shortlist = 10)
+    }
+    assert(e3.getMessage.contains("999999"), e3.getMessage)
+  }
+
+  test("ivfpqBatch refuses an over-cap query set at function entry") {
+    // the guard must fire before seededCodebook's collect pays a corpus
+    // job (r8 ADVICE) — an unresolvable frame proves no Spark work ran
+    val spark = this.spark
+    val bad = spark.emptyDataFrame // any action on this would throw its own error
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Pq.ivfpqBatch(bad, qids = (0L until 65L),
+        k = 3, numSub = 2, subDim = 8, numCodes = 8, nProbe = 2, shortlist = 10)
+    }
+    assert(e.getMessage.contains("|Q|=65"), e.getMessage)
+  }
 }

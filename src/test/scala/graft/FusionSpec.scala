@@ -389,4 +389,102 @@ class FusionSpec extends SparkSpec {
       .map(t => (t._2, t._4, t._5)).toSeq
     assert(q0 === single, s"batch q0 $q0 vs single $single")
   }
+
+  test("knn_pq_batch_wide: 256 queries in one pass; slices equal literal batch AND single") {
+    // the joined-ADC relation must reproduce the literal form exactly:
+    // same Spark-computed td values, same k-heap tie-breaks — so every
+    // wide slice equals the literal batch (qids 0..4) and spot-checked
+    // singles across the full 256-query range equal searchRerank
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val wide = q("knn_pq_batch_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.map(_._1).distinct.sorted.toSeq === (0L until 256L),
+      "all 256 queries answered")
+    val lit = q("knn_pq_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (qid <- 0 to 4) {
+      val w = wide.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      val l = lit.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      assert(w === l, s"q$qid: wide $w vs literal $l")
+    }
+    for (qid <- Seq(7, 63, 100, 255)) {
+      val single = Pq.searchRerank(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 64, shortlist = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = wide.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: wide $slice vs single $single")
+    }
+  }
+
+  test("knn_ivfpq_batch_wide slices equal the literal batch and spot singles") {
+    import graft.operators.{Ivf, Pq}
+    val e = Tables(spark, dir, "embeddings")
+    val wide = q("knn_ivfpq_batch_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.map(_._1).distinct.sorted.toSeq === (0L until 128L))
+    val lit = q("knn_ivfpq_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (qid <- 0 to 4) {
+      val w = wide.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      val l = lit.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      assert(w === l, s"q$qid: wide $w vs literal $l")
+    }
+    for (qid <- Seq(77, 127)) {
+      val qv = e.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(e), qv, nProbe = 2)
+      val keep = e.join(broadcast(probed), "label").select("vec_id")
+      val single = Pq.searchRerank(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 64, shortlist = 100, keep = Some(keep))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = wide.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: wide $slice vs single $single")
+    }
+  }
+
+  test("knn_ivfpq_residual_batch_wide slices equal the literal batch and spot singles") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val wide = q("knn_ivfpq_residual_batch_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.map(_._1).distinct.sorted.toSeq === (0L until 128L))
+    val lit = q("knn_ivfpq_residual_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (qid <- 0 to 4) {
+      val w = wide.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      val l = lit.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      assert(w === l, s"q$qid: wide $w vs literal $l")
+    }
+    for (qid <- Seq(77, 127)) {
+      val single = Pq.ivfpqResidual(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = wide.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: wide $slice vs single $single")
+    }
+  }
+
+  test("searchRerankBatchWide honors a keep filter exactly like the literal batch") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val en = Tables(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val wide = Pq.searchRerankBatchWide(e, qids = (0L until 70L), k = 10,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100,
+      keep = Some(en)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.map(_._1).distinct.sorted.toSeq === (0L until 70L),
+      "a 70-query filtered batch — past the literal form's 64 wall")
+    val lit = q("hybrid_knn_pq_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (qid <- 0 to 4) {
+      val w = wide.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      val l = lit.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      assert(w === l, s"q$qid: wide-keep $w vs literal-keep $l")
+    }
+  }
 }

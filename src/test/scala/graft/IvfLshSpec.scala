@@ -60,6 +60,40 @@ class IvfLshSpec extends SparkSpec {
     assert(batch == single)
   }
 
+  test("hybridBatchKnn honors the search metric; probeBatch ≡ probe per query") {
+    // r8 deferred item c: the inline batch probe hardcoded cosine, so an
+    // L2 batch probed with the wrong ranking; rebased on the shared
+    // probeBatch, the batch must reproduce per-query hybridKnn under L2
+    val meta = Seq((1L, 50), (2L, 500), (3L, 50), (4L, 50), (5L, 50), (6L, 50))
+      .toDF("doc_id", "n_chars")
+    val qs = emb.filter(col("vec_id").isin(1L, 4L))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val batch = Ivf.hybridBatchKnn(emb, meta, col("n_chars") < 100, qs, k = 3,
+      nProbe = 1, metric = Knn.L2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val single = Seq(1L, 4L).flatMap { qid =>
+      val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+      Ivf.hybridKnn(emb.filter(col("vec_id") =!= qid), meta, col("n_chars") < 100,
+        q, k = 3, nProbe = 1, metric = Knn.L2)
+        .select("vec_id").as[Long].collect().map(qid -> _)
+    }.toSet
+    assert(batch == single)
+    // probe-order identity: the probeBatch slice equals probe, per query
+    // and metric (the single-sourced ordering contract)
+    val cent = Ivf.centroids(emb)
+    for (m <- Seq(Knn.Cosine, Knn.L2)) {
+      val pb = Ivf.probeBatch(cent, qs, nProbe = 2, metric = m)
+        .as[(Long, Long)].collect().groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      for (qid <- Seq(1L, 4L)) {
+        val q = emb.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+        val p1 = Ivf.probe(cent, q, nProbe = 2, metric = m)
+          .as[Long].collect().toSet
+        assert(pb(qid) == p1, s"metric $m q$qid: batch ${pb(qid)} vs single $p1")
+      }
+    }
+  }
+
   test("lsh bucket is deterministic and md5 matches the column hash") {
     // Scala-side md5Hash60 must agree with the SQL-side conv(md5) column
     val s = "plane_0_0"

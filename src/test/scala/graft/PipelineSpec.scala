@@ -136,7 +136,13 @@ class PipelineSpec extends SparkSpec {
       val err = intercept[IllegalStateException] {
         m.asInstanceOf[Multimodal.OnnxEmbedModel].embedBatch(Seq((0L, Array[Byte](1, 2))))
       }
-      assert(err.getMessage.contains("forSession"))
+      // the failure must name the missing runtime PRECISELY (r8 verdict
+      // stretch #8): the artifact coordinate, the dispatch fix, and the
+      // underlying linkage error as the cause — not a bare reflection trace
+      assert(err.getMessage.contains("ai.onnxruntime"), err.getMessage)
+      assert(err.getMessage.contains("forSession"), err.getMessage)
+      assert(err.getCause.isInstanceOf[ClassNotFoundException] ||
+        err.getCause.isInstanceOf[NoClassDefFoundError], s"cause: ${err.getCause}")
     } finally {
       spark.conf.unset(EmbedModels.OnnxModelPathConf)
       spark.conf.unset(EmbedModels.OnnxDimsConf)

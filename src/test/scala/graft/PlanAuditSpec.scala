@@ -438,6 +438,42 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("knn_pq_batch_wide: O(1) plan in |Q| — joined ADC, one code scan, k-heaps") {
+    // the wide contract (r8 verdict next #1): NO per-query projection
+    // columns (the literal form's adist_<q>), the ADC rides as ONE
+    // broadcast relation joined to ONE materialized code scan
+    // (BroadcastNestedLoopJoin of the |Q|-row relation), and both cuts
+    // stay partial k-heap aggregates — never a window over scored rows
+    val p = plan("knn_pq_batch_wide")
+    assert(!p.contains("adist_"), s"per-query literal columns leaked\n${p.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2,
+      s"expected exactly two materialized scans (codes + ADC relation)\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("partial_top_k_hits".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("knn_ivfpq_batch_wide: label-keyed broadcast membership+ADC join, k-heaps") {
+    // membership AND ADC resolve in one BroadcastHashJoin on label; no
+    // per-query columns, no shuffle join, both cuts partial k-heaps
+    val p = plan("knn_ivfpq_batch_wide")
+    assert(!p.contains("adist_"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("partial_top_k_hits".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("knn_ivfpq_residual_batch_wide: broadcast (q,label,tds) join, k-heaps, no SMJ") {
+    val p = plan("knn_ivfpq_residual_batch_wide")
+    assert(!p.contains("adist_"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert("partial_top_k_hits".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("knn_ivfpq_residual: literal ADC (no join), broadcast residual transform, TakeOrdered") {
     // the codebook/ADC must be literal-embedded model state: the only join
     // in the scan path is the broadcast centroid join for the residual
