@@ -148,8 +148,8 @@ object ScaleProbe {
       // corpus (500k docs × 40 tokens, 5k-word vocabulary) → 64+ merges
       // (jobs-per-merge ≈ 0.1 vs sequential training's 1.0)
       time("bpe_train_batched_20Mtok")(
-        Bpe.trainBatched(syntheticDocs(spark, 500000)
-          .select(col("doc_id"), col("text")))._1.size))
+        Bpe.trainBatchedMerges(syntheticDocs(spark, 500000)
+          .select(col("doc_id"), col("text"))).size))
     val js = results2.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe_wide","n_vecs":$nVecs,"dims":$dims,"sec":$js}""")
   }
@@ -190,6 +190,9 @@ object ScaleProbe {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val meta = d.select(col("doc_id"), col("lang_k"), col("n_chars"))
 
+    // set by the bpe_train_batched_1k_merges row; recorded as its own
+    // JSON row so merge depth is diffable across probe records
+    var bpe1kDepth = -1.0
     val results = Seq(
       time("exact_knn")(Knn.topK(e.select("vec_id", "embedding"), q1, 10, Knn.Cosine).count()),
       time("batch_knn_8q")(Knn.batchKnn(e.select("vec_id", "embedding"), qs, 10, Knn.Cosine).count()),
@@ -259,7 +262,7 @@ object ScaleProbe {
       // flat rule list per scan, so this also exercises cascade re-encode
       // at dictionary scale.
       time("bpe_train_batched_8scans")(
-        graft.operators.Bpe.trainBatched(d.select("doc_id", "text"))._1.size),
+        graft.operators.Bpe.trainBatchedMerges(d.select("doc_id", "text")).size),
       // THOUSAND-merge batched training (r8 verdict next #2: the gate
       // corpus's 31-word vocabulary caps at ~82 merges, so production
       // depth rested on extrapolation): a 20k-word vocabulary trained to
@@ -271,10 +274,17 @@ object ScaleProbe {
           col("id").as("doc_id"),
           expr("""concat_ws(' ', transform(sequence(0, 39), t ->
             concat('w', pmod(xxhash64(id * 40 + t), 20000))))""").as("text"))
-        val m = graft.operators.Bpe.trainBatched(wide,
-          scans = 100, batchM = 16, poolC = 256)._1
-        require(m.size >= 1000,
-          s"thousand-merge probe fell short: ${m.size} merges in 100 scans")
+        val m = graft.operators.Bpe.trainBatchedMerges(wide,
+          scans = 100, batchM = 16, poolC = 256)
+        // the measured depth is its own JSON row (appended below) so a
+        // shortfall is a REPORTED regression diffable across committed
+        // probe records, not a probe abort (r9 ADVICE); 100 scans ×
+        // batchM=16 caps at 1600, so ≥1000 needs a ≥62.5% average
+        // acceptance rate — warn loudly when the corpus drifts under it
+        bpe1kDepth = m.size.toDouble
+        if (m.size < 1000) System.err.println(
+          s"WARN bpe_train_batched_1k_merges: depth ${m.size} < 1000 in " +
+            "100 scans — regression vs the committed probe record")
         m.size
       },
       // z-order write of the full corpus: narrow Morton map + range
@@ -393,7 +403,8 @@ object ScaleProbe {
         d, splitId = nDocs / 2, numHashes = 12, bands = 4,
         maxBucket = Some(64)).count())
     )
-    val js = results.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val js = (results :+ ("bpe_train_batched_1k_depth", bpe1kDepth))
+      .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
     println(s"""{"metric":"scale_probe","n_vecs":$nVecs,"n_docs":$nDocs,"sec":$js}""")
     spark.stop()
   }

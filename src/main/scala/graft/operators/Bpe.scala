@@ -94,7 +94,21 @@ object Bpe {
     * re-derived per action (CPU over a small cached table) rather than
     * materialized per iteration (N shuffling checkpoints). */
   def train(docs: DataFrame, iters: Int = DefaultIters,
-            eow: Boolean = false): (Seq[Merge], DataFrame) = {
+            eow: Boolean = false): (Seq[Merge], DataFrame) =
+    trainImpl(docs, iters, eow, needWords = true) match {
+      case (m, w) => (m, w.get)
+    }
+
+  /** Merge-table-only training — skips the final word-table materialize
+    * (and its extra full job + checkpoint blocks) for callers that only
+    * need the vocabulary: the memoized trainedMerges* paths and probe
+    * rows (r9 ADVICE). Identical merge sequence to [[train]]. */
+  def trainMerges(docs: DataFrame, iters: Int = DefaultIters,
+                  eow: Boolean = false): Seq[Merge] =
+    trainImpl(docs, iters, eow, needWords = false)._1
+
+  private def trainImpl(docs: DataFrame, iters: Int, eow: Boolean,
+                        needWords: Boolean): (Seq[Merge], Option[DataFrame]) = {
     val base = wordTable(docs, eow)
     base.persist()
     var words = base
@@ -129,7 +143,10 @@ object Bpe {
     // pinned a word table in executor storage for the JVM lifetime (r8
     // ADVICE). One extra job over the compressed word table buys the
     // cache back; the returned frame no longer references base at all.
-    val fin = Dedup.materialize(words)
+    // Merge-only callers (needWords=false) skip the job entirely — the
+    // merge table is already driver-side, so base just unpersists (r9
+    // ADVICE: no extra job, no lingering checkpoint blocks).
+    val fin = if (needWords) Some(Dedup.materialize(words)) else None
     base.unpersist()
     (merges.toSeq, fin)
   }
@@ -144,14 +161,15 @@ object Bpe {
     scala.collection.mutable.Map.empty[String, Seq[Merge]]
   def trainedMerges(docs: => DataFrame, dir: String,
                     iters: Int = DefaultIters): Seq[Merge] =
-    synchronized { trainedFor.getOrElseUpdate(dir, train(docs, iters)._1) }
+    synchronized { trainedFor.getOrElseUpdate(dir, trainMerges(docs, iters)) }
 
   /** Eow-marked training memo — keyed separately from the unmarked form
     * (same dir trains both vocabularies independently). */
   def trainedMergesEow(docs: => DataFrame, dir: String,
                        iters: Int = DefaultIters): Seq[Merge] =
     synchronized {
-      trainedFor.getOrElseUpdate(s"eow $dir", train(docs, iters, eow = true)._1)
+      trainedFor.getOrElseUpdate(s"eow $dir",
+        trainMerges(docs, iters, eow = true))
     }
 
   // ---- BATCHED training (r7 verdict "next" #1): production vocabularies
@@ -191,7 +209,20 @@ object Bpe {
     * ONE pair-keyed map-side shuffle runs, exactly like sequential
     * training, so jobs-per-merge drops from 1 to ~1/batchM. */
   def trainBatched(docs: DataFrame, scans: Int = BatchScans,
-                   batchM: Int = BatchM, poolC: Int = BatchC): (Seq[BatchMerge], DataFrame) = {
+                   batchM: Int = BatchM, poolC: Int = BatchC): (Seq[BatchMerge], DataFrame) =
+    trainBatchedImpl(docs, scans, batchM, poolC, needWords = true) match {
+      case (m, w) => (m, w.get)
+    }
+
+  /** Merge-table-only batched training — see [[trainMerges]]. */
+  def trainBatchedMerges(docs: DataFrame, scans: Int = BatchScans,
+                         batchM: Int = BatchM,
+                         poolC: Int = BatchC): Seq[BatchMerge] =
+    trainBatchedImpl(docs, scans, batchM, poolC, needWords = false)._1
+
+  private def trainBatchedImpl(docs: DataFrame, scans: Int, batchM: Int,
+                               poolC: Int,
+                               needWords: Boolean): (Seq[BatchMerge], Option[DataFrame]) = {
     val base = wordTable(docs)
     base.persist()
     var words = base
@@ -227,8 +258,9 @@ object Bpe {
     }
     // release the cached base once the final state is materialized — the
     // train() convention (r8 ADVICE: each distinct-docs invocation,
-    // ScaleProbe's included, otherwise pins a cache for the JVM lifetime)
-    val fin = Dedup.materialize(words)
+    // ScaleProbe's included, otherwise pins a cache for the JVM lifetime);
+    // merge-only callers skip the materialize job (r9 ADVICE)
+    val fin = if (needWords) Some(Dedup.materialize(words)) else None
     base.unpersist()
     (merges.toSeq, fin)
   }
@@ -237,7 +269,7 @@ object Bpe {
     scala.collection.mutable.Map.empty[String, Seq[BatchMerge]]
   def trainedBatched(docs: => DataFrame, dir: String): Seq[BatchMerge] =
     synchronized {
-      trainedBatchedFor.getOrElseUpdate(dir, trainBatched(docs)._1)
+      trainedBatchedFor.getOrElseUpdate(dir, trainBatchedMerges(docs))
     }
 
   /** Final (word, freq, syms) state under a merge table: the base word

@@ -58,7 +58,17 @@ object Ivf {
   def probeBatch(cent: DataFrame, queries: DataFrame, nProbe: Int,
                  clusterCol: String = "label", qVecCol: String = "q_vec",
                  metric: Knn.Metric = Knn.Cosine,
-                 qIdCol: String = "q_id"): DataFrame =
+                 qIdCol: String = "q_id"): DataFrame = {
+    // the k-heap carries ids as long — a non-numeric clusterCol would
+    // cast to null and every probe pair would silently vanish (r9
+    // ADVICE); refuse loudly instead
+    require(cent.schema(clusterCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"probeBatch: clusterCol '$clusterCol' is " +
+        s"${cent.schema(clusterCol).dataType.simpleString} — the per-query " +
+        "k-heap cut carries cluster ids as BIGINT, so a non-numeric label " +
+        "column would cast to null and silently drop every probe pair; " +
+        "use a numeric cluster label (or map labels to ids first)")
     // per-query cut via the k-heap aggregate, not a window: the frame is
     // C×|Q| model state either way, but the heap partial-aggregates
     // map-side and keeps every batch consumer's plan Window-free (the
@@ -70,6 +80,7 @@ object Ivf {
       .agg(graft.functions.aggs.topK(col("cscore"), col(clusterCol), nProbe,
         asc = metric.ascending).as("hits"))
       .select(col(qIdCol), explode(col("hits.id")).as(clusterCol))
+  }
 
   /** The reference's ACORN loop widens traversal until enough
     * filter-passing survivors accumulate (/root/reference/acorn.py:162,

@@ -51,6 +51,16 @@ class BpeSpec extends SparkSpec {
     assert(syms("ab") === Seq("ab") && syms("cd") === Seq("cd"))
   }
 
+  test("merge-only training paths yield the identical merge tables (r9 ADVICE)") {
+    // trainMerges/trainBatchedMerges skip the final word-table materialize
+    // for callers that discard it; the merge SEQUENCE must be untouched
+    val docs = spark.createDataFrame(Seq(
+      (1L, "ab ab cd aab"), (2L, "ab cd cd bba"))).toDF("doc_id", "text")
+    assert(Bpe.trainMerges(docs, iters = 3) === Bpe.train(docs, iters = 3)._1)
+    assert(Bpe.trainBatchedMerges(docs, scans = 2, batchM = 4, poolC = 8) ===
+      Bpe.trainBatched(docs, scans = 2, batchM = 4, poolC = 8)._1)
+  }
+
   test("wordSymLens dictionary-encode matches a direct per-word application") {
     val docs = spark.createDataFrame(Seq(
       (1L, "aab aab bba"), (2L, "aab bba bba ab"))).toDF("doc_id", "text")

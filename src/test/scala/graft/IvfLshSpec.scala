@@ -94,6 +94,20 @@ class IvfLshSpec extends SparkSpec {
     }
   }
 
+  test("probeBatch refuses a non-numeric clusterCol (silent-null guard)") {
+    // the k-heap carries cluster ids as BIGINT; a string label would cast
+    // to null and every probe pair would silently vanish (r9 ADVICE)
+    val cent = Seq(("a", Seq(0.0f, 1.0f)), ("b", Seq(1.0f, 0.0f)))
+      .toDF("label", "cent")
+    val qs = emb.filter(col("vec_id") === 1L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val ex = intercept[IllegalArgumentException] {
+      Ivf.probeBatch(cent, qs, nProbe = 1)
+    }
+    assert(ex.getMessage.contains("non-numeric") &&
+      ex.getMessage.contains("string"), ex.getMessage)
+  }
+
   test("lsh bucket is deterministic and md5 matches the column hash") {
     // Scala-side md5Hash60 must agree with the SQL-side conv(md5) column
     val s = "plane_0_0"
