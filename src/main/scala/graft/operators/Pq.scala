@@ -734,6 +734,66 @@ object Pq {
     exactRerankBatch(emb, short, qids, k)
   }
 
+  /** AUTO-SHARDED wide-batch PQ search (r9 verdict next #4 — the
+    * sharding recipe [[requireWideQids]]'s guard message describes,
+    * executed): a query file of ANY size splits into ⌈|Q|/cap⌉ wide
+    * passes, each ONE corpus scan serving ≤ cap queries, results
+    * unioned. Every q_id lands in exactly one shard, so per-query
+    * results are IDENTICAL to a single wide pass (spec-pinned with a
+    * small cap); shards share nothing but the (deterministic, seeded)
+    * codebook, which each pass rebuilds from the same model-state rows.
+    * `cap` is parameterized for testability and bounded by
+    * [[WideBatchCap]] — the broadcast-size ceiling still binds per pass. */
+  /** The whole-file guard + chunk-and-union skeleton shared by every
+    * sharded wide form: validates cap bounds, non-emptiness, and
+    * CROSS-shard duplicates (each shard's own guard only sees its chunk —
+    * a duplicate split across shards would double-answer in the union),
+    * then runs one wide pass per ≤cap chunk. */
+  private def shardedWide(qids: Seq[Long], cap: Int, who: String)
+                         (pass: Seq[Long] => DataFrame): DataFrame = {
+    require(cap >= 1 && cap <= WideBatchCap,
+      s"$who: cap=$cap must be in [1, $WideBatchCap] " +
+        "— the broadcast ADC relation ceiling binds per pass")
+    require(qids.nonEmpty, s"$who: empty query file")
+    val dups = qids.diff(qids.distinct).distinct
+    require(dups.isEmpty,
+      s"$who: duplicate query ids: ${dups.mkString(", ")}")
+    qids.grouped(cap).map(pass).reduce(_.union(_))
+  }
+
+  def searchRerankBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
+                                   numSub: Int, subDim: Int, numCodes: Int,
+                                   shortlist: Int,
+                                   keep: Option[DataFrame] = None,
+                                   cap: Int = WideBatchCap): DataFrame =
+    shardedWide(qids, cap, "searchRerankBatchShardedWide")(chunk =>
+      searchRerankBatchWide(emb, chunk, k, numSub, subDim, numCodes,
+        shortlist, keep))
+
+  /** Sharded wide IVF×PQ — [[ivfpqBatchWide]] past [[WideBatchCap]]:
+    * per-query probes are independent, so sharding the query file shards
+    * the probe set with it; each pass scans only ITS chunk's probed-
+    * cluster union (a sharded pass can read FEWER clusters than the
+    * whole-file pass would — cost, not semantics). */
+  def ivfpqBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
+                            numSub: Int, subDim: Int, numCodes: Int,
+                            nProbe: Int, shortlist: Int,
+                            cap: Int = WideBatchCap): DataFrame =
+    shardedWide(qids, cap, "ivfpqBatchShardedWide")(chunk =>
+      ivfpqBatchWide(emb, chunk, k, numSub, subDim, numCodes, nProbe,
+        shortlist))
+
+  /** Sharded wide residual IVF-PQ — [[ivfpqResidualBatchWide]] past the
+    * cap; rows encode against their OWN centroid, so the encode is
+    * chunk-independent too. */
+  def ivfpqResidualBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
+                                    numSub: Int, subDim: Int, numCodes: Int,
+                                    nProbe: Int, shortlist: Int,
+                                    cap: Int = WideBatchCap): DataFrame =
+    shardedWide(qids, cap, "ivfpqResidualBatchShardedWide")(chunk =>
+      ivfpqResidualBatchWide(emb, chunk, k, numSub, subDim, numCodes,
+        nProbe, shortlist))
+
   /** All queries' ADC tables in ONE Spark job (|Q|·K·M rows of model
     * state), keyed (q_id, m, code) → td. Computed BY Spark (not the
     * driver) so the literal tables are bit-identical to the joined form

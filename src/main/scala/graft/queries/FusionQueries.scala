@@ -449,6 +449,22 @@ object FusionQueries {
         qids = (0L until 256L), k = 10, numSub = 8, subDim = 8,
         numCodes = 64, shortlist = 100)),
 
+    // A23c: WIDE-batch filtered PQ (r9 verdict next #3 — the one batch
+    // composition that was still literal-only at the driver surface):
+    // the ACORN-hybrid metadata filter is query-INDEPENDENT, so the ONE
+    // keep-pruned encode + ONE code scan serve all 128 queries exactly
+    // as in the literal A23b — only the ADC side rides as the broadcast
+    // joined relation instead of literal columns. Queries come from the
+    // FULL table (the filter qualifies candidates, never who may ask).
+    "hybrid_knn_pq_batch_wide" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Pq.searchRerankBatchWide(Tables(s, dir, "embeddings"),
+        qids = (0L until 128L), k = 10, numSub = 8, subDim = 8,
+        numCodes = 64, shortlist = 100, keep = Some(keep))
+    }),
+
     // A24c: WIDE-batch IVF×PQ — membership and ADC resolve in ONE
     // broadcast (q_id, label, tds) join against the union-pruned code
     // scan; 128 queries, one scan, O(1) plan.
@@ -676,6 +692,13 @@ object FusionQueries {
     "knn_pq_batch_wide" -> pqBatchOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
       qsWhere = "vec_id < 256"),
+
+    // A23c: the filtered wide form — the A23b body with A21c's width
+    "hybrid_knn_pq_batch_wide" -> pqBatchOracleSql(
+      """SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+        |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |  WHERE d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin,
+      qsWhere = "vec_id < 128"),
 
     // A24c / A42c: same relational replay as the literal batch forms,
     // wider query set

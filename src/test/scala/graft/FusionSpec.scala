@@ -487,4 +487,87 @@ class FusionSpec extends SparkSpec {
       assert(w === l, s"q$qid: wide-keep $w vs literal-keep $l")
     }
   }
+
+  test("hybrid_knn_pq_batch_wide: 128 filtered queries, slices ≡ literal batch and spot singles") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val en = Tables(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val wide = q("hybrid_knn_pq_batch_wide").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(wide.map(_._1).distinct.sorted.toSeq === (0L until 128L),
+      "every query answered — twice past the literal form's 64 wall")
+    // only filter-qualified candidates may appear
+    val keepIds = en.collect().map(_.getLong(0)).toSet
+    assert(wide.forall(t => keepIds.contains(t._2)),
+      "a non-qualified candidate leaked through the keep filter")
+    val lit = q("hybrid_knn_pq_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    for (qid <- 0 to 4) {
+      val w = wide.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      val l = lit.filter(_._1 == qid.toLong).sortBy(_._3).toSeq
+      assert(w === l, s"q$qid: wide $w vs literal $l")
+    }
+    for (qid <- Seq(77, 127)) {
+      val single = Pq.searchRerank(e, qid = qid, k = 10, numSub = 8,
+        subDim = 8, numCodes = 64, shortlist = 100, keep = Some(en))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val slice = wide.filter(_._1 == qid.toLong).sortBy(_._3)
+        .map(t => (t._2, t._4)).toSeq
+      assert(slice === single, s"q$qid: wide $slice vs single $single")
+    }
+  }
+
+  test("searchRerankBatchShardedWide(cap=4) ≡ one wide pass; guards fire before work") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val qids = (0L until 10L)
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    val sharded = sorted(Pq.searchRerankBatchShardedWide(e, qids, k = 10,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100, cap = 4))
+    val wide = sorted(Pq.searchRerankBatchWide(e, qids, k = 10,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100))
+    assert(sharded === wide,
+      "3 shards of ≤4 queries must union to exactly the single wide pass")
+    // guards: cap bounds, empty file, cross-shard duplicates
+    for (badCap <- Seq(0, Pq.WideBatchCap + 1)) {
+      val ex = intercept[IllegalArgumentException] {
+        Pq.searchRerankBatchShardedWide(e, qids, 10, 8, 8, 64, 100,
+          cap = badCap)
+      }
+      assert(ex.getMessage.contains("cap"), ex.getMessage)
+    }
+    assert(intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchShardedWide(e, Seq.empty[Long], 10, 8, 8, 64, 100)
+    }.getMessage.contains("empty"))
+    val dup = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchShardedWide(e, Seq(1L, 2L, 3L, 4L, 5L, 1L), 10,
+        8, 8, 64, 100, cap = 4)
+    }
+    assert(dup.getMessage.contains("duplicate"),
+      s"cross-shard duplicates must fail the WHOLE-file check: ${dup.getMessage}")
+  }
+
+  test("ivfpq and residual sharded-wide forms ≡ their single wide pass") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val qids = (0L until 10L)
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(sorted(Pq.ivfpqBatchShardedWide(e, qids, k = 10, numSub = 8,
+      subDim = 8, numCodes = 64, nProbe = 2, shortlist = 100, cap = 4)) ===
+      sorted(Pq.ivfpqBatchWide(e, qids, k = 10, numSub = 8, subDim = 8,
+        numCodes = 64, nProbe = 2, shortlist = 100)),
+      "sharded IVF×PQ must union to the single wide pass")
+    assert(sorted(Pq.ivfpqResidualBatchShardedWide(e, qids, k = 10,
+      numSub = 8, subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100,
+      cap = 4)) ===
+      sorted(Pq.ivfpqResidualBatchWide(e, qids, k = 10, numSub = 8,
+        subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100)),
+      "sharded residual IVF-PQ must union to the single wide pass")
+  }
 }

@@ -454,6 +454,22 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
 
+  test("hybrid_knn_pq_batch_wide: keep-pruned scan keeps the wide O(1) shape") {
+    // the filtered wide form must inherit A21c's whole contract: the keep
+    // join happens INSIDE the materialized encode, so the serving plan is
+    // still exactly two materialized scans (pruned codes + ADC relation),
+    // one BNLJ of the |Q|-row broadcast relation, two partial k-heaps,
+    // and never a Window/SMJ over scored rows
+    val p = plan("hybrid_knn_pq_batch_wide")
+    assert(!p.contains("adist_"), s"per-query literal columns leaked\n${p.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(p).length === 2,
+      s"expected exactly two materialized scans (codes + ADC relation)\n${p.take(3000)}")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(3000))
+    assert("partial_top_k_hits".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
   test("knn_ivfpq_batch_wide: label-keyed broadcast membership+ADC join, k-heaps") {
     // membership AND ADC resolve in one BroadcastHashJoin on label; no
     // per-query columns, no shuffle join, both cuts partial k-heaps
