@@ -465,6 +465,18 @@ object FusionQueries {
         numCodes = 64, shortlist = 100, keep = Some(keep))
     }),
 
+    // A21d: SHARDED wide-batch PQ — the >WideBatchCap driver, gated: the
+    // same 128-query file as A21c's prefix but forced through FOUR ≤32-
+    // query wide passes and unioned (cap parameterized; in production the
+    // cap is 4096 and this shape only appears past it). Every q_id lands
+    // in exactly one shard ⇒ results ≡ one wide pass ⇒ the ORACLE IS THE
+    // SAME relational replay — the driver independently verifies the
+    // union-of-chunks path end-to-end.
+    "knn_pq_batch_sharded" -> ((s, dir) =>
+      Pq.searchRerankBatchShardedWide(Tables(s, dir, "embeddings"),
+        qids = (0L until 128L), k = 10, numSub = 8, subDim = 8,
+        numCodes = 64, shortlist = 100, cap = 32)),
+
     // A24c: WIDE-batch IVF×PQ — membership and ADC resolve in ONE
     // broadcast (q_id, label, tds) join against the union-pruned code
     // scan; 128 queries, one scan, O(1) plan.
@@ -698,6 +710,12 @@ object FusionQueries {
       """SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
         |  WHERE d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin,
+      qsWhere = "vec_id < 128"),
+
+    // A21d: sharding never changes per-query results, so the oracle is
+    // the wide pipeline's replay at the same 128-query width
+    "knn_pq_batch_sharded" -> pqBatchOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
       qsWhere = "vec_id < 128"),
 
     // A24c / A42c: same relational replay as the literal batch forms,
