@@ -10,7 +10,7 @@ object Bench {
     * iterations etc.), separated so query-surface regressions stay visible
     * instead of being drowned by training-loop wall time. */
   private val BuildEntries = Set(
-    "ivf_build", "knn_ivf_trained", "knn_pq_trained", "ivf_split_hot")
+    "ivf_build", "knn_ivf_trained", "knn_ivf_hnsw", "knn_pq_trained", "ivf_split_hot")
 
   def classOf(name: String): String =
     if (BuildEntries(name)) "build"

@@ -115,6 +115,45 @@ object HybridQueries {
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     }),
 
+    // A14d: IVF with an HNSW COARSE QUANTIZER — the FAISS IVF_HNSW shape
+    // (faiss IndexHNSW as the coarse quantizer of an IndexIVF; Douze et
+    // al., The Faiss library, 2024 §4.3). At 100 TB the centroid table
+    // itself is search-scale (√n ≈ 10⁶ centroids of a 10¹² corpus):
+    // ranking ALL centroids per query — what A14c's driver-side probe and
+    // C9's nearestLong kernel both do — becomes the bottleneck, so probe
+    // selection runs as a graph walk over per-partition HNSW graphs built
+    // on the CENTROID frame (O(log C) per query vs O(C)). Here ef=0 is
+    // the saturating sentinel (exact at any sf, the A35 contract), and
+    // the oracle replays the probe ranking under the HNSW score contract
+    // — floor(sqrt(d²)·10⁴+0.5), ties to the lower label — which can
+    // collapse near-tied centroids a raw-d² ranking would split, so the
+    // oracle ranks by the SAME scaled score, not raw d². Quantized
+    // integer coords (≤~10⁵) are exact in Float and their Double
+    // distance sums exact (< 2⁵³), so the graph's float math IS the
+    // integer ranking. Members of the probed clusters then score by
+    // exact integer squared L2 (the A14c tail).
+    "knn_ivf_hnsw" -> ((s, dir) => {
+      import s.implicits._
+      val corpus = emb(s, dir).select("vec_id", "embedding")
+        .filter(col("vec_id") =!= 21)
+      val (cent, qemb) = KMeans.fitInt(corpus, k = 10, iters = 3)
+      val qv = graft.operators.Pq.quantized(emb(s, dir).filter(col("vec_id") === 21))
+        .select("q").head.getSeq[Long](0).toArray
+      // the k·d model state as a SEARCHABLE frame — at 10⁶ centroids this
+      // is a real table and the per-partition graphs are the index
+      val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding").repartition(1)
+      val probed = Hnsw.searchPerPartition(centDf, qv.map(_.toFloat), k = 3, ef = 0)
+        .select("vec_id").collect().map(_.getLong(0))  // ≤ nProbe rows
+      val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+      qemb.select(col("vec_id"),
+          graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"), col("q"))
+        .filter(col("cluster").isin(probed: _*))
+        .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
+        .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+    }),
+
     // A10: ACORN-style hybrid search — probe 2 nearest clusters, metadata
     // predicate pushed into the pruned scan
     "hybrid_knn" -> ((s, dir) => {
@@ -1065,6 +1104,27 @@ object HybridQueries {
          |${DuckDialect.lloydChain(k, iters)},
          |probes AS (SELECT cl FROM (
          |  SELECT c.cl, row_number() OVER (ORDER BY ${dsq("c.cent", "q.q")} ASC, c.cl ASC) AS rn
+         |  FROM c$iters c CROSS JOIN qq q) WHERE rn <= $np)
+         |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
+         |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A14d: same Lloyd chain as A14c; the probe CTE ranks by the HNSW
+    // score contract (floor(sqrt(d²)·10⁴+0.5), ties lower label) because
+    // that is the ranking the engine's graph walk actually returns
+    "knn_ivf_hnsw" -> {
+      val k = 10; val iters = 3; val np = 3
+      def dsq(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      s"""WITH ed AS (SELECT vec_id, $qz AS q FROM embeddings WHERE vec_id <> 21),
+         |qq AS (SELECT $qz AS q FROM embeddings WHERE vec_id = 21),
+         |${DuckDialect.lloydChain(k, iters)},
+         |probes AS (SELECT cl FROM (
+         |  SELECT c.cl, row_number() OVER (ORDER BY
+         |      CAST(floor(sqrt(CAST(${dsq("c.cent", "q.q")} AS DOUBLE)) * 10000 + 0.5) AS BIGINT) ASC,
+         |      c.cl ASC) AS rn
          |  FROM c$iters c CROSS JOIN qq q) WHERE rn <= $np)
          |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
          |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
