@@ -272,6 +272,44 @@ object TextQueries {
         .selectExpr("doc_id", "rsum", "ntok", "(rsum * 10000) div ntok AS rarity")
     }),
 
+    // B37: bigram-LM surprisal score — the CONTEXT-SENSITIVE fluency
+    // filter (CCNet/Wenzek et al. 2020 filter corpora by LM perplexity;
+    // B26's rarity is the bag-of-words degenerate case). A self-trained
+    // bigram model: ctx(a) = Σ_b c2(a,b); surprisal of (a,b) in integer
+    // bits = floor(log₂(ctx(a) div c2(a,b))) via length(bin(x))−1 — the
+    // B26 integer-log₂ convention, so the whole score replays exactly.
+    // Repetitive boilerplate (every bigram near-certain) scores → 0,
+    // token soup (every bigram novel) scores high — the two tails a
+    // quality gate cuts. Shape: bigrams are a NARROW transform+explode
+    // (a doc's pairs never leave its row before the count shuffle); c2
+    // is one (a,b)-keyed hash agg, ctx a second agg OVER c2's result
+    // (vocab²-sized, not stream-sized); the scoring join broadcasts both
+    // model tables back over the stream. At 100 TB the model side is
+    // top-V-capped with an OOV default (the B26 vocab-cap contract) and
+    // the scoring join degrades to a token-keyed shuffle when V outgrows
+    // the broadcast threshold — the stream is never collected.
+    "text_bigram_lm" -> ((s, dir) => {
+      val bg = docs(s, dir)
+        .selectExpr("doc_id", s"$sTok AS tk")
+        .filter(org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("tk")) >= 2)
+        .selectExpr("doc_id",
+          "explode(transform(sequence(1, size(tk) - 1), " +
+            "i -> struct(tk[i - 1] AS a, tk[i] AS b))) AS p")
+        .selectExpr("doc_id", "p.a AS a", "p.b AS b")
+      val c2 = bg.groupBy("a", "b")
+        .agg(org.apache.spark.sql.functions.expr("count(*) AS c2"))
+      val c1 = c2.groupBy("a")
+        .agg(org.apache.spark.sql.functions.expr("CAST(sum(c2) AS BIGINT) AS ctx"))
+      bg.join(org.apache.spark.sql.functions.broadcast(c2), Seq("a", "b"))
+        .join(org.apache.spark.sql.functions.broadcast(c1), Seq("a"))
+        .selectExpr("doc_id", "CAST(length(bin(ctx div c2)) - 1 AS BIGINT) AS bits")
+        .groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.expr("CAST(sum(bits) AS BIGINT) AS bsum"),
+          org.apache.spark.sql.functions.expr("count(*) AS nbg"))
+        .selectExpr("doc_id", "bsum", "nbg", "(bsum * 10000) div nbg AS surprisal")
+    }),
+
     // B32: token-distribution drift between two corpus slices — the
     // DISTRIBUTION-shift monitor (rarity watches per-doc novelty, drift
     // watches embedding space; this watches the vocabulary itself): exact
@@ -445,6 +483,20 @@ object TextQueries {
          |  CAST(count(*) AS BIGINT) AS ntok,
          |  (CAST(sum(r.rar) AS BIGINT) * 10000) // count(*) AS rarity
          |FROM e JOIN r USING (tok) GROUP BY e.doc_id""".stripMargin,
+
+    "text_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
+         |bg AS (SELECT doc_id, tk[i] AS a, tk[i + 1] AS b
+         |  FROM t, unnest(range(1, len(tk))) r(i) WHERE len(tk) >= 2),
+         |c2 AS (SELECT a, b, count(*) AS c2 FROM bg GROUP BY a, b),
+         |c1 AS (SELECT a, sum(c2) AS ctx FROM c2 GROUP BY a),
+         |sc AS (SELECT g.doc_id,
+         |    CAST(length(bin(c1.ctx // c2.c2)) - 1 AS BIGINT) AS bits
+         |  FROM bg g JOIN c2 ON g.a = c2.a AND g.b = c2.b JOIN c1 ON g.a = c1.a)
+         |SELECT doc_id, CAST(sum(bits) AS BIGINT) AS bsum,
+         |  CAST(count(*) AS BIGINT) AS nbg,
+         |  CAST((sum(bits) * 10000) // count(*) AS BIGINT) AS surprisal
+         |FROM sc GROUP BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, $dTok AS tk FROM documents),
