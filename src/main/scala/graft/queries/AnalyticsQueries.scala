@@ -501,6 +501,72 @@ object AnalyticsQueries {
           "(ni2 * 1000000) div (na + nb - ni2) AS j_exact_ppm")
     }),
 
+    // C67: one-pass COLUMN PROFILER — the first thing any pipeline runs
+    // against a new 100 TB table (count / nulls / min / max / distinct per
+    // column) before choosing keys, partitioning, or filters. Columns
+    // unpivot via a narrow stack (4× the rows, still one scan), then TWO
+    // key-partitioned aggregates: per-column counts+extrema, and a KMV
+    // distinct sketch (C64's estimator, k smallest md5-60 hashes) over the
+    // deduped (col, val) stream. Exact distinct rides along for the
+    // est-vs-exact report (the C64 convention; at 100 TB you keep only the
+    // sketch). Profiled columns are the exactly-stringifiable ones
+    // (bigint/varchar) so both engines compare values bytewise.
+    "profile_columns" -> ((s, dir) => {
+      val u = Tables(s, dir, "orders").selectExpr(
+        """stack(4,
+          |  'o_orderkey', CAST(o_orderkey AS STRING),
+          |  'o_custkey', CAST(o_custkey AS STRING),
+          |  'o_orderstatus', o_orderstatus,
+          |  'o_orderpriority', o_orderpriority) AS (col, val)""".stripMargin)
+      val base = u.groupBy("col").agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("val"))).as("n_null"),
+        min("val").as("vmin"), max("val").as("vmax"))
+      val d = u.filter(col("val").isNotNull).select("col", "val").distinct()
+      val hh = d.selectExpr("col",
+        s"${Dedup.hashExpr("concat('pfl', col, '|', val)")} AS h")
+      val sk = hh.groupBy("col")
+        .agg(graft.functions.aggs.topK(col("h"), col("h"), KmvK, asc = true).as("hits"))
+        .selectExpr("col", "CAST(size(hits) AS BIGINT) AS n_sk",
+          "array_max(transform(hits, x -> x.score)) AS kth")
+      val ex = d.groupBy("col").agg(count(lit(1)).as("n_distinct"))
+      base.join(sk, "col").join(ex, "col")
+        .selectExpr("col", "n", "n_null", "n_distinct",
+          s"""CASE WHEN n_sk < $KmvK THEN n_sk
+             | ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0D
+             |   / CAST(kth AS DOUBLE), 9.0e18D)) AS BIGINT) END AS est""".stripMargin,
+          "vmin", "vmax")
+    }),
+
+    // C68: per-key SKEW PROFILE — the diagnostic a planner reads BEFORE
+    // reaching for C28/C37's salting (salt width = f(max/p99 group size)):
+    // exact group-size quantiles from the HISTOGRAM OF GROUP SIZES (the
+    // (size, freq) table is tiny at any corpus scale — one row per
+    // distinct size — so the cumulative window is bounded), max, and the
+    // top-10-keys' row share in ppm. One (key)-shuffle for the counts;
+    // everything downstream operates on K key-rows, never the stream.
+    // Quantile convention: smallest size with cumulative keys ≥
+    // ceil(K·q/100), all-integer both sides.
+    "key_skew_profile" -> ((s, dir) => {
+      val c = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = c.agg(count(lit(1)).as("n_keys"), sum("n").as("n_rows"),
+        max("n").as("max_n"))
+      val cum = c.groupBy("n").agg(count(lit(1)).as("f"))
+        .withColumn("cf", sum("f").over(
+          Window.orderBy("n").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      def pq(q: Int): DataFrame = cum.crossJoin(broadcast(tot))
+        .filter(col("cf") >= expr(s"(n_keys * $q + 99) div 100"))
+        .agg(min("n").as(s"p$q"))
+      val t10 = c.orderBy(col("n").desc, col("user_id").asc).limit(10)
+        .agg(sum("n").as("s10"))
+      tot.crossJoin(broadcast(pq(50))).crossJoin(broadcast(pq(90)))
+        .crossJoin(broadcast(pq(99))).crossJoin(broadcast(t10))
+        .selectExpr("n_keys", "CAST(n_rows AS BIGINT) AS n_rows", "max_n",
+          "p50", "p90", "p99",
+          "(CAST(s10 AS BIGINT) * 1000000) div CAST(n_rows AS BIGINT) AS top10_ppm")
+    }),
+
     // C48: session path mining — per session, the ordered event-type path
     // (the clickstream "top journeys" report). Sessions reuse C6's gap
     // logic; the path is built by an ORDER-DETERMINISTIC in-group sort
@@ -793,6 +859,46 @@ object AnalyticsQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // C67: same unpivot, same KMV estimator, same hash
+    "profile_columns" ->
+      s"""WITH u AS (
+         |  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+         |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+         |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         |base AS (SELECT col, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) - count(val) AS BIGINT) AS n_null,
+         |    min(val) AS vmin, max(val) AS vmax FROM u GROUP BY col),
+         |d AS (SELECT DISTINCT col, val FROM u WHERE val IS NOT NULL),
+         |hh AS (SELECT col, ${DuckDialect.hash("'pfl' || col || '|' || val")} AS h FROM d),
+         |rk AS (SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h ASC) AS rn FROM hh),
+         |sk AS (SELECT col, CAST(count(*) AS BIGINT) AS n_sk, CAST(max(h) AS BIGINT) AS kth
+         |  FROM rk WHERE rn <= $KmvK GROUP BY col),
+         |ex AS (SELECT col, CAST(count(*) AS BIGINT) AS n_distinct FROM d GROUP BY col)
+         |SELECT b.col, b.n, b.n_null, e.n_distinct,
+         |  CASE WHEN s.n_sk < $KmvK THEN s.n_sk
+         |       ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0
+         |         / CAST(s.kth AS DOUBLE), 9.0e18)) AS BIGINT) END AS est,
+         |  b.vmin, b.vmax
+         |FROM base b JOIN sk s ON b.col = s.col JOIN ex e ON b.col = e.col""".stripMargin,
+
+    // C68: histogram-of-sizes quantiles, identical ceil convention
+    "key_skew_profile" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_keys, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(max(n) AS BIGINT) AS max_n FROM c),
+        |hist AS (SELECT n, CAST(count(*) AS BIGINT) AS f FROM c GROUP BY n),
+        |cum AS (SELECT n, f, CAST(sum(f) OVER (ORDER BY n) AS BIGINT) AS cf FROM hist),
+        |q AS (SELECT
+        |  (SELECT min(n) FROM cum, tot WHERE cf >= (n_keys * 50 + 99) // 100) AS p50,
+        |  (SELECT min(n) FROM cum, tot WHERE cf >= (n_keys * 90 + 99) // 100) AS p90,
+        |  (SELECT min(n) FROM cum, tot WHERE cf >= (n_keys * 99 + 99) // 100) AS p99),
+        |t10 AS (SELECT CAST(sum(n) AS BIGINT) AS s10 FROM
+        |  (SELECT n FROM c ORDER BY n DESC, user_id ASC LIMIT 10))
+        |SELECT tot.n_keys, tot.n_rows, tot.max_n, q.p50, q.p90, q.p99,
+        |  CAST((t10.s10 * 1000000) // tot.n_rows AS BIGINT) AS top10_ppm
+        |FROM tot, q, t10""".stripMargin,
+
     "events_asof" ->
       """WITH tagged AS (
         |  SELECT user_id, ts, event_id, 0 AS is_q, event_id AS p_id, ts AS p_ts

@@ -325,4 +325,41 @@ class AnalyticsSpec extends SparkSpec {
       .toDF("event_type", "hs", "n_sk")
     assert(AnalyticsQueries.kmvPairwiseJaccard(ok).count() === 6L)
   }
+
+  test("profile_columns: counts and extrema match a direct recount; KMV in-regime") {
+    val rows = SparkEntry.queries("profile_columns")(spark, dir)
+      .as[(String, Long, Long, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet == Set("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+    val direct = Tables(spark, dir, "orders")
+      .selectExpr("CAST(o_custkey AS STRING) AS v").as[String].collect()
+    val (_, n, nNull, nd, est, vmin, vmax) = rows("o_custkey")
+    assert(n == direct.length && nNull == direct.count(_ == null))
+    val dv = direct.filter(_ != null).distinct
+    assert(nd == dv.length && vmin == dv.min && vmax == dv.max)
+    // KMV standard error ≈ 1/√64 = 12.5%; 4σ bound = regeneration-proof
+    assert(math.abs(est - nd) <= math.max(4, nd / 2),
+      s"o_custkey est $est vs exact $nd out of regime")
+    // small-cardinality columns short-circuit to exact (n_sk < K)
+    assert(rows("o_orderstatus")._5 == rows("o_orderstatus")._4)
+  }
+
+  test("key_skew_profile matches a driver-side recount of the key histogram") {
+    val Array((nKeys, nRows, maxN, p50, p90, p99, top10)) =
+      SparkEntry.queries("key_skew_profile")(spark, dir)
+        .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val counts = Tables(spark, dir, "events").groupBy("user_id")
+      .agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect()
+    val ns = counts.map(_._2).sorted
+    assert(nKeys == ns.length && nRows == ns.sum && maxN == ns.last)
+    def pq(q: Int): Long = {
+      val target = (ns.length * q + 99) / 100
+      ns(math.max(target.toInt - 1, 0))
+    }
+    assert((p50, p90, p99) == ((pq(50), pq(90), pq(99))))
+    val s10 = counts.sortBy { case (id, n) => (-n, id) }.take(10).map(_._2).sum
+    assert(top10 == s10 * 1000000L / nRows)
+    assert(p50 <= p90 && p90 <= p99 && p99 <= maxN)
+  }
 }
