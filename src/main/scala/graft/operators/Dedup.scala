@@ -309,6 +309,62 @@ object Dedup {
     sigs.selectExpr("doc_id", s"stack($bands, $bandExprs) AS (band, bkey)")
   }
 
+  /** B38: banding-ALLOCATION sweep over one fixed signature budget — the
+    * LSH tuning curve (Leskovec-Rajaraman-Ullman MMDS ch.3 s-curve: with
+    * n = b·r hashes fixed, the collision threshold sits near (1/b)^(1/r);
+    * few wide bands → high precision/low recall, many narrow bands → the
+    * reverse). For each allocation: candidate count, exact-verified
+    * positives (shingle Jaccard ≥ tauScaled, truncating ppm), precision,
+    * and recall vs the union of every allocation's positives (the
+    * b = n, r = 1 allocation's candidates are a superset of every other
+    * allocation's up to the shared hot-bucket cap, so the union is the
+    * discoverable frontier at this budget).
+    *
+    * Scale shape: the signature table computes ONCE and feeds every
+    * allocation's banding (the whole curve costs one shingle scan + one
+    * signature aggregate); exact verification joins once against the
+    * UNION of candidates, never per-allocation; per-allocation stats are
+    * counts over the tagged pair set. What a planner reads before fixing
+    * (b, r) at 100 TB — the knob that trades dedup recall against bucket
+    * fan-out. */
+  def lshBandSweep(docs: DataFrame, numHashes: Int, bandsList: Seq[Int],
+                   tauScaled: Long, maxBucket: Int): DataFrame = {
+    val sigs = materialize(minhashSignatures(docs, numHashes))
+    val all = shingledExploded(docs)
+      .selectExpr("doc_id", s"${hashExpr("g")} AS g")
+    val sets = all.groupBy("doc_id")
+      .agg(sort_array(collect_set("g")).as("set"), count(lit(1)).as("n"))
+    val cands = bandsList.map { b =>
+      pairsFromBanded(bandedFromSigs(sigs, numHashes, b), Some(maxBucket))
+        .withColumn("bands", lit(b.toLong))
+    }.reduce(_ unionAll _)
+    val uniq = cands.select("a_id", "b_id").distinct()
+    val jac = uniq
+      .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa"), col("n").as("na")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb"), col("n").as("nb")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .selectExpr("a_id", "b_id", "(inter * 1000000) div (na + nb - inter) AS jac")
+    val denom = jac.filter(col("jac") >= tauScaled)
+      .agg(count(lit(1)).as("n_union_pos"))
+    val stats = cands.join(jac, Seq("a_id", "b_id"))
+      .groupBy("bands")
+      .agg(count(lit(1)).as("n_cand0"),
+        sum(when(col("jac") >= tauScaled, 1L).otherwise(0L)).as("n_pos0"))
+    // every allocation reports a row, even one whose candidate set is
+    // empty at this corpus (the sweep-grid contract)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bandsList.map(_.toLong).toDF("bands")
+      .join(stats, Seq("bands"), "left")
+      .selectExpr("bands", s"CAST($numHashes AS BIGINT) div bands AS rows_per_band",
+        "coalesce(n_cand0, CAST(0 AS BIGINT)) AS n_cand",
+        "CAST(coalesce(n_pos0, 0) AS BIGINT) AS n_pos")
+      .crossJoin(broadcast(denom))
+      .selectExpr("bands", "rows_per_band", "n_cand", "n_pos",
+        "CASE WHEN n_cand = 0 THEN CAST(0 AS BIGINT) ELSE (n_pos * 1000000) div n_cand END AS precision_ppm",
+        "CASE WHEN n_union_pos = 0 THEN CAST(0 AS BIGINT) ELSE (n_pos * 1000000) div n_union_pos END AS recall_ppm")
+  }
+
   /** Incremental near-dup ADMISSION — the batch backstop of the lambda
     * dedup contract (streaming.DedupStream's fast path + periodic batch
     * pass): probe an ARRIVING batch against the EXISTING corpus's banded

@@ -46,6 +46,12 @@ object DedupQueries {
   // bucket cap for B3 (duplicate-saturation guard), same contract: the
   // oracle mirrors the cap, so the capped path is driver-verified
   private val MaxBucket = 64
+  // B38: the allocations of the 12-hash budget (rows = 12/bands) and the
+  // verification threshold of the sweep — τ=0.5 sits between the
+  // allocations' s-curve thresholds (1/b)^(1/r) ≈ 0.89/0.76/0.63/0.41/0.08
+  // so the sweep's precision/recall actually separate
+  private val SweepBands = Seq(2, 3, 4, 6, 12)
+  private val SweepTauScaled = 500000L
   // B24: "the first 250 ingested docs" stand in for the existing corpus;
   // every sf has ≥500 docs so both sides are non-empty at any gate scale
   private val IncrementalSplit = 250L
@@ -84,6 +90,19 @@ object DedupQueries {
     // with the hot-bucket pair-cap active (oracle mirrors the cap)
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLsh(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket))),
+
+    // B38: the LSH TUNING curve — banding-allocation sweep over the fixed
+    // 12-hash budget (MMDS ch.3 s-curve: threshold ≈ (1/b)^(1/r)); per
+    // allocation: candidates, exact-verified positives at τ=0.5,
+    // precision, recall vs the union frontier. One signature pass feeds
+    // every allocation; exact verification joins ONCE against the union
+    // of candidates. At sf0.001: precision 100%→2.8%, recall 92.9%→100%
+    // across (2,6)…(12,1) — the knob a planner reads before fixing (b,r)
+    // at 100 TB, where bucket fan-out is the shuffle cost and recall is
+    // the dedup guarantee. See operators.Dedup.lshBandSweep.
+    "dedup_lsh_sweep" -> ((s, dir) =>
+      Dedup.lshBandSweep(docs(s, dir), NumHashes, SweepBands,
+        SweepTauScaled, MaxBucket)),
 
     // B4: 64-bit SimHash near-dup, hamming ≤ 1 — cost-based: all-pairs on
     // small corpora, byte-banded LSH (pigeonhole-EXACT, same oracle) at scale
@@ -292,6 +311,63 @@ object DedupQueries {
       "dedup_minhash_lsh" ->
         s"""WITH ${minhashPairCtes(sigCols, bandSelects)}
            |SELECT a_id, b_id FROM pairs""".stripMargin,
+
+      // B38: per-allocation band/join/pair CTEs off ONE sig CTE; exact
+      // verification over the union of every allocation's candidates
+      "dedup_lsh_sweep" -> {
+        val bandCtes = SweepBands.map { b =>
+          val rows = NumHashes / b
+          val sel = (0 until b).map { i =>
+            val cols = (i * rows until (i + 1) * rows).map(j => s"m$j").mkString(", ")
+            s"SELECT doc_id, $i AS band, concat_ws('_', $cols) AS bkey FROM sig"
+          }.mkString("\n UNION ALL ")
+          s"""bands$b AS MATERIALIZED ($sel),
+             |join$b AS MATERIALIZED (SELECT x.* FROM bands$b x
+             |  JOIN (SELECT band, bkey FROM bands$b GROUP BY band, bkey
+             |        HAVING count(*) <= $MaxBucket) ok USING (band, bkey)),
+             |pairs$b AS MATERIALIZED (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+             |  FROM join$b a JOIN join$b b
+             |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)""".stripMargin
+        }.mkString(",\n")
+        val unionPairs = SweepBands.map(b => s"SELECT a_id, b_id FROM pairs$b").mkString(" UNION ")
+        val perB = SweepBands.map { b =>
+          s"""SELECT CAST($b AS BIGINT) AS bands, CAST(${NumHashes / b} AS BIGINT) AS rows_per_band,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM pairs$b) AS n_cand,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM pairs$b p
+             |   JOIN jac j ON p.a_id = j.a_id AND p.b_id = j.b_id
+             |   WHERE j.jac >= $SweepTauScaled) AS n_pos""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        // every CTE MATERIALIZED: sig feeds 5 bandings × up to 12 union
+        // arms and pairs$b is referenced three times — DuckDB's default
+        // inlining re-derives the whole minhash chain per reference
+        // (>5 min at sf0.001; 0.3 s materialized)
+        s"""WITH t AS MATERIALIZED (SELECT doc_id, $dTok AS tk FROM documents),
+           |shj AS MATERIALIZED (SELECT doc_id, $dShingles AS s FROM t WHERE len(tk) >= 3),
+           |sig AS MATERIALIZED (SELECT doc_id,
+           |  $sigCols
+           |  FROM shj),
+           |$bandCtes,
+           |allc AS MATERIALIZED ($unionPairs),
+           |cdocs AS MATERIALIZED (SELECT a_id AS doc_id FROM allc UNION SELECT b_id FROM allc),
+           |exr AS MATERIALIZED (SELECT doc_id, unnest(s) AS g0 FROM shj
+           |        WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+           |ex AS MATERIALIZED (SELECT doc_id, ${dH("g0")} AS g FROM exr),
+           |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |inter AS MATERIALIZED (SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+           |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id GROUP BY 1, 2),
+           |jac AS MATERIALIZED (SELECT c.a_id, c.b_id,
+           |  ((COALESCE(i.i, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.i, 0))) AS jac
+           |  FROM allc c LEFT JOIN inter i ON i.a_id = c.a_id AND i.b_id = c.b_id
+           |  JOIN sizes sa ON sa.doc_id = c.a_id JOIN sizes sb ON sb.doc_id = c.b_id),
+           |den AS MATERIALIZED (SELECT count(*) AS n_union_pos FROM jac WHERE jac >= $SweepTauScaled),
+           |stats AS MATERIALIZED ($perB)
+           |SELECT s.bands, s.rows_per_band, s.n_cand, s.n_pos,
+           |  CAST(CASE WHEN s.n_cand = 0 THEN 0
+           |       ELSE (s.n_pos * 1000000) // s.n_cand END AS BIGINT) AS precision_ppm,
+           |  CAST(CASE WHEN d.n_union_pos = 0 THEN 0
+           |       ELSE (s.n_pos * 1000000) // d.n_union_pos END AS BIGINT) AS recall_ppm
+           |FROM stats s, den d""".stripMargin
+      },
 
       // recursive min-label fixpoint over the SAME pair CTEs: reach holds
       // every (vertex, reachable-label); min per vertex = the component id.

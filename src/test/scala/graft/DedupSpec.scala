@@ -355,4 +355,25 @@ class DedupSpec extends SparkSpec {
     // non-vacuity: some doc shares a 4-gram with another doc
     assert(got.values.exists(_._2 > 0), "no cross-doc grams at sf0.001 — test is vacuous")
   }
+
+  test("dedup_lsh_sweep: s-curve invariants over the real corpus") {
+    val rows = SparkEntry.queries("dedup_lsh_sweep")(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // one row per allocation, budget partitioned exactly
+    assert(rows.map(_._1) == Seq(2L, 3L, 4L, 6L, 12L))
+    assert(rows.forall { case (b, r, _, _, _, _) => b * r == 12L })
+    rows.foreach { case (_, _, nCand, nPos, prec, rec) =>
+      assert(nPos <= nCand && prec <= 1000000L && rec <= 1000000L)
+    }
+    // the b=12 (r=1) allocation's candidates are a superset of every
+    // other allocation's (a band match at any r implies each component
+    // matches) up to the shared hot-bucket cap — its recall leads
+    val byBands = rows.map(r => r._1 -> r).toMap
+    assert(byBands(12L)._6 >= byBands(2L)._6)
+    // narrowing bands can only widen the candidate net at this corpus
+    val cands = rows.map(_._3)
+    assert(cands.zip(cands.tail).forall { case (a, b) => a <= b }, cands.toString)
+    // non-vacuity: the sweep actually verified some true positives
+    assert(rows.map(_._4).max > 0)
+  }
 }
