@@ -54,6 +54,50 @@ object FusionQueries {
       s"(CASE WHEN $vec[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
   private val BqShortlist = 40 // 4× oversample before the exact rerank
+  // A44 IVF×SQ8: shortlist width of the probed-cluster sq8 cut (4× k,
+  // the BqShortlist oversampling convention)
+  private val IvfSqShortlist = 40
+
+  // A43 cascade funnel widths: corpus →(hamming) 100 →(sq8) 25 →(exact) 10
+  private val CascStage1 = 100
+  private val CascStage2 = 25
+  // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
+  private val CascWidths = Seq(25, 50, 100, 200)
+
+  /** Shared CTE prefix of the batched-cascade oracles: codes, sq8
+    * calibration, the 8-query set, and the per-q_id Hamming ranking. */
+  private def cascBaseDuck: String =
+    s"""b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  ${bqHalfDuck("embedding", 0)} AS lo,
+       |  ${bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
+       |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+       |              max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id <= 7),
+       |h AS (SELECT q.q_id, b.vec_id, b.v, q.q_vec,
+       |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+       |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id),
+       |r1 AS (SELECT h.*, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS rn1
+       |  FROM h)""".stripMargin
+
+  /** One funnel replay at stage-1 width `width`, CTEs suffixed `tag`;
+    * ends with r3`tag` carrying (q_id, vec_id, ham, d8, score, rn3). */
+  private def cascFunnelDuck(width: Int, tag: String): String = {
+    def q8(x: String) = s"CAST(floor((($x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)"
+    s"""s1$tag AS (SELECT q_id, vec_id, v, q_vec, ham FROM r1 WHERE rn1 <= $width),
+       |z$tag AS (SELECT s.q_id, s.vec_id, s.v, s.q_vec, s.ham,
+       |    CAST(list_sum(list_transform(range(1, len(s.v) + 1),
+       |      i -> (${q8("s.v[i]")} - ${q8("s.q_vec[i]")})
+       |         * (${q8("s.v[i]")} - ${q8("s.q_vec[i]")}))) AS BIGINT) AS d8
+       |  FROM s1$tag s CROSS JOIN st),
+       |r2$tag AS (SELECT z$tag.*, row_number() OVER (PARTITION BY q_id ORDER BY d8 ASC, vec_id ASC) AS rn2
+       |  FROM z$tag),
+       |s2$tag AS (SELECT q_id, vec_id, v, q_vec, ham, d8 FROM r2$tag WHERE rn2 <= $CascStage2),
+       |f$tag AS (SELECT q_id, vec_id, ham, d8,
+       |    CAST(floor(list_cosine_similarity(v, q_vec) * 10000 + 0.5) AS BIGINT) AS score
+       |  FROM s2$tag),
+       |r3$tag AS (SELECT f$tag.*, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id ASC) AS rn3
+       |  FROM f$tag)""".stripMargin
+  }
 
   // A40 MMR: relevance shortlist size, diversified picks, λ ×10⁴
   // (λ = 5000 weighs relevance and redundancy equally)
@@ -377,6 +421,180 @@ object FusionQueries {
         .selectExpr("vec_id", graft.functions.sqDistLongSql("qa", "qb") + " AS dist")
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
+    }),
+
+    // A44: IVF×SQ8 — the middle point of the coarse-quantizer ×
+    // compression matrix (A24 = IVF×PQ at 32×, A20 = flat SQ8 at 4×,
+    // this = pruning × 4×): probe the 2 clusters nearest the query
+    // (centroids broadcast), int8-rank ONLY the probed clusters' rows,
+    // exact-cosine rerank of the 40-row shortlist. Calibration (mn, mx)
+    // is an index-BUILD property — computed once over the full corpus,
+    // broadcast at query time — so probing never re-calibrates. The
+    // FAISS IVF_SQ shape: the production default when PQ's codebook
+    // train/ship cost or accuracy loss is unwanted but raw floats don't
+    // fit the scan budget. At 100 TB this reads nProbe/C of a
+    // 4×-compressed corpus; floats page in for 40 rows.
+    "knn_ivfsq" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val ev = e.selectExpr("vec_id", "label", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = ev.agg(min(expr("array_min(v)")).as("mn"),
+        max(expr("array_max(v)")).as("mx"))
+      val q = ev.filter(col("vec_id") === 0)
+        .select(col("v").as("qd"), col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(e),
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        nProbe = 2)
+      ev.filter(col("vec_id") =!= 0)
+        .join(broadcast(probed), "label")
+        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+        .selectExpr("vec_id", "embedding", "q_vec",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        .orderBy(col("d8").asc, col("vec_id").asc).limit(IvfSqShortlist)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "d8")
+    }),
+
+    // A43: three-stage cascade funnel — the production serving shape that
+    // composes the compression family into one query (FAISS refine /
+    // Vespa two-phase convention, generalized to three): stage 1 ranks
+    // the WHOLE corpus by 64-bit Hamming (bit_count(xor), the cheapest
+    // distance that exists — the always-resident index) to CascStage1;
+    // stage 2 reranks only that shortlist by int8 scalar-quantized
+    // squared-L2 (16× the bits, still integer) to CascStage2; stage 3
+    // pays exact float cosine on the survivors only. Every cut is
+    // integer-exact with ties to the lower id, so the whole funnel
+    // replays in the oracle. At 100 TB: the 8-byte code column is the
+    // only full-scan operand (TakeOrdered, no global sort); the sq8 and
+    // float stages touch ≤CascStage1/≤CascStage2 rows — I/O drops by the
+    // funnel ratio at each stage, which is exactly why serving stacks
+    // layer their quantizers instead of picking one.
+    "knn_cascade" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val q = e.filter(col("vec_id") === 3)
+        .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
+          col("embedding").as("q_vec"), col("v").as("qd"))
+      e.filter(col("vec_id") =!= 3).crossJoin(broadcast(q))
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+        .orderBy(col("ham").asc, col("vec_id").asc).limit(CascStage1)
+        .crossJoin(broadcast(stats))
+        .selectExpr("vec_id", "embedding", "q_vec", "ham",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        .orderBy(col("d8").asc, col("vec_id").asc).limit(CascStage2)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "d8", "ham")
+    }),
+
+    // A43b: the cascade funnel BATCHED — ONE 8-byte-code scan serves the
+    // whole query set (the A12b/A21b amortization applied to the funnel):
+    // stage 1 is a per-q_id map-side k-heap over one corpus×broadcast-Q
+    // Hamming scan (shuffle ≤ |Q|·CascStage1 rows — scored rows never
+    // leave the task); the ≤|Q|·100-row shortlist then broadcasts back
+    // over the float scan for stages 2/3, which rank via windows over the
+    // pre-cut shortlist only (the RRF bounded-window convention). Exactly
+    // two corpus scans regardless of |Q| — the code scan and the
+    // shortlist's float page-in.
+    "knn_cascade_batch" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val qs = e.filter(col("vec_id") <= 7)
+        .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
+          col("embedding").as("q_vec"), col("v").as("qd"))
+      val short1 = e.select("vec_id", "lo", "hi").crossJoin(broadcast(qs.select("q_id", "q_lo", "q_hi")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"), CascStage1, asc = true).as("hits"))
+        .select(col("q_id"), explode(col("hits")).as("hit"))
+        .select(col("q_id"), col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+      val wq = Window.partitionBy("q_id")
+      broadcast(short1).join(e.select("vec_id", "embedding", "v"), "vec_id")
+        .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
+        .crossJoin(broadcast(stats))
+        .selectExpr("q_id", "vec_id", "embedding", "q_vec", "ham",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        .withColumn("r2", row_number().over(wq.orderBy(col("d8").asc, col("vec_id").asc)))
+        .filter(col("r2") <= CascStage2)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .withColumn("r3", row_number().over(wq.orderBy(col("score").desc, col("vec_id").asc)))
+        .filter(col("r3") <= 10)
+        .select("q_id", "vec_id", "score", "d8", "ham")
+    }),
+
+    // A43c: the funnel's RECALL/WIDTH CURVE — what a capacity planner
+    // reads before fixing CascStage1 at 100 TB (the A29 sweep applied to
+    // the cascade): recall@10 vs exact cosine at stage-1 width w ∈
+    // {25,50,100,200}, sq8 stage fixed at 25. The Hamming ranking is
+    // computed ONCE at the widest w via per-q_id k-heaps (rank = heap
+    // position), then every narrower width is a FILTER on that ranking —
+    // the whole curve costs one code scan, one shortlist float page-in,
+    // and one exact ground-truth scan.
+    "recall_cascade" -> ((s, dir) => {
+      val widths = Seq(25, 50, 100, 200)
+      val wMax = widths.max
+      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val qs = e.filter(col("vec_id") <= 7)
+        .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
+          col("embedding").as("q_vec"), col("v").as("qd"))
+        .localCheckpoint(true)
+      val ranked1 = e.select("vec_id", "lo", "hi").crossJoin(broadcast(qs.select("q_id", "q_lo", "q_hi")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"), wMax, asc = true).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), col("hit.id").as("vec_id"),
+          (col("pos") + 1).as("r1"))
+      val wq = Window.partitionBy("q_id")
+      val staged = broadcast(ranked1).join(e.select("vec_id", "embedding", "v"), "vec_id")
+        .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
+        .crossJoin(broadcast(stats))
+        .selectExpr("q_id", "vec_id", "embedding", "q_vec", "r1",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .select("q_id", "vec_id", "r1", "d8", "score").localCheckpoint(true)
+      val exact = Knn.batchKnn(
+        e.select("vec_id", "embedding"),
+        qs.select("q_id", "q_vec"), k = 10, Knn.Cosine)
+        .select("q_id", "vec_id").localCheckpoint(true)
+      widths.map { w =>
+        val fun = staged.filter(col("r1") <= w)
+          .withColumn("r2", row_number().over(wq.orderBy(col("d8").asc, col("vec_id").asc)))
+          .filter(col("r2") <= CascStage2)
+          .withColumn("r3", row_number().over(wq.orderBy(col("score").desc, col("vec_id").asc)))
+          .filter(col("r3") <= 10)
+        val hits = fun.join(exact, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        // every (w, q_id) pair appears even at zero hits (the A29 contract)
+        qs.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(lit(w.toLong).as("w"), col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hit"))
+      }.reduce(_ union _)
     }),
 
     // A42: residual IVF-PQ — the real FAISS IVFPQ encoding (Jégou et al.
@@ -883,6 +1101,90 @@ object FusionQueries {
          |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
          |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
          |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
+    // A44: knn_sq8's quantization restricted to knn_ivfpq's probe set,
+    // plus the exact rerank — probe ordering identical to the ivfpq
+    // oracle (scaled cosine desc, label asc)
+    "knn_ivfsq" ->
+      s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |cent AS (${DuckDialect.centSql("embeddings")}),
+         |qp AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN qp
+         |  ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
+         |  LIMIT 2),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |b AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v
+         |  FROM embeddings e JOIN probes p ON e.label = p.label WHERE e.vec_id <> 0),
+         |qz AS (SELECT vec_id, v,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM b CROSS JOIN q CROSS JOIN st),
+         |short AS (SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d8
+         |  FROM qz ORDER BY d8 ASC, vec_id ASC LIMIT $IvfSqShortlist)
+         |SELECT s.vec_id,
+         |  CAST(floor(list_cosine_similarity(s.v, q.qv) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s.d8
+         |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A43: the cascade funnel replayed stage by stage — hamming cut, sq8
+    // cut, exact-cosine final, each with the engine's exact tie order
+    "knn_cascade" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${bqHalfDuck("embedding", 0)} AS lo,
+         |  ${bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
+         |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |              max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |q AS (SELECT lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id = 3),
+         |s1 AS (SELECT b.vec_id, b.v,
+         |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+         |  FROM b CROSS JOIN q WHERE b.vec_id <> 3
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $CascStage1),
+         |s1z AS (SELECT s1.vec_id, s1.v, s1.ham,
+         |  list_transform(s1.v,    x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(q.q_vec, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM s1 CROSS JOIN q CROSS JOIN st),
+         |s2 AS (SELECT vec_id, v, ham,
+         |    CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d8
+         |  FROM s1z ORDER BY d8 ASC, vec_id ASC LIMIT $CascStage2)
+         |SELECT s2.vec_id,
+         |  CAST(floor(list_cosine_similarity(s2.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s2.d8, s2.ham
+         |FROM s2 CROSS JOIN q ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A43b: the batched funnel — per-q_id replay of the same three cuts
+    "knn_cascade_batch" ->
+      s"""WITH $cascBaseDuck,
+         |${cascFunnelDuck(CascStage1, "a")}
+         |SELECT q_id, vec_id, score, d8, ham FROM r3a WHERE rn3 <= 10""".stripMargin,
+
+    // A43c: the width sweep — one shared Hamming ranking, one exact
+    // ground truth, each width a filter on the ranking
+    "recall_cascade" -> {
+      val chains = CascWidths.map(w => cascFunnelDuck(w, s"w$w")).mkString(",\n")
+      val perW = CascWidths.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS w, q.q_id, CAST(coalesce(t.h, 0) AS BIGINT) AS n_hit
+           |FROM qs q LEFT JOIN (
+           |  SELECT a.q_id, count(*) AS h
+           |  FROM (SELECT q_id, vec_id FROM r3w$w WHERE rn3 <= 10) a
+           |  JOIN ex ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+           |  GROUP BY a.q_id) t ON q.q_id = t.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $cascBaseDuck,
+         |$chains,
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY CAST(floor(list_cosine_similarity(b.v, q.q_vec) * 10000 + 0.5) AS BIGINT) DESC,
+         |               b.vec_id ASC) AS rn
+         |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rn <= 10)
+         |$perW""".stripMargin
+    },
 
     // A42: the full residual-IVFPQ composition in integer CTEs — floor-mean
     // centroids, probe, residual transform, seeded residual codebook,

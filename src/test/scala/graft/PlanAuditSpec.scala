@@ -62,6 +62,23 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("knn_cascade_batch: stage-1 k-heaps map-side; windows only post-cut") {
+    // the funnel's scale contract: the corpus-sized Hamming stage must be
+    // a partial TopKHits aggregate (shuffle ≤ |Q|·100 rows), never a
+    // window over the scored corpus; the stage-2/3 windows run over the
+    // pre-cut broadcast shortlist — so every Window in the plan must sit
+    // ABOVE the heap aggregate, which the scored-corpus side would not
+    val p = plan("knn_cascade_batch")
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    val heapAt = p.indexOf("partial_top_k_hits")
+    val winAt = p.indexOf("Window")
+    // executedPlan prints top-down: post-cut windows appear BEFORE the
+    // deeper heap aggregate; a corpus-side window would print after it
+    assert(winAt >= 0 && winAt < heapAt,
+      s"window/heap order wrong (win@$winAt heap@$heapAt)\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
     val p = plan("hybrid_knn")
     assert(p.contains("partial_vec_sum"), p.take(2000))
