@@ -61,6 +61,11 @@ object FusionQueries {
   // A43 cascade funnel widths: corpus →(hamming) 100 →(sq8) 25 →(exact) 10
   private val CascStage1 = 100
   private val CascStage2 = 25
+  // A43d IVF×cascade: stage-1 width inside the probed body — narrower than
+  // the flat cascade's because the coarse quantizer already cut the corpus
+  // (and so the cut stays active even at the smallest gate scale, where
+  // two probed clusters hold ~100 rows)
+  private val IvfCascStage1 = 50
   // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
   private val CascWidths = Seq(25, 50, 100, 200)
 
@@ -485,6 +490,49 @@ object FusionQueries {
         .withColumn("ham",
           expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
         .orderBy(col("ham").asc, col("vec_id").asc).limit(CascStage1)
+        .crossJoin(broadcast(stats))
+        .selectExpr("vec_id", "embedding", "q_vec", "ham",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        .orderBy(col("d8").asc, col("vec_id").asc).limit(CascStage2)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "d8", "ham")
+    }),
+
+    // A43d: the cascade funnel BEHIND the IVF coarse quantizer — the full
+    // production serving stack in one query (FAISS IndexIVF + refine
+    // chain): probe the 2 clusters nearest the query, then run the A43
+    // funnel (64-bit Hamming → int8 squared-L2 → exact cosine) inside the
+    // probed body only. Completes the coarse × compression matrix: A24 =
+    // IVF×PQ, A44 = IVF×SQ8, this = IVF×(BQ→SQ8→float). SQ8 calibration
+    // stays an index-BUILD property (full-corpus mn/mx, broadcast), as in
+    // A44. At 100 TB the partition-prunable probe cuts the scan to
+    // nProbe/C of the corpus BEFORE the funnel's I/O ratchet — each stage
+    // then reads 8 B codes / 64 B codes / raw floats for geometrically
+    // fewer rows; every cut is integer-exact with ties to the lower id,
+    // so the whole composition replays in the oracle.
+    "knn_ivf_cascade" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val ev = e.selectExpr("vec_id", "label", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+      val stats = ev.agg(min(expr("array_min(v)")).as("mn"),
+        max(expr("array_max(v)")).as("mx"))
+      val q = ev.filter(col("vec_id") === 0)
+        .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
+          col("embedding").as("q_vec"), col("v").as("qd"))
+      val probed = Ivf.probe(Ivf.centroids(e),
+        e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        nProbe = 2)
+      ev.filter(col("vec_id") =!= 0)
+        .join(broadcast(probed), "label")
+        .crossJoin(broadcast(q))
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+        .orderBy(col("ham").asc, col("vec_id").asc).limit(IvfCascStage1)
         .crossJoin(broadcast(stats))
         .selectExpr("vec_id", "embedding", "q_vec", "ham",
           "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
@@ -1144,6 +1192,41 @@ object FusionQueries {
          |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
          |  FROM b CROSS JOIN q WHERE b.vec_id <> 3
          |  ORDER BY ham ASC, b.vec_id ASC LIMIT $CascStage1),
+         |s1z AS (SELECT s1.vec_id, s1.v, s1.ham,
+         |  list_transform(s1.v,    x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(q.q_vec, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM s1 CROSS JOIN q CROSS JOIN st),
+         |s2 AS (SELECT vec_id, v, ham,
+         |    CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d8
+         |  FROM s1z ORDER BY d8 ASC, vec_id ASC LIMIT $CascStage2)
+         |SELECT s2.vec_id,
+         |  CAST(floor(list_cosine_similarity(s2.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s2.d8, s2.ham
+         |FROM s2 CROSS JOIN q ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A43d: the ivfsq probe prelude feeding the cascade funnel — probed
+    // body, then the same three cuts with the engine's exact tie order
+    "knn_ivf_cascade" ->
+      s"""WITH cent AS (${DuckDialect.centSql("embeddings")}),
+         |qp AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN qp
+         |  ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
+         |  LIMIT 2),
+         |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |              max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |b AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v,
+         |  ${bqHalfDuck("e.embedding", 0)} AS lo, ${bqHalfDuck("e.embedding", 32)} AS hi
+         |  FROM embeddings e JOIN probes p ON e.label = p.label WHERE e.vec_id <> 0),
+         |q AS (SELECT ${bqHalfDuck("embedding", 0)} AS q_lo,
+         |  ${bqHalfDuck("embedding", 32)} AS q_hi,
+         |  CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings WHERE vec_id = 0),
+         |s1 AS (SELECT b.vec_id, b.v,
+         |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+         |  FROM b CROSS JOIN q
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $IvfCascStage1),
          |s1z AS (SELECT s1.vec_id, s1.v, s1.ham,
          |  list_transform(s1.v,    x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
          |  list_transform(q.q_vec, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb

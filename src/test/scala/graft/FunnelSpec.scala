@@ -74,6 +74,73 @@ class FunnelSpec extends SparkSpec {
     assert(s2Ids.subsetOf(s1Ids) && entry.map(_._1).toSet.subsetOf(s2Ids))
   }
 
+  test("knn_ivf_cascade replays a driver-side probe + funnel reconstruction") {
+    val entry = SparkEntry.queries("knn_ivf_cascade")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(entry.size == 10)
+
+    val rows = Tables(spark, dir, "embeddings").select("vec_id", "label", "embedding")
+      .as[(Long, Long, Array[Float])].collect().sortBy(_._1)
+    val all = rows.map { case (id, lab, v) => (id, lab, v.map(_.toDouble)) }
+    val q = all.find(_._1 == 0L).get._3
+
+    def scaledCos(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor((dot / (math.sqrt(na) * math.sqrt(nb))) * 10000 + 0.5).toLong
+    }
+    // per-label mean centroid, double accumulate then FLOAT cast — the
+    // Ivf.centroids / centSql convention the ivfsq oracle already pins
+    val probes = all.groupBy(_._2).map { case (lab, vs) =>
+      val dim = vs.head._3.length
+      val m = new Array[Double](dim)
+      vs.foreach { case (_, _, v) => var i = 0; while (i < dim) { m(i) += v(i); i += 1 } }
+      (lab, m.map(x => (x / vs.length).toFloat.toDouble))
+    }.toSeq.map { case (lab, c) => (-scaledCos(c, q), lab) }
+      .sorted.take(2).map(_._2).toSet
+
+    val body = all.filter { case (id, lab, _) => id != 0L && probes(lab) }
+    assert(body.size > 50, "stage-1 cut must be active at the gate scale")
+    // calibration is an index-build property: full corpus, not the body
+    val mn = all.iterator.map(_._3.min).min
+    val mx = all.iterator.map(_._3.max).max
+
+    def bq(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L; var j = 0
+      while (j < 32) {
+        if (v(j) > 0.0) lo |= (1L << j)
+        if (v(32 + j) > 0.0) hi |= (1L << j)
+        j += 1
+      }
+      (lo, hi)
+    }
+    val (qlo, qhi) = bq(q)
+    val s1 = body.map { case (id, _, v) =>
+      val (lo, hi) = bq(v)
+      ((java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi)).toLong, id, v)
+    }.sortBy { case (h, id, _) => (h, id) }.take(50)
+
+    def sq8(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(((x - mn) * 255.0) / (mx - mn)).toLong)
+    val qb = sq8(q)
+    val s2 = s1.map { case (ham, id, v) =>
+      val qa = sq8(v)
+      var d8 = 0L; var i = 0
+      while (i < qa.length) { val d = qa(i) - qb(i); d8 += d * d; i += 1 }
+      (d8, id, v, ham)
+    }.sortBy { case (d8, id, _, _) => (d8, id) }.take(25)
+
+    val fin = s2.map { case (d8, id, v, ham) => (scaledCos(v, q), id, d8, ham) }
+      .sortBy { case (sc, id, _, _) => (-sc, id) }.take(10)
+      .map { case (sc, id, d8, ham) => (id, sc, d8, ham) }.toSeq
+    assert(entry == fin)
+
+    // every survivor came from a probed cluster, through both cuts
+    val lbl = all.map(t => t._1 -> t._2).toMap
+    assert(entry.forall { case (id, _, _, _) => probes(lbl(id)) })
+    assert(entry.map(_._1).toSet.subsetOf(s2.map(_._2).toSet))
+  }
+
   test("knn_ivf_hnsw probe selection matches the scaled-sqrt centroid ranking") {
     val e = Tables(spark, dir, "embeddings")
     val corpus = e.select("vec_id", "embedding").filter(col("vec_id") =!= 21)
