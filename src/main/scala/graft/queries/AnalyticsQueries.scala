@@ -437,6 +437,40 @@ object AnalyticsQueries {
         .select("event_type", "est", "n_exact")
     }),
 
+    // C69: sketch-merge ROLLUP — the mergeability of C24's HLL rows made
+    // load-bearing (Flajolet et al. 2007 §6: register-wise max IS the
+    // union sketch): ONE corpus scan builds the per-(source, lang) sketch
+    // table; the per-source and global distinct estimates then derive by
+    // merging those ≤256-row sketches (max-of-max per bucket), never
+    // rescanning. This is the 100 TB operating pattern for cardinality
+    // cubes: COUNT(DISTINCT) is not additive across grouping sets — a
+    // ROLLUP of exact distincts rescans per level or holds per-cell value
+    // sets — but sketch rows are, so every coarser level costs an
+    // aggregate over G·256 rows. Exact counts ride along per level (the
+    // est-vs-exact audit); merged-vs-direct equality is spec-pinned.
+    "hll_rollup_merge" -> ((s, dir) => {
+      import graft.operators.Hll
+      val d = Tables(s, dir, "documents")
+      val fine = Hll.sketchAgg(
+        Hll.bucketRho(d, "concat('hrm', text)", Seq("source", "lang")),
+        Seq("source", "lang")).localCheckpoint(true) // the stored sketch table
+      val dt = d.select("source", "lang", "text").distinct().localCheckpoint(true)
+      val ef = Hll.estimate(fine, Seq("source", "lang"))
+        .join(dt.groupBy("source", "lang").agg(count(lit(1)).as("n_exact")),
+          Seq("source", "lang"))
+        .selectExpr("'source_lang' AS lvl", "source", "lang", "est", "n_exact")
+      val es = Hll.estimate(
+          fine.groupBy("source", "bucket").agg(max("rho").as("rho")), Seq("source"))
+        .join(dt.select("source", "text").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
+        .selectExpr("'source' AS lvl", "source", "'ALL' AS lang", "est", "n_exact")
+      val ea = Hll.estimate(
+          fine.groupBy("bucket").agg(max("rho").as("rho")), Seq.empty)
+        .crossJoin(dt.select("text").distinct().agg(count(lit(1)).as("n_exact")))
+        .selectExpr("'all' AS lvl", "'ALL' AS source", "'ALL' AS lang", "est", "n_exact")
+      ef.unionByName(es).unionByName(ea)
+    }),
+
     // C64: KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
     // member of the sketch family (Bar-Yossef et al. 2002; Beyer et al.
     // 2007): per event type, keep the K smallest distinct 60-bit user
@@ -1132,6 +1166,43 @@ object AnalyticsQueries {
          |    / CAST(zsum AS DOUBLE)) AS BIGINT) AS est,
          |  x.n_exact
          |FROM z JOIN x ON z.event_type = x.event_type""".stripMargin,
+
+    // C69: same bucket/rho/zsum CTEs as C24; coarser levels aggregate the
+    // FINE sketch (max-of-max), mirroring the engine's merge exactly
+    "hll_rollup_merge" -> {
+      def z(src: String, grp: String) = {
+        val sel = if (grp.isEmpty) "" else s"$grp, "
+        val by = if (grp.isEmpty) "" else s" GROUP BY $grp"
+        s"""SELECT ${sel}CAST(sum(CAST(1 AS BIGINT) << (53 - m_j))
+           |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS zsum
+           |  FROM $src$by""".stripMargin
+      }
+      val e = s"CAST(floor((($HllAlphaScaled.0 / 1000000.0) * 65536.0 " +
+        "* 9007199254740992.0) / CAST(zsum AS DOUBLE)) AS BIGINT)"
+      s"""WITH h AS (SELECT source, lang,
+         |  ${DuckDialect.hash("'hrm'||text")} AS h FROM documents),
+         |b AS (SELECT source, lang, h % 256 AS bucket, h // 256 AS w FROM h),
+         |fine AS (SELECT source, lang, bucket,
+         |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1, 2, 3),
+         |msrc AS (SELECT source, bucket, max(m_j) AS m_j FROM fine GROUP BY 1, 2),
+         |mall AS (SELECT bucket, max(m_j) AS m_j FROM fine GROUP BY 1),
+         |zf AS (${z("fine", "source, lang")}),
+         |zs AS (${z("msrc", "source")}),
+         |za AS (${z("mall", "")}),
+         |dt AS (SELECT DISTINCT source, lang, text FROM documents),
+         |xf AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_exact FROM dt GROUP BY 1, 2),
+         |xs AS (SELECT source, CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM dt GROUP BY 1),
+         |xa AS (SELECT CAST(count(DISTINCT text) AS BIGINT) AS n_exact FROM dt)
+         |SELECT 'source_lang' AS lvl, zf.source, zf.lang, $e AS est, xf.n_exact
+         |FROM zf JOIN xf ON zf.source = xf.source AND zf.lang = xf.lang
+         |UNION ALL
+         |SELECT 'source', zs.source, 'ALL', $e, xs.n_exact
+         |FROM zs JOIN xs ON zs.source = xs.source
+         |UNION ALL
+         |SELECT 'all', 'ALL', 'ALL', $e, xa.n_exact
+         |FROM za CROSS JOIN xa""".stripMargin
+    },
 
     "events_path_topk" ->
       """WITH g AS (

@@ -53,6 +53,14 @@ object CurationQueries {
   private val SeqLen = 64L
   private val PackBucketSpan = 32L
 
+  /** B39: weighted-sample size (inclusion probability rises with a doc's
+    * token count — see `sample_weighted`). */
+  private val WeightedSampleK = 100
+
+  /** B40: stratified-sample size (allocated across languages by largest
+    * remainder — see `sample_stratified`). */
+  private val StratSampleK = 50
+
   /** B28: semantic-decontamination cosine threshold ×10⁴ (the corpus's
     * cross-source p99 is ≈0.29 — 0.30 flags the true near-benchmark tail)
     * and the LSH bucketing shared with B5's embedding dedup. */
@@ -183,6 +191,61 @@ object CurationQueries {
             org.apache.spark.sql.expressions.Window.partitionBy("shard")
               .orderBy(col("hv"), col("doc_id"))).cast("long"))
         .select("doc_id", "shard", "pos")),
+
+    // B39: weighted priority sampling — the bottom-k weighted sketch
+    // (Cohen & Kaplan, "Summarizing data using bottom-k sketches", PODC
+    // 2007): each doc draws a deterministic rank H(doc) div w(doc) with
+    // w = its token count, and the sample is the k smallest ranks.
+    // Inclusion probability rises with w (the token-budget-proportional
+    // sampling a training-mix builder wants: a 10×-longer doc is ~10× as
+    // likely in), yet the draw is content-derived — reproducible across
+    // runs/engines/reshards, unlike RNG weighted reservoirs, and two
+    // engines agree on the EXACT sample, not just its distribution.
+    // Scale shape: rank is a narrow per-row map; the only "shuffle" is
+    // TakeOrdered's per-partition k-heap merge (k rows per partition
+    // cross, never the corpus). Weighted-sampling ranks also compose:
+    // min-rank per key = a weighted distinct sketch, mergeable like KMV.
+    "sample_weighted" -> ((s, dir) =>
+      docs(s, dir)
+        .selectExpr("doc_id", s"CAST(size($sTok) AS BIGINT) AS w",
+          s"${sH("concat('wsp', CAST(doc_id AS STRING))")} AS h")
+        .filter(col("w") > 0)
+        .selectExpr("doc_id", "w", "h div w AS pri")
+        .orderBy(col("pri").asc, col("doc_id").asc)
+        .limit(WeightedSampleK)),
+
+    // B40: proportional STRATIFIED sampling with largest-remainder quota
+    // allocation (Hamilton's method — integer-exact, so both engines
+    // compute the identical allocation; float proportions would round
+    // differently at ties): per-language quota = ⌊K·n_l/n⌋ plus one for
+    // the largest remainders until K is reached (ties to the lower lang),
+    // then each stratum contributes its quota in content-hash order —
+    // the "build a K-doc eval set matching corpus proportions" primitive,
+    // deterministic end to end. Scale shape: the allocation runs on the
+    // |langs|-row count table (broadcast); per-stratum selection is a
+    // TopKHits map-side k-heap (≤K rows per partition cross the shuffle)
+    // with the quota applied as a position filter after the heap — never
+    // a per-stratum window sort of the corpus.
+    "sample_stratified" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val n = d.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val q = n.crossJoin(broadcast(n.agg(sum("n_l").as("n"))))
+        .selectExpr("lang", "n_l", s"($StratSampleK * n_l) div n AS base",
+          s"($StratSampleK * n_l) % n AS rem")
+      val a = q.crossJoin(broadcast(q.agg((lit(StratSampleK) - sum("base")).as("extras"))))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("lang").asc)))
+        .selectExpr("lang", "base + (CASE WHEN rn <= extras THEN 1 ELSE 0 END) AS quota")
+      d.selectExpr("doc_id", "lang",
+          s"${sH("concat('str', CAST(doc_id AS STRING))")} AS h")
+        .groupBy("lang")
+        .agg(aggs.topK(col("h"), col("doc_id"), StratSampleK, asc = true).as("hits"))
+        .join(broadcast(a), "lang")
+        .select(col("lang"), col("quota"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .filter(col("pos") < col("quota"))
+        .selectExpr("lang", "hit.id AS doc_id", "quota")
+    }),
 
     "split_assign" -> ((s, dir) =>
       docs(s, dir)
@@ -348,6 +411,31 @@ object CurationQueries {
          |r AS (SELECT source, doc_id, h,
          |  row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn FROM m)
          |SELECT source, doc_id, h FROM r WHERE rn <= 10""".stripMargin,
+
+    "sample_weighted" ->
+      s"""WITH w AS (SELECT doc_id,
+         |  CAST(len($dTok) AS BIGINT) AS w,
+         |  ${dH("'wsp'||CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents)
+         |SELECT doc_id, w, h // w AS pri FROM w WHERE w > 0
+         |ORDER BY pri ASC, doc_id ASC LIMIT $WeightedSampleK""".stripMargin,
+
+    "sample_stratified" ->
+      s"""WITH n AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(sum(n_l) AS BIGINT) AS n FROM n),
+         |q AS (SELECT lang, n_l, ($StratSampleK * n_l) // t.n AS base,
+         |  ($StratSampleK * n_l) % t.n AS rem FROM n CROSS JOIN t),
+         |x AS (SELECT CAST($StratSampleK - sum(base) AS BIGINT) AS extras FROM q),
+         |a AS (SELECT lang, base + (CASE WHEN
+         |    row_number() OVER (ORDER BY rem DESC, lang ASC) <= x.extras
+         |    THEN 1 ELSE 0 END) AS quota
+         |  FROM q CROSS JOIN x),
+         |h AS (SELECT doc_id, lang,
+         |  ${dH("'str'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+         |r AS (SELECT h.doc_id, h.lang, a.quota,
+         |  row_number() OVER (PARTITION BY h.lang ORDER BY h.h ASC, h.doc_id ASC) AS rn
+         |  FROM h JOIN a USING (lang))
+         |SELECT lang, doc_id, quota FROM r WHERE rn <= quota""".stripMargin,
 
     "split_assign" ->
       s"""WITH m AS (SELECT doc_id, source,

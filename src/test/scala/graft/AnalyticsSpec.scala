@@ -195,6 +195,42 @@ class AnalyticsSpec extends SparkSpec {
       }
   }
 
+  test("hll_rollup_merge: merged sketches equal direct coarse sketches") {
+    import graft.operators.Hll
+    val rows = q("hll_rollup_merge")
+      .as[(String, String, String, Long, Long)].collect().toSeq
+    val byLvl = rows.groupBy(_._1)
+    assert(byLvl.keySet == Set("source_lang", "source", "all"))
+    assert(byLvl("all").size == 1)
+
+    // THE mergeability claim: the entry's source-level estimates (derived
+    // by max-merging the fine (source, lang) sketch rows) must equal the
+    // estimates of sketches built DIRECTLY at source granularity from the
+    // corpus — register-wise max is the union sketch, so the two paths
+    // are bit-identical, not merely close.
+    val d = Tables(spark, dir, "documents")
+    val direct = Hll.estimate(
+        Hll.sketchAgg(Hll.bucketRho(d, "concat('hrm', text)", Seq("source")),
+          Seq("source")), Seq("source"))
+      .select("source", "est").as[(String, Long)].collect().toMap
+    val merged = byLvl("source").map(r => r._2 -> r._4).toMap
+    assert(merged == direct)
+    val directAll = Hll.estimate(
+        Hll.sketchAgg(Hll.bucketRho(d, "concat('hrm', text)", Seq.empty),
+          Seq.empty), Seq.empty)
+      .select("est").as[Long].head()
+    assert(byLvl("all").head._4 == directAll)
+
+    // est-vs-exact sanity at the global level (n=500 >= in-regime-ish for
+    // p=8; observed ~5%): generous 20% bound to stay noise-proof
+    val (gEst, gExact) = (byLvl("all").head._4, byLvl("all").head._5)
+    assert(math.abs(gEst - gExact).toDouble / gExact < 0.20,
+      s"global est $gEst vs exact $gExact")
+    // exact counts are consistent across levels (distinct is subadditive:
+    // the global distinct count never exceeds the per-source sum)
+    assert(gExact <= byLvl("source").map(_._5).sum)
+  }
+
   test("salted_agg equals the direct unsalted aggregate") {
     val direct = Tables(spark, dir, "events")
       .groupBy(col("event_type").as("k"))

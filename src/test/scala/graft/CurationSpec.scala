@@ -192,4 +192,68 @@ class CurationSpec extends SparkSpec {
     val wSum = rows.map(_._4).sum
     assert(wSum <= 1000000L && wSum > 1000000L - rows.length)
   }
+
+  test("sample_weighted matches a driver-side bottom-k reconstruction and skews heavy") {
+    import spark.implicits._
+    val entry = q("sample_weighted").as[(Long, Long, Long)].collect().toSeq
+    assert(entry.size == 100)
+
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val ranked = Tables(spark, dir, "documents").select("doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+      .flatMap { case (id, text) =>
+        val w = text.split("\\s+").count(_.nonEmpty).toLong
+        if (w == 0) None else Some((h60("wsp" + id) / w, id, w))
+      }.sorted
+    val expect = ranked.take(100).map { case (pri, id, w) => (id, w, pri) }
+    assert(entry == expect)
+
+    // the weighting works: heavier docs are overrepresented — the sampled
+    // median token count exceeds the corpus median (inclusion ∝ ~w)
+    val medAll = ranked.map(_._3).sorted.apply(ranked.size / 2)
+    val medSmp = expect.map(_._2).sorted.apply(expect.size / 2)
+    assert(medSmp > medAll,
+      s"weighted sample median $medSmp must exceed corpus median $medAll")
+    // and the rank rule is exactly H div w (bottom-k sketch property:
+    // the sample is mergeable — min-rank unions commute)
+    assert(entry.forall { case (id, w, pri) => h60("wsp" + id) / w == pri })
+  }
+
+  test("sample_stratified: largest-remainder quotas, hash-order members, exact K") {
+    import spark.implicits._
+    val entry = q("sample_stratified").as[(String, Long, Long)].collect().toSeq
+    assert(entry.size == 50, "allocation must sum to exactly K")
+
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val docs = Tables(spark, dir, "documents").select("doc_id", "lang")
+      .as[(Long, String)].collect().toSeq
+    val byLang = docs.groupBy(_._2)
+    val n = docs.size.toLong
+    // Hamilton / largest-remainder allocation, ties to the lower lang
+    val base = byLang.map { case (l, v) => l -> (50L * v.size / n, 50L * v.size % n) }
+    val extras = 50L - base.values.map(_._1).sum
+    val bumped = base.toSeq.sortBy { case (l, (_, r)) => (-r, l) }
+      .take(extras.toInt).map(_._1).toSet
+    val quotas = base.map { case (l, (b, _)) => l -> (b + (if (bumped(l)) 1L else 0L)) }
+    val expect = byLang.toSeq.flatMap { case (l, v) =>
+      v.map { case (id, _) => (h60("str" + id), id) }.sorted
+        .take(quotas(l).toInt).map { case (_, id) => (l, id, quotas(l)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(entry.sortBy(t => (t._1, t._2)) == expect)
+
+    // proportionality: every stratum's share is within one doc of exact
+    byLang.foreach { case (l, v) =>
+      val exact = 50.0 * v.size / n
+      assert(math.abs(quotas(l) - exact) < 1.0,
+        s"$l quota ${quotas(l)} vs exact share $exact")
+    }
+  }
 }
