@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.{pq, scaled, vectors}
 
@@ -561,10 +561,20 @@ object Pq {
     // run INTERPRETED per comparison. The materialized relation is the
     // ~(8·8B codes + id) per row any PQ index stores anyway.
     val codes = Dedup.materialize(encodeFast(body, cbRows, numSub, subDim))
-    // Step 2: td lookup per subspace as element_at over a literal array —
-    // a small projection over bound code columns, whole-stage codegen'd.
-    // (A CASE-key form desugars to per-branch EqualTo copies of the key,
-    // duplicating the lookup 64×.)
+    adcServe(codes, emb, qid, cbRows, td, k, numSub, shortlist)
+  }
+
+  /** The serve tail shared by the inline-encode path (`searchRerankCb`)
+    * and the persisted-index path (`searchPersisted`): ADC shortlist over
+    * a wide code table, exact L2 rerank of the shortlist. Step 2 of the
+    * two-small-codegen-steps shape documented above: td lookup per
+    * subspace as element_at over a literal array — a small projection over
+    * bound code columns, whole-stage codegen'd. (A CASE-key form desugars
+    * to per-branch EqualTo copies of the key, duplicating the lookup 64×.) */
+  private def adcServe(codes: DataFrame, emb: DataFrame, qid: Long,
+                       cbRows: Array[(Int, Long, Array[Double])],
+                       td: Map[(Int, Long), Long],
+                       k: Int, numSub: Int, shortlist: Int): DataFrame = {
     val adistExpr = (0 until numSub).map { m =>
       val tds = cbRows.filter(_._1 == m).sortBy(_._2)
         .map { case (_, c, _) => s"${td((m, c))}L" }
@@ -580,6 +590,48 @@ object Pq {
       .withColumn("score", scaled(vectors.l2(col("embedding"), col("q_vec")), Knn.ScoreDigits))
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
       .select("vec_id", "score")
+  }
+
+  /** One-time PQ index BUILD: encode the WHOLE corpus (production ingest
+    * encodes everything; queries are excluded at serve time — encode is
+    * per-row independent, so encode-all-then-exclude ≡ exclude-then-encode,
+    * the same identity the batch paths pin) and persist the two artifacts
+    * any PQ index stores: the wide code table (vec_id, code_0…code_{M-1} —
+    * M bytes/row where the corpus stores d floats) and the (m, code, cw)
+    * codebook. Parquet IS the index format: the code table stays a
+    * distributed, partition-prunable relation (co-partitionable with its
+    * metadata), and the k·d codebook is the only driver-held state a
+    * serving session restores. */
+  def buildAndWriteIndex(emb: DataFrame, path: String, numSub: Int,
+                         subDim: Int, numCodes: Int): Unit = {
+    val cb = seededCodebook(emb, numSub, subDim, numCodes)
+    val cbRows = cb.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val body = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    encodeFast(body, cbRows, numSub, subDim)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cb.write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** Serve a query from the PERSISTED index: restore the codebook (k·d
+    * model state), scan the stored code table — never re-encoding, never
+    * touching raw embeddings except the ≤`shortlist`-row rerank page-in.
+    * The A35c lifecycle (build once / serve many) for the compressed
+    * family: at 100 TB the serve cost is one 8-byte-per-row scan of a
+    * parquet relation plus a broadcast rerank. Results are identical to
+    * `searchRerank` at the same constants (spec-pinned). */
+  def searchPersisted(s: SparkSession, path: String, emb: DataFrame,
+                      qid: Long, k: Int, numSub: Int, subDim: Int,
+                      shortlist: Int): DataFrame = {
+    val cb = s.read.parquet(s"$path/codebook")
+    val cbRows = cb.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val qv = emb.filter(col("vec_id") === qid)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val td = adcTable(qv, cb, subDim).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val codes = s.read.parquet(s"$path/codes").filter(col("vec_id") =!= qid)
+    adcServe(codes, emb, qid, cbRows, td, k, numSub, shortlist)
   }
 
   /** BATCHED PQ search (r7 verdict "next" #2): the reference's main loop is

@@ -66,6 +66,19 @@ object FusionQueries {
   // (and so the cut stays active even at the smallest gate scale, where
   // two probed clusters hold ~100 rows)
   private val IvfCascStage1 = 50
+
+  // A21e: build-once persisted PQ index per (JVM, sfDir) — the A35c
+  // memoization convention (HybridQueries.ensureHnswIndex): racing callers
+  // serialize on the build so none observes a mid-overwrite index
+  private val pqIndexFor = scala.collection.mutable.Map.empty[String, String]
+  private def ensurePqIndex(s: SparkSession, dir: String): String = synchronized {
+    pqIndexFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("pq_index_" + graft.TmpDirs.dirKey(dir))
+      Pq.buildAndWriteIndex(Tables(s, dir, "embeddings"), path,
+        numSub = 8, subDim = 8, numCodes = 64)
+      path
+    })
+  }
   // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
   private val CascWidths = Seq(25, 50, 100, 200)
 
@@ -301,6 +314,24 @@ object FusionQueries {
     "knn_pq" -> ((s, dir) =>
       Pq.searchRerank(Tables(s, dir, "embeddings"), qid = 0, k = 10,
         numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)),
+
+    // A21e: the persisted-index LIFECYCLE for the compressed family — the
+    // A35c build-once/serve-many shape applied to PQ: the one-time build
+    // encodes the WHOLE corpus and writes the two artifacts any PQ index
+    // stores (the M-bytes-per-row wide code table and the k·d codebook)
+    // as parquet; the timed body restores the codebook, scans the STORED
+    // codes (never re-encodes), and pages raw floats only for the
+    // ≤shortlist rerank rows. Parquet IS the index format: the code table
+    // stays a distributed partition-prunable relation, so at 100 TB a
+    // serving session reads 8 B/row of codes where the build read d
+    // floats. Query id 9 stays in the corpus (query-by-indexed-item,
+    // excluded at serve time — encode-all-then-exclude ≡ the oracle's
+    // exclude-then-encode, the identity the batch paths already pin).
+    "knn_pq_persisted" -> ((s, dir) => {
+      val path = ensurePqIndex(s, dir)
+      Pq.searchPersisted(s, path, Tables(s, dir, "embeddings"), qid = 9,
+        k = 10, numSub = 8, subDim = 8, shortlist = 100)
+    }),
 
     // A27: quantization-loss evaluation — recall@10 of the PQ
     // shortlist+rerank path vs the exact L2 scan (completes the recall
@@ -952,6 +983,12 @@ object FusionQueries {
     "knn_pq" -> pqOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 0"),
 
+    // A21e: identical pipeline at query id 9 — the persistence round-trip
+    // must not change a single row (longs through parquet are exact)
+    "knn_pq_persisted" -> pqOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 9",
+      qid = 9),
+
     // A21b: the batch form — one enc over ALL rows (encode is per-row
     // independent, so encode-all-then-exclude ≡ the single-query oracle's
     // exclude-then-encode), per-query ADC/shortlist/rerank via window cuts
@@ -1490,7 +1527,8 @@ object FusionQueries {
   /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —
     * the unfiltered, metadata-filtered, and IVF-probed entries share
     * everything else. `prelude` injects extra CTEs the body references. */
-  private def pqOracleSql(bodySelect: String, prelude: String = ""): String =
+  private def pqOracleSql(bodySelect: String, prelude: String = "",
+                          qid: Int = 0): String =
       s"""WITH $prelude cb AS (SELECT m.m AS m, e.vec_id AS code,
          |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
          |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
@@ -1503,7 +1541,7 @@ object FusionQueries {
          |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
          |        GROUP BY 1, 2),
          |q AS (SELECT m.m AS m, (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS qsub
-         |      FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id = 0),
+         |      FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id = $qid),
          |adc AS (SELECT cb.m, cb.code,
          |  CAST(floor((${pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
          |  FROM cb JOIN q ON cb.m = q.m),
@@ -1512,6 +1550,6 @@ object FusionQueries {
          |SELECT e.vec_id,
          |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
          |FROM embeddings e JOIN short USING (vec_id)
-         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q2
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = $qid) q2
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
 }

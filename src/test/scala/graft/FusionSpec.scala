@@ -91,6 +91,27 @@ class FusionSpec extends SparkSpec {
       "ADC shortlist + rerank should preserve most of the exact top-10")
   }
 
+  test("knn_pq_persisted serves from stored artifacts identically to inline encode") {
+    import graft.operators.Pq
+    val emb = Tables(spark, dir, "embeddings")
+    val persisted = q("knn_pq_persisted").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted.size == 10)
+    // the persistence round-trip must not change a single row vs the
+    // inline-encode path at the same constants and query id
+    val inline = Pq.searchRerank(emb, qid = 9, k = 10,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(persisted == inline)
+    // artifact shape: one code row per corpus vector (queries are excluded
+    // at SERVE time, not build time), M wide code columns + vec_id
+    val path = graft.TmpDirs.path("pq_index_" + graft.TmpDirs.dirKey(dir))
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == emb.count())
+    assert(codes.columns.toSeq == ("vec_id" +: (0 until 8).map(m => s"code_$m")))
+    val cb = spark.read.parquet(s"$path/codebook")
+    assert(cb.count() == 8L * 64L)
+  }
+
   test("PQ encodeFast (literal codebook) equals the join-based encode") {
     import graft.operators.Pq
     val emb = Tables(spark, dir, "embeddings")

@@ -537,4 +537,49 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p.take(3000))
     assert(!p.contains("SortMergeJoin"), p.take(3000))
   }
+
+  test("knn_ivf_cascade: broadcast probe membership, three TakeOrdered cuts, no SMJ") {
+    val p = plan("knn_ivf_cascade")
+    // the probed-body join and every broadcast side stay broadcast; all
+    // three funnel cuts are TakeOrdered (never a global sort); no
+    // shuffle join anywhere in the funnel
+    assert("TakeOrderedAndProject".r.findAllIn(p).length >= 3, p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+  }
+
+  test("knn_pq_persisted: the serve plan never re-encodes") {
+    // the lifecycle contract: the timed body reads the STORED code table —
+    // the encode kernel must not appear anywhere in the serve plan, the
+    // shortlist is a TakeOrdered over the parquet code scan, and the
+    // rerank join arrives broadcast
+    val p = plan("knn_pq_persisted")
+    assert(!p.contains("pq_nearest_code"),
+      s"serve plan re-encodes the corpus\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("sample_stratified: heap-based selection — quota join broadcast, k-heaps partial") {
+    val p = plan("sample_stratified")
+    // per-stratum members come from the map-side k-heap; the only Window
+    // in the plan ranks the |langs|-row allocation table, never the corpus
+    // (its input is the aggregated count frame, no parquet scan below it)
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("SortMergeJoin"), p.take(3000))
+  }
+
+  test("hll_rollup_merge: coarse levels never rescan the corpus") {
+    // the mergeability contract: the fine sketch and the distinct table
+    // are checkpointed once at build; every level (fine, source, global)
+    // then aggregates those materialized relations — a parquet scan in
+    // the final plan means a level regressed to rescanning documents
+    val p = plan("hll_rollup_merge")
+    assert(!p.contains("Scan parquet"),
+      s"a rollup level rescans the corpus\n${p.take(3000)}")
+    assert(p.contains("Scan ExistingRDD"), p.take(3000))
+  }
 }
