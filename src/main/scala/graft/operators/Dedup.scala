@@ -262,16 +262,38 @@ object Dedup {
     * all-co-shingled-pairs intersection never materializes — only the
     * (few) candidate pairs' rows do. */
   def minhashEstimate(docs: DataFrame, numHashes: Int, bands: Int,
-                      maxBucket: Option[Int] = None): DataFrame = {
+                      maxBucket: Option[Int] = None,
+                      oneBit: Boolean = false): DataFrame = {
     val sigs = minhashSignatures(docs, numHashes).cache()
     val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
 
     val matchSum = (0 until numHashes)
       .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+    // `oneBit`: b-bit minhash (Li & König, WWW 2010, b = 1) — the lowest
+    // bit of each permutation minimum, packed into ONE BIGINT per doc, so
+    // the whole signature costs numHashes BITS instead of numHashes·64:
+    // at 100 TB the packed word is the column a store can always keep
+    // resident, and pair similarity is one bit_count(xor). Accidental
+    // parity collisions halve the signal, so the estimator debiases via
+    // Ĵ = 2·(m/k) − 1 (C = 1/2 for 1 bit), floored at 0 — integer ppm
+    // arithmetic end to end, from the SAME cached signatures (one scan).
+    val packExpr = (0 until numHashes)
+      .map(j => s"((m$j % 2) * ${1L << j}L)").mkString(" + ")
+    val oneBitCols =
+      if (!oneBit) Seq.empty
+      else Seq(
+        s"CAST($numHashes - bit_count(sa_p ^ sb_p) AS BIGINT) AS n_match1",
+        s"greatest(0L, ((2 * ($numHashes - bit_count(sa_p ^ sb_p)) - $numHashes)" +
+          s" * 1000000L) div $numHashes) AS est1_jac")
+    val pairSel = Seq("a_id", "b_id",
+      s"(($matchSum) * 1000000L) div $numHashes AS est_jac") ++
+      (if (oneBit) Seq(s"(${packExpr.replace("m", "sa.m")}) AS sa_p",
+                       s"(${packExpr.replace("m", "sb.m")}) AS sb_p")
+       else Seq.empty)
     val est = cand
       .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
-      .selectExpr("a_id", "b_id", s"(($matchSum) * 1000000L) div $numHashes AS est_jac")
+      .selectExpr(pairSel: _*)
 
     val inCand = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
@@ -287,8 +309,9 @@ object Dedup {
       .join(inter, Seq("a_id", "b_id"), "left")
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .selectExpr("a_id", "b_id", "est_jac",
-        "(coalesce(inter, 0L) * 1000000L) div (na + nb - coalesce(inter, 0L)) AS jac")
+      .selectExpr(Seq("a_id", "b_id", "est_jac",
+        "(coalesce(inter, 0L) * 1000000L) div (na + nb - coalesce(inter, 0L)) AS jac") ++
+        oneBitCols: _*)
   }
 
   /** (doc_id, band, bkey) banded minhash signatures. */

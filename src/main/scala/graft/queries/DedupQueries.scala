@@ -204,6 +204,20 @@ object DedupQueries {
     "dedup_minhash_est" -> ((s, dir) =>
       Dedup.minhashEstimate(docs(s, dir), NumHashes, Bands, maxBucket = Some(MaxBucket))),
 
+    // B41: b-bit minhash (Li & König, WWW 2010, b = 1) — B20's estimator
+    // with the signature crushed 64×: the lowest bit of each of the 12
+    // permutation minima packs into ONE BIGINT per doc (12 bits vs 12·64),
+    // pair similarity is a single bit_count(xor), and the estimator
+    // debiases the C = ½ accidental-parity-collision rate (Ĵ = 2·m/k − 1,
+    // floored at 0). Emitted alongside B20's full-width estimate and the
+    // exact Jaccard from the SAME one signature scan — the fidelity
+    // s-curve an operator reads before committing the 100 TB signature
+    // store to b bits (the packed word is the column that always stays
+    // resident; full signatures page in only for verification).
+    "dedup_minhash_1bit" -> ((s, dir) =>
+      Dedup.minhashEstimate(docs(s, dir), NumHashes, Bands,
+        maxBucket = Some(MaxBucket), oneBit = true)),
+
     // B3b: the full-signature duplicate-cluster triage report (the
     // wholesale view for duplicate-saturated corpora, where the pair cap
     // skips expansion) — one hash aggregate over the signature pipeline
@@ -423,6 +437,42 @@ object DedupQueries {
            |SELECT concat_ws('_', $sigKey) AS sig,
            |  count(*) AS n_docs, min(doc_id) AS sample_doc
            |FROM sg GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+      },
+
+      // B41: B20's oracle + the packed parity word per doc and the
+      // debiased 1-bit estimate via bit_count(xor) — pre-validated in
+      // python/duckdb against a direct signature recomputation
+      "dedup_minhash_1bit" -> {
+        val matchSum = (0 until NumHashes)
+          .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+        val pack = (0 until NumHashes).map(j => s"((m$j % 2) << $j)").mkString(" + ")
+        s"""WITH ${minhashPairCtes(sigCols, bandSelects)},
+           |est AS (
+           |  SELECT p.a_id, p.b_id, CAST(((($matchSum) * 1000000) // $NumHashes) AS BIGINT) AS est_jac
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id),
+           |pk AS (SELECT doc_id, $pack AS p FROM sig),
+           |cdocs AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+           |exr AS (SELECT doc_id, unnest(s) AS g0 FROM shj
+           |        WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+           |ex AS (SELECT doc_id, ${dH("g0")} AS g FROM exr),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+           |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2)
+           |SELECT e.a_id, e.b_id, e.est_jac,
+           |  ((COALESCE(i.i, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.i, 0))) AS jac,
+           |  CAST($NumHashes - bit_count(xor(pa.p, pb.p)) AS BIGINT) AS n_match1,
+           |  greatest(CAST(0 AS BIGINT),
+           |    ((2 * ($NumHashes - bit_count(xor(pa.p, pb.p))) - $NumHashes) * 1000000) // $NumHashes) AS est1_jac
+           |FROM est e
+           |LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+           |JOIN sizes sa ON sa.doc_id = e.a_id
+           |JOIN sizes sb ON sb.doc_id = e.b_id
+           |JOIN pk pa ON pa.doc_id = e.a_id
+           |JOIN pk pb ON pb.doc_id = e.b_id""".stripMargin
       },
 
       // est vs exact Jaccard over the SAME pair CTEs; truncating integer

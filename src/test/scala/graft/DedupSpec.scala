@@ -376,4 +376,34 @@ class DedupSpec extends SparkSpec {
     // non-vacuity: the sweep actually verified some true positives
     assert(rows.map(_._4).max > 0)
   }
+
+  test("dedup_minhash_1bit: packed parities, debiased estimate, B20's pair set") {
+    val dir = "/root/testdata/sf0.001"
+    val one = graft.queries.DedupQueries.defs("dedup_minhash_1bit")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(one.nonEmpty)
+
+    // the 1-bit columns ride along B20's rows: same candidate pairs, same
+    // full-width estimate, same exact Jaccard
+    val base = graft.queries.DedupQueries.defs("dedup_minhash_est")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(one.map(r => (r._1, r._2, r._3, r._4)).sorted == base)
+
+    // parity reconstruction straight from the signature operator
+    val sigs = Dedup.minhashSignatures(
+        Tables(spark, dir, "documents"), 12).collect()
+      .map(r => r.getLong(0) -> (0 until 12).map(j => r.getLong(1 + j) % 2)).toMap
+    one.foreach { case (a, b, _, _, m1, e1) =>
+      val m = (0 until 12).count(j => sigs(a)(j) == sigs(b)(j))
+      assert(m1 == m, s"pair ($a,$b): n_match1 $m1 vs recomputed $m")
+      assert(e1 == math.max(0L, ((2L * m - 12L) * 1000000L) / 12L))
+    }
+    // the debiased 1-bit estimate tracks the full-width one on true
+    // near-dups (est = 1.0 forces every parity to match → est1 = 1.0)
+    one.filter(_._3 == 1000000L).foreach { case (_, _, _, _, _, e1) =>
+      assert(e1 == 1000000L)
+    }
+  }
 }
