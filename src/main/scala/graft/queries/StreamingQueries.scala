@@ -396,6 +396,30 @@ object StreamingQueries {
         .select(col("event_type"), (col("pos") + 1).cast("long").as("rank"),
           col("hit.id").as("event_id"), col("hit.score").as("cents"))),
 
+    // C70: B39's weighted priority sample MAINTAINED as a stream — the
+    // bottom-k rank H(doc) div w(doc) is stateless per row (content-
+    // derived, no RNG state), so the live sample is ONE complete-mode
+    // bottom-k heap: TopKHits folds each micro-batch into a ≤k-entry
+    // buffer, state stays O(k) forever regardless of stream length, and
+    // every emission IS the exact weighted sample of everything ingested
+    // so far (bottom-k sketches merge by union-then-cut — the law
+    // CurationSpec pins for the batch form is what makes the streaming
+    // fold correct). The curation pipeline's sampling stage, live.
+    "streaming_weighted_sample" -> ((s, dir) =>
+      runToTable(s,
+        readStreamTable(s, dir, "documents")
+          .selectExpr("doc_id",
+            s"CAST(size(${Dedup.TokExpr}) AS BIGINT) AS w",
+            s"${Dedup.hashExpr("concat('wsp', CAST(doc_id AS STRING))")} AS h")
+          .filter(col("w") > 0)
+          .selectExpr("doc_id", "h div w AS pri")
+          .agg(graft.functions.aggs.topK(col("pri"), col("doc_id"), 100, asc = true)
+            .as("hits")),
+        "sq_wsample", "complete")
+        .select(posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("doc_id"), col("hit.score").as("pri"))),
+
     // C8: stateful sessionization AS a stream (flatMapGroupsWithState,
     // event-time timeout). Pinned to one micro-batch with no-data batches
     // off: no timeout fires, so the emitted set is exactly "all sessions
@@ -514,6 +538,17 @@ object StreamingQueries {
            |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
            |WHERE rank <= 10""".stripMargin,
+
+      // C70: the batch bottom-k replayed with rank — same tie order as
+      // the heap (pri asc, lower id wins)
+      "streaming_weighted_sample" ->
+        s"""WITH w AS (SELECT doc_id,
+           |  CAST(len(${DuckDialect.Tok}) AS BIGINT) AS w,
+           |  ${DuckDialect.hash("'wsp'||CAST(doc_id AS VARCHAR)")} AS h FROM documents),
+           |r AS (SELECT doc_id, h // w AS pri,
+           |  row_number() OVER (ORDER BY h // w ASC, doc_id ASC) AS rn
+           |  FROM w WHERE w > 0)
+           |SELECT CAST(rn AS BIGINT) AS rank, doc_id, pri FROM r WHERE rn <= 100""".stripMargin,
 
       // same tie-break as TopKHits: score desc, lower id wins
       "streaming_topk" ->

@@ -221,6 +221,13 @@ class CurationSpec extends SparkSpec {
     // and the rank rule is exactly H div w (bottom-k sketch property:
     // the sample is mergeable — min-rank unions commute)
     assert(entry.forall { case (id, w, pri) => h60("wsp" + id) / w == pri })
+
+    // the mergeability LAW the streaming form relies on: bottom-k of the
+    // whole corpus equals bottom-k of the union of per-shard bottom-k's
+    // (so a distributed or incremental fold can never change the sample)
+    val (shard1, shard2) = ranked.partition(_._2 % 2 == 0)
+    val merged = (shard1.take(100) ++ shard2.take(100)).sorted.take(100)
+    assert(merged == ranked.take(100))
   }
 
   test("sample_stratified: largest-remainder quotas, hash-order members, exact K") {
