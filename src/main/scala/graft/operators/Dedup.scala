@@ -294,7 +294,15 @@ object Dedup {
       .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
       .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
       .selectExpr(pairSel: _*)
+    est.join(exactJaccard(docs, cand), Seq("a_id", "b_id"))
+      .selectExpr(Seq("a_id", "b_id", "est_jac", "jac") ++ oneBitCols: _*)
+  }
 
+  /** Exact shingle Jaccard per candidate pair (a_id, b_id, jac) — exact
+    * shingle sets restricted to candidate docs via broadcast semi-join
+    * BEFORE the shingle equi-join, so only the (few) candidate pairs'
+    * intersections materialize. Shared by B20/B41/B41b. */
+  private def exactJaccard(docs: DataFrame, cand: DataFrame): DataFrame = {
     val inCand = cand.select(col("a_id").as("doc_id"))
       .union(cand.select(col("b_id").as("doc_id"))).distinct()
     val ex = shingledExploded(docs)
@@ -305,13 +313,52 @@ object Dedup {
       .join(ex.as("y"), col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-    est
+    cand.select("a_id", "b_id")
       .join(inter, Seq("a_id", "b_id"), "left")
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
       .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .selectExpr(Seq("a_id", "b_id", "est_jac",
-        "(coalesce(inter, 0L) * 1000000L) div (na + nb - coalesce(inter, 0L)) AS jac") ++
-        oneBitCols: _*)
+      .selectExpr("a_id", "b_id",
+        "(coalesce(inter, 0L) * 1000000L) div (na + nb - coalesce(inter, 0L)) AS jac")
+  }
+
+  /** B41b: the b-bit fidelity SWEEP (Li & König 2010's central trade-off,
+    * measured the way `lshSweep` measures banding): for each b, chunk
+    * every permutation minimum to its lowest b bits, count matching
+    * chunks per candidate pair, debias with C = 2⁻ᵇ
+    * (Ĵ_b = (m/k − C)/(1 − C), integer ppm, floored at 0), and report
+    * the per-b mean/max absolute error against exact shingle Jaccard.
+    * ONE signature scan and ONE exact-verification join feed every b —
+    * the curve an operator reads before fixing the signature store's
+    * bit width (b bits ⇒ 64/b× compression; error shrinks as b grows).
+    * All cuts integer-exact, so both engines compute identical rows. */
+  def minhashBbitSweep(docs: DataFrame, numHashes: Int, bands: Int,
+                      maxBucket: Option[Int], bs: Seq[Int]): DataFrame = {
+    require(bs.nonEmpty && bs.forall(b => b >= 1 && b <= 62),
+      s"bit widths must be within [1, 62] and non-empty, got $bs — " +
+        "b = 0 degenerates the debias divisor (2^b - 1) to zero and " +
+        "b > 62 overflows the BIGINT chunk modulus")
+    val sigs = minhashSignatures(docs, numHashes).cache()
+    val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
+    def estB(b: Int): String = {
+      val p = 1L << b
+      val m = (0 until numHashes)
+        .map(j => s"(CASE WHEN sa.m$j % ${p}L = sb.m$j % ${p}L THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"greatest(0L, ((CAST(($m) AS BIGINT) * 1000000L * ${p}L)" +
+        s" div $numHashes - 1000000L) div ${p - 1}L)"
+    }
+    val perPair = cand
+      .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
+      .join(sigs.as("sb"), col("b_id") === col("sb.doc_id"))
+      .selectExpr(Seq("a_id", "b_id") ++ bs.map(b => s"${estB(b)} AS est_$b"): _*)
+      .join(exactJaccard(docs, cand), Seq("a_id", "b_id"))
+    perPair
+      .selectExpr("jac",
+        s"stack(${bs.size}, ${bs.map(b => s"${b}L, est_$b").mkString(", ")}) AS (b, est)")
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(abs(est - jac)) div count(1)").as("mae_ppm"),
+        max(abs(col("est") - col("jac"))).as("max_err_ppm"))
   }
 
   /** (doc_id, band, bkey) banded minhash signatures. */

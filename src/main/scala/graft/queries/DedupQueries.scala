@@ -51,6 +51,9 @@ object DedupQueries {
   // allocations' s-curve thresholds (1/b)^(1/r) ≈ 0.89/0.76/0.63/0.41/0.08
   // so the sweep's precision/recall actually separate
   private val SweepBands = Seq(2, 3, 4, 6, 12)
+
+  /** B41b: bit widths of the b-bit minhash fidelity sweep. */
+  private val BbitSweep = Seq(1, 2, 4, 8)
   private val SweepTauScaled = 500000L
   // B24: "the first 250 ingested docs" stand in for the existing corpus;
   // every sf has ≥500 docs so both sides are non-empty at any gate scale
@@ -217,6 +220,18 @@ object DedupQueries {
     "dedup_minhash_1bit" -> ((s, dir) =>
       Dedup.minhashEstimate(docs(s, dir), NumHashes, Bands,
         maxBucket = Some(MaxBucket), oneBit = true)),
+
+    // B41b: the b-bit fidelity SWEEP (Li & König's central trade-off,
+    // the B41 sibling of B38's banding sweep): per b ∈ {1, 2, 4, 8},
+    // chunk every permutation minimum to its lowest b bits, debias with
+    // C = 2⁻ᵇ, and report mean/max absolute error vs exact shingle
+    // Jaccard — ONE signature scan and ONE exact-verification join feed
+    // every b. The curve an operator reads before fixing the 100 TB
+    // signature store's bit width (b bits ⇒ 64/b× compression; at
+    // sf0.001 MAE falls 59.3k → 39.1k ppm from b=1 to b=4).
+    "dedup_minhash_bbit_sweep" -> ((s, dir) =>
+      Dedup.minhashBbitSweep(docs(s, dir), NumHashes, Bands,
+        maxBucket = Some(MaxBucket), bs = BbitSweep)),
 
     // B3b: the full-signature duplicate-cluster triage report (the
     // wholesale view for duplicate-saturated corpora, where the pair cap
@@ -437,6 +452,48 @@ object DedupQueries {
            |SELECT concat_ws('_', $sigKey) AS sig,
            |  count(*) AS n_docs, min(doc_id) AS sample_doc
            |FROM sg GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+      },
+
+      // B41b: per-b chunk compare + debias over the shared pair CTEs, one
+      // exact-verification block feeding every b — pre-validated in
+      // python/duckdb against a direct signature recomputation
+      "dedup_minhash_bbit_sweep" -> {
+        def estB(b: Int): String = {
+          val p = 1L << b
+          val m = (0 until NumHashes)
+            .map(j => s"(CASE WHEN sa.m$j % $p = sb.m$j % $p THEN 1 ELSE 0 END)")
+            .mkString(" + ")
+          s"greatest(CAST(0 AS BIGINT), CAST(((CAST(($m) AS BIGINT) * 1000000 * $p)" +
+            s" // $NumHashes - 1000000) // ${p - 1} AS BIGINT))"
+        }
+        val estCols = BbitSweep.map(b => s"${estB(b)} AS est_$b").mkString(",\n  ")
+        val perB = BbitSweep.map { b =>
+          s"""SELECT CAST($b AS BIGINT) AS b, CAST(count(*) AS BIGINT) AS n_pairs,
+             |  CAST(sum(abs(est_$b - jac)) // count(*) AS BIGINT) AS mae_ppm,
+             |  CAST(max(abs(est_$b - jac)) AS BIGINT) AS max_err_ppm
+             |FROM pp""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${minhashPairCtes(sigCols, bandSelects)},
+           |pe AS (
+           |  SELECT p.a_id, p.b_id,
+           |  $estCols
+           |  FROM pairs p JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id),
+           |cdocs AS (SELECT a_id AS doc_id FROM pairs UNION SELECT b_id FROM pairs),
+           |exr AS (SELECT doc_id, unnest(s) AS g0 FROM shj
+           |        WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+           |ex AS (SELECT doc_id, ${dH("g0")} AS g FROM exr),
+           |sizes AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY doc_id),
+           |inter AS (
+           |  SELECT x.doc_id AS a_id, y.doc_id AS b_id, count(*) AS i
+           |  FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id
+           |  GROUP BY 1, 2),
+           |pp AS (SELECT pe.*,
+           |  ((COALESCE(i.i, 0) * 1000000) // (sa.n + sb.n - COALESCE(i.i, 0))) AS jac
+           |  FROM pe LEFT JOIN inter i ON i.a_id = pe.a_id AND i.b_id = pe.b_id
+           |  JOIN sizes sa ON sa.doc_id = pe.a_id
+           |  JOIN sizes sb ON sb.doc_id = pe.b_id)
+           |$perB""".stripMargin
       },
 
       // B41: B20's oracle + the packed parity word per doc and the

@@ -406,4 +406,36 @@ class DedupSpec extends SparkSpec {
       assert(e1 == 1000000L)
     }
   }
+
+  test("dedup_minhash_bbit_sweep: b=1 row equals the 1-bit entry's aggregate, error shrinks with b") {
+    val dir = "/root/testdata/sf0.001"
+    val sweep = graft.queries.DedupQueries.defs("dedup_minhash_bbit_sweep")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(sweep.keySet == Set(1L, 2L, 4L, 8L))
+    // one pair universe feeds every width
+    assert(sweep.values.map(_._1).toSet.size == 1)
+
+    // cross-entry consistency: aggregating dedup_minhash_1bit's per-pair
+    // (est1, exact) columns must reproduce the sweep's b=1 row exactly
+    val one = graft.queries.DedupQueries.defs("dedup_minhash_1bit")(spark, dir)
+      .collect().map(r => (r.getLong(5), r.getLong(3)))
+    val errs = one.map { case (e1, jac) => math.abs(e1 - jac) }
+    assert(sweep(1L) == ((one.length.toLong, errs.sum / one.length, errs.max)))
+
+    // the fidelity direction on this corpus: quadrupling the bits cuts
+    // the mean error (59.3k → 39.1k ppm at the gate scale)
+    assert(sweep(1L)._2 > sweep(4L)._2,
+      s"mae(b=1)=${sweep(1L)._2} should exceed mae(b=4)=${sweep(4L)._2}")
+
+    // guard: b = 0 (zero debias divisor) and b > 62 (chunk modulus
+    // overflow) refuse loudly before any corpus work
+    val d = Tables(spark, dir, "documents")
+    for (bad <- Seq(Seq(0), Seq(1, 63), Seq.empty[Int])) {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minhashBbitSweep(d, 12, 3, None, bad)
+      }
+      assert(e.getMessage.contains("bit widths"))
+    }
+  }
 }
