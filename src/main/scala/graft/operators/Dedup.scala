@@ -277,8 +277,8 @@ object Dedup {
     // parity collisions halve the signal, so the estimator debiases via
     // Ĵ = 2·(m/k) − 1 (C = 1/2 for 1 bit), floored at 0 — integer ppm
     // arithmetic end to end, from the SAME cached signatures (one scan).
-    val packExpr = (0 until numHashes)
-      .map(j => s"((m$j % 2) * ${1L << j}L)").mkString(" + ")
+    def packExpr(side: String) = (0 until numHashes)
+      .map(j => s"(($side.m$j % 2) * ${1L << j}L)").mkString(" + ")
     val oneBitCols =
       if (!oneBit) Seq.empty
       else Seq(
@@ -287,8 +287,7 @@ object Dedup {
           s" * 1000000L) div $numHashes) AS est1_jac")
     val pairSel = Seq("a_id", "b_id",
       s"(($matchSum) * 1000000L) div $numHashes AS est_jac") ++
-      (if (oneBit) Seq(s"(${packExpr.replace("m", "sa.m")}) AS sa_p",
-                       s"(${packExpr.replace("m", "sb.m")}) AS sb_p")
+      (if (oneBit) Seq(s"(${packExpr("sa")}) AS sa_p", s"(${packExpr("sb")}) AS sb_p")
        else Seq.empty)
     val est = cand
       .join(sigs.as("sa"), col("a_id") === col("sa.doc_id"))
@@ -333,10 +332,12 @@ object Dedup {
     * All cuts integer-exact, so both engines compute identical rows. */
   def minhashBbitSweep(docs: DataFrame, numHashes: Int, bands: Int,
                       maxBucket: Option[Int], bs: Seq[Int]): DataFrame = {
-    require(bs.nonEmpty && bs.forall(b => b >= 1 && b <= 62),
-      s"bit widths must be within [1, 62] and non-empty, got $bs — " +
-        "b = 0 degenerates the debias divisor (2^b - 1) to zero and " +
-        "b > 62 overflows the BIGINT chunk modulus")
+    require(bs.nonEmpty && bs.distinct.size == bs.size &&
+        bs.forall(b => b >= 1 && b <= 62),
+      s"bit widths must be distinct, within [1, 62], and non-empty, got $bs — " +
+        "b = 0 degenerates the debias divisor (2^b - 1) to zero, b > 62 " +
+        "overflows the BIGINT chunk modulus, and duplicates collide on " +
+        "the est_<b> column names")
     val sigs = minhashSignatures(docs, numHashes).cache()
     val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
     def estB(b: Int): String = {

@@ -626,12 +626,28 @@ object Pq {
     val cb = s.read.parquet(s"$path/codebook")
     val cbRows = cb.collect().map(r =>
       (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // refuse a mismatched on-disk vintage loudly (the Hnsw restore
+    // convention): stored artifacts built at different (numSub, subDim)
+    // would otherwise serve silently wrong rankings
+    val storedSubs = cbRows.map(_._1).distinct.sorted
+    require(storedSubs.sameElements(0 until numSub),
+      s"pq restore: codebook at $path holds subspaces ${storedSubs.mkString(",")}, " +
+        s"caller expects 0..${numSub - 1} — the index was built at a different numSub")
+    cbRows.find(_._3.length != subDim).foreach { case (m, c, cw) =>
+      throw new IllegalArgumentException(
+        s"pq restore: codeword (m=$m, code=$c) at $path has ${cw.length} dims, " +
+          s"caller expects subDim=$subDim — the index was built at a different layout")
+    }
+    val codes = s.read.parquet(s"$path/codes")
+    val expectCols = "vec_id" +: (0 until numSub).map(m => s"code_$m")
+    require(codes.columns.sameElements(expectCols),
+      s"pq restore: code table at $path has columns ${codes.columns.mkString(",")}, " +
+        s"expected ${expectCols.mkString(",")}")
     val qv = emb.filter(col("vec_id") === qid)
       .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS qv")
     val td = adcTable(qv, cb, subDim).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val codes = s.read.parquet(s"$path/codes").filter(col("vec_id") =!= qid)
-    adcServe(codes, emb, qid, cbRows, td, k, numSub, shortlist)
+    adcServe(codes.filter(col("vec_id") =!= qid), emb, qid, cbRows, td, k, numSub, shortlist)
   }
 
   /** BATCHED PQ search (r7 verdict "next" #2): the reference's main loop is

@@ -431,7 +431,7 @@ class DedupSpec extends SparkSpec {
     // guard: b = 0 (zero debias divisor) and b > 62 (chunk modulus
     // overflow) refuse loudly before any corpus work
     val d = Tables(spark, dir, "documents")
-    for (bad <- Seq(Seq(0), Seq(1, 63), Seq.empty[Int])) {
+    for (bad <- Seq(Seq(0), Seq(1, 63), Seq.empty[Int], Seq(2, 2))) {
       val e = intercept[IllegalArgumentException] {
         Dedup.minhashBbitSweep(d, 12, 3, None, bad)
       }

@@ -110,6 +110,20 @@ class FusionSpec extends SparkSpec {
     assert(codes.columns.toSeq == ("vec_id" +: (0 until 8).map(m => s"code_$m")))
     val cb = spark.read.parquet(s"$path/codebook")
     assert(cb.count() == 8L * 64L)
+
+    // vintage guards (the Hnsw restore convention): a caller expecting a
+    // different build layout is refused loudly, never served silently
+    // wrong rankings
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.searchPersisted(spark, path, emb, qid = 9, k = 10,
+        numSub = 4, subDim = 8, shortlist = 100)
+    }
+    assert(e1.getMessage.contains("different numSub"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.searchPersisted(spark, path, emb, qid = 9, k = 10,
+        numSub = 8, subDim = 4, shortlist = 100)
+    }
+    assert(e2.getMessage.contains("different layout"))
   }
 
   test("PQ encodeFast (literal codebook) equals the join-based encode") {
