@@ -220,6 +220,11 @@ object ScaleProbe {
       // compressed-scan path — holds iff encode stays one narrow crossJoin)
       time("pq_search")(Pq.searchRerank(e, qid = 7, k = 10,
         numSub = 8, subDim = 8, numCodes = 64, shortlist = 100).count()),
+      // A43 three-stage cascade funnel at probe scale: the Hamming stage
+      // scans all nVecs 8-byte sign codes, sq8 touches 100 rows, floats 25
+      time("cascade_knn")(graft.operators.Cascade.search(
+        e.select("vec_id", "embedding"), qid = 7,
+        stage1 = 100, stage2 = 25, k = 10).count()),
       // HLL distinct sketch per lang_k — must stay two map-side partial aggs
       time("hll_distinct")(Hll.estimate(Hll.sketchAgg(Hll.bucketRho(
         d.select(col("lang_k"), col("doc_id")),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{scaled, vectors}
+
+/** A43/A43d — the three-stage quantizer cascade funnel (FAISS refine /
+  * Vespa two-phase convention, generalized to three stages): stage 1
+  * ranks by 64-bit Hamming over packed sign codes (the cheapest distance
+  * that exists — the always-resident 8-byte index), stage 2 reranks the
+  * shortlist by int8 scalar-quantized squared-L2 under full-corpus
+  * (mn, mx) calibration, stage 3 pays exact float cosine for the
+  * survivors only. Every cut is integer-exact with ties to the lower id,
+  * so the whole funnel replays in the DuckDB oracle.
+  *
+  * At 100 TB the funnel ratio is the I/O story: the full scan touches
+  * 8 B/row, sq8 touches 64 B on the stage-1 survivors, floats page in
+  * for `stage2` rows. `restrict` narrows the stage-1 body (e.g. an IVF
+  * probe membership join — A43d), while calibration and the query side
+  * stay corpus-wide index-build state.
+  *
+  * Extracted from the FusionQueries entries so ScaleProbe can measure
+  * the funnel at probe scale; the entries delegate here unchanged.
+  */
+object Cascade {
+
+  /** 32 sign bits of `vec` starting at dim `off` packed into one
+    * non-negative BIGINT — 32 explicit codegen'd CASE terms (disjoint
+    * bits, so + is OR), token-identical to the oracle's DuckDB form. */
+  def bqHalf(vec: String, off: Int): String =
+    (0 until 32).map(j =>
+      s"(CASE WHEN element_at($vec, ${off + j + 1}) > 0.0D THEN ${1L << j}L ELSE 0L END)")
+      .mkString(" + ")
+
+  /** Run the funnel for query `qid` over `raw` (needs `vec_id` and
+    * `embedding`; extra columns such as `label` ride through to
+    * `restrict`). Output: (vec_id, score, d8, ham), score desc. */
+  def search(raw: DataFrame, qid: Long, stage1: Int, stage2: Int, k: Int,
+             restrict: DataFrame => DataFrame = identity): DataFrame = {
+    val e = raw.selectExpr(raw.columns.toSeq ++ Seq(
+      "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+      s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"): _*)
+    val stats = e.agg(min(expr("array_min(v)")).as("mn"),
+      max(expr("array_max(v)")).as("mx"))
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
+        col("embedding").as("q_vec"), col("v").as("qd"))
+    restrict(e.filter(col("vec_id") =!= qid))
+      .crossJoin(broadcast(q))
+      .withColumn("ham",
+        expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+      .orderBy(col("ham").asc, col("vec_id").asc).limit(stage1)
+      .crossJoin(broadcast(stats))
+      .selectExpr("vec_id", "embedding", "q_vec", "ham",
+        "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+        "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+      .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+      .orderBy(col("d8").asc, col("vec_id").asc).limit(stage2)
+      .withColumn("score", scaled(
+        vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(k)
+      .select("vec_id", "score", "d8", "ham")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Ivf, Knn, Pq}
+import graft.operators.{Cascade, Dedup, Ivf, Knn, Pq}
 
 /** §2.A18–A20 — keyword relevance, rank fusion, and quantized vector search:
   * the retrieval surface a hybrid engine needs beyond pure vector kNN.
@@ -45,10 +45,7 @@ object FusionQueries {
     * `off` packed into one non-negative BIGINT — 32 explicit codegen'd
     * CASE terms (disjoint bits, so + is OR), token-identical in both
     * dialects via [[bqHalfDuck]]. */
-  private def bqHalf(vec: String, off: Int): String =
-    (0 until 32).map(j =>
-      s"(CASE WHEN element_at($vec, ${off + j + 1}) > 0.0D THEN ${1L << j}L ELSE 0L END)")
-      .mkString(" + ")
+  private def bqHalf(vec: String, off: Int): String = Cascade.bqHalf(vec, off)
   private def bqHalfDuck(vec: String, off: Int): String =
     (0 until 32).map(j =>
       s"(CASE WHEN $vec[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
@@ -509,29 +506,9 @@ object FusionQueries {
     // float stages touch ≤CascStage1/≤CascStage2 rows — I/O drops by the
     // funnel ratio at each stage, which is exactly why serving stacks
     // layer their quantizers instead of picking one.
-    "knn_cascade" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
-        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
-        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
-      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
-      val q = e.filter(col("vec_id") === 3)
-        .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
-          col("embedding").as("q_vec"), col("v").as("qd"))
-      e.filter(col("vec_id") =!= 3).crossJoin(broadcast(q))
-        .withColumn("ham",
-          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
-        .orderBy(col("ham").asc, col("vec_id").asc).limit(CascStage1)
-        .crossJoin(broadcast(stats))
-        .selectExpr("vec_id", "embedding", "q_vec", "ham",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
-        .orderBy(col("d8").asc, col("vec_id").asc).limit(CascStage2)
-        .withColumn("score", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
-        .select("vec_id", "score", "d8", "ham")
-    }),
+    "knn_cascade" -> ((s, dir) =>
+      Cascade.search(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        qid = 3, stage1 = CascStage1, stage2 = CascStage2, k = 10)),
 
     // A43d: the cascade funnel BEHIND the IVF coarse quantizer — the full
     // production serving stack in one query (FAISS IndexIVF + refine
@@ -547,33 +524,12 @@ object FusionQueries {
     // so the whole composition replays in the oracle.
     "knn_ivf_cascade" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val ev = e.selectExpr("vec_id", "label", "embedding",
-        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
-        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
-      val stats = ev.agg(min(expr("array_min(v)")).as("mn"),
-        max(expr("array_max(v)")).as("mx"))
-      val q = ev.filter(col("vec_id") === 0)
-        .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
-          col("embedding").as("q_vec"), col("v").as("qd"))
       val probed = Ivf.probe(Ivf.centroids(e),
         e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
         nProbe = 2)
-      ev.filter(col("vec_id") =!= 0)
-        .join(broadcast(probed), "label")
-        .crossJoin(broadcast(q))
-        .withColumn("ham",
-          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
-        .orderBy(col("ham").asc, col("vec_id").asc).limit(IvfCascStage1)
-        .crossJoin(broadcast(stats))
-        .selectExpr("vec_id", "embedding", "q_vec", "ham",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
-        .orderBy(col("d8").asc, col("vec_id").asc).limit(CascStage2)
-        .withColumn("score", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
-        .select("vec_id", "score", "d8", "ham")
+      Cascade.search(e.select("vec_id", "label", "embedding"),
+        qid = 0, stage1 = IvfCascStage1, stage2 = CascStage2, k = 10,
+        restrict = _.join(broadcast(probed), "label"))
     }),
 
     // A43b: the cascade funnel BATCHED — ONE 8-byte-code scan serves the
