@@ -24,6 +24,28 @@ import graft.functions.{scaled, vectors}
   */
 object Cascade {
 
+  /** Full-corpus sq8 calibration as a guarded 1-row (mn, mx) frame —
+    * index-build model state, collected once. A degenerate corpus
+    * (constant components, mx == mn) would make every
+    * `(x − mn)·255/(mx − mn)` code NULL via division by zero and
+    * silently collapse the int8 cut instead of failing loudly (r10
+    * ADVICE; the probeBatch guard convention) — refuse it here, at
+    * every calibration site at once. The collected doubles re-enter the
+    * plan as exact literal columns (never stringified), so the
+    * downstream arithmetic is bit-identical to the joined form. */
+  def calibrationStats(ev: DataFrame, vCol: String = "v"): DataFrame = {
+    val r = ev.agg(min(expr(s"array_min($vCol)")).as("mn"),
+      max(expr(s"array_max($vCol)")).as("mx")).head
+    require(!r.isNullAt(0) && !r.isNullAt(1) && r.getDouble(1) > r.getDouble(0),
+      s"sq8 calibration degenerate (mn=${r.get(0)}, mx=${r.get(1)}): a " +
+        "constant-component corpus divides by zero and nulls every int8 " +
+        "code, silently emptying the quantized stage — rescale the " +
+        "embeddings or skip the sq8 cut")
+    val spark = ev.sparkSession
+    import spark.implicits._
+    Seq((r.getDouble(0), r.getDouble(1))).toDF("mn", "mx")
+  }
+
   /** 32 sign bits of `vec` starting at dim `off` packed into one
     * non-negative BIGINT — 32 explicit codegen'd CASE terms (disjoint
     * bits, so + is OR), token-identical to the oracle's DuckDB form. */
@@ -40,8 +62,7 @@ object Cascade {
     val e = raw.selectExpr(raw.columns.toSeq ++ Seq(
       "CAST(embedding AS ARRAY<DOUBLE>) AS v",
       s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"): _*)
-    val stats = e.agg(min(expr("array_min(v)")).as("mn"),
-      max(expr("array_max(v)")).as("mx"))
+    val stats = calibrationStats(e)
     val q = e.filter(col("vec_id") === qid)
       .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
         col("embedding").as("q_vec"), col("v").as("qd"))

@@ -332,12 +332,18 @@ object Dedup {
     * All cuts integer-exact, so both engines compute identical rows. */
   def minhashBbitSweep(docs: DataFrame, numHashes: Int, bands: Int,
                       maxBucket: Option[Int], bs: Seq[Int]): DataFrame = {
+    // the debias numerator m·10⁶·2ᵇ (m ≤ numHashes) must fit a BIGINT:
+    // past maxB Spark would WRAP silently and emit wrong est_b values
+    // (DuckDB errors on overflow, so only the engine side is quiet) —
+    // r10 ADVICE: bound b by the arithmetic, not just the chunk modulus
+    val maxB = 63 - (64 - java.lang.Long.numberOfLeadingZeros(numHashes * 1000000L))
     require(bs.nonEmpty && bs.distinct.size == bs.size &&
-        bs.forall(b => b >= 1 && b <= 62),
-      s"bit widths must be distinct, within [1, 62], and non-empty, got $bs — " +
-        "b = 0 degenerates the debias divisor (2^b - 1) to zero, b > 62 " +
-        "overflows the BIGINT chunk modulus, and duplicates collide on " +
-        "the est_<b> column names")
+        bs.forall(b => b >= 1 && b <= maxB),
+      s"bit widths must be distinct, within [1, $maxB], and non-empty, got $bs — " +
+        "b = 0 degenerates the debias divisor (2^b - 1) to zero, " +
+        s"b > $maxB overflows the debias numerator numHashes·10⁶·2^b " +
+        s"(numHashes=$numHashes) and Spark wraps silently, and " +
+        "duplicates collide on the est_<b> column names")
     val sigs = minhashSignatures(docs, numHashes).cache()
     val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
     def estB(b: Int): String = {

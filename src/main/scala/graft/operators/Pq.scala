@@ -828,6 +828,20 @@ object Pq {
     val byM: Map[Int, Map[Long, Array[Double]]] =
       cbRows.groupBy(_._1).view
         .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    // the typedlit lookup below indexes codewords POSITIONALLY — a
+    // codebook with code-id gaps would throw a bare NoSuchElementException
+    // at plan-build time (r10 ADVICE); validate the layout up front with
+    // a message naming the expectation, the searchPersisted vintage style
+    require((0 until numSub).forall(byM.contains),
+      s"adcDistCol: codebook holds subspaces ${byM.keys.toSeq.sorted.mkString(",")}, " +
+        s"caller expects 0..${numSub - 1}")
+    (0 until numSub).foreach { m =>
+      val ks = byM(m).keySet
+      require(ks == (0L until ks.size.toLong).toSet,
+        s"adcDistCol: subspace $m codes ${ks.toSeq.sorted.mkString(",")} are not " +
+          "contiguous 0..K-1 — the literal lookup indexes by code position; " +
+          "re-densify the codebook's code ids first")
+    }
     (0 until numSub).map { m =>
       val codes = byM(m)
       val cwm = typedlit(

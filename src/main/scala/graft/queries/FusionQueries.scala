@@ -444,7 +444,7 @@ object FusionQueries {
     "knn_sq8" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
         .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val stats = Cascade.calibrationStats(e)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
@@ -471,8 +471,7 @@ object FusionQueries {
       val e = Tables(s, dir, "embeddings")
       val ev = e.selectExpr("vec_id", "label", "embedding",
         "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      val stats = ev.agg(min(expr("array_min(v)")).as("mn"),
-        max(expr("array_max(v)")).as("mx"))
+      val stats = Cascade.calibrationStats(ev)
       val q = ev.filter(col("vec_id") === 0)
         .select(col("v").as("qd"), col("embedding").as("q_vec"))
       val probed = Ivf.probe(Ivf.centroids(e),
@@ -545,7 +544,7 @@ object FusionQueries {
       val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
         "CAST(embedding AS ARRAY<DOUBLE>) AS v",
         s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
-      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val stats = Cascade.calibrationStats(e)
       val qs = e.filter(col("vec_id") <= 7)
         .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
           col("embedding").as("q_vec"), col("v").as("qd"))
@@ -588,7 +587,7 @@ object FusionQueries {
       val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
         "CAST(embedding AS ARRAY<DOUBLE>) AS v",
         s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
-      val stats = e.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val stats = Cascade.calibrationStats(e)
       val qs = e.filter(col("vec_id") <= 7)
         .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
           col("embedding").as("q_vec"), col("v").as("qd"))
@@ -756,7 +755,7 @@ object FusionQueries {
     "knn_refine_rerank_batch" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val ed = e.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      val stats = ed.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val stats = Cascade.calibrationStats(ed)
       // row codes depend only on (v, mn, mx): quantize each corpus row
       // ONCE before the query fan-out (per-(row, query) quantization would
       // do |Q|× the transform work for identical values — r8 review
@@ -799,7 +798,7 @@ object FusionQueries {
     "knn_refine_rerank" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
       val ed = e.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      val stats = ed.agg(min(expr("array_min(v)")).as("mn"), max(expr("array_max(v)")).as("mx"))
+      val stats = Cascade.calibrationStats(ed)
       val q = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val coarse = ed.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)).crossJoin(broadcast(stats))

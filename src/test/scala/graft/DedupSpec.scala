@@ -428,10 +428,12 @@ class DedupSpec extends SparkSpec {
     assert(sweep(1L)._2 > sweep(4L)._2,
       s"mae(b=1)=${sweep(1L)._2} should exceed mae(b=4)=${sweep(4L)._2}")
 
-    // guard: b = 0 (zero debias divisor) and b > 62 (chunk modulus
-    // overflow) refuse loudly before any corpus work
+    // guard: b = 0 (zero debias divisor) and b past the debias-numerator
+    // ceiling (numHashes·10⁶·2^b must fit a BIGINT: b ≤ 39 at 12 hashes —
+    // r10 ADVICE: Spark would wrap silently above it) refuse loudly
+    // before any corpus work
     val d = Tables(spark, dir, "documents")
-    for (bad <- Seq(Seq(0), Seq(1, 63), Seq.empty[Int], Seq(2, 2))) {
+    for (bad <- Seq(Seq(0), Seq(1, 63), Seq(40), Seq.empty[Int], Seq(2, 2))) {
       val e = intercept[IllegalArgumentException] {
         Dedup.minhashBbitSweep(d, 12, 3, None, bad)
       }

@@ -285,4 +285,42 @@ class FunnelSpec extends SparkSpec {
     val maxBits = 63 - java.lang.Long.numberOfLeadingZeros(c1.values.max)
     assert(entry.forall { case (_, _, _, s) => s >= 0 && s <= maxBits * 10000L })
   }
+
+  test("sq8 calibration refuses a degenerate constant corpus loudly") {
+    // r10 ADVICE: mx == mn would divide by zero and null every int8 code,
+    // silently collapsing the quantized cut — the guard names the failure
+    val const = Seq((0L, Array.fill(64)(0.25)), (1L, Array.fill(64)(0.25)))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Cascade.calibrationStats(const)
+    }
+    assert(e.getMessage.contains("degenerate"))
+    // and the guarded stats frame matches the old joined form on a real
+    // corpus (the collected doubles re-enter as exact literals)
+    val ev = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val guarded = graft.operators.Cascade.calibrationStats(ev)
+      .as[(Double, Double)].head()
+    val joined = ev.agg(min(expr("array_min(v)")), max(expr("array_max(v)")))
+      .as[(Double, Double)].head()
+    assert(guarded == joined)
+  }
+
+  test("adcDistCol validates codebook layout up front") {
+    // r10 ADVICE: gapped code ids would throw a bare NoSuchElementException
+    // at plan-build time; the guard names the positional-lookup expectation
+    val gapped: Array[(Int, Long, Array[Double])] =
+      (0 until 8).flatMap(m => Seq((m, 0L, Array.fill(8)(0.1)),
+        (m, 2L, Array.fill(8)(0.2)))).toArray
+    val e1 = intercept[IllegalArgumentException] {
+      graft.operators.Pq.adcDistCol(gapped, numSub = 8, subDim = 8)
+    }
+    assert(e1.getMessage.contains("contiguous"))
+    val missing: Array[(Int, Long, Array[Double])] =
+      (0 until 7).map(m => (m, 0L, Array.fill(8)(0.1))).toArray
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.Pq.adcDistCol(missing, numSub = 8, subDim = 8)
+    }
+    assert(e2.getMessage.contains("subspaces"))
+  }
 }
