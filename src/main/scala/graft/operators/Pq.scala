@@ -613,6 +613,50 @@ object Pq {
     cb.write.mode("overwrite").parquet(s"$path/codebook")
   }
 
+  /** Restore + vintage-validate the persisted codebook: refuse a
+    * mismatched on-disk layout loudly (the Hnsw restore convention) —
+    * stored artifacts built at different (numSub, subDim) would otherwise
+    * serve silently wrong rankings, or appends would write codes in a
+    * foreign layout. Shared by [[searchPersisted]] and [[appendToIndex]].
+    * Returns (codebook frame, collected rows). */
+  def restoreCodebook(s: SparkSession, path: String, numSub: Int,
+                      subDim: Int): (DataFrame, Array[(Int, Long, Array[Double])]) = {
+    val cb = s.read.parquet(s"$path/codebook")
+    val cbRows = cb.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val storedSubs = cbRows.map(_._1).distinct.sorted
+    require(storedSubs.sameElements(0 until numSub),
+      s"pq restore: codebook at $path holds subspaces ${storedSubs.mkString(",")}, " +
+        s"caller expects 0..${numSub - 1} — the index was built at a different numSub")
+    cbRows.find(_._3.length != subDim).foreach { case (m, c, cw) =>
+      throw new IllegalArgumentException(
+        s"pq restore: codeword (m=$m, code=$c) at $path has ${cw.length} dims, " +
+          s"caller expects subDim=$subDim — the index was built at a different layout")
+    }
+    (cb, cbRows)
+  }
+
+  /** Incremental ADD to the persisted PQ index (A21f; the reference's
+    * `add_items` maintenance path, reference acorn.py:61, applied to the
+    * compressed family — completes the lifecycle symmetry: IVF has
+    * `assignAppended`, HNSW has `searchAppended`, this is PQ's). Arriving
+    * vectors encode with the STORED codebook — NEVER retrained: a
+    * retrain would silently re-key every existing 8-byte code, so codeword
+    * drift is handled by periodic full rebuild instead (the A30
+    * convention) — and land as new parquet files appended to the code
+    * table. Encode is per-row independent, so append-then-serve is
+    * bit-identical to a full rebuild over base ∪ arriving at the same
+    * codebook (spec-pinned). At 100 TB the append touches ONLY the
+    * arriving rows (one narrow codegen'd projection, M bytes/row out);
+    * the existing corpus-sized code table is never rewritten. */
+  def appendToIndex(s: SparkSession, path: String, arriving: DataFrame,
+                    numSub: Int, subDim: Int): Unit = {
+    val (_, cbRows) = restoreCodebook(s, path, numSub, subDim)
+    val body = arriving.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    encodeFast(body, cbRows, numSub, subDim)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Serve a query from the PERSISTED index: restore the codebook (k·d
     * model state), scan the stored code table — never re-encoding, never
     * touching raw embeddings except the ≤`shortlist`-row rerank page-in.
@@ -623,21 +667,7 @@ object Pq {
   def searchPersisted(s: SparkSession, path: String, emb: DataFrame,
                       qid: Long, k: Int, numSub: Int, subDim: Int,
                       shortlist: Int): DataFrame = {
-    val cb = s.read.parquet(s"$path/codebook")
-    val cbRows = cb.collect().map(r =>
-      (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    // refuse a mismatched on-disk vintage loudly (the Hnsw restore
-    // convention): stored artifacts built at different (numSub, subDim)
-    // would otherwise serve silently wrong rankings
-    val storedSubs = cbRows.map(_._1).distinct.sorted
-    require(storedSubs.sameElements(0 until numSub),
-      s"pq restore: codebook at $path holds subspaces ${storedSubs.mkString(",")}, " +
-        s"caller expects 0..${numSub - 1} — the index was built at a different numSub")
-    cbRows.find(_._3.length != subDim).foreach { case (m, c, cw) =>
-      throw new IllegalArgumentException(
-        s"pq restore: codeword (m=$m, code=$c) at $path has ${cw.length} dims, " +
-          s"caller expects subDim=$subDim — the index was built at a different layout")
-    }
+    val (cb, cbRows) = restoreCodebook(s, path, numSub, subDim)
     val codes = s.read.parquet(s"$path/codes")
     val expectCols = "vec_id" +: (0 until numSub).map(m => s"code_$m")
     require(codes.columns.sameElements(expectCols),

@@ -76,6 +76,24 @@ object FusionQueries {
       path
     })
   }
+
+  // A21f: base-half persisted PQ index + incremental append of the rest —
+  // the knn_ivf_append/knn_hnsw_append split convention. Memoized like the
+  // full index so racing callers serialize on build+append and none
+  // observes a half-appended code table.
+  private val pqAppendedFor = scala.collection.mutable.Map.empty[String, String]
+  private def ensurePqAppendedIndex(s: SparkSession, dir: String): String = synchronized {
+    pqAppendedFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("pq_append_" + graft.TmpDirs.dirKey(dir))
+      val e = Tables(s, dir, "embeddings")
+      Pq.buildAndWriteIndex(e.filter(col("vec_id") < HybridQueries.IvfAppendSplit),
+        path, numSub = 8, subDim = 8, numCodes = 64)
+      Pq.appendToIndex(s, path,
+        e.filter(col("vec_id") >= HybridQueries.IvfAppendSplit),
+        numSub = 8, subDim = 8)
+      path
+    })
+  }
   // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
   private val CascWidths = Seq(25, 50, 100, 200)
 
@@ -327,6 +345,24 @@ object FusionQueries {
     "knn_pq_persisted" -> ((s, dir) => {
       val path = ensurePqIndex(s, dir)
       Pq.searchPersisted(s, path, Tables(s, dir, "embeddings"), qid = 9,
+        k = 10, numSub = 8, subDim = 8, shortlist = 100)
+    }),
+
+    // A21f: incremental ADD to the persisted PQ index (reference
+    // acorn.py:61 add_items while serving — the maintenance path that
+    // completes the lifecycle symmetry: IVF has A30, HNSW has A35d, this
+    // is the compressed family's). Base index persists the first
+    // IvfAppendSplit ids; the rest ARRIVE, encode with the STORED codebook
+    // (never retrained — drift is handled by periodic rebuild, the A30
+    // convention) and append as new parquet files. Encode is per-row
+    // independent and the seeded codebook's 64 codewords all sit inside
+    // the base half, so appended-index serve ≡ full-rebuild serve
+    // row-for-row (spec-pinned) and the single-query PQ oracle replays it
+    // verbatim. At 100 TB the append writes |arriving|·8 bytes and never
+    // touches the existing code table.
+    "knn_pq_append" -> ((s, dir) => {
+      val path = ensurePqAppendedIndex(s, dir)
+      Pq.searchPersisted(s, path, Tables(s, dir, "embeddings"), qid = 5,
         k = 10, numSub = 8, subDim = 8, shortlist = 100)
     }),
 
@@ -943,6 +979,14 @@ object FusionQueries {
     "knn_pq_persisted" -> pqOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 9",
       qid = 9),
+
+    // A21f: appended index == full rebuild at the same stored codebook
+    // (codeword seeds all sit in the base half; encode is per-row
+    // independent) — so the single-query PQ oracle replays the
+    // build+append+serve composition verbatim at query id 5
+    "knn_pq_append" -> pqOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 5",
+      qid = 5),
 
     // A21b: the batch form — one enc over ALL rows (encode is per-row
     // independent, so encode-all-then-exclude ≡ the single-query oracle's

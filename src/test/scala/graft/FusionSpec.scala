@@ -126,6 +126,40 @@ class FusionSpec extends SparkSpec {
     assert(e2.getMessage.contains("different layout"))
   }
 
+  test("knn_pq_append: appended index serves identically to a full rebuild") {
+    import graft.operators.Pq
+    val emb = Tables(spark, dir, "embeddings")
+    // the entry: base build (ids < 400) + incremental append of the rest
+    val appended = q("knn_pq_append").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(appended.size == 10)
+    // the pin: a FULL fresh rebuild over the whole corpus must serve the
+    // exact same rows — encode is per-row independent and the codebook
+    // seeds (vec_id < 64) all sit inside the base half, so append with the
+    // STORED codebook ≡ rebuild, row for row
+    val rebuilt = graft.TmpDirs.path("pq_rebuild_spec")
+    Pq.buildAndWriteIndex(emb, rebuilt, numSub = 8, subDim = 8, numCodes = 64)
+    val fresh = Pq.searchPersisted(spark, rebuilt, emb, qid = 5,
+      k = 10, numSub = 8, subDim = 8, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(appended == fresh)
+    // artifact shape: append added |arriving| code rows, never rewrote the
+    // base files — one row per corpus vector total, same wide layout
+    val path = graft.TmpDirs.path("pq_append_" + graft.TmpDirs.dirKey(dir))
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == emb.count())
+    assert(codes.columns.toSeq == ("vec_id" +: (0 until 8).map(m => s"code_$m")))
+    // vintage guard: an append at a foreign layout is refused loudly
+    // BEFORE writing codes the stored index couldn't serve
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, path, emb.limit(1), numSub = 4, subDim = 8)
+    }
+    assert(e1.getMessage.contains("different numSub"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, path, emb.limit(1), numSub = 8, subDim = 4)
+    }
+    assert(e2.getMessage.contains("different layout"))
+  }
+
   test("PQ encodeFast (literal codebook) equals the join-based encode") {
     import graft.operators.Pq
     val emb = Tables(spark, dir, "embeddings")
