@@ -47,6 +47,41 @@ object HybridQueries {
     })
   }
 
+  // A45: the 2048-d GATE construction — the reference's actual
+  // dimensionality (reference acorn.py:30–40 builds at d=2048). The gate
+  // tables carry 64-d synthetic embeddings, so the r10 verdict's "does the
+  // scoring machinery survive d=2048" question was answered only with
+  // ScaleProbe timings; this derives a deterministic 2048-d FLOAT vector
+  // per row — wide[j] = base[((j%64)+(j div 64))%64] · ((j div 64)%5 +
+  // (j%64)%3 + 1), one float round — IDENTICALLY in both engines (integer
+  // index/multiplier arithmetic + IEEE round-to-nearest float cast), so
+  // the kernels are HASH-checked at the reference's width. Honest scope:
+  // values derive from 64-d data (no new gate table exists), but every one
+  // of the 2048 slots is computed, stored, and scored for real.
+  private[queries] val WideDims = 2048
+  private def wideEmb(e: DataFrame): DataFrame =
+    e.selectExpr("vec_id",
+      s"CAST(transform(sequence(0, ${WideDims - 1}), j -> " +
+        s"CAST(element_at(CAST(embedding AS ARRAY<DOUBLE>), CAST(((j % $Dims) + (j div $Dims)) % $Dims + 1 AS INT))" +
+        s" * CAST((j div $Dims) % 5 + (j % $Dims) % 3 + 1 AS DOUBLE) AS FLOAT)) AS ARRAY<FLOAT>) AS embedding")
+  /** The same construction as a DuckDB expression over `embedding`. */
+  private def wideDuck: String =
+    s"CAST(list_transform(range(0, $WideDims), j -> " +
+      s"CAST((CAST(embedding AS DOUBLE[]))[((j % $Dims) + (j // $Dims)) % $Dims + 1]" +
+      s" * CAST((j // $Dims) % 5 + (j % $Dims) % 3 + 1 AS DOUBLE) AS FLOAT)) AS FLOAT[])"
+
+  // A45b: persisted-HNSW lifecycle at the reference's width — graphs
+  // build+serialize once per (JVM, sfDir) over the WIDE vectors
+  private val hnswWideFor = scala.collection.mutable.Map.empty[String, String]
+  private def ensureHnswWideIndex(s: SparkSession, dir: String): String = synchronized {
+    hnswWideFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("hnsw_wide_index_" + dirKey(dir))
+      Hnsw.buildAndWrite(wideEmb(emb(s, dir)).select("vec_id", "embedding"),
+        path, dims = WideDims, numParts = 8)
+      path
+    })
+  }
+
   /** The ACORN corpus shape: every row indexed, the predicate as ONE
     * relationally-computed bit (shared by the filtered entries and their
     * recall row so they can never desynchronize). */
@@ -670,6 +705,31 @@ object HybridQueries {
     "knn_hnsw_persisted" -> ((s, dir) => {
       val path = ensureHnswIndex(s, dir)
       val qv = emb(s, dir).filter(col("vec_id") === 13).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      Hnsw.searchPersisted(s, path, qv, 10, ef = 0)
+    }),
+
+    // A45: brute-force L2 top-k at the REFERENCE's dimensionality — the
+    // A6 operator run through 2048-d vectors (wideEmb construction above),
+    // so the codegen'd L2 kernel's sequential float→double accumulation is
+    // oracle-HASH-checked at d=2048, not just probed for timings
+    // (r10 verdict "What's missing" #2). Self excluded, the A6 convention.
+    "knn_exact_l2_2048" -> ((s, dir) => {
+      val w = wideEmb(emb(s, dir))
+      Knn.topK(w.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+        w.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        10, Knn.L2).select("vec_id", "score")
+    }),
+
+    // A45b: the persisted-HNSW serve at 2048-d — build+serialize the
+    // per-partition graphs over the WIDE vectors once, restore and walk at
+    // the saturating beam (exact ⇒ the brute-force oracle replays it;
+    // self-hits included, the A35c convention). Closes the lifecycle leg
+    // of the width question: graph build, parquet round-trip, restore, and
+    // walk all at the reference's d=2048 under the standard hash gate.
+    "knn_hnsw_2048" -> ((s, dir) => {
+      val path = ensureHnswWideIndex(s, dir)
+      val qv = wideEmb(emb(s, dir)).filter(col("vec_id") === 13).select("embedding")
         .collect().head.getSeq[Float](0).toArray
       Hnsw.searchPersisted(s, path, qv, 10, ef = 0)
     }),
@@ -1370,6 +1430,23 @@ object HybridQueries {
     "knn_hnsw_persisted" ->
       s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 13) q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // the 2048-d construction replayed with integer index/multiplier
+    // arithmetic + one float cast — bit-identical in both engines; then
+    // the standard L2 convention over the wide vectors, self excluded
+    "knn_exact_l2_2048" ->
+      s"""WITH wide AS (SELECT vec_id, $wideDuck AS w FROM embeddings)
+         |SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+         |FROM wide e CROSS JOIN (SELECT w FROM wide WHERE vec_id = 0) q
+         |WHERE e.vec_id <> 0 ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // saturated persisted-graph walk at 2048-d == exact; self-hits
+    // included (query id 13 is an indexed item)
+    "knn_hnsw_2048" ->
+      s"""WITH wide AS (SELECT vec_id, $wideDuck AS w FROM embeddings)
+         |SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+         |FROM wide e CROSS JOIN (SELECT w FROM wide WHERE vec_id = 13) q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // appended index == fresh full build == exact at the saturating beam
