@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.{scaled, vectors}
+import graft.functions.{aggs, scaled, sqDistLongSql, vectors}
 
 /** A43/A43d — the three-stage quantizer cascade funnel (FAISS refine /
   * Vespa two-phase convention, generalized to three stages): stage 1
@@ -82,4 +83,68 @@ object Cascade {
       .orderBy(col("score").desc, col("vec_id").asc).limit(k)
       .select("vec_id", "score", "d8", "ham")
   }
+
+  /** A43b/A43e — the funnel BATCHED: ONE 8-byte-code scan serves the whole
+    * query set (the A12b/A21b amortization): stage 1 is a per-q_id
+    * map-side k-heap over one corpus×broadcast-Q Hamming scan (shuffle ≤
+    * |Q|·stage1 rows — scored rows never leave the task); the shortlist
+    * then broadcasts back over the float scan for stages 2/3, which rank
+    * via windows over the pre-cut shortlist only. Exactly two corpus
+    * scans regardless of |Q|.
+    *
+    * `keep` (single `vec_id` column) prunes the stage-1 BODY — the ACORN
+    * composition (A23 convention: the filter qualifies candidates, never
+    * who may ask, so queries come from the full table and need not pass
+    * it). Calibration stays corpus-wide index-build state — filtering
+    * never re-calibrates (the A44 probe convention). Queries come from
+    * the indexed corpus by id (query-by-indexed-item, self excluded
+    * per q_id). Output: (q_id, vec_id, score, d8, ham). */
+  def searchBatch(raw: DataFrame, qids: Seq[Long], stage1: Int, stage2: Int,
+                  k: Int, keep: Option[DataFrame] = None): DataFrame = {
+    val e = raw.selectExpr("vec_id", "embedding",
+      "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+      s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+    val stats = calibrationStats(e)
+    val qs = e.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
+        col("embedding").as("q_vec"), col("v").as("qd"))
+    val body0 = e.select("vec_id", "lo", "hi")
+    val body = keep.fold(body0)(ids => body0.join(ids, "vec_id"))
+    val short1 = body.crossJoin(broadcast(qs.select("q_id", "q_lo", "q_hi")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+      .groupBy("q_id")
+      .agg(aggs.topK(col("ham"), col("vec_id"), stage1, asc = true).as("hits"))
+      .select(col("q_id"), explode(col("hits")).as("hit"))
+      .select(col("q_id"), col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    val wq = Window.partitionBy("q_id")
+    broadcast(short1).join(e.select("vec_id", "embedding", "v"), "vec_id")
+      .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
+      .crossJoin(broadcast(stats))
+      .selectExpr("q_id", "vec_id", "embedding", "q_vec", "ham",
+        "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+        "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+      .withColumn("d8", expr(sqDistLongSql("qa", "qb")))
+      .withColumn("r2", row_number().over(wq.orderBy(col("d8").asc, col("vec_id").asc)))
+      .filter(col("r2") <= stage2)
+      .withColumn("score", scaled(
+        vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .withColumn("r3", row_number().over(wq.orderBy(col("score").desc, col("vec_id").asc)))
+      .filter(col("r3") <= k)
+      .select("q_id", "vec_id", "score", "d8", "ham")
+  }
+
+  /** A43f — [[searchBatch]] past the broadcast-Q ceiling: the A21d
+    * cap-and-union recipe applied to the funnel. Every q_id lands in
+    * exactly one ≤cap chunk and per-query results depend only on that
+    * query's Hamming/sq8/cosine cuts, so the union ≡ one whole-file pass
+    * (spec-pinned at cap=4); the whole-file duplicate guard lives in the
+    * shared skeleton. Linear in shard count by design — the price of the
+    * >cap path. */
+  def searchBatchSharded(raw: DataFrame, qids: Seq[Long], stage1: Int,
+                         stage2: Int, k: Int, keep: Option[DataFrame] = None,
+                         cap: Int = Pq.WideBatchCap): DataFrame =
+    Pq.shardedWide(qids, cap, "cascadeSearchBatchSharded")(chunk =>
+      searchBatch(raw, chunk, stage1, stage2, k, keep))
 }

@@ -891,7 +891,7 @@ object Pq {
     * CROSS-shard duplicates (each shard's own guard only sees its chunk —
     * a duplicate split across shards would double-answer in the union),
     * then runs one wide pass per ≤cap chunk. */
-  private def shardedWide(qids: Seq[Long], cap: Int, who: String)
+  private[operators] def shardedWide(qids: Seq[Long], cap: Int, who: String)
                          (pass: Seq[Long] => DataFrame): DataFrame = {
     require(cap >= 1 && cap <= WideBatchCap,
       s"$who: cap=$cap must be in [1, $WideBatchCap] " +

@@ -98,14 +98,15 @@ object FusionQueries {
   private val CascWidths = Seq(25, 50, 100, 200)
 
   /** Shared CTE prefix of the batched-cascade oracles: codes, sq8
-    * calibration, the 8-query set, and the per-q_id Hamming ranking. */
-  private def cascBaseDuck: String =
+    * calibration, the `maxQ + 1`-query set, and the per-q_id Hamming
+    * ranking. */
+  private def cascBaseDuck(maxQ: Int = 7): String =
     s"""b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |  ${bqHalfDuck("embedding", 0)} AS lo,
        |  ${bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
        |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
        |              max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
-       |qs AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id <= 7),
+       |qs AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id <= $maxQ),
        |h AS (SELECT q.q_id, b.vec_id, b.v, q.q_vec,
        |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
        |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id),
@@ -576,37 +577,38 @@ object FusionQueries {
     // pre-cut shortlist only (the RRF bounded-window convention). Exactly
     // two corpus scans regardless of |Q| — the code scan and the
     // shortlist's float page-in.
-    "knn_cascade_batch" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
-        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
-        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
-      val stats = Cascade.calibrationStats(e)
-      val qs = e.filter(col("vec_id") <= 7)
-        .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
-          col("embedding").as("q_vec"), col("v").as("qd"))
-      val short1 = e.select("vec_id", "lo", "hi").crossJoin(broadcast(qs.select("q_id", "q_lo", "q_hi")))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("ham",
-          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
-        .groupBy("q_id")
-        .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"), CascStage1, asc = true).as("hits"))
-        .select(col("q_id"), explode(col("hits")).as("hit"))
-        .select(col("q_id"), col("hit.id").as("vec_id"), col("hit.score").as("ham"))
-      val wq = Window.partitionBy("q_id")
-      broadcast(short1).join(e.select("vec_id", "embedding", "v"), "vec_id")
-        .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
-        .crossJoin(broadcast(stats))
-        .selectExpr("q_id", "vec_id", "embedding", "q_vec", "ham",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
-        .withColumn("r2", row_number().over(wq.orderBy(col("d8").asc, col("vec_id").asc)))
-        .filter(col("r2") <= CascStage2)
-        .withColumn("score", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .withColumn("r3", row_number().over(wq.orderBy(col("score").desc, col("vec_id").asc)))
-        .filter(col("r3") <= 10)
-        .select("q_id", "vec_id", "score", "d8", "ham")
+    "knn_cascade_batch" -> ((s, dir) =>
+      Cascade.searchBatch(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        qids = (0L to 7L), stage1 = CascStage1, stage2 = CascStage2, k = 10)),
+
+    // A43f: the batched funnel past the broadcast-Q ceiling — A21d's
+    // cap-and-union recipe applied verbatim to the cascade, DRIVER-GATED:
+    // 128 queries forced through four ≤32-query batch passes and unioned
+    // (cap parameterized; production cap 4096). Every q_id lands in
+    // exactly one shard and per-query funnels are independent, so the
+    // union ≡ one whole-file pass and the oracle is the same 128-query
+    // relational replay; whole-file cross-shard duplicate guard; sharded
+    // ≡ batch additionally spec-pinned at cap=4.
+    "knn_cascade_batch_sharded" -> ((s, dir) =>
+      Cascade.searchBatchSharded(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        qids = (0L until 128L), stage1 = CascStage1, stage2 = CascStage2,
+        k = 10, cap = 32)),
+
+    // A43e: the ACORN-filtered funnel — the one composition hole in the
+    // funnel family (r10 verdict next #5): the metadata keep-set prunes
+    // the stage-1 8-byte-code body (the A23 convention — the filter
+    // qualifies candidates, never who may ask), then the same three
+    // integer-exact cuts. Calibration stays corpus-wide index-build
+    // state — filtering never re-calibrates (the A44 probe convention).
+    // At 100 TB the predicate prunes the cheapest stage: the funnel reads
+    // |keep|·8 bytes, then 64 B / floats for geometrically fewer rows.
+    "hybrid_knn_cascade" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Cascade.search(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        qid = 6, stage1 = CascStage1, stage2 = CascStage2, k = 10,
+        restrict = _.join(broadcast(keep), "vec_id"))
     }),
 
     // A43c: the funnel's RECALL/WIDTH CURVE — what a capacity planner
@@ -1278,9 +1280,46 @@ object FusionQueries {
 
     // A43b: the batched funnel — per-q_id replay of the same three cuts
     "knn_cascade_batch" ->
-      s"""WITH $cascBaseDuck,
+      s"""WITH ${cascBaseDuck()},
          |${cascFunnelDuck(CascStage1, "a")}
          |SELECT q_id, vec_id, score, d8, ham FROM r3a WHERE rn3 <= 10""".stripMargin,
+
+    // A43f: union-of-shards ≡ one whole-file pass (every q_id in exactly
+    // one chunk, per-query funnels independent) — so the oracle is the
+    // SAME relational replay at 128 queries, independently verifying the
+    // cap-and-union driver end-to-end
+    "knn_cascade_batch_sharded" ->
+      s"""WITH ${cascBaseDuck(127)},
+         |${cascFunnelDuck(CascStage1, "a")}
+         |SELECT q_id, vec_id, score, d8, ham FROM r3a WHERE rn3 <= 10""".stripMargin,
+
+    // A43e: the filtered funnel — stage-1 body restricted to the
+    // metadata-qualified ids (queries come from the full table), the
+    // same three integer-exact cuts, calibration corpus-wide
+    "hybrid_knn_cascade" ->
+      s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${bqHalfDuck("embedding", 0)} AS lo,
+         |  ${bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
+         |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |              max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
+         |q AS (SELECT lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id = 6),
+         |s1 AS (SELECT b.vec_id, b.v,
+         |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+         |  FROM b JOIN documents d ON d.doc_id = b.vec_id CROSS JOIN q
+         |  WHERE b.vec_id <> 6 AND d.lang IS NOT NULL AND d.lang = 'en'
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $CascStage1),
+         |s1z AS (SELECT s1.vec_id, s1.v, s1.ham,
+         |  list_transform(s1.v,    x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(q.q_vec, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM s1 CROSS JOIN q CROSS JOIN st),
+         |s2 AS (SELECT vec_id, v, ham,
+         |    CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d8
+         |  FROM s1z ORDER BY d8 ASC, vec_id ASC LIMIT $CascStage2)
+         |SELECT s2.vec_id,
+         |  CAST(floor(list_cosine_similarity(s2.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s2.d8, s2.ham
+         |FROM s2 CROSS JOIN q ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin,
 
     // A43c: the width sweep — one shared Hamming ranking, one exact
     // ground truth, each width a filter on the ranking
@@ -1294,7 +1333,7 @@ object FusionQueries {
            |  JOIN ex ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
            |  GROUP BY a.q_id) t ON q.q_id = t.q_id""".stripMargin
       }.mkString("\nUNION ALL\n")
-      s"""WITH $cascBaseDuck,
+      s"""WITH ${cascBaseDuck()},
          |$chains,
          |ex AS (SELECT q_id, vec_id FROM (
          |  SELECT q.q_id, b.vec_id,

@@ -196,6 +196,80 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("cascade sharded driver: union of cap-sized chunks equals one batch pass") {
+    import graft.operators.Cascade
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val qids = (0L to 7L)
+    // cap=4 forces two shards; per-query funnels are independent, so the
+    // union must equal the whole-file pass row for row
+    val sharded = Cascade.searchBatchSharded(e, qids, stage1 = 100, stage2 = 25,
+      k = 10, cap = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    val whole = Cascade.searchBatch(e, qids, stage1 = 100, stage2 = 25, k = 10)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq.sorted
+    assert(sharded == whole)
+    // whole-file guards fire BEFORE any pass runs
+    val eDup = intercept[IllegalArgumentException] {
+      Cascade.searchBatchSharded(e, Seq(1L, 2L, 1L), 100, 25, 10, cap = 4)
+    }
+    assert(eDup.getMessage.contains("duplicate"))
+    val eEmpty = intercept[IllegalArgumentException] {
+      Cascade.searchBatchSharded(e, Seq.empty[Long], 100, 25, 10, cap = 4)
+    }
+    assert(eEmpty.getMessage.contains("empty"))
+  }
+
+  test("hybrid_knn_cascade returns only filter-qualified vectors and replays in plain Scala") {
+    val entry = SparkEntry.queries("hybrid_knn_cascade")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(entry.size == 10)
+    val keep = Tables(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(entry.forall { case (id, _, _, _) => keep.contains(id) },
+      "a non-qualified vector leaked through the filtered funnel")
+
+    // independent plain-Scala replay of the keep-pruned funnel (the
+    // knn_cascade reconstruction with the body restricted to keep; the
+    // query and calibration stay corpus-wide)
+    val rows = embRows()
+    val all = rows.map { case (id, v) => (id, v.map(_.toDouble)) }
+    val q = all.find(_._1 == 6L).get._2
+    val mn = all.iterator.map(_._2.min).min
+    val mx = all.iterator.map(_._2.max).max
+    def bq(v: Array[Double]): (Long, Long) = {
+      var lo = 0L; var hi = 0L; var j = 0
+      while (j < 32) {
+        if (v(j) > 0.0) lo |= (1L << j)
+        if (v(32 + j) > 0.0) hi |= (1L << j)
+        j += 1
+      }
+      (lo, hi)
+    }
+    val (qlo, qhi) = bq(q)
+    val s1 = all.filter { case (id, _) => id != 6L && keep.contains(id) }
+      .map { case (id, v) =>
+        val (lo, hi) = bq(v)
+        ((java.lang.Long.bitCount(lo ^ qlo) + java.lang.Long.bitCount(hi ^ qhi)).toLong, id, v)
+      }.sortBy { case (h, id, _) => (h, id) }.take(100)
+    def sq8(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(((x - mn) * 255.0) / (mx - mn)).toLong)
+    val qb = sq8(q)
+    val s2 = s1.map { case (ham, id, v) =>
+      val qa = sq8(v)
+      var d8 = 0L; var i = 0
+      while (i < qa.length) { val d = qa(i) - qb(i); d8 += d * d; i += 1 }
+      (d8, id, v, ham)
+    }.sortBy { case (d8, id, _, _) => (d8, id) }.take(25)
+    val fin = s2.map { case (d8, id, v, ham) =>
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * q(i); na += v(i) * v(i); nb += q(i) * q(i); i += 1 }
+      (math.floor((dot / (math.sqrt(na) * math.sqrt(nb))) * 10000 + 0.5).toLong, id, d8, ham)
+    }.sortBy { case (sc, id, _, _) => (-sc, id) }.take(10)
+      .map { case (sc, id, d8, ham) => (id, sc, d8, ham) }.toSeq
+    assert(entry == fin)
+  }
+
   test("recall_cascade is monotone in the stage-1 width") {
     val rows = SparkEntry.queries("recall_cascade")(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
