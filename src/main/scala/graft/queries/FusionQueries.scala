@@ -46,7 +46,7 @@ object FusionQueries {
     * CASE terms (disjoint bits, so + is OR), token-identical in both
     * dialects via [[bqHalfDuck]]. */
   private def bqHalf(vec: String, off: Int): String = Cascade.bqHalf(vec, off)
-  private def bqHalfDuck(vec: String, off: Int): String =
+  private[queries] def bqHalfDuck(vec: String, off: Int): String =
     (0 until 32).map(j =>
       s"(CASE WHEN $vec[${off + j + 1}] > 0 THEN ${1L << j} ELSE 0 END)")
       .mkString(" + ")
@@ -56,7 +56,7 @@ object FusionQueries {
   private val IvfSqShortlist = 40
 
   // A43 cascade funnel widths: corpus →(hamming) 100 →(sq8) 25 →(exact) 10
-  private val CascStage1 = 100
+  private[queries] val CascStage1 = 100
   private val CascStage2 = 25
   // A43d IVF×cascade: stage-1 width inside the probed body — narrower than
   // the flat cascade's because the coarse quantizer already cut the corpus

@@ -376,6 +376,43 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
     }),
 
+    // C71: cascade stage-1 SERVING as a stream — C66's serving pattern
+    // (static compressed index, arriving queries) applied to the funnel's
+    // 8-byte Hamming stage: the always-resident sign-code index is STATIC
+    // (one bqHalf projection, broadcast), queries ARRIVE (readStream) and
+    // pack to (q_lo, q_hi) inline, every arriving row Hamming-ranks the
+    // broadcast code table inside the task, and ONE complete-mode k-heap
+    // per q_id emits the stage-1 shortlist — state O(|Q|·stage1) forever.
+    // This is the funnel's cheapest stage served live (bit_count(xor) on
+    // 16 bytes/candidate); the sq8 and exact stages rerank the emitted
+    // shortlist downstream — a second streaming aggregation is forbidden,
+    // the C66 convention.
+    "streaming_cascade_serve" -> ((s, dir) => {
+      val codes = Tables(s, dir, "embeddings").selectExpr("vec_id",
+        s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS lo",
+        s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS hi")
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .selectExpr("vec_id AS q_id",
+          s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS q_lo",
+          s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS q_hi")
+        .withColumn("one", lit(1))
+      // constant-key stream-static BroadcastHashJoin (the C66 shape)
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(col("vec_id") =!= col("q_id"))
+        .drop("one")
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"),
+            FusionQueries.CascStage1, asc = true).as("hits")),
+        "sq_casc_serve", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    }),
+
     // C59: continuous top-k maintenance AS a stream — the live leaderboard
     // (largest transactions per event type, here top-5 by integer cents).
     // The custom TopKHits TypedImperativeAggregate carries its k-heap
@@ -538,6 +575,22 @@ object StreamingQueries {
            |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
            |WHERE rank <= 10""".stripMargin,
+
+      // C71: the per-q_id Hamming ranking replayed relationally — same
+      // tie order as the heap (ham asc, lower id wins), cut at the
+      // funnel's stage-1 width
+      "streaming_cascade_serve" ->
+        s"""WITH b AS (SELECT vec_id,
+           |  ${FusionQueries.bqHalfDuck("embedding", 0)} AS lo,
+           |  ${FusionQueries.bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
+           |qs AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM b WHERE vec_id < 8),
+           |h AS (SELECT q.q_id, b.vec_id,
+           |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+           |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id)
+           |SELECT q_id, rank, vec_id, ham FROM (
+           |  SELECT q_id, vec_id, ham, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)
+           |WHERE rank <= ${FusionQueries.CascStage1}""".stripMargin,
 
       // C70: the batch bottom-k replayed with rank — same tie order as
       // the heap (pri asc, lower id wins)

@@ -68,6 +68,34 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count(_._1 == 0L) == 10)
   }
 
+  test("streaming_cascade_serve equals the batch Hamming stage-1 ranking") {
+    import graft.operators.Cascade
+    val streamed = run("streaming_cascade_serve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch mirror: same sign-code projection, same Hamming expression,
+    // per-query rank replayed with a window at the heap's tie order
+    val codes = Tables(spark, dir, "embeddings").selectExpr("vec_id",
+      s"${Cascade.bqHalf("embedding", 0)} AS lo",
+      s"${Cascade.bqHalf("embedding", 32)} AS hi")
+    val qs = Tables(spark, dir, "embeddings").filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id",
+        s"${Cascade.bqHalf("embedding", 0)} AS q_lo",
+        s"${Cascade.bqHalf("embedding", 32)} AS q_hi")
+    val w = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val batch = qs.crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham",
+        expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 100)
+      .select("q_id", "rank", "vec_id", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
+    // the emitted shortlist is the funnel's stage-1 cut: 100 per query
+    assert(streamed.count(_._1 == 0L) == 100)
+  }
+
   test("streaming_drift equals the batch integer centroid per source") {
     val streamed = run("streaming_drift").collect().toSet
     val batch = Tables(spark, dir, "embeddings")
