@@ -91,6 +91,75 @@ object AnalyticsQueries {
     * by the spec. */
   private val HllAlphaScaled = graft.operators.Hll.AlphaScaled
 
+  /** C69/C69b shared body. `auditExact = true` is the VALIDATION shape:
+    * exact distinct counts ride along per rollup level (est-vs-exact
+    * audit) — corpus-sized distinct sides a 100 TB run cannot afford.
+    * `auditExact = false` is the PRODUCTION shape: one corpus scan to the
+    * ≤G·256-row sketch table, every coarser level a register-max merge
+    * over sketch rows, nothing corpus-sized after the scan. */
+  private def hllRollup(s: SparkSession, dir: String, auditExact: Boolean): DataFrame = {
+    import graft.operators.Hll
+    val d = Tables(s, dir, "documents")
+    val fine = Hll.sketchAgg(
+      Hll.bucketRho(d, "concat('hrm', text)", Seq("source", "lang")),
+      Seq("source", "lang")).localCheckpoint(true) // the stored sketch table
+    val ef0 = Hll.estimate(fine, Seq("source", "lang"))
+      .selectExpr("'source_lang' AS lvl", "source", "lang", "est")
+    val es0 = Hll.estimate(
+        fine.groupBy("source", "bucket").agg(max("rho").as("rho")), Seq("source"))
+      .selectExpr("'source' AS lvl", "source", "'ALL' AS lang", "est")
+    val ea0 = Hll.estimate(
+        fine.groupBy("bucket").agg(max("rho").as("rho")), Seq.empty)
+      .selectExpr("'all' AS lvl", "'ALL' AS source", "'ALL' AS lang", "est")
+    if (!auditExact) ef0.unionByName(es0).unionByName(ea0)
+    else {
+      val dt = d.select("source", "lang", "text").distinct().localCheckpoint(true)
+      val ef = ef0.join(dt.groupBy("source", "lang").agg(count(lit(1)).as("n_exact")),
+        Seq("source", "lang"))
+        .select("lvl", "source", "lang", "est", "n_exact")
+      val es = es0.join(dt.select("source", "text").distinct()
+          .groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
+        .select("lvl", "source", "lang", "est", "n_exact")
+      val ea = ea0.crossJoin(dt.select("text").distinct().agg(count(lit(1)).as("n_exact")))
+      ef.unionByName(es).unionByName(ea)
+    }
+  }
+
+  /** C67/C67b shared body. The audit toggle drops the exact per-column
+    * distinct COUNT; the distinct-by-hash feeding KMV stays (k-minimum-
+    * values is defined over the distinct hash set — duplicates would
+    * double-enter the heap), and the scan aggregates are one pass. */
+  private def profileColumnsQ(s: SparkSession, dir: String, auditExact: Boolean): DataFrame = {
+    val u = Tables(s, dir, "orders").selectExpr(
+      """stack(4,
+        |  'o_orderkey', CAST(o_orderkey AS STRING),
+        |  'o_custkey', CAST(o_custkey AS STRING),
+        |  'o_orderstatus', o_orderstatus,
+        |  'o_orderpriority', o_orderpriority) AS (col, val)""".stripMargin)
+    val base = u.groupBy("col").agg(
+      count(lit(1)).as("n"),
+      (count(lit(1)) - count(col("val"))).as("n_null"),
+      min("val").as("vmin"), max("val").as("vmax"))
+    val d = u.filter(col("val").isNotNull).select("col", "val").distinct()
+    val hh = d.selectExpr("col",
+      s"${Dedup.hashExpr("concat('pfl', col, '|', val)")} AS h")
+    val sk = hh.groupBy("col")
+      .agg(graft.functions.aggs.topK(col("h"), col("h"), KmvK, asc = true).as("hits"))
+      .selectExpr("col", "CAST(size(hits) AS BIGINT) AS n_sk",
+        "array_max(transform(hits, x -> x.score)) AS kth")
+    val estCol =
+      s"""CASE WHEN n_sk < $KmvK THEN n_sk
+         | ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0D
+         |   / CAST(kth AS DOUBLE), 9.0e18D)) AS BIGINT) END AS est""".stripMargin
+    if (auditExact) {
+      val ex = d.groupBy("col").agg(count(lit(1)).as("n_distinct"))
+      base.join(sk, "col").join(ex, "col")
+        .selectExpr("col", "n", "n_null", "n_distinct", estCol, "vmin", "vmax")
+    } else
+      base.join(sk, "col")
+        .selectExpr("col", "n", "n_null", estCol, "vmin", "vmax")
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C21: as-of join — for each click, the user's most recent
     // prior-or-simultaneous purchase (point-in-time correctness)
@@ -448,28 +517,17 @@ object AnalyticsQueries {
     // sets — but sketch rows are, so every coarser level costs an
     // aggregate over G·256 rows. Exact counts ride along per level (the
     // est-vs-exact audit); merged-vs-direct equality is spec-pinned.
-    "hll_rollup_merge" -> ((s, dir) => {
-      import graft.operators.Hll
-      val d = Tables(s, dir, "documents")
-      val fine = Hll.sketchAgg(
-        Hll.bucketRho(d, "concat('hrm', text)", Seq("source", "lang")),
-        Seq("source", "lang")).localCheckpoint(true) // the stored sketch table
-      val dt = d.select("source", "lang", "text").distinct().localCheckpoint(true)
-      val ef = Hll.estimate(fine, Seq("source", "lang"))
-        .join(dt.groupBy("source", "lang").agg(count(lit(1)).as("n_exact")),
-          Seq("source", "lang"))
-        .selectExpr("'source_lang' AS lvl", "source", "lang", "est", "n_exact")
-      val es = Hll.estimate(
-          fine.groupBy("source", "bucket").agg(max("rho").as("rho")), Seq("source"))
-        .join(dt.select("source", "text").distinct()
-          .groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
-        .selectExpr("'source' AS lvl", "source", "'ALL' AS lang", "est", "n_exact")
-      val ea = Hll.estimate(
-          fine.groupBy("bucket").agg(max("rho").as("rho")), Seq.empty)
-        .crossJoin(dt.select("text").distinct().agg(count(lit(1)).as("n_exact")))
-        .selectExpr("'all' AS lvl", "'ALL' AS source", "'ALL' AS lang", "est", "n_exact")
-      ef.unionByName(es).unionByName(ea)
-    }),
+    "hll_rollup_merge" -> ((s, dir) => hllRollup(s, dir, auditExact = true)),
+
+    // C69b: the PRODUCTION shape of C69 (r10 verdict "what's wrong" #2) —
+    // the audited entry carries a corpus-sized exact distinct alongside
+    // the sketches (the est-vs-exact audit a validation run wants); at
+    // 100 TB you keep only the sketch, and this entry IS that path in
+    // code: auditExact = false never builds the distinct triple — one
+    // corpus scan to the ≤G·256-row sketch table, then every rollup level
+    // is a register-max merge over sketch rows. Spec pins est-only ≡ the
+    // audited entry minus its audit column, row for row.
+    "hll_rollup_est" -> ((s, dir) => hllRollup(s, dir, auditExact = false)),
 
     // C64: KMV (k-minimum-values) distinct sketch — the ORDER-STATISTICS
     // member of the sketch family (Bar-Yossef et al. 2002; Beyer et al.
@@ -545,32 +603,17 @@ object AnalyticsQueries {
     // est-vs-exact report (the C64 convention; at 100 TB you keep only the
     // sketch). Profiled columns are the exactly-stringifiable ones
     // (bigint/varchar) so both engines compare values bytewise.
-    "profile_columns" -> ((s, dir) => {
-      val u = Tables(s, dir, "orders").selectExpr(
-        """stack(4,
-          |  'o_orderkey', CAST(o_orderkey AS STRING),
-          |  'o_custkey', CAST(o_custkey AS STRING),
-          |  'o_orderstatus', o_orderstatus,
-          |  'o_orderpriority', o_orderpriority) AS (col, val)""".stripMargin)
-      val base = u.groupBy("col").agg(
-        count(lit(1)).as("n"),
-        (count(lit(1)) - count(col("val"))).as("n_null"),
-        min("val").as("vmin"), max("val").as("vmax"))
-      val d = u.filter(col("val").isNotNull).select("col", "val").distinct()
-      val hh = d.selectExpr("col",
-        s"${Dedup.hashExpr("concat('pfl', col, '|', val)")} AS h")
-      val sk = hh.groupBy("col")
-        .agg(graft.functions.aggs.topK(col("h"), col("h"), KmvK, asc = true).as("hits"))
-        .selectExpr("col", "CAST(size(hits) AS BIGINT) AS n_sk",
-          "array_max(transform(hits, x -> x.score)) AS kth")
-      val ex = d.groupBy("col").agg(count(lit(1)).as("n_distinct"))
-      base.join(sk, "col").join(ex, "col")
-        .selectExpr("col", "n", "n_null", "n_distinct",
-          s"""CASE WHEN n_sk < $KmvK THEN n_sk
-             | ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0D
-             |   / CAST(kth AS DOUBLE), 9.0e18D)) AS BIGINT) END AS est""".stripMargin,
-          "vmin", "vmax")
-    }),
+    "profile_columns" -> ((s, dir) => profileColumnsQ(s, dir, auditExact = true)),
+
+    // C67b: the PRODUCTION shape of C67 (r10 verdict "what's wrong" #2) —
+    // auditExact = false drops the exact per-column distinct COUNT (the
+    // n_distinct audit); what remains is the scan aggregates (n, n_null,
+    // min, max — one pass) and the KMV estimate. The distinct-by-hash
+    // feeding KMV stays: k-minimum-values is defined over the distinct
+    // hash SET (duplicates would double-enter the heap), and the map-side
+    // partial distinct bounds what shuffles. Spec pins est-only ≡ the
+    // audited entry minus n_distinct, row for row.
+    "profile_columns_est" -> ((s, dir) => profileColumnsQ(s, dir, auditExact = false)),
 
     // C68: per-key SKEW PROFILE — the diagnostic a planner reads BEFORE
     // reaching for C28/C37's salting (salt width = f(max/p99 group size)):
@@ -1203,6 +1246,57 @@ object AnalyticsQueries {
          |SELECT 'all', 'ALL', 'ALL', $e, xa.n_exact
          |FROM za CROSS JOIN xa""".stripMargin
     },
+
+    // C69b: the same register-max merge CTEs with no exact audit sides
+    "hll_rollup_est" -> {
+      def z(src: String, grp: String) = {
+        val sel = if (grp.isEmpty) "" else s"$grp, "
+        val by = if (grp.isEmpty) "" else s" GROUP BY $grp"
+        s"""SELECT ${sel}CAST(sum(CAST(1 AS BIGINT) << (53 - m_j))
+           |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS zsum
+           |  FROM $src$by""".stripMargin
+      }
+      val e = s"CAST(floor((($HllAlphaScaled.0 / 1000000.0) * 65536.0 " +
+        "* 9007199254740992.0) / CAST(zsum AS DOUBLE)) AS BIGINT)"
+      s"""WITH h AS (SELECT source, lang,
+         |  ${DuckDialect.hash("'hrm'||text")} AS h FROM documents),
+         |b AS (SELECT source, lang, h % 256 AS bucket, h // 256 AS w FROM h),
+         |fine AS (SELECT source, lang, bucket,
+         |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_j
+         |  FROM b GROUP BY 1, 2, 3),
+         |msrc AS (SELECT source, bucket, max(m_j) AS m_j FROM fine GROUP BY 1, 2),
+         |mall AS (SELECT bucket, max(m_j) AS m_j FROM fine GROUP BY 1),
+         |zf AS (${z("fine", "source, lang")}),
+         |zs AS (${z("msrc", "source")}),
+         |za AS (${z("mall", "")})
+         |SELECT 'source_lang' AS lvl, zf.source, zf.lang, $e AS est FROM zf
+         |UNION ALL
+         |SELECT 'source', zs.source, 'ALL', $e FROM zs
+         |UNION ALL
+         |SELECT 'all', 'ALL', 'ALL', $e FROM za""".stripMargin
+    },
+
+    // C67b: the same profile CTEs with the exact-distinct audit dropped
+    "profile_columns_est" ->
+      s"""WITH u AS (
+         |  SELECT 'o_orderkey' AS col, CAST(o_orderkey AS VARCHAR) AS val FROM orders
+         |  UNION ALL SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders
+         |  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+         |  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders),
+         |base AS (SELECT col, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) - count(val) AS BIGINT) AS n_null,
+         |    min(val) AS vmin, max(val) AS vmax FROM u GROUP BY col),
+         |d AS (SELECT DISTINCT col, val FROM u WHERE val IS NOT NULL),
+         |hh AS (SELECT col, ${DuckDialect.hash("'pfl' || col || '|' || val")} AS h FROM d),
+         |rk AS (SELECT col, h, row_number() OVER (PARTITION BY col ORDER BY h ASC) AS rn FROM hh),
+         |sk AS (SELECT col, CAST(count(*) AS BIGINT) AS n_sk, CAST(max(h) AS BIGINT) AS kth
+         |  FROM rk WHERE rn <= $KmvK GROUP BY col)
+         |SELECT b.col, b.n, b.n_null,
+         |  CASE WHEN s.n_sk < $KmvK THEN s.n_sk
+         |       ELSE CAST(floor(least(($KmvK - 1) * 1152921504606846976.0
+         |         / CAST(s.kth AS DOUBLE), 9.0e18)) AS BIGINT) END AS est,
+         |  b.vmin, b.vmax
+         |FROM base b JOIN sk s ON b.col = s.col""".stripMargin,
 
     "events_path_topk" ->
       """WITH g AS (

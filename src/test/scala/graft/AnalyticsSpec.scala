@@ -362,6 +362,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(AnalyticsQueries.kmvPairwiseJaccard(ok).count() === 6L)
   }
 
+  test("est-only production variants equal the audited entries minus the audit columns") {
+    // C69b/C67b (r10 verdict "what's wrong" #2): auditExact = false must
+    // change WHAT RIDES ALONG, never a single estimated value — the
+    // 100 TB path serves the same sketch numbers without the corpus-sized
+    // exact distinct sides
+    val rollupAudited = q("hll_rollup_merge")
+      .select("lvl", "source", "lang", "est")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val rollupEst = q("hll_rollup_est")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(rollupEst == rollupAudited)
+    assert(q("hll_rollup_est").columns.toSeq == Seq("lvl", "source", "lang", "est"))
+
+    val profAudited = q("profile_columns")
+      .select("col", "n", "n_null", "est", "vmin", "vmax")
+      .collect().map(_.toSeq).toSet
+    val profEst = q("profile_columns_est")
+      .select("col", "n", "n_null", "est", "vmin", "vmax")
+      .collect().map(_.toSeq).toSet
+    assert(profEst == profAudited)
+    assert(!q("profile_columns_est").columns.contains("n_distinct"))
+  }
+
   test("profile_columns: counts and extrema match a direct recount; KMV in-regime") {
     val rows = SparkEntry.queries("profile_columns")(spark, dir)
       .as[(String, Long, Long, Long, Long, String, String)].collect()
