@@ -154,11 +154,86 @@ object ScaleProbe {
     println(s"""{"metric":"scale_probe_wide","n_vecs":$nVecs,"dims":$dims,"sec":$js}""")
   }
 
+  /** Root-cause decomposition of the `kmeans_assign_2048` variance (r10
+    * verdict "what's wrong" #1 / next #3): the wide row swung 37–260 s
+    * across same-code quiet runs. This mode splits fitInt's cost into its
+    * physical steps — raw float scan, the quantize projection, the
+    * TakeOrdered init collect, the E-step assign, the E-step vector-sum
+    * aggregate — each timed twice in-process with per-step GC-time deltas
+    * (the MXBean sum), so the record names WHICH allocation dominates and
+    * whether it is GC. `sbt "runMain graft.ScaleProbe kmeansdiag"`. */
+  private def runKmeansDiag(spark: SparkSession, nVecs: Long): Unit = {
+    val dims = 2048
+    import scala.jdk.CollectionConverters._
+    def gcMs: Long = java.lang.management.ManagementFactory
+      .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    def timeGc[A](label: String)(f: => A): (String, Double, Double) = {
+      val g0 = gcMs; val t0 = System.nanoTime()
+      f
+      val s = (System.nanoTime() - t0) / 1e9
+      val g = (gcMs - g0) / 1e3
+      spark.catalog.clearCache()
+      (label, s, g)
+    }
+    val embPath = graft.TmpDirs.path("probe_emb2048")
+    syntheticEmbeddings(spark, nVecs, dims)
+      .write.mode("overwrite").parquet(embPath)
+    val e = spark.read.parquet(embPath)
+    val emb = e.select("vec_id", "embedding")
+    // the HOF form fitInt USED to project (2048 boxed lambda evals + a
+    // boxed array per row) vs the QuantizeVec kernel it projects now
+    // (one primitive loop + one UnsafeArrayData per row) — timed side by
+    // side so the record names the allocation surface, not a guess
+    val qembHof = emb.select(col("vec_id"),
+      expr(graft.functions.quantizeVecSql("embedding")).as("q"))
+    val qemb = emb.select(col("vec_id"),
+      graft.functions.vectors.quantize(col("embedding")).as("q"))
+    val cent: Seq[(Long, Array[Long])] = qemb.orderBy(col("vec_id").asc)
+      .limit(16).select(col("q")).collect()
+      .map(_.getSeq[Long](0).toArray).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+    def steps(tag: String) = Seq(
+      // one raw float pass — the floor any scan pays
+      timeGc(s"scan_floats$tag")(
+        emb.selectExpr("sum(element_at(embedding, 1))").collect()),
+      // the quantize transform HOF (the pre-r11 fitInt projection)
+      timeGc(s"quantize_hof$tag")(
+        qembHof.selectExpr("sum(element_at(q, 1))").collect()),
+      // the QuantizeVec kernel (fitInt's projection since r11)
+      timeGc(s"quantize_kernel$tag")(
+        qemb.selectExpr("sum(element_at(q, 1))").collect()),
+      // the init model-state collect (16 × 2048-long rows via TakeOrdered)
+      timeGc(s"init_takeordered$tag")(
+        qemb.orderBy(col("vec_id").asc).limit(16).select(col("q")).collect()),
+      // E-step assign only: quantize + NearestCentroidLong, no vector agg
+      timeGc(s"estep_assign$tag")(
+        qemb.select(graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"))
+          .groupBy("cluster").count().collect()),
+      // full E-step: assign + VecSumLong + floor-mean + 16-row collect
+      timeGc(s"estep_full$tag")(
+        qemb.select(graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"), col("q"))
+          .groupBy("cluster")
+          .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"), count(lit(1)).as("cnt"))
+          .select(col("cluster"),
+            expr(graft.functions.floorMeanVecSql("sv", "cnt")).as("cent"))
+          .collect()),
+      // the undivided operator, as the wide probe times it
+      timeGc(s"fitInt_full$tag")(graft.operators.KMeans.fitInt(
+        emb, k = 16, iters = 1)._1.size))
+    val results = steps("_a") ++ steps("_b")
+    val js = results.map { case (k, v, g) =>
+      s"""\"$k\":{\"sec\":$v,\"gc_sec\":$g}""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"kmeans_diag_2048","n_vecs":$nVecs,"dims":$dims,"steps":$js}""")
+  }
+
   def main(args: Array[String]): Unit = {
     val wide = args.contains("wide")
-    val sized = args.filterNot(_ == "wide")
+    val diag = args.contains("kmeansdiag")
+    val sized = args.filterNot(a => a == "wide" || a == "kmeansdiag")
     val nVecs = sized.lift(0).map(_.toLong)
-      .getOrElse(if (wide) 123000L else 500000L)
+      .getOrElse(if (wide || diag) 123000L else 500000L)
     val nDocs = sized.lift(1).map(_.toLong).getOrElse(500000L)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val builder = SparkSession.builder()
@@ -172,6 +247,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     clearAfter = () => spark.catalog.clearCache()
 
+    if (diag) { runKmeansDiag(spark, nVecs); spark.stop(); return }
     if (wide) { runWide(spark, nVecs); spark.stop(); return }
 
     val emb = syntheticEmbeddings(spark, nVecs)

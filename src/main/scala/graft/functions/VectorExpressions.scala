@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -175,6 +175,57 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** floor(x·10⁴ + 0.5) per component over ARRAY<FLOAT> → ARRAY<BIGINT> —
+  * the shared ×10⁴ quantization ([[graft.functions.quantizeVecSql]]) as a
+  * native kernel. The `transform()` HOF form evaluates a boxed lambda per
+  * element outside whole-stage codegen (~2048 boxed Longs + one boxed
+  * array per ROW at the reference width — the allocation surface the r11
+  * kmeansdiag probe names as the E-step's GC trigger); this emits one
+  * primitive loop into the generated stage and one compact
+  * UnsafeArrayData per row. Arithmetic is token-identical to the SQL form
+  * (float→double widen, ×10000.0, +0.5, Math.floor→long — Spark's
+  * floor(double) is exactly (long) Math.floor), so every oracle-gated
+  * caller is bit-unchanged (VectorKernelSpec pins kernel ≡ HOF). */
+case class QuantizeVec(child: Expression) extends UnaryExpression {
+  override def prettyName: String = "vec_quantize"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = math.floor(a.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      s"""
+         |final int $n = $v.numElements();
+         |long[] $out = new long[$n];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $out[$i] = (long) java.lang.Math.floor((double) $v.getFloat($i) * 10000.0D + 0.5D);
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector kernels. */
 object vectors {
   def dot(a: Column, b: Column): Column =
@@ -185,4 +236,6 @@ object vectors {
     Bridge.column(L2Distance(Bridge.expression(a), Bridge.expression(b)))
   def cosine(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def quantize(v: Column): Column =
+    Bridge.column(QuantizeVec(Bridge.expression(v)))
 }

@@ -83,8 +83,11 @@ object KMeans {
   def fitInt(emb: DataFrame, k: Int, iters: Int,
              idCol: String = "vec_id", vecCol: String = "embedding")
       : (Seq[(Long, Array[Long])], DataFrame) = {
+    // kernel, not the transform HOF: the E-step scans this projection
+    // corpus-wide — the boxed-lambda form was the GC trigger the r11
+    // kmeansdiag probe named at d=2048
     val qemb = emb.select(col(idCol),
-      expr(graft.functions.quantizeVecSql(vecCol)).as("q"))
+      graft.functions.vectors.quantize(expr(vecCol)).as("q"))
     var cent: Seq[(Long, Array[Long])] = qemb.orderBy(col(idCol).asc).limit(k)
       .select(col("q")).collect()
       .map(_.getSeq[Long](0).toArray).zipWithIndex

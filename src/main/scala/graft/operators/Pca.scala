@@ -35,7 +35,7 @@ object Pca {
     * scaled integers with the peak component ≈ +10⁴. */
   def topComponentInt(emb: DataFrame, iters: Int, dims: Int,
                       vecCol: String = "embedding"): Array[Long] = {
-    val q = emb.select(expr(graft.functions.quantizeVecSql(vecCol)).as("q"))
+    val q = emb.select(graft.functions.vectors.quantize(expr(vecCol)).as("q"))
     val m = q.agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"),
         count(lit(1)).as("cnt"))
       .select(expr(graft.functions.floorMeanVecSql("sv", "cnt")).as("m"))

@@ -72,8 +72,8 @@ object Pq {
   /** (vec_id, q: array<bigint>): components quantized to floor(x·10⁴+0.5)
     * — the integer-exact form the engine-portable training paths share. */
   def quantized(emb: DataFrame): DataFrame =
-    emb.selectExpr("vec_id",
-      graft.functions.quantizeVecSql("embedding") + " AS q")
+    emb.select(col("vec_id"),
+      graft.functions.vectors.quantize(col("embedding")).as("q"))
 
   /** INTEGER-EXACT trained PQ codebook — Lloyd's per subspace over
     * QUANTIZED sub-vectors: assignment via the `NearestCentroidLong`
@@ -210,8 +210,8 @@ object Pq {
   /** (vec_id, label, q): the quantized labeled corpus every residual form
     * starts from. */
   private def quantizedLabeled(emb: DataFrame): DataFrame =
-    emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label",
-      graft.functions.quantizeVecSql("embedding") + " AS q")
+    emb.select(col("vec_id"), col("label").cast("bigint").as("label"),
+      graft.functions.vectors.quantize(col("embedding")).as("q"))
 
   private final case class ResidualModel(cent: Map[Long, Array[Long]],
                                          centDf: DataFrame,

@@ -463,8 +463,8 @@ object FusionQueries {
     // integer-exact quantized squared-L2 (shared quantizeVec fragments),
     // so the shortlist cut is engine-reproducible.
     "knn_matryoshka" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
-        s"${graft.functions.quantizeVecSql(s"slice(embedding, 1, $MrlDims)")} AS p16")
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        graft.functions.vectors.quantize(expr(s"slice(embedding, 1, $MrlDims)")).as("p16"))
       val q = e.filter(col("vec_id") === 0)
         .select(col("p16").as("q16"), col("embedding").as("q_vec"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))

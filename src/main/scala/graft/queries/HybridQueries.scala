@@ -283,7 +283,7 @@ object HybridQueries {
     "embedding_drift" -> ((s, dir) => {
       val ed = emb(s, dir).join(docs(s, dir), col("vec_id") === col("doc_id"))
         .select(col("source"),
-          expr(graft.functions.quantizeVecSql("embedding")).as("q"))
+          graft.functions.vectors.quantize(col("embedding")).as("q"))
       val cent = ed.groupBy("source")
         .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"), count(lit(1)).as("cnt"))
         // element-wise floor-mean; components can be negative, so floor

@@ -250,7 +250,7 @@ object StreamingQueries {
       val dim = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
       runToTable(s,
         readStreamTable(s, dir, "embeddings")
-          .selectExpr("vec_id", s"${graft.functions.quantizeVecSql("embedding")} AS q")
+          .select(col("vec_id"), graft.functions.vectors.quantize(col("embedding")).as("q"))
           .join(dim, col("vec_id") === col("doc_id"))
           .groupBy("source")
           .agg(graft.functions.aggs.vecSumLong(col("q")).as("sv"),

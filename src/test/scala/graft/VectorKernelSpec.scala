@@ -31,6 +31,31 @@ class VectorKernelSpec extends SparkSpec {
     assert(math.abs(one(vectors.cosine(col("a"), col("a"))) - 1.0) < 1e-12)
   }
 
+  test("QuantizeVec kernel equals the transform-HOF form bit-for-bit") {
+    // the kernel replaced graft.functions.quantizeVecSql in every hot
+    // caller (r11 kmeansdiag root-cause fix) — every oracle-gated entry
+    // that quantizes depends on this identity holding on real data,
+    // including the sliced matryoshka prefix
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = e.select(
+      vectors.quantize(col("embedding")).as("k"),
+      expr(graft.functions.quantizeVecSql("embedding")).as("h"),
+      vectors.quantize(expr("slice(embedding, 1, 16)")).as("k16"),
+      expr(graft.functions.quantizeVecSql("slice(embedding, 1, 16)")).as("h16"))
+      .as[(Array[Long], Array[Long], Array[Long], Array[Long])].collect()
+    both.foreach { case (k, h, k16, h16) =>
+      assert(k.sameElements(h)); assert(k16.sameElements(h16))
+      assert(k16.length == 16 && k.length == 64)
+    }
+    // negative / boundary values round identically too
+    val edge = Seq(Array(-1.25f, 0.0f, 0.00005f, -0.00005f, 3.4e4f))
+      .toDF("v")
+      .select(vectors.quantize(col("v")).as("k"),
+        expr(graft.functions.quantizeVecSql("v")).as("h"))
+      .as[(Array[Long], Array[Long])].head()
+    assert(edge._1.sameElements(edge._2))
+  }
+
   test("dimension mismatch fails loudly (no silent out-of-bounds reads)") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
     val e = intercept[Exception] {
