@@ -337,6 +337,28 @@ object StreamingQueries {
         "sq_ivf_ingest", "append")
     }),
 
+    // C58c: STREAMING PQ encode — A21f's incremental-add path as a live
+    // stream, completing the ingest symmetry (C58 = IVF assign, C58b =
+    // HNSW append, this = the compressed family): the codebook comes from
+    // the batch-built index (seeded, never retrained — the A21f
+    // convention) and compiles into the PqNearestCode codegen kernel, so
+    // the stream side is a STATELESS NARROW PROJECTION — no watermark, no
+    // state store; every arriving vector becomes its M-byte code row and
+    // appends to the sink regardless of batching. At 100 TB this is the
+    // live tier writing the 8 B/row code table the serving scans read.
+    "streaming_pq_ingest" -> ((s, dir) => {
+      val cbRows = Pq.seededCodebook(Tables(s, dir, "embeddings"),
+        numSub = 8, subDim = 8, numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      runToTable(s,
+        Pq.encodeFast(
+          readStreamTable(s, dir, "embeddings")
+            .filter(col("vec_id") >= HybridQueries.IvfAppendSplit)
+            .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+          cbRows, numSub = 8, subDim = 8),
+        "sq_pq_ingest", "append")
+    }),
+
     // C66: PQ query SERVING as a stream — the reference's online-serving
     // loop in Spark's micro-batch model: queries ARRIVE (readStream), the
     // compressed index is STATIC (one-time encodeFast, broadcast), and
@@ -649,6 +671,30 @@ object StreamingQueries {
           |SELECT c.user_id, c.c_id, NULL, NULL FROM c
           |WHERE c.c_id NOT IN (SELECT c_id FROM j)
           |  AND c.c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)""".stripMargin,
+
+      // C58c: stateless encode stream ≡ the batch encode — the shared
+      // cb/enc CTEs of the PQ oracles restricted to the arriving ids,
+      // pivoted to the kernel's wide (vec_id, code_0…code_7) layout
+      "streaming_pq_ingest" -> {
+        val codeCols = (0 until 8).map(m =>
+          s"  CAST(max(CASE WHEN m = $m THEN code END) AS BIGINT) AS code_$m")
+          .mkString(",\n")
+        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           |         WHERE vec_id >= ${HybridQueries.IvfAppendSplit}),
+           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+           |  FROM body b CROSS JOIN cb),
+           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+           |        GROUP BY 1, 2)
+           |SELECT vec_id,
+           |$codeCols
+           |FROM enc GROUP BY vec_id""".stripMargin
+      },
 
       // stateless assignment stream ≡ the batch assignment (A30's oracle
       // with the identical scaled-L2 argmin and label tie-break)

@@ -68,6 +68,23 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count(_._1 == 0L) == 10)
   }
 
+  test("streaming_pq_ingest equals the batch encode of the arriving ids") {
+    import graft.operators.Pq
+    val streamed = run("streaming_pq_ingest").collect()
+      .map(r => (0 to 8).map(r.getLong).toList).toSet
+    val emb = Tables(spark, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, 8, 8, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val batch = Pq.encodeFast(
+      emb.filter(col("vec_id") >= 400)
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 8, 8)
+      .collect().map(r => (0 to 8).map(r.getLong).toList).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.forall(_.head >= 400L),
+      "only arriving ids are encoded")
+  }
+
   test("streaming_cascade_serve equals the batch Hamming stage-1 ranking") {
     import graft.operators.Cascade
     val streamed = run("streaming_cascade_serve").collect()
