@@ -100,7 +100,7 @@ object FusionQueries {
   /** Shared CTE prefix of the batched-cascade oracles: codes, sq8
     * calibration, the `maxQ + 1`-query set, and the per-q_id Hamming
     * ranking. */
-  private def cascBaseDuck(maxQ: Int = 7): String =
+  private def cascBaseDuck(maxQ: Int = 7, bodyJoin: String = ""): String =
     s"""b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
        |  ${bqHalfDuck("embedding", 0)} AS lo,
        |  ${bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
@@ -109,7 +109,7 @@ object FusionQueries {
        |qs AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi, v AS q_vec FROM b WHERE vec_id <= $maxQ),
        |h AS (SELECT q.q_id, b.vec_id, b.v, q.q_vec,
        |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
-       |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id),
+       |  FROM b $bodyJoin CROSS JOIN qs q WHERE b.vec_id <> q.q_id),
        |r1 AS (SELECT h.*, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS rn1
        |  FROM h)""".stripMargin
 
@@ -593,6 +593,21 @@ object FusionQueries {
       Cascade.searchBatchSharded(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
         qids = (0L until 128L), stage1 = CascStage1, stage2 = CascStage2,
         k = 10, cap = 32)),
+
+    // A43g: filtered AND batched — the full composition closure of the
+    // funnel family (A43b amortizes, A43e filters; this does both, the
+    // A23b convention): the keep-set prunes the ONE 8-byte-code scan that
+    // serves all 8 queries, queries come from the full table, calibration
+    // stays corpus-wide. Per-query slices ≡ hybrid_knn_cascade
+    // (spec-pinned at q_id 6, the single entry's query).
+    "hybrid_knn_cascade_batch" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Cascade.searchBatch(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
+        qids = (0L to 7L), stage1 = CascStage1, stage2 = CascStage2, k = 10,
+        keep = Some(keep))
+    }),
 
     // A43e: the ACORN-filtered funnel — the one composition hole in the
     // funnel family (r10 verdict next #5): the metadata keep-set prunes
@@ -1281,6 +1296,13 @@ object FusionQueries {
     // A43b: the batched funnel — per-q_id replay of the same three cuts
     "knn_cascade_batch" ->
       s"""WITH ${cascBaseDuck()},
+         |${cascFunnelDuck(CascStage1, "a")}
+         |SELECT q_id, vec_id, score, d8, ham FROM r3a WHERE rn3 <= 10""".stripMargin,
+
+    // A43g: the batched funnel CTEs with the keep-join in the Hamming
+    // body — queries still come from the full table (A23b convention)
+    "hybrid_knn_cascade_batch" ->
+      s"""WITH ${cascBaseDuck(7, "JOIN documents d ON d.doc_id = b.vec_id AND d.lang IS NOT NULL AND d.lang = 'en'")},
          |${cascFunnelDuck(CascStage1, "a")}
          |SELECT q_id, vec_id, score, d8, ham FROM r3a WHERE rn3 <= 10""".stripMargin,
 

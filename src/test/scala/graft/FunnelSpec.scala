@@ -270,6 +270,23 @@ class FunnelSpec extends SparkSpec {
     assert(entry == fin)
   }
 
+  test("hybrid_knn_cascade_batch: q_id-6 slice equals the single filtered funnel, all rows qualified") {
+    val batch = SparkEntry.queries("hybrid_knn_cascade_batch")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(batch.map(_._1).distinct.size == 8)
+    val keep = Tables(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("lang") === "en")
+      .select("doc_id").as[Long].collect().toSet
+    assert(batch.forall { case (_, id, _, _, _) => keep.contains(id) },
+      "a non-qualified vector leaked through the filtered batch funnel")
+    val slice = batch.filter(_._1 == 6L)
+      .map { case (_, id, sc, d8, ham) => (id, sc, d8, ham) }
+      .sortBy { case (id, sc, _, _) => (-sc, id) }
+    val single = SparkEntry.queries("hybrid_knn_cascade")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(slice == single)
+  }
+
   test("recall_cascade is monotone in the stage-1 width") {
     val rows = SparkEntry.queries("recall_cascade")(spark, dir)
       .as[(Long, Long, Long)].collect().toSeq
