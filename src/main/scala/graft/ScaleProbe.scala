@@ -137,7 +137,28 @@ object ScaleProbe {
         time("hnsw_filtered_serve_2048")(
           Hnsw.searchFilteredPersisted(spark, idxPath,
             e.filter(col("vec_id") % 10 === 0).select("vec_id"),
-            numParts = 32, qv, 10, metaSearch = 100).count()))
+            numParts = 32, qv, 10, metaSearch = 100).count())) ++ {
+        // A21f at the reference shape: one-time base build+persist, then
+        // the incremental add (1000 arrivals encode with the STORED
+        // codebook — the add_items maintenance path), then a serve from
+        // the appended code table (the serve's rerank pages floats for
+        // base ∪ arriving, so an appended row reaching the shortlist
+        // reranks like any other). The add should cost ~|arriving|/|base|
+        // of the build; the serve reads codes, never re-encodes.
+        val pqPath = graft.TmpDirs.path("probe_pq2048")
+        val arriving = syntheticEmbeddings(spark, nVecs + 1000, dims)
+          .filter(col("vec_id") >= nVecs).select("vec_id", "embedding")
+        val full = e.select("vec_id", "embedding").union(arriving)
+        Seq(
+          time("pq_persist_build_2048")(Pq.buildAndWriteIndex(
+            e.select("vec_id", "embedding"), pqPath,
+            numSub = 16, subDim = 128, numCodes = 64)),
+          time("pq_append_1000_2048")(Pq.appendToIndex(spark, pqPath,
+            arriving, numSub = 16, subDim = 128)),
+          time("pq_appended_serve_2048")(Pq.searchPersisted(spark,
+            pqPath, full, qid = 7, k = 10,
+            numSub = 16, subDim = 128, shortlist = 100).count()))
+      }
     }
     val results2 = results ++ Seq(
       // the r7 BPE kernel at its bench-relevant shape (r7 verdict "next"

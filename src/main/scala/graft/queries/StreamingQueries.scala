@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables
-import graft.operators.{Dedup, Hnsw, Ivf, Pq}
+import graft.operators.{Dedup, Hll, Hnsw, Ivf, Pq}
 import graft.streaming.{CurationStream, DedupStream, EnrichStream, EventsStream, JoinStream, SketchStream}
 
 /** §2.C7/C8/C17/C25/C31/C35 — the streaming components run AS streams under the
@@ -335,6 +335,23 @@ object StreamingQueries {
             .drop("label"), cent)
           .select(col("vec_id"), col("label").cast("long").as("label"), col("d")),
         "sq_ivf_ingest", "append")
+    }),
+
+    // C69c: the HLL cardinality cube MAINTAINED as a stream — C69's
+    // mergeability claim made live: the complete-mode state IS the
+    // per-(source, lang, bucket) register table (≤ G·256 rows forever —
+    // max is associative and order-insensitive, so the fold is exact
+    // regardless of batching), and each emission derives the per-group
+    // distinct estimate from the registers alone. At 100 TB this is the
+    // live ingest counter: no distinct shuffle ever runs; arriving text
+    // hashes fold into bounded registers map-side. The coarser rollup
+    // levels (C69's register-max merges) read the emitted sketch table.
+    "streaming_hll_rollup" -> ((s, dir) => {
+      val sketch = runToTable(s,
+        Hll.sketchAgg(Hll.bucketRho(readStreamTable(s, dir, "documents"),
+          "concat('hrm', text)", Seq("source", "lang")), Seq("source", "lang")),
+        "sq_hll_rollup", "complete")
+      Hll.estimate(sketch, Seq("source", "lang")).select("source", "lang", "est")
     }),
 
     // C58c: STREAMING PQ encode — A21f's incremental-add path as a live
@@ -671,6 +688,23 @@ object StreamingQueries {
           |SELECT c.user_id, c.c_id, NULL, NULL FROM c
           |WHERE c.c_id NOT IN (SELECT c_id FROM j)
           |  AND c.c_ts + INTERVAL 1 HOUR < (SELECT w FROM wm)""".stripMargin,
+
+      // C69c: the fine-level branch of the C69 oracle — registers from
+      // one scan, estimate from registers only (no exact side)
+      "streaming_hll_rollup" -> {
+        val e = s"CAST(floor(((${Hll.AlphaScaled}.0 / 1000000.0) * 65536.0 " +
+          "* 9007199254740992.0) / CAST(zsum AS DOUBLE)) AS BIGINT)"
+        s"""WITH h AS (SELECT source, lang,
+           |  ${DuckDialect.hash("'hrm'||text")} AS h FROM documents),
+           |b AS (SELECT source, lang, h % 256 AS bucket, h // 256 AS w FROM h),
+           |fine AS (SELECT source, lang, bucket,
+           |  max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS m_j
+           |  FROM b GROUP BY 1, 2, 3),
+           |zf AS (SELECT source, lang, CAST(sum(CAST(1 AS BIGINT) << (53 - m_j))
+           |    + (256 - count(*)) * (CAST(1 AS BIGINT) << 53) AS BIGINT) AS zsum
+           |  FROM fine GROUP BY 1, 2)
+           |SELECT source, lang, $e AS est FROM zf""".stripMargin
+      },
 
       // C58c: stateless encode stream ≡ the batch encode — the shared
       // cb/enc CTEs of the PQ oracles restricted to the arriving ids,

@@ -68,6 +68,24 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count(_._1 == 0L) == 10)
   }
 
+  test("streaming_hll_rollup equals the batch sketch estimates, state bounded at G*256") {
+    import graft.operators.Hll
+    val streamed = run("streaming_hll_rollup").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val d = Tables(spark, dir, "documents")
+    val batch = Hll.estimate(
+        Hll.sketchAgg(Hll.bucketRho(d, "concat('hrm', text)", Seq("source", "lang")),
+          Seq("source", "lang")), Seq("source", "lang"))
+      .select("source", "lang", "est")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    // the stream's whole state is the register table: ≤ groups·256 rows
+    val groups = d.select("source", "lang").distinct().count()
+    val stateRows = spark.table("sq_hll_rollup").count()
+    assert(stateRows <= groups * 256,
+      s"register state $stateRows exceeds groups($groups)*256")
+  }
+
   test("streaming_pq_ingest equals the batch encode of the arriving ids") {
     import graft.operators.Pq
     val streamed = run("streaming_pq_ingest").collect()
