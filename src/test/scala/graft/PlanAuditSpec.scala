@@ -79,6 +79,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("hybrid_knn_cascade_batch: keep join present, heap still map-side, no cartesian") {
+    // the filtered batch funnel inherits knn_cascade_batch's shape AND
+    // prunes the stage-1 body with the keep join — the join must exist
+    // (a missing keep would silently serve unfiltered results with the
+    // only-qualified spec as the last line of defense), the Hamming heap
+    // must stay a partial aggregate, and nothing may degenerate to a
+    // cartesian
+    val p = plan("hybrid_knn_cascade_batch")
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    val heapAt = p.indexOf("partial_top_k_hits")
+    val winAt = p.indexOf("Window")
+    assert(winAt >= 0 && winAt < heapAt,
+      s"window/heap order wrong (win@$winAt heap@$heapAt)\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    // the keep side scans documents — present exactly in the plan
+    assert(p.contains("documents"), p.take(3000))
+  }
+
+  test("knn_cascade_batch_sharded: four independent one-pass funnels unioned") {
+    // the cap-and-union driver's contract: each ≤cap chunk is its own
+    // complete funnel plan (its own partial heap), glued by Union — so
+    // the sharded plan must carry exactly ceil(128/32) = 4 heap
+    // aggregates and a Union, and still no cartesian anywhere
+    val p = plan("knn_cascade_batch_sharded")
+    val heaps = "partial_top_k_hits".r.findAllIn(p).size
+    assert(heaps == 4, s"expected 4 per-shard heaps, found $heaps\n${p.take(3000)}")
+    assert(p.contains("Union"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
     val p = plan("hybrid_knn")
     assert(p.contains("partial_vec_sum"), p.take(2000))
