@@ -188,7 +188,20 @@ case class DotProductLong(left: Expression, right: Expression) extends BinaryExp
   * caller is bit-unchanged (VectorKernelSpec pins kernel ≡ HOF). */
 case class QuantizeVec(child: Expression) extends UnaryExpression {
   override def prettyName: String = "vec_quantize"
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // Parquet-read float arrays are containsNull=true by schema even when
+  // the data never holds a null, so the output nullability mirrors the
+  // input's. A null ELEMENT quantizes to a null element — exactly the
+  // transform() HOF semantics (floor(null)=null) the kernel ≡ HOF spec
+  // pins; the primitive no-boxing path still runs whenever the row's
+  // array actually holds no nulls, i.e. always on real data (r11 ADVICE:
+  // the previous kernel declared containsNull=false and read null slots
+  // as garbage/0, silently diverging from the HOF on nullable input).
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = elemNullable)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -200,26 +213,66 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val n = a.numElements()
-    val out = new Array[Long](n)
-    var i = 0
-    while (i < n) {
-      out(i) = math.floor(a.getFloat(i).toDouble * 10000.0 + 0.5).toLong
-      i += 1
+    var hasNull = false
+    if (elemNullable) {
+      var i = 0
+      while (i < n && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
     }
-    UnsafeArrayData.fromPrimitiveArray(out)
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(a.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          out(i) = math.floor(a.getFloat(i).toDouble * 10000.0 + 0.5).toLong
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val n = ctx.freshName("n"); val out = ctx.freshName("out"); val i = ctx.freshName("i")
-      s"""
-         |final int $n = $v.numElements();
-         |long[] $out = new long[$n];
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $out[$i] = (long) java.lang.Math.floor((double) $v.getFloat($i) * 10000.0D + 0.5D);
-         |}
-         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
-       """.stripMargin
+      val primitive =
+        s"""
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (long) java.lang.Math.floor((double) $v.getFloat($i) * 10000.0D + 0.5D);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      if (!elemNullable) {
+        s"""
+           |final int $n = $v.numElements();
+           |$primitive
+         """.stripMargin
+      } else {
+        val hn = ctx.freshName("hasNull"); val bo = ctx.freshName("boxed"); val j = ctx.freshName("j")
+        s"""
+           |final int $n = $v.numElements();
+           |boolean $hn = false;
+           |for (int $j = 0; $j < $n && !$hn; $j++) { $hn = $v.isNullAt($j); }
+           |if (!$hn) {
+           |  $primitive
+           |} else {
+           |  Object[] $bo = new Object[$n];
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    if (!$v.isNullAt($j)) {
+           |      $bo[$j] = (long) java.lang.Math.floor((double) $v.getFloat($j) * 10000.0D + 0.5D);
+           |    }
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bo);
+           |}
+         """.stripMargin
+      }
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

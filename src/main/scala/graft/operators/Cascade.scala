@@ -34,14 +34,33 @@ object Cascade {
     * every calibration site at once. The collected doubles re-enter the
     * plan as exact literal columns (never stringified), so the
     * downstream arithmetic is bit-identical to the joined form. */
-  def calibrationStats(ev: DataFrame, vCol: String = "v"): DataFrame = {
-    val r = ev.agg(min(expr(s"array_min($vCol)")).as("mn"),
-      max(expr(s"array_max($vCol)")).as("mx")).head
+  def calibrationStats(ev: DataFrame, vCol: String = "v"): DataFrame =
+    calibrationAndPresence(ev, Nil, vCol)
+
+  /** [[calibrationStats]] plus a query-presence check riding the SAME
+    * corpus aggregation (no extra scan): a q_id absent from the corpus
+    * would otherwise yield no query row and silently vanish from the
+    * batch output (fewer groups, no error — r11 ADVICE). One pass
+    * computes (mn, mx, matched-qid count); a missing id fails loudly
+    * here, at every funnel entry point at once. */
+  def calibrationAndPresence(ev: DataFrame, qids: Seq[Long],
+                             vCol: String = "v"): DataFrame = {
+    val dq = qids.distinct
+    val base = ev.agg(min(expr(s"array_min($vCol)")).as("mn"),
+      max(expr(s"array_max($vCol)")).as("mx"),
+      (if (dq.isEmpty) lit(0L)
+       else count(when(col("vec_id").isin(dq: _*), 1))).as("nq"))
+    val r = base.head
     require(!r.isNullAt(0) && !r.isNullAt(1) && r.getDouble(1) > r.getDouble(0),
       s"sq8 calibration degenerate (mn=${r.get(0)}, mx=${r.get(1)}): a " +
         "constant-component corpus divides by zero and nulls every int8 " +
         "code, silently emptying the quantized stage — rescale the " +
         "embeddings or skip the sq8 cut")
+    require(dq.isEmpty || r.getLong(2) == dq.size,
+      s"cascade: ${dq.size - r.getLong(2)} of ${dq.size} query ids are " +
+        "absent from the corpus — a missing q_id would silently drop its " +
+        "query group from the batch output instead of failing; remove the " +
+        "unknown ids or index them first")
     val spark = ev.sparkSession
     import spark.implicits._
     Seq((r.getDouble(0), r.getDouble(1))).toDF("mn", "mx")
@@ -63,7 +82,7 @@ object Cascade {
     val e = raw.selectExpr(raw.columns.toSeq ++ Seq(
       "CAST(embedding AS ARRAY<DOUBLE>) AS v",
       s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"): _*)
-    val stats = calibrationStats(e)
+    val stats = calibrationAndPresence(e, Seq(qid))
     val q = e.filter(col("vec_id") === qid)
       .select(col("lo").as("q_lo"), col("hi").as("q_hi"),
         col("embedding").as("q_vec"), col("v").as("qd"))
@@ -98,13 +117,19 @@ object Cascade {
     * it). Calibration stays corpus-wide index-build state — filtering
     * never re-calibrates (the A44 probe convention). Queries come from
     * the indexed corpus by id (query-by-indexed-item, self excluded
-    * per q_id). Output: (q_id, vec_id, score, d8, ham). */
+    * per q_id). Output: (q_id, vec_id, score, d8, ham).
+    *
+    * `stats` lets [[searchBatchSharded]] thread ONE calibration/presence
+    * aggregation across all chunks (r11 ADVICE: per-chunk recomputation
+    * was 4 redundant corpus scans at cap=32×4); when absent, this call
+    * runs it — which also validates every qid is indexed. */
   def searchBatch(raw: DataFrame, qids: Seq[Long], stage1: Int, stage2: Int,
-                  k: Int, keep: Option[DataFrame] = None): DataFrame = {
+                  k: Int, keep: Option[DataFrame] = None,
+                  stats0: Option[DataFrame] = None): DataFrame = {
     val e = raw.selectExpr("vec_id", "embedding",
       "CAST(embedding AS ARRAY<DOUBLE>) AS v",
       s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
-    val stats = calibrationStats(e)
+    val stats = stats0.getOrElse(calibrationAndPresence(e, qids))
     val qs = e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
         col("embedding").as("q_vec"), col("v").as("qd"))
@@ -144,7 +169,13 @@ object Cascade {
     * >cap path. */
   def searchBatchSharded(raw: DataFrame, qids: Seq[Long], stage1: Int,
                          stage2: Int, k: Int, keep: Option[DataFrame] = None,
-                         cap: Int = Pq.WideBatchCap): DataFrame =
+                         cap: Int = Pq.WideBatchCap): DataFrame = {
+    // ONE calibration/presence pass for the whole qid set, threaded into
+    // every chunk (r11 ADVICE: recomputing per chunk re-scanned the corpus
+    // ⌈|Q|/cap⌉ times for a value that is index-build state)
+    val stats = calibrationAndPresence(
+      raw.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"), qids)
     Pq.shardedWide(qids, cap, "cascadeSearchBatchSharded")(chunk =>
-      searchBatch(raw, chunk, stage1, stage2, k, keep))
+      searchBatch(raw, chunk, stage1, stage2, k, keep, Some(stats)))
+  }
 }

@@ -652,6 +652,19 @@ object Pq {
   def appendToIndex(s: SparkSession, path: String, arriving: DataFrame,
                     numSub: Int, subDim: Int): Unit = {
     val (_, cbRows) = restoreCodebook(s, path, numSub, subDim)
+    // Refuse ids already indexed (r11 ADVICE): a duplicate vec_id would
+    // write a second code row and searchPersisted's shortlist heap would
+    // double-serve that id, silently breaking the append ≡ rebuild pin.
+    // Validation cost = one semi-join of the arriving ids against the
+    // code table's vec_id column (8 B/row, column-pruned scan), paid once
+    // per append action — never at serve time.
+    val dups = s.read.parquet(s"$path/codes").select("vec_id")
+      .join(arriving.select("vec_id"), "vec_id").limit(5)
+      .collect().map(_.getLong(0))
+    require(dups.isEmpty,
+      s"pq append: vec_id(s) ${dups.mkString(", ")} already present in the " +
+        s"code table at $path — appending them would double-serve those ids " +
+        "from the shortlist heap; deduplicate the arriving batch or rebuild")
     val body = arriving.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     encodeFast(body, cbRows, numSub, subDim)
       .write.mode("append").parquet(s"$path/codes")

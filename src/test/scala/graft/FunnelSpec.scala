@@ -219,6 +219,27 @@ class FunnelSpec extends SparkSpec {
     assert(eEmpty.getMessage.contains("empty"))
   }
 
+  test("cascade refuses a query id absent from the corpus loudly") {
+    // r11 ADVICE: an unindexed q_id yields no query row, so its group
+    // would silently VANISH from the batch output (fewer groups, no
+    // error). The presence check rides the calibration aggregation — one
+    // corpus pass validates both, at every funnel entry point.
+    import graft.operators.Cascade
+    val e = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val eBatch = intercept[IllegalArgumentException] {
+      Cascade.searchBatch(e, Seq(0L, 999999L), 100, 25, 10)
+    }
+    assert(eBatch.getMessage.contains("absent"))
+    val eSingle = intercept[IllegalArgumentException] {
+      Cascade.search(e, qid = 999999L, stage1 = 100, stage2 = 25, k = 10)
+    }
+    assert(eSingle.getMessage.contains("absent"))
+    val eSharded = intercept[IllegalArgumentException] {
+      Cascade.searchBatchSharded(e, Seq(0L, 1L, 999999L), 100, 25, 10, cap = 2)
+    }
+    assert(eSharded.getMessage.contains("absent"))
+  }
+
   test("hybrid_knn_cascade returns only filter-qualified vectors and replays in plain Scala") {
     val entry = SparkEntry.queries("hybrid_knn_cascade")(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSeq

@@ -158,6 +158,16 @@ class FusionSpec extends SparkSpec {
       Pq.appendToIndex(spark, path, emb.limit(1), numSub = 8, subDim = 4)
     }
     assert(e2.getMessage.contains("different layout"))
+    // duplicate-id guard (r11 ADVICE): re-appending an already-indexed id
+    // would write a second code row and double-serve it from the
+    // shortlist heap — refused loudly before any write
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, path, emb.filter(col("vec_id") === 5),
+        numSub = 8, subDim = 8)
+    }
+    assert(e3.getMessage.contains("already present"))
+    assert(spark.read.parquet(s"$path/codes").count() == emb.count(),
+      "the refused append must not have written any code rows")
   }
 
   test("PQ encodeFast (literal codebook) equals the join-based encode") {

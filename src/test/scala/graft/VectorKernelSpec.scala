@@ -56,6 +56,33 @@ class VectorKernelSpec extends SparkSpec {
     assert(edge._1.sameElements(edge._2))
   }
 
+  test("QuantizeVec matches the HOF on null ELEMENTS too (null in, null out)") {
+    // r11 ADVICE: the kernel accepted containsNull=true input (every
+    // parquet-read array is) but read null slots as garbage under an
+    // output type that forbade nulls. The fix mirrors transform()
+    // exactly — a null element quantizes to a null element — while the
+    // primitive no-boxing path still runs on rows without nulls.
+    val df = Seq(
+      (0L, Seq[Option[Float]](Some(1.5f), None, Some(-0.25f))),
+      (1L, Seq[Option[Float]](Some(2.0f), Some(0.0f), Some(7.125f))))
+      .toDF("id", "v")
+      .select(col("id"), col("v").cast("array<float>").as("v"))
+    val rows = df.select(col("id"),
+        vectors.quantize(col("v")).as("k"),
+        expr(graft.functions.quantizeVecSql("v")).as("h"))
+      .orderBy("id")
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[Any](1); val h = r.getSeq[Any](2)
+      assert(k == h, s"kernel $k != HOF $h for id ${r.getLong(0)}")
+    }
+    assert(rows(0).getSeq[Any](1)(1) == null, "null element must stay null")
+    assert(rows(1).getSeq[Any](1) == Seq(20000L, 0L, 71250L))
+    // output nullability mirrors the input's (parquet arrays: true)
+    val dt = df.select(vectors.quantize(col("v")).as("k")).schema("k").dataType
+    assert(dt.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+  }
+
   test("dimension mismatch fails loudly (no silent out-of-bounds reads)") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
     val e = intercept[Exception] {
