@@ -367,6 +367,44 @@ object FusionQueries {
         k = 10, numSub = 8, subDim = 8, shortlist = 100)
     }),
 
+    // A46: PQ at the REFERENCE's dimensionality (r11 verdict "what's
+    // missing" #2): the compressed family's integer ADC arithmetic — the
+    // code path that actually runs at 100 TB, where raw floats never
+    // page in before the rerank — HASH-gated at d=2048, not just probed
+    // for timings. Same shape as the wide ScaleProbe rows (16 subspaces
+    // × 128 dims, 64 seeded codewords, 100-row ADC shortlist, exact L2
+    // rerank; reference acorn.py:30–40 builds at d=2048); vectors come
+    // from the A45 derived-wide construction, so no new table is needed
+    // and the oracle replays every one of the 2048 slots. The oracle's
+    // per-subspace distance is a DuckDB list_reduce LEFT FOLD — the same
+    // sequential accumulation order as the PqNearestCode kernel's loop
+    // (an explicit 128-term sum exceeds DuckDB's binder recursion depth).
+    "knn_pq_2048" -> ((s, dir) =>
+      Pq.searchRerank(HybridQueries.wideEmbeddings(s, dir), qid = 0, k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, shortlist = 100)),
+
+    // A46b: flat SQ8 at the reference width — the cascade funnel's int8
+    // stage-2 arithmetic (full-corpus (mn,mx) calibration, 0..255 codes,
+    // integer squared-L2) hash-gated at d=2048. With A45 (exact L2),
+    // A45b (HNSW), A46 (PQ ADC) and this, every distance arithmetic the
+    // serving stack layers is oracle-checked at the reference's
+    // dimensionality; integer sums are order-insensitive so the oracle
+    // transliterates directly.
+    "knn_sq8_2048" -> ((s, dir) => {
+      val e = HybridQueries.wideEmbeddings(s, dir)
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = Cascade.calibrationStats(e)
+      val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+        .selectExpr("vec_id",
+          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
+          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
+        .selectExpr("vec_id", graft.functions.sqDistLongSql("qa", "qb") + " AS dist")
+        .orderBy(col("dist").asc, col("vec_id").asc)
+        .limit(10)
+    }),
+
     // A27: quantization-loss evaluation — recall@10 of the PQ
     // shortlist+rerank path vs the exact L2 scan (completes the recall
     // family: recall_eval = IVF probing, recall_filtered = filter
@@ -617,13 +655,18 @@ object FusionQueries {
     // state — filtering never re-calibrates (the A44 probe convention).
     // At 100 TB the predicate prunes the cheapest stage: the funnel reads
     // |keep|·8 bytes, then 64 B / floats for geometrically fewer rows.
+    // The keep side is selectivity-dependent (a constant fraction of the
+    // corpus under a broad predicate), NOT bounded model state — so the
+    // join is planner-decided, never a forced broadcast (the
+    // Cascade.searchBatch / Pq.searchRerank keep convention): a forced
+    // broadcast(keep) here would OOM executors at 100 TB.
     "hybrid_knn_cascade" -> ((s, dir) => {
       val keep = docs(s, dir)
         .filter(col("lang").isNotNull && col("lang") === "en")
         .select(col("doc_id").as("vec_id"))
       Cascade.search(Tables(s, dir, "embeddings").select("vec_id", "embedding"),
         qid = 6, stage1 = CascStage1, stage2 = CascStage2, k = 10,
-        restrict = _.join(broadcast(keep), "vec_id"))
+        restrict = _.join(keep, "vec_id"))
     }),
 
     // A43c: the funnel's RECALL/WIDTH CURVE — what a capacity planner
@@ -1001,6 +1044,27 @@ object FusionQueries {
     // (codeword seeds all sit in the base half; encode is per-row
     // independent) — so the single-query PQ oracle replays the
     // build+append+serve composition verbatim at query id 5
+    // A46: the wide PQ pipeline — see pqOracleSql2048's width adaptations
+    "knn_pq_2048" -> pqOracleSql2048(qid = 0),
+
+    // A46b: knn_sq8's oracle over the derived-wide vectors; integer
+    // sq-L2 sums are order-insensitive so list_sum transliterates
+    "knn_sq8_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM wide),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM wide WHERE vec_id = 0),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide WHERE vec_id <> 0),
+         |qz AS (SELECT vec_id,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM b CROSS JOIN q CROSS JOIN st)
+         |SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |    i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS dist
+         |FROM qz ORDER BY dist ASC, vec_id ASC LIMIT 10""".stripMargin,
+
     "knn_pq_append" -> pqOracleSql(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id <> 5",
       qid = 5),
@@ -1582,6 +1646,51 @@ object FusionQueries {
        |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
        |WHERE rank <= 10""".stripMargin
+  }
+
+  /** A46: the PQ pipeline oracle at d=2048 over the A45 derived-wide
+    * vectors. Structure mirrors [[pqOracleSql]] with three width
+    * adaptations: the `wide` prelude CTE derives the 2048-d vectors
+    * (MATERIALIZED — it is referenced five times and DuckDB's CTE
+    * inlining would re-derive per reference), the per-subspace squared
+    * distance is a list_reduce LEFT FOLD (an explicit 128-term sum
+    * exceeds DuckDB's 128-deep binder recursion; the fold accumulates in
+    * the same sequential order as the PqNearestCode kernel loop), and
+    * the codebook slices run m·128+1 … m·128+128. */
+  private def pqOracleSql2048(qid: Int): String = {
+    val (numSub, subDim, numCodes) = (16, 128, 64)
+    def fold(vec: String, cw: String, offset: Boolean): String = {
+      val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
+    }
+    s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+       |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+       |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+       |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
+       |body AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM wide WHERE vec_id <> $qid),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  CAST(floor(${fold("b.v", "cb.cw", offset = true)} * 10000.0) AS BIGINT) AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |        GROUP BY 1, 2),
+       |q AS (SELECT m.m AS m,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
+       |      FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id = $qid),
+       |adc AS (SELECT cb.m, cb.code,
+       |  CAST(floor(${fold("q.qsub", "cb.cw", offset = false)} * 10000.0) AS BIGINT) AS td
+       |  FROM cb JOIN q ON cb.m = q.m),
+       |short AS (SELECT enc.vec_id FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+       |          GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)
+       |SELECT e.vec_id,
+       |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
+       |FROM wide e JOIN short USING (vec_id)
+       |CROSS JOIN (SELECT embedding FROM wide WHERE vec_id = $qid) q2
+       |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
   }
 
   /** The full PQ pipeline oracle, parameterized by the body (corpus) CTE —

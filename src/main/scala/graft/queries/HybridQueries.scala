@@ -59,13 +59,15 @@ object HybridQueries {
   // values derive from 64-d data (no new gate table exists), but every one
   // of the 2048 slots is computed, stored, and scored for real.
   private[queries] val WideDims = 2048
+  private[queries] def wideEmbeddings(s: SparkSession, dir: String): DataFrame =
+    wideEmb(emb(s, dir))
   private def wideEmb(e: DataFrame): DataFrame =
     e.selectExpr("vec_id",
       s"CAST(transform(sequence(0, ${WideDims - 1}), j -> " +
         s"CAST(element_at(CAST(embedding AS ARRAY<DOUBLE>), CAST(((j % $Dims) + (j div $Dims)) % $Dims + 1 AS INT))" +
         s" * CAST((j div $Dims) % 5 + (j % $Dims) % 3 + 1 AS DOUBLE) AS FLOAT)) AS ARRAY<FLOAT>) AS embedding")
   /** The same construction as a DuckDB expression over `embedding`. */
-  private def wideDuck: String =
+  private[queries] def wideDuck: String =
     s"CAST(list_transform(range(0, $WideDims), j -> " +
       s"CAST((CAST(embedding AS DOUBLE[]))[((j % $Dims) + (j // $Dims)) % $Dims + 1]" +
       s" * CAST((j // $Dims) % 5 + (j % $Dims) % 3 + 1 AS DOUBLE) AS FLOAT)) AS FLOAT[])"

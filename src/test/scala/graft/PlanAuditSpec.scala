@@ -109,6 +109,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("hybrid_knn_cascade: the keep join is planner-decided, never a forced broadcast") {
+    // r11 verdict "what's wrong" #1: the keep set is selectivity-dependent
+    // (a constant fraction of the corpus under a broad predicate), so a
+    // forced broadcast(keep) OOMs executors at 100 TB. The q-row and the
+    // 1-row calibration stats ARE bounded model state and stay hinted;
+    // the keep side (the only documents-sourced subtree) must carry no
+    // broadcast hint — asserted on the hint's presence over doc_id, not
+    // on SMJ/BHJ choice (the planner may still pick broadcast by size,
+    // which is exactly the point)
+    val df = SparkEntry.queries("hybrid_knn_cascade")(spark, dir)
+    val hints = df.queryExecution.analyzed.collect {
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+    }
+    assert(hints.nonEmpty, "the q/stats broadcasts should still be hinted")
+    val overKeep = hints.filter(_.child.collectLeaves()
+      .exists(_.output.exists(_.name == "doc_id")))
+    assert(overKeep.isEmpty,
+      s"keep side carries a forced broadcast hint:\n${overKeep.mkString("\n")}")
+  }
+
   test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
     val p = plan("hybrid_knn")
     assert(p.contains("partial_vec_sum"), p.take(2000))

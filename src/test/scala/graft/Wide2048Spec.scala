@@ -63,4 +63,61 @@ class Wide2048Spec extends SparkSpec {
     // the walk found the query itself — it is an indexed item
     assert(got.exists { case (id, s) => id == 13L && s == 0L })
   }
+
+  test("knn_sq8_2048 equals the plain-Scala wide sq8 reconstruction") {
+    // r12 (r11 verdict "what's missing" #2): the funnel's int8 arithmetic
+    // at the reference width — corpus-wide (mn, mx), 0..255 codes,
+    // integer squared-L2, ties to the lower id
+    val w = wideCorpus()
+    val mn = w.valuesIterator.map(_.iterator.map(_.toDouble).min).min
+    val mx = w.valuesIterator.map(_.iterator.map(_.toDouble).max).max
+    def sq8(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor(((x.toDouble - mn) * 255.0) / (mx - mn)).toLong)
+    val qb = sq8(w(0L))
+    val expect = w.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val qa = sq8(v)
+        var d = 0L; var i = 0
+        while (i < qa.length) { val x = qa(i) - qb(i); d += x * x; i += 1 }
+        (id, d)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(10)
+    val got = SparkEntry.queries("knn_sq8_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("knn_pq_2048 equals the plain-Scala wide ADC + rerank reconstruction") {
+    // the compressed family at the reference width: 16 subspaces ×
+    // 128 dims, 64 seeded codewords, ADC shortlist of 100, exact rerank —
+    // every cut integer-exact with ties to the lower id/code
+    val (numSub, subDim, numCodes, shortlist) = (16, 128, 64, 100)
+    val w = wideCorpus()
+    val wd = w.map { case (id, v) => id -> v.map(_.toDouble) }
+    def sqdFloor(a: Array[Double], off: Int, cw: Array[Double]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < cw.length) { val d = a(off + i) - cw(i); acc += d * d; i += 1 }
+      math.floor(acc * 10000.0).toLong
+    }
+    val cb: Map[(Int, Long), Array[Double]] =
+      (for (code <- 0L until numCodes; m <- 0 until numSub)
+        yield (m, code) -> wd(code).slice(m * subDim, (m + 1) * subDim)).toMap
+    val qv = wd(0L)
+    val adc = cb.map { case ((m, c), cw) => (m, c) -> sqdFloor(qv, m * subDim, cw) }
+    val short = wd.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      var asum = 0L
+      for (m <- 0 until numSub) {
+        val best = (0L until numCodes)
+          .map(c => (sqdFloor(v, m * subDim, cb((m, c))), c)).min
+        asum += adc((m, best._2))
+      }
+      (asum, id)
+    }.sorted.take(shortlist).map(_._2)
+    val expect = short
+      .map(id => (id, l2Scaled(w(id), w(0L))))
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    val got = SparkEntry.queries("knn_pq_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
 }
