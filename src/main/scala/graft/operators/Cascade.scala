@@ -143,6 +143,18 @@ object Cascade {
       .agg(aggs.topK(col("ham"), col("vec_id"), stage1, asc = true).as("hits"))
       .select(col("q_id"), explode(col("hits")).as("hit"))
       .select(col("q_id"), col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    rerankShortlist(e, qs, stats, short1, stage2, k)
+  }
+
+  /** Stages 2/3 over an ALREADY-CUT stage-1 shortlist (q_id, vec_id,
+    * ham) — the tail of [[searchBatch]], factored so a downstream
+    * consumer of a STREAMED stage-1 sink (C71's shortlist table) reranks
+    * through the exact same code path the batch funnel runs (r11 verdict
+    * next #8: "production reranks downstream" was documentation; this
+    * makes it code). `e` needs (vec_id, embedding, v); `qs` needs
+    * (q_id, q_vec, qd); `stats` is the corpus-wide (mn, mx) frame. */
+  def rerankShortlist(e: DataFrame, qs: DataFrame, stats: DataFrame,
+                      short1: DataFrame, stage2: Int, k: Int): DataFrame = {
     val wq = Window.partitionBy("q_id")
     broadcast(short1).join(e.select("vec_id", "embedding", "v"), "vec_id")
       .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")

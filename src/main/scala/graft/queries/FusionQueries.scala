@@ -57,7 +57,7 @@ object FusionQueries {
 
   // A43 cascade funnel widths: corpus →(hamming) 100 →(sq8) 25 →(exact) 10
   private[queries] val CascStage1 = 100
-  private val CascStage2 = 25
+  private[queries] val CascStage2 = 25
   // A43d IVF×cascade: stage-1 width inside the probed body — narrower than
   // the flat cascade's because the coarse quantizer already cut the corpus
   // (and so the cut stays active even at the smallest gate scale, where
@@ -365,6 +365,29 @@ object FusionQueries {
       val path = ensurePqAppendedIndex(s, dir)
       Pq.searchPersisted(s, path, Tables(s, dir, "embeddings"), qid = 5,
         k = 10, numSub = 8, subDim = 8, shortlist = 100)
+    }),
+
+    // A47: EXTERNAL-query batch serving (r11 verdict next #5): nearly
+    // every search entry queries by INDEXED ITEM (the qid is excluded at
+    // serve time), but the reference's actual demo embeds a query image
+    // that is NOT in the corpus (query.jpg, acorn.py __main__). Four
+    // query vectors arrive as their own frame — component-wise midpoints
+    // of corpus pairs (2g, 2g+1), one deterministic float round, so both
+    // engines derive identical non-indexed vectors with no new table —
+    // and the wide joined-ADC funnel serves them with NO self-exclusion
+    // and the rerank joining the frame's raw vectors: the pin that
+    // nothing in the batch machinery secretly depends on the query being
+    // indexed.
+    "knn_pq_batch_external" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 8)
+        .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS va")
+      val b = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 8)
+        .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS vb")
+      val queries = a.join(b, "q_id").selectExpr("q_id",
+        "zip_with(va, vb, (x, y) -> CAST((x + y) * 0.5D AS FLOAT)) AS q_vec")
+      Pq.searchRerankBatchWideExternal(e, queries, k = 10,
+        numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)
     }),
 
     // A46: PQ at the REFERENCE's dimensionality (r11 verdict "what's
@@ -1044,6 +1067,20 @@ object FusionQueries {
     // (codeword seeds all sit in the base half; encode is per-row
     // independent) — so the single-query PQ oracle replays the
     // build+append+serve composition verbatim at query id 5
+    // A47: the batch PQ pipeline with an EXTERNAL query frame — the qs
+    // CTE derives the four midpoint vectors (one float round per
+    // component, identical construction to the entry's zip_with) and no
+    // self-exclusion applies (external queries have no corpus row)
+    "knn_pq_batch_external" -> pqBatchOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      qsSelect = Some(
+        """SELECT a.vec_id // 2 AS q_id,
+          |    list_transform(range(1, 65),
+          |      i -> CAST(CAST(((CAST(a.embedding AS DOUBLE[]))[i] + (CAST(b.embedding AS DOUBLE[]))[i]) * 0.5 AS FLOAT) AS DOUBLE)) AS qv
+          |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 8""".stripMargin),
+      excludeSelf = false),
+
     // A46: the wide PQ pipeline — see pqOracleSql2048's width adaptations
     "knn_pq_2048" -> pqOracleSql2048(qid = 0),
 
@@ -1511,7 +1548,9 @@ object FusionQueries {
     * from the FULL embeddings table (the filter applies to candidates,
     * never to who may ask). */
   private def pqBatchOracleSql(bodySelect: String,
-                               qsWhere: String = "vec_id <= 4"): String =
+                               qsWhere: String = "vec_id <= 4",
+                               qsSelect: Option[String] = None,
+                               excludeSelf: Boolean = true): String =
     s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
        |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
        |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
@@ -1523,8 +1562,9 @@ object FusionQueries {
        |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
        |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
        |        GROUP BY 1, 2),
-       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-       |       FROM embeddings WHERE $qsWhere),
+       |qs AS (${qsSelect.getOrElse(
+                  s"SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv " +
+                    s"FROM embeddings WHERE $qsWhere")}),
        |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
        |      FROM qs, (SELECT unnest(range(8)) AS m) m),
        |adc AS (SELECT q.q_id, cb.m, cb.code,
@@ -1532,7 +1572,7 @@ object FusionQueries {
        |  FROM cb JOIN q ON cb.m = q.m),
        |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
        |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-       |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
+       |  ${if (excludeSelf) "WHERE enc.vec_id <> adc.q_id " else ""}GROUP BY 1, 2),
        |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
        |  FROM sums) WHERE rn <= 100),

@@ -399,6 +399,61 @@ object HybridQueries {
         .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
     }),
 
+    // A30b: DRIFT-TRIGGERED REBUILD (r11 verdict next #6): A30/A21f/A35d
+    // all say "drift is handled by periodic rebuild" — this entry DECIDES
+    // one, composing A34's dispersion monitor over the appended index.
+    // Per stale cluster: base members' mean scaled-L2 to the stale
+    // centroid vs the arriving members' (assigned by the A30 kernel);
+    // verdict REBUILD when arrivals disperse >1.2× the base (integer
+    // cross-multiplication — no division) OR make up ≥20% of the cluster.
+    // The decision is CONSEQUENTIAL in the output: `served_mean` is every
+    // member's mean distance to the centroid the verdict serves (fresh
+    // = recomputed over base ∪ arrivals for rebuilt clusters, stale
+    // otherwise) — the oracle replays threshold AND dispatch. Both arms
+    // fire at the gate scales (6/10 rebuilt at sf0.001, 5/10 at sf0.01).
+    // At 100 TB this is the maintenance planner's query: one narrow
+    // assignment projection, two label-keyed aggregates, one conditional
+    // re-centering pass over only the members' vectors.
+    "ivf_drift_rebuild" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") < IvfAppendSplit)
+      val cent = Ivf.centroids(base)
+      val centL = cent.select(col("label").cast("long").as("label"), col("cent"))
+      val arrA = Ivf.assignToNearest(e.filter(col("vec_id") >= IvfAppendSplit), cent)
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
+      val baseD = base
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+        .join(broadcast(centL), "label")
+        .select(col("vec_id"), col("label"),
+          scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits).as("d"))
+      val sb = baseD.groupBy("label")
+        .agg(count(lit(1)).as("n_base"), sum("d").as("sd_base"))
+      val sn = arrA.groupBy("label")
+        .agg(count(lit(1)).as("n_new"), sum("d").as("sd_new"))
+      val verd = sb.join(sn, Seq("label"), "left")
+        .selectExpr("label", "n_base", "coalesce(n_new, 0L) AS n_new",
+          "sd_base div n_base AS mean_base",
+          "CASE WHEN coalesce(n_new, 0L) = 0 THEN 0L ELSE sd_new div n_new END AS mean_new")
+        .selectExpr("label", "n_base", "n_new", "mean_base", "mean_new",
+          "CAST(mean_new * 10 > mean_base * 12 OR n_new * 5 >= n_base + n_new AS BIGINT) AS rebuild")
+      val members = base
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+        .union(arrA.select("vec_id", "label")
+          .join(e.select("vec_id", "embedding"), "vec_id")
+          .select(col("vec_id"), col("label"), col("embedding")))
+      val fresh = Ivf.centroids(members).select(col("label"), col("cent").as("fcent"))
+      val served = members
+        .join(broadcast(verd.select("label", "rebuild")), "label")
+        .join(broadcast(centL.select(col("label"), col("cent").as("scent"))), "label")
+        .join(broadcast(fresh), "label")
+        .withColumn("dsv", scaled(vectors.l2(col("embedding"),
+          when(col("rebuild") === 1, col("fcent")).otherwise(col("scent"))), Knn.ScoreDigits))
+        .groupBy("label")
+        .agg(expr("sum(dsv) div count(*)").as("served_mean"))
+      verd.join(served, "label")
+        .select("label", "n_base", "n_new", "mean_base", "mean_new", "rebuild", "served_mean")
+    }),
+
     // A28: the recall/cost KNOB curve (reference acorn.py trades nprobe/
     // max_visits against recall): recall@10 at nProbe ∈ {1,2,4,8} in ONE
     // entry. Centroids, probe RANKS (TopKHits is best-first with the
@@ -1221,6 +1276,53 @@ object HybridQueries {
          |    ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
          |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= $IvfAppendSplit)
          |SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM a WHERE rn = 1""".stripMargin
+    },
+
+    // A30b: the A30 assignment CTEs + per-cluster drift stats, the
+    // integer threshold verdict, and the dispatch — served_mean re-scores
+    // every member against the verdict-chosen centroid (fresh over
+    // base ∪ arrivals when rebuilt, stale otherwise). Sums CAST to
+    // BIGINT (DuckDB sums BIGINT into HUGEINT); all cuts integer.
+    // Pre-validated standalone in python/duckdb at sf0.001/sf0.01
+    // (6/10 and 5/10 clusters rebuild — both arms fire).
+    "ivf_drift_rebuild" -> {
+      def l2s(a: String, b: String) =
+        s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+      s"""WITH cent AS MATERIALIZED (${centSql(s"(SELECT * FROM embeddings WHERE vec_id < $IvfAppendSplit)")}),
+         |arr AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM (
+         |  SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
+         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= $IvfAppendSplit) WHERE rn = 1),
+         |based AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+         |    ${l2s("e.embedding", "c.cent")} AS d
+         |  FROM embeddings e JOIN cent c ON c.label = e.label WHERE e.vec_id < $IvfAppendSplit),
+         |sb AS (SELECT label, count(*) AS n_base, CAST(sum(d) AS BIGINT) AS sd_base
+         |  FROM based GROUP BY 1),
+         |sn AS (SELECT label, count(*) AS n_new, CAST(sum(d) AS BIGINT) AS sd_new
+         |  FROM arr GROUP BY 1),
+         |stats AS (SELECT sb.label, sb.n_base, coalesce(sn.n_new, 0) AS n_new,
+         |  sb.sd_base // sb.n_base AS mean_base,
+         |  CASE WHEN coalesce(sn.n_new, 0) = 0 THEN 0 ELSE sn.sd_new // sn.n_new END AS mean_new
+         |  FROM sb LEFT JOIN sn USING (label)),
+         |verd AS (SELECT label, n_base, n_new, mean_base, mean_new,
+         |  CAST(mean_new * 10 > mean_base * 12 OR n_new * 5 >= n_base + n_new AS BIGINT) AS rebuild
+         |  FROM stats),
+         |members AS MATERIALIZED (
+         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, e.embedding
+         |  FROM embeddings e WHERE e.vec_id < $IvfAppendSplit
+         |  UNION ALL
+         |  SELECT a.vec_id, a.label, e.embedding FROM arr a JOIN embeddings e USING (vec_id)),
+         |fresh AS MATERIALIZED (${centSql("members")}),
+         |served AS (SELECT m.label,
+         |    CAST(sum(${l2s("m.embedding",
+                    "CASE WHEN v.rebuild = 1 THEN f.cent ELSE c.cent END")}) AS BIGINT)
+         |      // count(*) AS served_mean
+         |  FROM members m JOIN verd v ON v.label = m.label
+         |  JOIN cent c ON c.label = m.label JOIN fresh f ON f.label = m.label
+         |  GROUP BY m.label)
+         |SELECT v.label, v.n_base, v.n_new, v.mean_base, v.mean_new, v.rebuild, s.served_mean
+         |FROM verd v JOIN served s ON s.label = v.label""".stripMargin
     },
 
     "recall_probe_sweep" -> {

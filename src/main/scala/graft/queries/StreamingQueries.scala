@@ -131,6 +131,37 @@ object StreamingQueries {
     }
   }
 
+  /** C71's streamed cascade stage-1 (static sign-code index, arriving
+    * queries, complete-mode per-q_id heap) run to its sink table — shared
+    * by the serve entry and the C71b downstream rerank, which differ only
+    * in what consumes the shortlist. Output: (q_id, rank, vec_id, ham). */
+  private def cascadeServeStream(s: SparkSession, dir: String,
+                                 sink: String): DataFrame = {
+    val codes = Tables(s, dir, "embeddings").selectExpr("vec_id",
+      s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS lo",
+      s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS hi")
+    val qStream = readStreamTable(s, dir, "embeddings")
+      .filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id",
+        s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS q_lo",
+        s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS q_hi")
+      .withColumn("one", lit(1))
+    // constant-key stream-static BroadcastHashJoin (the C66 shape)
+    val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+      .filter(col("vec_id") =!= col("q_id"))
+      .drop("one")
+      .withColumn("ham",
+        expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+    runToTable(s,
+      scored.groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"),
+          FusionQueries.CascStage1, asc = true).as("hits")),
+      sink, "complete")
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+  }
+
   /** Documents carry no event time; ingest order IS doc order, so a
     * doc_id-derived timestamp is the deterministic stand-in — offset by 1s
     * because a row AT the initial watermark (epoch 0) is dropped as late.
@@ -426,30 +457,33 @@ object StreamingQueries {
     // 16 bytes/candidate); the sq8 and exact stages rerank the emitted
     // shortlist downstream — a second streaming aggregation is forbidden,
     // the C66 convention.
-    "streaming_cascade_serve" -> ((s, dir) => {
-      val codes = Tables(s, dir, "embeddings").selectExpr("vec_id",
-        s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS lo",
-        s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS hi")
-      val qStream = readStreamTable(s, dir, "embeddings")
-        .filter(col("vec_id") < 8)
-        .selectExpr("vec_id AS q_id",
-          s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS q_lo",
-          s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS q_hi")
-        .withColumn("one", lit(1))
-      // constant-key stream-static BroadcastHashJoin (the C66 shape)
-      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
-        .filter(col("vec_id") =!= col("q_id"))
-        .drop("one")
-        .withColumn("ham",
-          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
-      runToTable(s,
-        scored.groupBy("q_id")
-          .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"),
-            FusionQueries.CascStage1, asc = true).as("hits")),
-        "sq_casc_serve", "complete")
-        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
-          col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    "streaming_cascade_serve" -> ((s, dir) =>
+      cascadeServeStream(s, dir, "sq_casc_serve")
+        .select("q_id", "rank", "vec_id", "ham")),
+
+    // C71b: the DOWNSTREAM RERANK the C66/C71 scaladoc promises (r11
+    // verdict next #8 — "production reranks the emitted shortlist
+    // downstream; a second streaming aggregation is forbidden" was
+    // documentation, this is the code): the C71 stream runs to its sink
+    // table, then ONE BATCH pass reranks that sink through the funnel's
+    // sq8 + exact stages — literally Cascade.rerankShortlist, the same
+    // code path the batch funnel's tail runs, over the streamed stage-1
+    // shortlist. Stream stage-1 ≡ batch stage-1 (complete-mode k-heap
+    // over the whole table) and the tail is shared by construction, so
+    // the end-to-end result equals knn_cascade_batch row for row — the
+    // oracle IS the batch funnel's (spec-pinned too). At 100 TB the sink
+    // table is O(|Q|·stage1) and the rerank pages floats for it alone.
+    "streaming_cascade_rerank" -> ((s, dir) => {
+      val short1 = cascadeServeStream(s, dir, "sq_casc_rerank")
+        .select("q_id", "vec_id", "ham")
+      val e = Tables(s, dir, "embeddings").selectExpr("vec_id", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = graft.operators.Cascade.calibrationStats(e)
+      val qs = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+          col("v").as("qd"))
+      graft.operators.Cascade.rerankShortlist(e, qs, stats, short1,
+        FusionQueries.CascStage2, k = 10)
     }),
 
     // C59: continuous top-k maintenance AS a stream — the live leaderboard
@@ -630,6 +664,11 @@ object StreamingQueries {
            |  SELECT q_id, vec_id, ham, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)
            |WHERE rank <= ${FusionQueries.CascStage1}""".stripMargin,
+
+      // C71b: the streamed stage-1 + downstream batch rerank equals the
+      // batch funnel end-to-end (stream stage-1 ≡ batch stage-1, shared
+      // rerank tail by construction) — the oracle IS knn_cascade_batch's
+      "streaming_cascade_rerank" -> FusionQueries.oracle("knn_cascade_batch"),
 
       // C70: the batch bottom-k replayed with rank — same tie order as
       // the heap (pri asc, lower id wins)

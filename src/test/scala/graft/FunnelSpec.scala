@@ -398,6 +398,29 @@ class FunnelSpec extends SparkSpec {
     assert(entry.forall { case (_, _, _, s) => s >= 0 && s <= maxBits * 10000L })
   }
 
+  test("ivf_drift_rebuild: verdict formula self-consistent, both arms fire, membership conserved") {
+    // A30b: the oracle hash is the arithmetic gate; this pins the
+    // composition invariants — the verdict column equals the threshold
+    // formula applied to the entry's own stats, base/arriving membership
+    // is conserved (400 base ids, the rest assigned to existing
+    // clusters), and BOTH dispatch arms fire at the gate scale (a
+    // decision entry where one branch never runs proves nothing).
+    val rows = SparkEntry.queries("ivf_drift_rebuild")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nb, nn, mb, mn2, rebuild, served) =>
+      val expect = if (mn2 * 10 > mb * 12 || nn * 5 >= nb + nn) 1L else 0L
+      assert(rebuild == expect, s"verdict disagrees with its own stats: $rows")
+      assert(served > 0)
+    }
+    assert(rows.map(_._2).sum == 400L, "base membership must cover vec_id < 400")
+    assert(rows.map(_._3).sum ==
+      Tables(spark, dir, "embeddings").filter(col("vec_id") >= 400).count())
+    assert(rows.exists(_._6 == 1L) && rows.exists(_._6 == 0L),
+      s"both verdict arms must fire at the gate scale: ${rows.mkString(", ")}")
+  }
+
   test("sq8 calibration refuses a degenerate constant corpus loudly") {
     // r10 ADVICE: mx == mn would divide by zero and null every int8 code,
     // silently collapsing the quantized cut — the guard names the failure

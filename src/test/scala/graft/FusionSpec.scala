@@ -170,6 +170,44 @@ class FusionSpec extends SparkSpec {
       "the refused append must not have written any code rows")
   }
 
+  test("knn_pq_batch_external: non-indexed queries, no hidden self-exclusion, guards fire") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    val out = q("knn_pq_batch_external").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.map(_._1).distinct.sorted.toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.groupBy(_._1).forall(_._2.length == 10))
+    // the midpoint queries are genuinely NOT corpus rows
+    val corpus = e.select("embedding").collect()
+      .map(_.getSeq[Float](0).toVector).toSet
+    val mids = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    (0L to 3L).foreach { g =>
+      val qv = mids(2 * g).zip(mids(2 * g + 1))
+        .map { case (x, y) => ((x.toDouble + y.toDouble) * 0.5).toFloat }.toVector
+      assert(!corpus.contains(qv), s"midpoint query $g collides with a corpus row")
+    }
+    // nothing secretly excludes the query: a frame whose q_vec EQUALS a
+    // corpus row must get that row back at rank 1, distance 0
+    val twin = e.filter(col("vec_id") === 0)
+      .selectExpr("CAST(99L AS BIGINT) AS q_id", "embedding AS q_vec")
+    val res = Pq.searchRerankBatchWideExternal(e, twin, k = 3,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(res.contains((0L, 1L, 0L)),
+      s"the query's corpus twin must rank 1 at distance 0: ${res.mkString(", ")}")
+    // guards: duplicate q_ids and an empty frame refuse loudly
+    val dup = twin.union(twin)
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchWideExternal(e, dup, 3, 8, 8, 64, 100)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchWideExternal(e, twin.filter(col("q_id") === -1L), 3, 8, 8, 64, 100)
+    }
+    assert(e2.getMessage.contains("empty"))
+  }
+
   test("PQ encodeFast (literal codebook) equals the join-based encode") {
     import graft.operators.Pq
     val emb = Tables(spark, dir, "embeddings")

@@ -112,6 +112,36 @@ class PipelineSpec extends SparkSpec {
     assert(cos > 0.99, s"near-dup cosine $cos")
   }
 
+  test("IntMlpEmbedModel: a real forward pass — exactness bound, batching, zero-input algebra") {
+    // B11e: the fixed-weight MLP arm. The oracle hash-gates the full
+    // forward pass; this pins the model contract — batch-size
+    // independence, Float exactness (every output integer-valued and far
+    // below 2^24), and the zero-input algebra h = max(b1,0)/64,
+    // y = W2·h + b2 recomputed here from the md5 weight derivation.
+    val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+    val media = Multimodal.asMedia(spark, docs)
+    val model = new Multimodal.IntMlpEmbedModel
+    val a = Multimodal.embedWith(spark, media, model, batchSize = 7).collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    val b = Multimodal.embedWith(spark, media, model, batchSize = 64).collect()
+      .map(e => e.media_id -> e.embedding.toSeq).toMap
+    assert(a == b, "batch size must not change results")
+    assert(a.nonEmpty && a.values.forall(_.length == 16))
+    a.values.flatten.foreach { y =>
+      assert(y == math.rint(y) && math.abs(y) < (1 << 24).toFloat,
+        s"output $y must be an exactly-representable integer")
+    }
+    assert(a.values.toSet.size > 1, "not a constant map")
+    // zero input (empty blob): the network reduces to pure bias algebra
+    def w(tag: String): Long = (graft.operators.Lsh.md5Hash60(tag) % 17L) - 8L
+    val h0 = (0 until 16).map(k => math.max(w(s"b1_$k"), 0L) / 64L)
+    val y0 = (0 until 16).map(d =>
+      (0 until 16).map(k => w(s"w2_${d}_$k") * h0(k)).sum + w(s"b2_$d"))
+    val got = model.embedBatch(Seq((0L, Array.emptyByteArray))).head
+    assert(got.toSeq == y0.map(_.toFloat), "zero-input forward pass algebra")
+  }
+
   test("EmbedModels.forSession dispatches ONNX vs signal-featurizer both ways") {
     import Multimodal.EmbedModels
     // no model path configured → featurizer, regardless of runtime

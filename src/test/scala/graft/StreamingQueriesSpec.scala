@@ -14,6 +14,21 @@ class StreamingQueriesSpec extends SparkSpec {
   private val dir = "/root/testdata/sf0.001"
   private def run(name: String) = StreamingQueries.defs(name)(spark, dir)
 
+  test("streaming_cascade_rerank equals the batch cascade funnel row for row") {
+    // C71b (r11 verdict next #8): the streamed stage-1 sink reranked
+    // downstream through Cascade.rerankShortlist must equal
+    // knn_cascade_batch exactly — stream stage-1 ≡ batch stage-1
+    // (complete-mode heap over the whole table) and the rerank tail is
+    // the same code path by construction; this pins the composition.
+    val streamed = run("streaming_cascade_rerank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    val batch = SparkEntry.queries("knn_cascade_batch")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq.sorted
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streaming_window equals the batch windowed aggregate") {
     val streamed = run("streaming_window").collect().toSet
     val batch = graft.streaming.EventsStream
