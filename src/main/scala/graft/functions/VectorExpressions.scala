@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types._
@@ -279,6 +279,437 @@ case class QuantizeVec(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** floor(((x − mn)·255) / (mx − mn)) per component over ARRAY<DOUBLE> →
+  * ARRAY<BIGINT> — the sq8 scalar quantization as a native kernel. The
+  * `transform()` HOF form pays a boxed lambda call per element outside
+  * whole-stage codegen (at d=2048 that is ~4096 boxed Longs per row
+  * across the qa/qb pair — the r11 QuantizeVec pathology, resurfaced by
+  * the wide sq8 gates at 18.8 s/entry); this emits one primitive loop.
+  * Arithmetic is token-identical to the SQL form: (x − mn) · 255.0, then
+  * the division, then floor — every oracle-gated caller is bit-unchanged
+  * (kernel ≡ HOF spec-pinned). Null elements quantize to null (the
+  * transform() semantics); output nullability mirrors the input's. */
+case class Sq8QuantizeVec(vec: Expression, mnE: Expression, mxE: Expression)
+    extends TernaryExpression {
+  override def prettyName: String = "vec_sq8"
+  override def first: Expression = vec
+  override def second: Expression = mnE
+  override def third: Expression = mxE
+
+  private def elemNullable: Boolean = vec.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = elemNullable)
+  override def nullable: Boolean = vec.nullable || mnE.nullable || mxE.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, mnE.dataType, mxE.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (array<double>, double, double), got $other")
+    }
+
+  override def nullSafeEval(v0: Any, mn0: Any, mx0: Any): Any = {
+    val a = v0.asInstanceOf[ArrayData]
+    val mn = mn0.asInstanceOf[Double]; val mx = mx0.asInstanceOf[Double]
+    val n = a.numElements()
+    var hasNull = false
+    if (elemNullable) {
+      var i = 0
+      while (i < n && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
+    }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(((a.getDouble(i) - mn) * 255.0) / (mx - mn)).toLong
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      var i = 0
+      while (i < n) {
+        if (!a.isNullAt(i))
+          out(i) = math.floor(((a.getDouble(i) - mn) * 255.0) / (mx - mn)).toLong
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (v, mn, mx) => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val primitive =
+        s"""
+           |long[] $out = new long[$n];
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $out[$i] = (long) java.lang.Math.floor((($v.getDouble($i) - $mn) * 255.0D) / ($mx - $mn));
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      if (!elemNullable) {
+        s"""
+           |final int $n = $v.numElements();
+           |$primitive
+         """.stripMargin
+      } else {
+        val hn = ctx.freshName("hasNull"); val bo = ctx.freshName("boxed"); val j = ctx.freshName("j")
+        s"""
+           |final int $n = $v.numElements();
+           |boolean $hn = false;
+           |for (int $j = 0; $j < $n && !$hn; $j++) { $hn = $v.isNullAt($j); }
+           |if (!$hn) {
+           |  $primitive
+           |} else {
+           |  Object[] $bo = new Object[$n];
+           |  for (int $j = 0; $j < $n; $j++) {
+           |    if (!$v.isNullAt($j)) {
+           |      $bo[$j] = (long) java.lang.Math.floor((($v.getDouble($j) - $mn) * 255.0D) / ($mx - $mn));
+           |    }
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bo);
+           |}
+         """.stripMargin
+      }
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression): Expression =
+    copy(vec = f, mnE = s, mxE = t)
+}
+
+/** Σ (a_i − b_i)² over ARRAY<BIGINT> pairs — the integer squared-L2 as a
+  * native kernel, replacing the interpreted `aggregate(zip_with(...))`
+  * HOF ([[graft.functions.sqDistLongSql]]) in hot paths. Integer sums are
+  * order-insensitive, so the kernel is trivially bit-identical to the
+  * HOF on non-null input; a null ELEMENT nulls the whole sum (the HOF's
+  * acc + null semantics), and a length mismatch fails loudly (the
+  * DotProductLong convention — the HOF's silent null would hide the
+  * data bug). */
+case class SqDistLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_sqdist_long"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  private def anyElemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: vector dimensions differ ($n vs ${b.numElements()})")
+    if (anyElemNullable) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var acc = 0L; var i = 0
+    while (i < n) { val d = a.getLong(i) - b.getLong(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i"); val d = ctx.freshName("d")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      val nullCheck = if (anyElemNullable) {
+        val j = ctx.freshName("j")
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; }
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException($err + ": vector dimensions differ (" +
+         |    $n + " vs " + $b.numElements() + ")");
+         |}
+         |$nullCheck
+         |if (!${ev.isNull}) {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    final long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Sign-bit packing at ANY width: group g of the output packs the signs
+  * of elements g·32 … g·32+31 (bit j set iff v[g·32+j] > 0) into one
+  * non-negative BIGINT — [[graft.operators.Cascade.bqHalf]]'s CASE-term
+  * construction generalized past the 64-d lo/hi pair (2048-d needs 64
+  * groups; 2048 explicit CASE terms would blow the Janino method-size
+  * budget, this is one primitive loop). A null element packs as bit 0 —
+  * exactly the SQL CASE's `NULL > 0.0 → ELSE 0` arm, so the oracle's
+  * list_transform/CASE form is bit-identical. */
+case class BqPackVec(child: Expression, groups: Int) extends UnaryExpression {
+  override def prettyName: String = "vec_bqpack"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    require(a.numElements() >= groups * 32,
+      s"$prettyName: input has ${a.numElements()} elements, needs >= ${groups * 32}")
+    val out = new Array[Long](groups)
+    var g = 0
+    while (g < groups) {
+      var acc = 0L; var j = 0
+      while (j < 32) {
+        val i = g * 32 + j
+        if (!(elemNullable && a.isNullAt(i)) && a.getFloat(i) > 0.0f)
+          acc |= (1L << j)
+        j += 1
+      }
+      out(g) = acc
+      g += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val g = ctx.freshName("g")
+      val j = ctx.freshName("j"); val i = ctx.freshName("i"); val acc = ctx.freshName("acc")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      val nullGuard = if (elemNullable) s"!$v.isNullAt($i) && " else ""
+      s"""
+         |if ($v.numElements() < ${groups * 32}) {
+         |  throw new IllegalArgumentException($err + ": input has " +
+         |    $v.numElements() + " elements, needs >= " + ${groups * 32});
+         |}
+         |long[] $out = new long[$groups];
+         |for (int $g = 0; $g < $groups; $g++) {
+         |  long $acc = 0L;
+         |  for (int $j = 0; $j < 32; $j++) {
+         |    final int $i = $g * 32 + $j;
+         |    if ($nullGuard$v.getFloat($i) > 0.0f) { $acc |= (1L << $j); }
+         |  }
+         |  $out[$g] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Σ bit_count(a_i ⊕ b_i) over ARRAY<BIGINT> pairs — Hamming distance
+  * over packed sign codes at any width (the 64-d entries' explicit
+  * `bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi)` generalized). Integer,
+  * order-insensitive; null element nulls the sum (the HOF semantics);
+  * length mismatch fails loudly (the DotProductLong convention). */
+case class HammingDistLong(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "vec_hamming_long"
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+
+  private def anyElemNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val n = a.numElements()
+    if (n != b.numElements()) throw new IllegalArgumentException(
+      s"$prettyName: code lengths differ ($n vs ${b.numElements()})")
+    if (anyElemNullable) {
+      var i = 0
+      while (i < n) {
+        if (a.isNullAt(i) || b.isNullAt(i)) return null
+        i += 1
+      }
+    }
+    var acc = 0L; var i = 0
+    while (i < n) { acc += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i)); i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      val nullCheck = if (anyElemNullable) {
+        val j = ctx.freshName("j")
+        s"""
+           |for (int $j = 0; $j < $n && !${ev.isNull}; $j++) {
+           |  if ($a.isNullAt($j) || $b.isNullAt($j)) { ${ev.isNull} = true; }
+           |}
+         """.stripMargin
+      } else ""
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException($err + ": code lengths differ (" +
+         |    $n + " vs " + $b.numElements() + ")");
+         |}
+         |$nullCheck
+         |if (!${ev.isNull}) {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += java.lang.Long.bitCount($a.getLong($i) ^ $b.getLong($i));
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** The A45 derived-wide construction as a native kernel: wide[j] =
+  * (float)((double)v[((j%dims)+(j/dims))%dims] · ((j/dims)%5+(j%dims)%3+1))
+  * over ARRAY<FLOAT> — one float round per slot, bit-identical to the
+  * `transform(sequence(0, w−1), ...)` HOF form it replaces (the HOF paid
+  * ~2048 boxed lambda calls per row per DERIVATION, and every 2048-d
+  * entry derives the wide frame in several plan branches). Null source
+  * elements propagate to every slot that reads them (the element_at
+  * semantics); output nullability mirrors the input's. */
+case class WidenVec(child: Expression, dims: Int, wideDims: Int)
+    extends UnaryExpression {
+  override def prettyName: String = "vec_widen"
+
+  private def elemNullable: Boolean = child.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  override def dataType: DataType = ArrayType(FloatType, containsNull = elemNullable)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<float>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    require(a.numElements() >= dims,
+      s"$prettyName: input has ${a.numElements()} elements, needs >= $dims")
+    var hasNull = false
+    if (elemNullable) {
+      var i = 0
+      while (i < dims && !hasNull) { hasNull = a.isNullAt(i); i += 1 }
+    }
+    if (!hasNull) {
+      val out = new Array[Float](wideDims)
+      var j = 0
+      while (j < wideDims) {
+        val src = ((j % dims) + (j / dims)) % dims
+        val mult = (j / dims) % 5 + (j % dims) % 3 + 1
+        out(j) = (a.getFloat(src).toDouble * mult).toFloat
+        j += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](wideDims)
+      var j = 0
+      while (j < wideDims) {
+        val src = ((j % dims) + (j / dims)) % dims
+        val mult = (j / dims) % 5 + (j % dims) % 3 + 1
+        if (!a.isNullAt(src)) out(j) = (a.getFloat(src).toDouble * mult).toFloat
+        j += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val out = ctx.freshName("out"); val j = ctx.freshName("j")
+      val src = ctx.freshName("src"); val mult = ctx.freshName("mult")
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      val guard =
+        s"""
+           |if ($v.numElements() < $dims) {
+           |  throw new IllegalArgumentException($err + ": input has " +
+           |    $v.numElements() + " elements, needs >= " + $dims);
+           |}
+         """.stripMargin
+      val primitive =
+        s"""
+           |float[] $out = new float[$wideDims];
+           |for (int $j = 0; $j < $wideDims; $j++) {
+           |  final int $src = (($j % $dims) + ($j / $dims)) % $dims;
+           |  final int $mult = ($j / $dims) % 5 + ($j % $dims) % 3 + 1;
+           |  $out[$j] = (float) ((double) $v.getFloat($src) * $mult);
+           |}
+           |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         """.stripMargin
+      if (!elemNullable) {
+        s"""
+           |$guard
+           |$primitive
+         """.stripMargin
+      } else {
+        val hn = ctx.freshName("hasNull"); val bo = ctx.freshName("boxed")
+        s"""
+           |$guard
+           |boolean $hn = false;
+           |for (int $j = 0; $j < $dims && !$hn; $j++) { $hn = $v.isNullAt($j); }
+           |if (!$hn) {
+           |  $primitive
+           |} else {
+           |  Object[] $bo = new Object[$wideDims];
+           |  for (int $j = 0; $j < $wideDims; $j++) {
+           |    final int $src = (($j % $dims) + ($j / $dims)) % $dims;
+           |    final int $mult = ($j / $dims) % 5 + ($j % $dims) % 3 + 1;
+           |    if (!$v.isNullAt($src)) {
+           |      $bo[$j] = (float) ((double) $v.getFloat($src) * $mult);
+           |    }
+           |  }
+           |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bo);
+           |}
+         """.stripMargin
+      }
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level API for the vector kernels. */
 object vectors {
   def dot(a: Column, b: Column): Column =
@@ -291,4 +722,15 @@ object vectors {
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def quantize(v: Column): Column =
     Bridge.column(QuantizeVec(Bridge.expression(v)))
+  def sq8(v: Column, mn: Column, mx: Column): Column =
+    Bridge.column(Sq8QuantizeVec(Bridge.expression(v), Bridge.expression(mn),
+      Bridge.expression(mx)))
+  def sqDistLong(a: Column, b: Column): Column =
+    Bridge.column(SqDistLong(Bridge.expression(a), Bridge.expression(b)))
+  def widen(v: Column, dims: Int, wideDims: Int): Column =
+    Bridge.column(WidenVec(Bridge.expression(v), dims, wideDims))
+  def bqPack(v: Column, groups: Int): Column =
+    Bridge.column(BqPackVec(Bridge.expression(v), groups))
+  def hammingLong(a: Column, b: Column): Column =
+    Bridge.column(HammingDistLong(Bridge.expression(a), Bridge.expression(b)))
 }

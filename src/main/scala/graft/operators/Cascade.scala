@@ -92,10 +92,50 @@ object Cascade {
         expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
       .orderBy(col("ham").asc, col("vec_id").asc).limit(stage1)
       .crossJoin(broadcast(stats))
-      .selectExpr("vec_id", "embedding", "q_vec", "ham",
-        "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-        "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-      .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+      // sq8 quantize + integer sq-L2 as codegen'd kernels (r12: the
+      // transform()/aggregate(zip_with) HOF forms pay boxed per-element
+      // lambdas — arithmetic token-identical, spec-pinned kernel ≡ HOF)
+      .select(col("vec_id"), col("embedding"), col("q_vec"), col("ham"),
+        vectors.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+        vectors.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+      .withColumn("d8", vectors.sqDistLong(col("qa"), col("qb")))
+      .orderBy(col("d8").asc, col("vec_id").asc).limit(stage2)
+      .withColumn("score", scaled(
+        vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(k)
+      .select("vec_id", "score", "d8", "ham")
+  }
+
+  /** [[search]] at ARBITRARY width (r11 verdict "what's missing" #2, the
+    * funnel leg): the 64-d form's lo/hi long pair generalizes to a
+    * dims/32-long packed-code array via the BqPackVec / HammingDistLong
+    * kernels (2048 explicit CASE terms would blow the Janino method-size
+    * budget; the kernels are one primitive loop each) and the sq8 stage
+    * runs the Sq8QuantizeVec / SqDistLong kernels. Semantics identical to
+    * [[search]] per stage — Hamming over all sign bits, int8 sq-L2 under
+    * corpus-wide calibration, exact cosine — every cut integer-exact with
+    * ties to the lower id, so the funnel replays in the oracle at the
+    * reference's d=2048. At 100 TB the always-resident code column is
+    * dims/8 bytes/row (256 B at 2048-d vs the reference's 8 KB floats). */
+  def searchWide(raw: DataFrame, qid: Long, stage1: Int, stage2: Int, k: Int,
+                 dims: Int): DataFrame = {
+    require(dims % 32 == 0, s"searchWide: dims=$dims must be a multiple of 32")
+    val groups = dims / 32
+    val e = raw.select(col("vec_id"), col("embedding"),
+      expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"),
+      vectors.bqPack(col("embedding"), groups).as("p"))
+    val stats = calibrationAndPresence(e, Seq(qid))
+    val q = e.filter(col("vec_id") === qid)
+      .select(col("p").as("qp"), col("embedding").as("q_vec"), col("v").as("qd"))
+    e.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(q))
+      .withColumn("ham", vectors.hammingLong(col("p"), col("qp")))
+      .orderBy(col("ham").asc, col("vec_id").asc).limit(stage1)
+      .crossJoin(broadcast(stats))
+      .select(col("vec_id"), col("embedding"), col("q_vec"), col("ham"),
+        vectors.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+        vectors.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+      .withColumn("d8", vectors.sqDistLong(col("qa"), col("qb")))
       .orderBy(col("d8").asc, col("vec_id").asc).limit(stage2)
       .withColumn("score", scaled(
         vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
@@ -159,10 +199,11 @@ object Cascade {
     broadcast(short1).join(e.select("vec_id", "embedding", "v"), "vec_id")
       .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
       .crossJoin(broadcast(stats))
-      .selectExpr("q_id", "vec_id", "embedding", "q_vec", "ham",
-        "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-        "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-      .withColumn("d8", expr(sqDistLongSql("qa", "qb")))
+      // kernels, not HOFs — see the single-query tail above
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("q_vec"), col("ham"),
+        vectors.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+        vectors.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+      .withColumn("d8", vectors.sqDistLong(col("qa"), col("qb")))
       .withColumn("r2", row_number().over(wq.orderBy(col("d8").asc, col("vec_id").asc)))
       .filter(col("r2") <= stage2)
       .withColumn("score", scaled(

@@ -406,6 +406,20 @@ object FusionQueries {
       Pq.searchRerank(HybridQueries.wideEmbeddings(s, dir), qid = 0, k = 10,
         numSub = 16, subDim = 128, numCodes = 64, shortlist = 100)),
 
+    // A46c: the FULL three-stage cascade funnel at the reference width —
+    // the last compressed code path that ran at d=2048 only as probe
+    // timings: 2048-bit packed sign codes (64 longs via the BqPackVec
+    // kernel — 256 B/row always-resident vs the reference's 8 KB floats),
+    // Hamming stage-1 (HammingDistLong), int8 sq-L2 stage-2 under
+    // corpus-wide calibration, exact cosine stage-3. Every cut
+    // integer-exact; the oracle replays packing, Hamming, sq8, and
+    // cosine at full width (pre-validated in python/duckdb vs a
+    // pure-python reference).
+    "knn_cascade_2048" -> ((s, dir) =>
+      Cascade.searchWide(HybridQueries.wideEmbeddings(s, dir), qid = 3,
+        stage1 = CascStage1, stage2 = CascStage2, k = 10,
+        dims = HybridQueries.WideDims)),
+
     // A46b: flat SQ8 at the reference width — the cascade funnel's int8
     // stage-2 arithmetic (full-corpus (mn,mx) calibration, 0..255 codes,
     // integer squared-L2) hash-gated at d=2048. With A45 (exact L2),
@@ -418,12 +432,15 @@ object FusionQueries {
         .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       val stats = Cascade.calibrationStats(e)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vecs = graft.functions.vectors
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
-        .selectExpr("vec_id",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .selectExpr("vec_id", graft.functions.sqDistLongSql("qa", "qb") + " AS dist")
+        // at d=2048 the HOF forms paid ~4096 boxed Longs per row — the
+        // kernels keep the whole scan inside whole-stage codegen
+        .select(col("vec_id"),
+          vecs.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+          vecs.sq8(col("qv"), col("mn"), col("mx")).as("qb"))
+        .select(col("vec_id"), vecs.sqDistLong(col("qa"), col("qb")).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
     }),
@@ -544,12 +561,15 @@ object FusionQueries {
         .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       val stats = Cascade.calibrationStats(e)
       val q = e.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vecs = graft.functions.vectors
       e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
-        .selectExpr("vec_id",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .selectExpr("vec_id", graft.functions.sqDistLongSql("qa", "qb") + " AS dist")
+        // codegen'd sq8 + integer sq-L2 kernels (token-identical to the
+        // transform/aggregate HOF forms, spec-pinned)
+        .select(col("vec_id"),
+          vecs.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+          vecs.sq8(col("qv"), col("mn"), col("mx")).as("qb"))
+        .select(col("vec_id"), vecs.sqDistLong(col("qa"), col("qb")).as("dist"))
         .orderBy(col("dist").asc, col("vec_id").asc)
         .limit(10)
     }),
@@ -578,10 +598,11 @@ object FusionQueries {
       ev.filter(col("vec_id") =!= 0)
         .join(broadcast(probed), "label")
         .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
-        .selectExpr("vec_id", "embedding", "q_vec",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        // sq8 + integer sq-L2 kernels (the knn_sq8 swap; spec-pinned)
+        .select(col("vec_id"), col("embedding"), col("q_vec"),
+          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+          graft.functions.vectors.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+        .withColumn("d8", graft.functions.vectors.sqDistLong(col("qa"), col("qb")))
         .orderBy(col("d8").asc, col("vec_id").asc).limit(IvfSqShortlist)
         .withColumn("score", graft.functions.scaled(
           graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
@@ -724,10 +745,10 @@ object FusionQueries {
       val staged = broadcast(ranked1).join(e.select("vec_id", "embedding", "v"), "vec_id")
         .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
         .crossJoin(broadcast(stats))
-        .selectExpr("q_id", "vec_id", "embedding", "q_vec", "r1",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qa",
-          "transform(qd, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS qb")
-        .withColumn("d8", expr(graft.functions.sqDistLongSql("qa", "qb")))
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_vec"), col("r1"),
+          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+          graft.functions.vectors.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+        .withColumn("d8", graft.functions.vectors.sqDistLong(col("qa"), col("qb")))
         .withColumn("score", graft.functions.scaled(
           graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
         .select("q_id", "vec_id", "r1", "d8", "score").localCheckpoint(true)
@@ -880,14 +901,15 @@ object FusionQueries {
       // do |Q|× the transform work for identical values — r8 review
       // finding); the |Q| query codes quantize on the broadcast side
       val qcodes = ed.filter(col("vec_id") <= 4).crossJoin(broadcast(stats))
-        .selectExpr("vec_id AS q_id",
-          "transform(v, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS cb")
+        .select(col("vec_id").as("q_id"),
+          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("cb"))
       val coarse = ed.crossJoin(broadcast(stats))
-        .selectExpr("vec_id",
-          "transform(v, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS ca")
+        .select(col("vec_id"),
+          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("ca"))
         .crossJoin(broadcast(qcodes))
         .filter(col("vec_id") =!= col("q_id"))
-        .selectExpr("q_id", "vec_id", graft.functions.sqDistLongSql("ca", "cb") + " AS coarse")
+        .select(col("q_id"), col("vec_id"),
+          graft.functions.vectors.sqDistLong(col("ca"), col("cb")).as("coarse"))
         .groupBy("q_id")
         .agg(graft.functions.aggs.topK(col("coarse"), col("vec_id"), RefineR,
           asc = true).as("hits"))
@@ -921,10 +943,11 @@ object FusionQueries {
       val q = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
       val coarse = ed.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
-        .selectExpr("vec_id",
-          "transform(v,  x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS ca",
-          "transform(qv, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT)) AS cb")
-        .selectExpr("vec_id", graft.functions.sqDistLongSql("ca", "cb") + " AS coarse")
+        .select(col("vec_id"),
+          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("ca"),
+          graft.functions.vectors.sq8(col("qv"), col("mn"), col("mx")).as("cb"))
+        .select(col("vec_id"),
+          graft.functions.vectors.sqDistLong(col("ca"), col("cb")).as("coarse"))
         .orderBy(col("coarse").asc, col("vec_id").asc).limit(RefineR)
       val qz = Pq.quantized(e)
       val qvec = qz.filter(col("vec_id") === 0).select(col("q").as("qq"))
@@ -1083,6 +1106,41 @@ object FusionQueries {
 
     // A46: the wide PQ pipeline — see pqOracleSql2048's width adaptations
     "knn_pq_2048" -> pqOracleSql2048(qid = 0),
+
+    // A46c: the full funnel at width — packing via list CASE folds (the
+    // BqPackVec bit order), Hamming via bit_count(xor) over the 64
+    // groups, sq8/cosine as the standard forms
+    "knn_cascade_2048" -> {
+      val (wideN, groups, s1, s2, qid) = (2048, 64, CascStage1, CascStage2, 3)
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |w2 AS MATERIALIZED (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_transform(range(0, $groups), g ->
+         |    list_reduce(list_transform(range(0, 32), j ->
+         |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
+         |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)) AS p
+         |  FROM wide),
+         |st AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM w2),
+         |q AS (SELECT p AS qp, embedding AS q_emb, v AS qd FROM w2 WHERE vec_id = $qid),
+         |s1 AS (SELECT b.vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${groups + 1}),
+         |      i -> bit_count(xor(b.p[i], q.qp[i])))) AS BIGINT) AS ham
+         |  FROM w2 b CROSS JOIN q WHERE b.vec_id <> $qid
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $s1),
+         |s2 AS (SELECT s1.vec_id, s1.ham,
+         |    CAST(list_sum(list_transform(range(1, ${wideN + 1}), i ->
+         |      (CAST(floor(((b.v[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)
+         |       - CAST(floor(((q.qd[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT))
+         |      * (CAST(floor(((b.v[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)
+         |       - CAST(floor(((q.qd[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)))) AS BIGINT) AS d8
+         |  FROM s1 JOIN w2 b USING (vec_id) CROSS JOIN q CROSS JOIN st
+         |  ORDER BY d8 ASC, s1.vec_id ASC LIMIT $s2)
+         |SELECT s2.vec_id,
+         |  CAST(floor(list_cosine_similarity(b.v, q.qd) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s2.d8, s2.ham
+         |FROM s2 JOIN w2 b USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // A46b: knn_sq8's oracle over the derived-wide vectors; integer
     // sq-L2 sums are order-insensitive so list_sum transliterates

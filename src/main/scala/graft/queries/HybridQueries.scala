@@ -61,11 +61,15 @@ object HybridQueries {
   private[queries] val WideDims = 2048
   private[queries] def wideEmbeddings(s: SparkSession, dir: String): DataFrame =
     wideEmb(emb(s, dir))
+  // the derivation runs as the codegen'd WidenVec kernel (r12: the
+  // transform(sequence(0, 2047), ...) HOF form paid ~2048 boxed lambda
+  // calls per row per derivation, and every 2048-d entry derives the
+  // wide frame in several plan branches; arithmetic identical — float→
+  // double widen, integer multiplier, one float round — spec-pinned
+  // kernel ≡ HOF)
   private def wideEmb(e: DataFrame): DataFrame =
-    e.selectExpr("vec_id",
-      s"CAST(transform(sequence(0, ${WideDims - 1}), j -> " +
-        s"CAST(element_at(CAST(embedding AS ARRAY<DOUBLE>), CAST(((j % $Dims) + (j div $Dims)) % $Dims + 1 AS INT))" +
-        s" * CAST((j div $Dims) % 5 + (j % $Dims) % 3 + 1 AS DOUBLE) AS FLOAT)) AS ARRAY<FLOAT>) AS embedding")
+    e.select(col("vec_id"),
+      graft.functions.vectors.widen(col("embedding"), Dims, WideDims).as("embedding"))
   /** The same construction as a DuckDB expression over `embedding`. */
   private[queries] def wideDuck: String =
     s"CAST(list_transform(range(0, $WideDims), j -> " +

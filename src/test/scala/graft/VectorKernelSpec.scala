@@ -83,6 +83,70 @@ class VectorKernelSpec extends SparkSpec {
     assert(dt.asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
   }
 
+  test("Sq8QuantizeVec kernel equals the transform-HOF form bit-for-bit") {
+    // r12: the sq8 stage's transform() form paid boxed lambdas per
+    // element (4096 boxed Longs/row at d=2048) — every funnel/sq8 entry
+    // now runs this kernel, so the identity must hold on real data
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val stats = graft.operators.Cascade.calibrationStats(e)
+    val both = e.crossJoin(broadcast(stats)).select(
+      vectors.sq8(col("v"), col("mn"), col("mx")).as("k"),
+      expr("transform(v, x -> CAST(floor(((x - mn) * 255.0D) / (mx - mn)) AS BIGINT))").as("h"))
+      .as[(Array[Long], Array[Long])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (k, h) => assert(k.sameElements(h)) }
+  }
+
+  test("SqDistLong kernel equals the aggregate/zip_with HOF; nulls and mismatches handled") {
+    val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = e.select(
+        vectors.quantize(col("embedding")).as("q"),
+        vectors.quantize(expr("reverse(embedding)")).as("r"))
+      .select(vectors.sqDistLong(col("q"), col("r")).as("k"),
+        expr(graft.functions.sqDistLongSql("q", "r")).as("h"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (k, h) => assert(k == h) }
+    // null element nulls the whole sum — the HOF's acc + null semantics
+    val withNull = Seq((Seq[Option[Long]](Some(1L), None), Seq[Option[Long]](Some(2L), Some(3L))))
+      .toDF("a", "b")
+      .select(vectors.sqDistLong(col("a"), col("b")).as("k"),
+        expr(graft.functions.sqDistLongSql("a", "b")).as("h"))
+      .collect().head
+    assert(withNull.isNullAt(0) && withNull.isNullAt(1))
+    // dimension mismatch fails loudly (the DotProductLong convention)
+    val bad = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(vectors.sqDistLong(col("a"), col("b"))).collect()
+    }
+    def hasDim(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("dimensions differ")) || hasDim(t.getCause))
+    assert(hasDim(ex))
+  }
+
+  test("WidenVec kernel equals the transform-HOF wide derivation bit-for-bit") {
+    val dims = 64; val wide = 2048
+    val hof = s"CAST(transform(sequence(0, ${wide - 1}), j -> " +
+      s"CAST(element_at(CAST(embedding AS ARRAY<DOUBLE>), CAST(((j % $dims) + (j div $dims)) % $dims + 1 AS INT))" +
+      s" * CAST((j div $dims) % 5 + (j % $dims) % 3 + 1 AS DOUBLE) AS FLOAT)) AS ARRAY<FLOAT>)"
+    val both = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(vectors.widen(col("embedding"), dims, wide).as("k"), expr(hof).as("h"))
+      .as[(Array[Float], Array[Float])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (k, h) =>
+      assert(k.length == wide && k.sameElements(h))
+    }
+    // too-short input fails loudly instead of reading out of bounds
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Array(1.0f, 2.0f))).toDF("embedding")
+        .select(vectors.widen(col("embedding"), dims, wide)).collect()
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("needs >=")) || hasMsg(t.getCause))
+    assert(hasMsg(ex))
+  }
+
   test("dimension mismatch fails loudly (no silent out-of-bounds reads)") {
     val df = Seq((Array(1f, 2f, 3f), Array(1f, 2f))).toDF("a", "b")
     val e = intercept[Exception] {

@@ -87,6 +87,46 @@ class Wide2048Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("knn_cascade_2048 equals the plain-Scala wide three-stage funnel") {
+    // the full funnel at the reference width: 64-long packed sign codes,
+    // Hamming cut, sq8 cut under corpus-wide calibration, exact cosine —
+    // reconstructed without Spark expressions (the FunnelSpec convention)
+    val (s1n, s2n, qid) = (100, 25, 3L)
+    val w = wideCorpus()
+    val wd = w.map { case (id, v) => id -> v.map(_.toDouble) }
+    def pack(v: Array[Float]): Array[Long] =
+      Array.tabulate(64) { g =>
+        var acc = 0L; var j = 0
+        while (j < 32) { if (v(g * 32 + j) > 0.0f) acc |= (1L << j); j += 1 }
+        acc
+      }
+    val p = w.map { case (id, v) => id -> pack(v) }
+    val qp = p(qid); val qv = wd(qid)
+    val mn = wd.valuesIterator.map(_.min).min
+    val mx = wd.valuesIterator.map(_.max).max
+    val s1 = wd.keys.filter(_ != qid).map { id =>
+      val ham = p(id).zip(qp).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum.toLong
+      (ham, id)
+    }.toSeq.sorted.take(s1n)
+    def sq8(x: Double): Long = math.floor(((x - mn) * 255.0) / (mx - mn)).toLong
+    val qb = qv.map(sq8)
+    val s2 = s1.map { case (ham, id) =>
+      val qa = wd(id).map(sq8)
+      var d = 0L; var i = 0
+      while (i < qa.length) { val x = qa(i) - qb(i); d += x * x; i += 1 }
+      (d, id, ham)
+    }.sorted.take(s2n)
+    val fin = s2.map { case (d8, id, ham) =>
+      val v = wd(id)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * qv(i); na += v(i) * v(i); nb += qv(i) * qv(i); i += 1 }
+      (-math.floor((dot / (math.sqrt(na) * math.sqrt(nb))) * 10000 + 0.5).toLong, id, d8, ham)
+    }.sorted.take(10).map { case (ns, id, d8, ham) => (id, -ns, d8, ham) }
+    val got = SparkEntry.queries("knn_cascade_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == fin)
+  }
+
   test("knn_pq_2048 equals the plain-Scala wide ADC + rerank reconstruction") {
     // the compressed family at the reference width: 16 subspaces ×
     // 128 dims, 64 seeded codewords, ADC shortlist of 100, exact rerank —
