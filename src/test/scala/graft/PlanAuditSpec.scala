@@ -129,6 +129,32 @@ class PlanAuditSpec extends SparkSpec {
       s"keep side carries a forced broadcast hint:\n${overKeep.mkString("\n")}")
   }
 
+  test("knn_pq_batch_external: map-side k-heaps, no window below the cut, no cartesian") {
+    // the external-query wide batch inherits searchRerankBatchWide's scale
+    // shape: the corpus×ADC scan must feed a partial TopKHits aggregate
+    // (shuffle ≤ |Q|·shortlist rows), never a window over scored rows
+    val p = plan("knn_pq_batch_external")
+    assert(p.contains("partial_top_k_hits"), p.take(3000))
+    assert(!p.contains("Window"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
+  test("knn_cascade_2048 and the wide gates: top-k plans as TakeOrdered, kernels in the scan") {
+    // the wide funnel's stage cuts are single-query orderBy+limit —
+    // TakeOrderedAndProject, never a global Sort; and the packed-code /
+    // sq8 kernels must appear in the plan (a regression to the HOF forms
+    // would re-box 2048 elements per row)
+    val p = plan("knn_cascade_2048")
+    assert(p.contains("TakeOrderedAndProject"), p.take(3000))
+    assert(!p.contains("Sort "), p.take(3000))
+    assert(p.contains("vec_bqpack") && p.contains("vec_hamming_long") &&
+      p.contains("vec_sq8") && p.contains("vec_sqdist_long"), p.take(3000))
+    val p2 = plan("knn_sq8_2048")
+    assert(p2.contains("vec_sq8") && p2.contains("vec_sqdist_long"), p2.take(3000))
+    val p3 = plan("knn_exact_l2_2048")
+    assert(p3.contains("vec_widen") && p3.contains("TakeOrderedAndProject"), p3.take(3000))
+  }
+
   test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
     val p = plan("hybrid_knn")
     assert(p.contains("partial_vec_sum"), p.take(2000))
