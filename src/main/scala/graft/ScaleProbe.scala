@@ -97,6 +97,12 @@ object ScaleProbe {
       time("pq_encode_adc_2048")(graft.operators.Pq.searchRerank(
         e, qid = 7, k = 10, numSub = 16, subDim = 128, numCodes = 64,
         shortlist = 100).count()),
+      // r12: the full three-stage funnel at width over the probe corpus —
+      // BqPackVec (64-long codes) → Hamming → sq8 → exact cosine; the
+      // kernels' 123k-row cost, not just the 2k-row gate corpus
+      time("casc_funnel_2048")(graft.operators.Cascade.searchWide(
+        e.select("vec_id", "embedding"), qid = 7, stage1 = 100, stage2 = 25,
+        k = 10, dims = dims).count()),
       // the reference's headline: HNSW build+search over the same corpus
       time("hnsw_build_search_2048") {
         val qv = e.filter(col("vec_id") === 7).select("embedding")
