@@ -446,6 +446,43 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
     }),
 
+    // C66b: EXTERNAL queries served as a stream — the A47 × C66
+    // composition closure: the reference's production loop receives
+    // queries that are NOT indexed rows (query.jpg embedded at serve
+    // time), and a serving stream receives them continuously. Arriving
+    // rows derive a deterministic non-indexed vector inline (one float
+    // round per component — both engines agree bit-for-bit), take ids in
+    // an explicit external id space (vec_id + 1000), and ADC-rank the
+    // static broadcast code table with NO self-exclusion — an external
+    // query has no corpus row to exclude. Same O(|Q|·k) complete-mode
+    // heap state as C66.
+    "streaming_pq_serve_external" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
+        numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val codes = Pq.encodeFast(
+        emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+        cbRows, numSub = 8, subDim = 8)
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .selectExpr("vec_id + 1000 AS q_id",
+          "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<DOUBLE>) AS qv")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .drop("one")
+        .withColumn("adist", Pq.adcDistCol(cbRows, numSub = 8, subDim = 8))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_pq_serve_ext", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
     // C71: cascade stage-1 SERVING as a stream — C66's serving pattern
     // (static compressed index, arriving queries) applied to the funnel's
     // 8-byte Hamming stage: the always-resident sign-code index is STATIC
@@ -644,6 +681,37 @@ object StreamingQueries {
            |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
            |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
            |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2)
+           |SELECT q_id, rank, vec_id, adist FROM (
+           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
+           |WHERE rank <= 10""".stripMargin,
+
+      // C66b: the C66 oracle with the qs CTE deriving the external
+      // scaled vectors (one float round, then widened back to double —
+      // the entry's transform order) and NO self-exclusion
+      "streaming_pq_serve_external" ->
+        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+           |  FROM body b CROSS JOIN cb),
+           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+           |        GROUP BY 1, 2),
+           |qs AS (SELECT vec_id + 1000 AS q_id,
+           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 8),
+           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+           |adc AS (SELECT q.q_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+           |  FROM cb JOIN q ON cb.m = q.m),
+           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+           |  FROM enc JOIN adc ON adc.m = enc.m AND adc.code = enc.code
+           |  GROUP BY 1, 2)
            |SELECT q_id, rank, vec_id, adist FROM (
            |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)

@@ -29,6 +29,36 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streaming_pq_serve_external equals the batch ADC ranking over the same external queries") {
+    // C66b: external (non-indexed) queries served as a stream must equal
+    // the identical batch pipeline — same codes, same adcDistCol, same
+    // heap — proving the complete-mode streaming aggregation adds nothing
+    import graft.operators.Pq
+    val streamed = run("streaming_pq_serve_external").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(streamed.map(_._1).distinct.sorted == (1000L to 1007L),
+      "external queries live in the vec_id + 1000 id space")
+    assert(streamed.groupBy(_._1).forall(_._2.size == 10))
+    val emb = Tables(spark, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, 8, 8, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"), cbRows, 8, 8)
+    val batch = emb.filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 1000 AS q_id",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<DOUBLE>) AS qv")
+      .withColumn("one", lit(1))
+      .join(broadcast(codes.withColumn("one", lit(1))), "one").drop("one")
+      .withColumn("adist", Pq.adcDistCol(cbRows, 8, 8))
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(streamed == batch)
+  }
+
   test("streaming_window equals the batch windowed aggregate") {
     val streamed = run("streaming_window").collect().toSet
     val batch = graft.streaming.EventsStream
