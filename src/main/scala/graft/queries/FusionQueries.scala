@@ -115,6 +115,29 @@ object FusionQueries {
 
   /** One funnel replay at stage-1 width `width`, CTEs suffixed `tag`;
     * ends with r3`tag` carrying (q_id, vec_id, ham, d8, score, rn3). */
+  /** [[cascBaseDuck]] at the derived 2048-d width (r12): packed-code
+    * arrays replace the lo/hi pair (the BqPackVec bit order), Hamming is
+    * the 64-group bit_count(xor) fold. Ends with the same r1 CTE shape,
+    * so [[cascFunnelDuck]] chains on unchanged (it is width-generic —
+    * len(s.v)-driven sq8, list cosine). */
+  private def cascBaseDuckWide(maxQ: Int = 7): String =
+    s"""wide AS MATERIALIZED (SELECT vec_id,
+       |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+       |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |  list_transform(range(0, 64), g ->
+       |    list_reduce(list_transform(range(0, 32), j ->
+       |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
+       |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)) AS p
+       |  FROM wide),
+       |st AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM b),
+       |qs AS (SELECT vec_id AS q_id, p AS q_p, v AS q_vec FROM b WHERE vec_id <= $maxQ),
+       |h AS (SELECT q.q_id, b.vec_id, b.v, q.q_vec,
+       |    CAST(list_sum(list_transform(range(1, 65),
+       |      i -> bit_count(xor(b.p[i], q.q_p[i])))) AS BIGINT) AS ham
+       |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id),
+       |r1 AS (SELECT h.*, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS rn1
+       |  FROM h)""".stripMargin
+
   private def cascFunnelDuck(width: Int, tag: String): String = {
     def q8(x: String) = s"CAST(floor((($x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)"
     s"""s1$tag AS (SELECT q_id, vec_id, v, q_vec, ham FROM r1 WHERE rn1 <= $width),
@@ -767,6 +790,61 @@ object FusionQueries {
         // every (w, q_id) pair appears even at zero hits (the A29 contract)
         qs.select("q_id").join(hits, Seq("q_id"), "left")
           .select(lit(w.toLong).as("w"), col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hit"))
+      }.reduce(_ union _)
+    }),
+
+    // A46d: the funnel's RECALL/WIDTH CURVE at the reference width — A43c
+    // re-run over the derived 2048-d vectors with the r12 kernels
+    // (BqPackVec codes, HammingDistLong ranking, Sq8QuantizeVec/
+    // SqDistLong stage-2): what the capacity planner reads before fixing
+    // CascStage1 at the dimensionality production actually runs. Same
+    // one-ranking-feeds-every-width economy as A43c; exact cosine over
+    // the wide vectors is the ground truth.
+    "recall_cascade_2048" -> ((s, dir) => {
+      val wMax = CascWidths.max
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val vecs = graft.functions.vectors
+      val e = w.select(col("vec_id"), col("embedding"),
+        expr("CAST(embedding AS ARRAY<DOUBLE>)").as("v"),
+        vecs.bqPack(col("embedding"), 64).as("p"))
+      val stats = Cascade.calibrationStats(e)
+      val qs = e.filter(col("vec_id") <= 7)
+        .select(col("vec_id").as("q_id"), col("p").as("q_p"),
+          col("embedding").as("q_vec"), col("v").as("qd"))
+        .localCheckpoint(true)
+      val ranked1 = e.select("vec_id", "p").crossJoin(broadcast(qs.select("q_id", "q_p")))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("ham", vecs.hammingLong(col("p"), col("q_p")))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"), wMax, asc = true).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), col("hit.id").as("vec_id"), (col("pos") + 1).as("r1"))
+      val wq = Window.partitionBy("q_id")
+      val staged = broadcast(ranked1).join(e.select("vec_id", "embedding", "v"), "vec_id")
+        .join(broadcast(qs.select("q_id", "q_vec", "qd")), "q_id")
+        .crossJoin(broadcast(stats))
+        .select(col("q_id"), col("vec_id"), col("embedding"), col("q_vec"), col("r1"),
+          vecs.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+          vecs.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+        .withColumn("d8", vecs.sqDistLong(col("qa"), col("qb")))
+        .withColumn("score", graft.functions.scaled(
+          vecs.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .select("q_id", "vec_id", "r1", "d8", "score").localCheckpoint(true)
+      val exact = Knn.batchKnn(
+        w.select("vec_id", "embedding"),
+        qs.select("q_id", "q_vec"), k = 10, Knn.Cosine)
+        .select("q_id", "vec_id").localCheckpoint(true)
+      CascWidths.map { wd =>
+        val fun = staged.filter(col("r1") <= wd)
+          .withColumn("r2", row_number().over(wq.orderBy(col("d8").asc, col("vec_id").asc)))
+          .filter(col("r2") <= CascStage2)
+          .withColumn("r3", row_number().over(wq.orderBy(col("score").desc, col("vec_id").asc)))
+          .filter(col("r3") <= 10)
+        val hits = fun.join(exact, Seq("q_id", "vec_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("h"))
+        qs.select("q_id").join(hits, Seq("q_id"), "left")
+          .select(lit(wd.toLong).as("w"), col("q_id"),
             coalesce(col("h"), lit(0L)).as("n_hit"))
       }.reduce(_ union _)
     }),
@@ -1515,6 +1593,30 @@ object FusionQueries {
            |  GROUP BY a.q_id) t ON q.q_id = t.q_id""".stripMargin
       }.mkString("\nUNION ALL\n")
       s"""WITH ${cascBaseDuck()},
+         |$chains,
+         |ex AS (SELECT q_id, vec_id FROM (
+         |  SELECT q.q_id, b.vec_id,
+         |    row_number() OVER (PARTITION BY q.q_id
+         |      ORDER BY CAST(floor(list_cosine_similarity(b.v, q.q_vec) * 10000 + 0.5) AS BIGINT) DESC,
+         |               b.vec_id ASC) AS rn
+         |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id) WHERE rn <= 10)
+         |$perW""".stripMargin
+    },
+
+    // A46d: the A43c recall oracle over the wide base CTEs — the funnel
+    // chains are width-generic, only the base swaps (packed arrays +
+    // bit_count(xor) fold; exact cosine ground truth over the wide v)
+    "recall_cascade_2048" -> {
+      val chains = CascWidths.map(w => cascFunnelDuck(w, s"w$w")).mkString(",\n")
+      val perW = CascWidths.map { w =>
+        s"""SELECT CAST($w AS BIGINT) AS w, q.q_id, CAST(coalesce(t.h, 0) AS BIGINT) AS n_hit
+           |FROM qs q LEFT JOIN (
+           |  SELECT a.q_id, count(*) AS h
+           |  FROM (SELECT q_id, vec_id FROM r3w$w WHERE rn3 <= 10) a
+           |  JOIN ex ON a.q_id = ex.q_id AND a.vec_id = ex.vec_id
+           |  GROUP BY a.q_id) t ON q.q_id = t.q_id""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${cascBaseDuckWide()},
          |$chains,
          |ex AS (SELECT q_id, vec_id FROM (
          |  SELECT q.q_id, b.vec_id,

@@ -127,6 +127,21 @@ class Wide2048Spec extends SparkSpec {
     assert(got == fin)
   }
 
+  test("recall_cascade_2048 is monotone in stage-1 width and recovers exact at the widest") {
+    // the A43c contract at the reference width: one Hamming ranking feeds
+    // every width; the aggregate curve climbs (33→51→68→77 of 80 at
+    // sf0.001, measured with margin)
+    val rows = SparkEntry.queries("recall_cascade_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val widths = Seq(25L, 50L, 100L, 200L)
+    assert(rows.map(_._1).distinct.sorted == widths)
+    assert(rows.size == widths.size * 8)
+    val totals = widths.map(w => rows.filter(_._1 == w).map(_._3).sum)
+    assert(totals.zip(totals.tail).forall { case (a, b) => a <= b },
+      s"aggregate recall not monotone: $totals")
+    assert(totals.last >= 60, s"recall@w=200 total ${totals.last} < 60/80")
+  }
+
   test("knn_pq_2048 equals the plain-Scala wide ADC + rerank reconstruction") {
     // the compressed family at the reference width: 16 subspaces ×
     // 128 dims, 64 seeded codewords, ADC shortlist of 100, exact rerank —
