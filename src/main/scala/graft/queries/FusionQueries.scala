@@ -443,6 +443,22 @@ object FusionQueries {
         stage1 = CascStage1, stage2 = CascStage2, k = 10,
         dims = HybridQueries.WideDims)),
 
+    // A46e: the ACORN composition at the reference width — the
+    // metadata-filtered PQ search (the reference's NAMESAKE operation:
+    // predicate + ANN over the one filter-agnostic index) hash-gated at
+    // d=2048. The keep set prunes the code scan (the A23 convention);
+    // the codebook stays whole-corpus index-build state. Closes the
+    // width matrix: exact (A45), graph (A45b), PQ (A46), SQ8 (A46b),
+    // funnel (A46c), recall curve (A46d), and now FILTERED.
+    "hybrid_knn_pq_2048" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Pq.searchRerank(HybridQueries.wideEmbeddings(s, dir), qid = 0, k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, shortlist = 100,
+        keep = Some(keep))
+    }),
+
     // A46b: flat SQ8 at the reference width — the cascade funnel's int8
     // stage-2 arithmetic (full-corpus (mn,mx) calibration, 0..255 codes,
     // integer squared-L2) hash-gated at d=2048. With A45 (exact L2),
@@ -1185,6 +1201,13 @@ object FusionQueries {
     // A46: the wide PQ pipeline — see pqOracleSql2048's width adaptations
     "knn_pq_2048" -> pqOracleSql2048(qid = 0),
 
+    // A46e: the same wide pipeline over the metadata-qualified body only
+    // (the hybrid_knn_pq body join, at width)
+    "hybrid_knn_pq_2048" -> pqOracleSql2048(qid = 0, bodySelect = Some(
+      """SELECT w.vec_id, CAST(w.embedding AS DOUBLE[]) AS v
+        |  FROM wide w JOIN documents d ON d.doc_id = w.vec_id
+        |  WHERE w.vec_id <> 0 AND d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin)),
+
     // A46c: the full funnel at width — packing via list CASE folds (the
     // BqPackVec bit order), Hamming via bit_count(xor) over the 64
     // groups, sq8/cosine as the standard forms
@@ -1857,20 +1880,21 @@ object FusionQueries {
     * exceeds DuckDB's 128-deep binder recursion; the fold accumulates in
     * the same sequential order as the PqNearestCode kernel loop), and
     * the codebook slices run m·128+1 … m·128+128. */
-  private def pqOracleSql2048(qid: Int): String = {
+  private def pqOracleSql2048(qid: Int, bodySelect: Option[String] = None): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
     def fold(vec: String, cw: String, offset: Boolean): String = {
       val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
       s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
         s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
     }
+    val body = bodySelect.getOrElse(
+      s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide WHERE vec_id <> $qid")
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
        |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
        |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
        |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
-       |body AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |  FROM wide WHERE vec_id <> $qid),
+       |body AS MATERIALIZED ($body),
        |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
        |  CAST(floor(${fold("b.v", "cb.cw", offset = true)} * 10000.0) AS BIGINT) AS d
        |  FROM body b CROSS JOIN cb),

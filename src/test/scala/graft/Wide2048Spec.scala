@@ -87,6 +87,21 @@ class Wide2048Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("hybrid_knn_pq_2048 returns only filter-qualified vectors, subset of the keep-pruned corpus") {
+    // the ACORN composition at width: the oracle hash-gates the full
+    // pipeline; this pins the filter contract — every hit qualifies,
+    // the query itself is excluded
+    val rows = SparkEntry.queries("hybrid_knn_pq_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows.size == 10)
+    val keep = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang").isNotNull &&
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.forall { case (id, _) => keep.contains(id) && id != 0L },
+      "a non-qualified vector (or the query) leaked through the filtered wide PQ")
+  }
+
   test("knn_cascade_2048 equals the plain-Scala wide three-stage funnel") {
     // the full funnel at the reference width: 64-long packed sign codes,
     // Hamming cut, sq8 cut under corpus-wide calibration, exact cosine —
