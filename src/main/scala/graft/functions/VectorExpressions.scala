@@ -314,6 +314,14 @@ case class Sq8QuantizeVec(vec: Expression, mnE: Expression, mxE: Expression)
   override def nullSafeEval(v0: Any, mn0: Any, mx0: Any): Any = {
     val a = v0.asInstanceOf[ArrayData]
     val mn = mn0.asInstanceOf[Double]; val mx = mx0.asInstanceOf[Double]
+    // Degenerate bounds fail loudly (r12 ADVICE): mx == mn divides by
+    // zero and floor(±Infinity) casts to Long.MIN/MAX silently. Every
+    // in-repo caller passes calibrationStats-validated bounds, but the
+    // kernel is public API via vectors.sq8 (the SqDistLong convention).
+    if (mx - mn == 0.0) throw new IllegalArgumentException(
+      s"$prettyName: degenerate bounds mn == mx == $mn — division by zero " +
+        "would silently cast floor(±Infinity) to Long.MIN/MAX; pass " +
+        "calibrationStats-validated bounds")
     val n = a.numElements()
     var hasNull = false
     if (elemNullable) {
@@ -351,14 +359,25 @@ case class Sq8QuantizeVec(vec: Expression, mnE: Expression, mxE: Expression)
            |}
            |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
          """.stripMargin
+      val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
+      val boundsGuard =
+        s"""
+           |if ($mx - $mn == 0.0D) {
+           |  throw new IllegalArgumentException($err + ": degenerate bounds mn == mx == " +
+           |    $mn + " - division by zero would silently cast floor(+-Infinity)" +
+           |    " to Long.MIN/MAX; pass calibrationStats-validated bounds");
+           |}
+         """.stripMargin
       if (!elemNullable) {
         s"""
+           |$boundsGuard
            |final int $n = $v.numElements();
            |$primitive
          """.stripMargin
       } else {
         val hn = ctx.freshName("hasNull"); val bo = ctx.freshName("boxed"); val j = ctx.freshName("j")
         s"""
+           |$boundsGuard
            |final int $n = $v.numElements();
            |boolean $hn = false;
            |for (int $j = 0; $j < $n && !$hn; $j++) { $hn = $v.isNullAt($j); }
@@ -483,8 +502,14 @@ case class BqPackVec(child: Expression, groups: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
-    require(a.numElements() >= groups * 32,
-      s"$prettyName: input has ${a.numElements()} elements, needs >= ${groups * 32}")
+    // EXACT length, not >= (r12 ADVICE): a groups argument smaller than
+    // the real width would silently pack only a prefix for the Hamming
+    // stage while downstream stages use the full vector — an inconsistent
+    // funnel with no error. A width mismatch must fail loudly here.
+    require(a.numElements() == groups * 32,
+      s"$prettyName: input has ${a.numElements()} elements, needs exactly " +
+        s"${groups * 32} (groups=$groups × 32) — a prefix pack would feed " +
+        "the Hamming stage a different vector than the later stages see")
     val out = new Array[Long](groups)
     var g = 0
     while (g < groups) {
@@ -508,9 +533,11 @@ case class BqPackVec(child: Expression, groups: Int) extends UnaryExpression {
       val err = ctx.addReferenceObj("kernelName", prettyName, "java.lang.String")
       val nullGuard = if (elemNullable) s"!$v.isNullAt($i) && " else ""
       s"""
-         |if ($v.numElements() < ${groups * 32}) {
+         |if ($v.numElements() != ${groups * 32}) {
          |  throw new IllegalArgumentException($err + ": input has " +
-         |    $v.numElements() + " elements, needs >= " + ${groups * 32});
+         |    $v.numElements() + " elements, needs exactly " + ${groups * 32} +
+         |    " (a prefix pack would feed the Hamming stage a different" +
+         |    " vector than the later stages see)");
          |}
          |long[] $out = new long[$groups];
          |for (int $g = 0; $g < $groups; $g++) {

@@ -46,10 +46,14 @@ object Cascade {
   def calibrationAndPresence(ev: DataFrame, qids: Seq[Long],
                              vCol: String = "v"): DataFrame = {
     val dq = qids.distinct
+    // countDistinct, not count (r12 ADVICE): with a duplicated corpus
+    // vec_id a row COUNT can exactly cancel an absent qid (dup + missing
+    // still == dq.size) or fail spuriously on a benign duplicate; distinct
+    // matched IDS is the property the guard actually asserts.
     val base = ev.agg(min(expr(s"array_min($vCol)")).as("mn"),
       max(expr(s"array_max($vCol)")).as("mx"),
       (if (dq.isEmpty) lit(0L)
-       else count(when(col("vec_id").isin(dq: _*), 1))).as("nq"))
+       else countDistinct(when(col("vec_id").isin(dq: _*), col("vec_id")))).as("nq"))
     val r = base.head
     require(!r.isNullAt(0) && !r.isNullAt(1) && r.getDouble(1) > r.getDouble(0),
       s"sq8 calibration degenerate (mn=${r.get(0)}, mx=${r.get(1)}): a " +

@@ -665,6 +665,17 @@ object Pq {
       s"pq append: vec_id(s) ${dups.mkString(", ")} already present in the " +
         s"code table at $path — appending them would double-serve those ids " +
         "from the shortlist heap; deduplicate the arriving batch or rebuild")
+    // Duplicates WITHIN the arriving batch pass the semi-join above yet
+    // still write two code rows for one vec_id (r12 ADVICE) — same
+    // double-serve, different origin. One narrow groupBy over the
+    // arriving ids (append-action cost, never serve-time).
+    val selfDups = arriving.groupBy("vec_id").count()
+      .filter(col("count") > 1).limit(5).collect().map(_.getLong(0))
+    require(selfDups.isEmpty,
+      s"pq append: vec_id(s) ${selfDups.mkString(", ")} appear more than " +
+        "once within the arriving batch itself — each duplicate would write " +
+        "a second code row and double-serve from the shortlist heap; " +
+        "deduplicate the batch before appending")
     val body = arriving.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     encodeFast(body, cbRows, numSub, subDim)
       .write.mode("append").parquet(s"$path/codes")

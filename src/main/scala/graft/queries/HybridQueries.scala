@@ -445,11 +445,20 @@ object HybridQueries {
         .union(arrA.select("vec_id", "label")
           .join(e.select("vec_id", "embedding"), "vec_id")
           .select(col("vec_id"), col("label"), col("embedding")))
-      val fresh = Ivf.centroids(members).select(col("label"), col("cent").as("fcent"))
+      // Re-center ONLY the rebuilt clusters' members (r12 verdict note):
+      // the fresh frame's non-rebuilt rows were never read by the CASE
+      // dispatch below, so restricting the aggregate to verdict-rebuilt
+      // labels skips the pass entirely on drift-free days — output hash
+      // unchanged, the "one conditional re-centering pass" claim literal.
+      // The fresh join becomes LEFT (fcent null ⇔ rebuild=0, never read).
+      val fresh = Ivf.centroids(members
+          .join(broadcast(verd.filter(col("rebuild") === 1).select("label")), "label")
+          .select("vec_id", "label", "embedding"))
+        .select(col("label"), col("cent").as("fcent"))
       val served = members
         .join(broadcast(verd.select("label", "rebuild")), "label")
         .join(broadcast(centL.select(col("label"), col("cent").as("scent"))), "label")
-        .join(broadcast(fresh), "label")
+        .join(broadcast(fresh), Seq("label"), "left")
         .withColumn("dsv", scaled(vectors.l2(col("embedding"),
           when(col("rebuild") === 1, col("fcent")).otherwise(col("scent"))), Knn.ScoreDigits))
         .groupBy("label")

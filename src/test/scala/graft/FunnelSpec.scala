@@ -240,6 +240,25 @@ class FunnelSpec extends SparkSpec {
     assert(eSharded.getMessage.contains("absent"))
   }
 
+  test("presence guard counts distinct ids — a corpus duplicate cannot mask an absent qid") {
+    // r12 ADVICE: with a row COUNT, a duplicated present qid exactly
+    // cancels an absent one (count == dq.size) and the missing query
+    // group still silently vanishes; countDistinct counts matched IDS.
+    import graft.operators.Cascade
+    val dup = Seq((1L, Array.fill(4)(0.1) :+ 0.9),
+      (1L, Array.fill(4)(0.2) :+ 0.8), (3L, Array.fill(4)(0.3) :+ 0.7))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      Cascade.calibrationAndPresence(dup, Seq(1L, 2L)) // 2 absent; id-1 dup'd
+    }
+    assert(e.getMessage.contains("absent"))
+    // and a benign duplicate of a PRESENT qid must not fail spuriously
+    // (a row count would see 2 matches for 1 requested id)
+    val ok = Cascade.calibrationAndPresence(dup, Seq(1L))
+      .as[(Double, Double)].head()
+    assert(ok._2 > ok._1)
+  }
+
   test("hybrid_knn_cascade returns only filter-qualified vectors and replays in plain Scala") {
     val entry = SparkEntry.queries("hybrid_knn_cascade")(spark, dir)
       .as[(Long, Long, Long, Long)].collect().toSeq

@@ -168,6 +168,18 @@ class FusionSpec extends SparkSpec {
     assert(e3.getMessage.contains("already present"))
     assert(spark.read.parquet(s"$path/codes").count() == emb.count(),
       "the refused append must not have written any code rows")
+    // intra-batch duplicate guard (r12 ADVICE): a vec_id repeated WITHIN
+    // the arriving batch passes the existing-ids semi-join yet would
+    // still write two code rows — refused loudly before any write
+    val freshRow = emb.filter(col("vec_id") === 5)
+      .select(lit(999999L).as("vec_id"), col("embedding"))
+    val e4 = intercept[IllegalArgumentException] {
+      Pq.appendToIndex(spark, path, freshRow.union(freshRow),
+        numSub = 8, subDim = 8)
+    }
+    assert(e4.getMessage.contains("more than once within the arriving batch"))
+    assert(spark.read.parquet(s"$path/codes").count() == emb.count(),
+      "the refused intra-batch-dup append must not have written any code rows")
   }
 
   test("knn_pq_batch_external: non-indexed queries, no hidden self-exclusion, guards fire") {

@@ -98,6 +98,39 @@ class VectorKernelSpec extends SparkSpec {
     both.foreach { case (k, h) => assert(k.sameElements(h)) }
   }
 
+  test("Sq8QuantizeVec refuses degenerate mn == mx bounds loudly") {
+    // r12 ADVICE: division by zero would cast floor(±Infinity) to
+    // Long.MIN/MAX silently; the kernel is public API via vectors.sq8,
+    // so the guard lives at the expression level, not only at
+    // calibrationStats call sites
+    val ex = intercept[Exception] {
+      Seq(Tuple1(Array(0.1, 0.2))).toDF("v")
+        .select(vectors.sq8(col("v"), lit(0.25), lit(0.25))).collect()
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("degenerate bounds")) || hasMsg(t.getCause))
+    assert(hasMsg(ex))
+  }
+
+  test("BqPackVec refuses a non-exact width loudly (no silent prefix pack)") {
+    // r12 ADVICE: a groups argument smaller than the real width would
+    // pack only a prefix for the Hamming stage while later funnel stages
+    // use the full vector — an inconsistent funnel with no error. The
+    // kernel demands numElements == groups*32 exactly.
+    val v64 = Array.tabulate(64)(i => if (i % 3 == 0) 1.0f else -1.0f)
+    val ex = intercept[Exception] {
+      Seq(Tuple1(v64)).toDF("v")
+        .select(vectors.bqPack(col("v"), 1)).collect()
+    }
+    def hasMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("needs exactly")) || hasMsg(t.getCause))
+    assert(hasMsg(ex))
+    // and the exact width still packs
+    val ok = Seq(Tuple1(v64)).toDF("v")
+      .select(vectors.bqPack(col("v"), 2)).as[Array[Long]].head()
+    assert(ok.length == 2)
+  }
+
   test("SqDistLong kernel equals the aggregate/zip_with HOF; nulls and mismatches handled") {
     val e = Tables(spark, "/root/testdata/sf0.001", "embeddings")
     val both = e.select(
