@@ -142,6 +142,85 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == y0.map(_.toFloat), "zero-input forward pass algebra")
   }
 
+  test("ckpt arm: training replays independently, checkpoint round-trips, restore validates") {
+    // B11f: the LEARNED readout. The oracle hash-gates training + forward
+    // pass + search; this pins (a) the trainer against an independent
+    // functional-style perceptron replay, (b) stored ≡ restored weights
+    // (the weights-as-data round-trip), (c) loud layout refusals.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("text").isNotNull)
+      .select("doc_id", "text", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8"), r.getString(2)))
+      .sortBy(_._1)
+    val samples = docs.filter(_._1 < 256L)
+      .map { case (id, b, lang) => (id, Multimodal.IntMlp.readoutFeatures(b), lang) }.toSeq
+    val (classes, w) = Multimodal.trainPerceptronReadout(samples, epochs = 2)
+    assert(classes == classes.sorted && classes.size >= 2)
+    // independent replay: immutable fold, margin from pre-update state
+    val refW = (0 until 2).foldLeft(
+      classes.map(c => c -> Vector.fill(17)(0L)).toMap) { (st0, _) =>
+      samples.foldLeft(st0) { case (st, (_, g, lang)) =>
+        classes.foldLeft(st) { (s2, c) =>
+          val y = if (lang == c) 1L else -1L
+          val wc = s2(c)
+          val margin = y * ((0 until 16).map(i => wc(i) * g(i)).sum + wc(16))
+          if (margin <= 0L)
+            s2.updated(c, Vector.tabulate(17)(i =>
+              wc(i) + y * (if (i < 16) g(i) else 1L)))
+          else s2
+        }
+      }
+    }
+    classes.zipWithIndex.foreach { case (c, ci) =>
+      assert(w(ci).toSeq == refW(c), s"trained weights for class $c diverge")
+    }
+    assert(w.exists(_.exists(_ != 0L)), "training must actually update (mistakes exist)")
+    // checkpoint round-trip: stored ≡ restored, bit for bit
+    val path = graft.TmpDirs.path("nn_ckpt_spec")
+    Multimodal.writeCheckpoint(spark, path, classes, w)
+    val (rc, rw) = Multimodal.restoreCheckpoint(spark, path)
+    assert(rc == classes && rw.map(_.toSeq).toSeq == w.map(_.toSeq).toSeq)
+    // foreign layouts refused loudly BEFORE serving garbage
+    import spark.implicits._
+    val gap = graft.TmpDirs.wiped("nn_ckpt_spec_gap")
+    spark.read.parquet(path).filter("NOT (out_idx = 0 AND in_idx = 3)")
+      .write.parquet(gap)
+    val e1 = intercept[IllegalArgumentException] {
+      Multimodal.restoreCheckpoint(spark, gap)
+    }
+    assert(e1.getMessage.contains("different layout"))
+    val skipCls = graft.TmpDirs.wiped("nn_ckpt_spec_skip")
+    spark.read.parquet(path).filter("out_idx <> 1").write.parquet(skipCls)
+    val e2 = intercept[IllegalArgumentException] {
+      Multimodal.restoreCheckpoint(spark, skipCls)
+    }
+    assert(e2.getMessage.contains("not contiguous"))
+    // the trainer refuses an out-of-order sample sequence (the update is
+    // order-sensitive; the oracle replays ascending-id order)
+    val e3 = intercept[IllegalArgumentException] {
+      Multimodal.trainPerceptronReadout(samples.reverse, epochs = 1)
+    }
+    assert(e3.getMessage.contains("ascending"))
+
+    // the entry: all results lang=en, and the top-10 equals a brute-force
+    // replay over the learned logits computed here from the spec's weights
+    val entry = SparkEntry.queries("multimodal_search_ckpt")(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(entry.size == 10)
+    def logits(b: Array[Byte]): Array[Long] = {
+      val g = Multimodal.IntMlp.readoutFeatures(b)
+      Array.tabulate(classes.size)(c =>
+        (0 until 16).map(i => w(c)(i) * g(i)).sum + w(c)(16))
+    }
+    val q = logits(docs.find(_._1 == 5L).get._2)
+    val ref = docs.filter(_._3 == "en").map { case (id, b, _) =>
+      val y = logits(b)
+      (id, y.zip(q).map { case (a2, b2) => val d = a2 - b2; d * d }.sum)
+    }.sortBy { case (id, d) => (d, id) }.take(10).toSeq
+    assert(entry == ref, s"entry $entry != brute-force replay $ref")
+  }
+
   test("EmbedModels.forSession dispatches ONNX vs signal-featurizer both ways") {
     import Multimodal.EmbedModels
     // no model path configured → featurizer, regardless of runtime
