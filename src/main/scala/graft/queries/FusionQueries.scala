@@ -528,6 +528,28 @@ object FusionQueries {
         keep = Some(keep))
     }),
 
+    // A46f: IVF×PQ at the REFERENCE width (r12 verdict next #3 — the last
+    // composition class not hash-checked at d=2048): probe the 2 clusters
+    // nearest the wide query (2048-d centroids, model state, broadcast),
+    // ADC-scan ONLY the probed clusters' codes, exact rerank. The A24
+    // composition verbatim over the A45 derived-wide frame — at 100 TB
+    // this is THE serving plan: nProbe/C of an already-32×-compressed
+    // corpus, coarse quantizer and fine quantizer both at the width the
+    // reference actually builds (acorn.py:30–40). Runs on the WidenVec/
+    // PqNearestCode kernels; the oracle derives the same wide centroids,
+    // replays probe selection (scaled cosine desc, label asc), and the
+    // full wide ADC pipeline over the probed body.
+    "knn_ivfpq_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      val q = w.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(e), q, nProbe = 2)
+      val keep = e.join(broadcast(probed), "label").select("vec_id")
+      Pq.searchRerank(w, qid = 0, k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, shortlist = 100,
+        keep = Some(keep))
+    }),
+
     // A25: PQ with a TRAINED codebook, now ORACLE-CHECKED (was rows-only
     // through r2): INTEGER-EXACT per-subspace Lloyd's on a bounded sample
     // (Pq.trainedCodebookInt — quantized sub-vectors, NearestCentroidLong
@@ -1208,6 +1230,32 @@ object FusionQueries {
         |  FROM wide w JOIN documents d ON d.doc_id = w.vec_id
         |  WHERE w.vec_id <> 0 AND d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin)),
 
+    // A46f: the wide pipeline with probe selection in the prelude — the
+    // d=64 knn_ivfpq oracle's cent/qp/probes CTEs re-derived over the
+    // wide frame (centroids = per-dim avg of the 2048 wide slots, probe
+    // ranking by scaled cosine desc then label asc), body = probed
+    // clusters' members only
+    "knn_ivfpq_2048" -> pqOracleSql2048(qid = 0,
+      prelude =
+        """centw AS MATERIALIZED (
+          |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+          |    SELECT e.label AS label, d.dim AS dim,
+          |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
+          |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
+          |    GROUP BY e.label, d.dim)
+          |  GROUP BY label),
+          |qp AS (SELECT embedding FROM wide WHERE vec_id = 0),
+          |probes AS (
+          |  SELECT c.label FROM centw c CROSS JOIN qp
+          |  ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+          |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
+          |  LIMIT 2),""".stripMargin,
+      bodySelect = Some(
+        """SELECT w.vec_id, CAST(w.embedding AS DOUBLE[]) AS v
+          |  FROM wide w JOIN embeddings e USING (vec_id)
+          |  JOIN probes p ON e.label = p.label
+          |  WHERE w.vec_id <> 0""".stripMargin)),
+
     // A46c: the full funnel at width — packing via list CASE folds (the
     // BqPackVec bit order), Hamming via bit_count(xor) over the 64
     // groups, sq8/cosine as the standard forms
@@ -1880,7 +1928,8 @@ object FusionQueries {
     * exceeds DuckDB's 128-deep binder recursion; the fold accumulates in
     * the same sequential order as the PqNearestCode kernel loop), and
     * the codebook slices run m·128+1 … m·128+128. */
-  private def pqOracleSql2048(qid: Int, bodySelect: Option[String] = None): String = {
+  private def pqOracleSql2048(qid: Int, bodySelect: Option[String] = None,
+                              prelude: String = ""): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
     def fold(vec: String, cw: String, offset: Boolean): String = {
       val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
@@ -1891,6 +1940,7 @@ object FusionQueries {
       s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide WHERE vec_id <> $qid")
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+       |$prelude
        |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
        |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
        |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),

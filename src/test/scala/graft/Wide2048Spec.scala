@@ -190,4 +190,60 @@ class Wide2048Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expect)
   }
+
+  test("knn_ivfpq_2048 equals the plain-Scala wide probe + ADC + rerank reconstruction") {
+    // A46f: the coarse quantizer at width — 2048-d centroids, scaled-
+    // cosine probe ranking (desc, label asc), then the knn_pq_2048
+    // pipeline restricted to the probed clusters' members
+    val (numSub, subDim, numCodes, shortlist, nProbe) = (16, 128, 64, 100, 2)
+    val w = wideCorpus()
+    val wd = w.map { case (id, v) => id -> v.map(_.toDouble) }
+    val labels = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // per-label mean over the wide doubles, one float round per dim
+    val cents: Map[Long, Array[Float]] = wd.groupBy { case (id, _) => labels(id) }
+      .map { case (lbl, m) =>
+        val vs = m.values.toSeq
+        lbl -> Array.tabulate(WideDims)(d => (vs.map(_(d)).sum / vs.size).toFloat)
+      }
+    def cosScaled(a: Array[Float], b: Array[Float]): Long = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(ad.map(x => x * x).sum); val nb = math.sqrt(bd.map(x => x * x).sum)
+      math.floor(dot / (na * nb) * 10000.0 + 0.5).toLong
+    }
+    val probed = cents.toSeq
+      .map { case (lbl, c) => (-cosScaled(c, w(0L)), lbl) }.sorted.take(nProbe)
+      .map(_._2).toSet
+    val keep = labels.collect { case (id, lbl) if probed.contains(lbl) => id }.toSet
+    def sqdFloor(a: Array[Double], off: Int, cw: Array[Double]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < cw.length) { val d = a(off + i) - cw(i); acc += d * d; i += 1 }
+      math.floor(acc * 10000.0).toLong
+    }
+    val cb: Map[(Int, Long), Array[Double]] =
+      (for (code <- 0L until numCodes; m <- 0 until numSub)
+        yield (m, code) -> wd(code).slice(m * subDim, (m + 1) * subDim)).toMap
+    val qv = wd(0L)
+    val adc = cb.map { case ((m, c), cw) => (m, c) -> sqdFloor(qv, m * subDim, cw) }
+    val short = wd.toSeq.filter { case (id, _) => id != 0L && keep.contains(id) }
+      .map { case (id, v) =>
+        var asum = 0L
+        for (m <- 0 until numSub) {
+          val best = (0L until numCodes)
+            .map(c => (sqdFloor(v, m * subDim, cb((m, c))), c)).min
+          asum += adc((m, best._2))
+        }
+        (asum, id)
+      }.sorted.take(shortlist).map(_._2)
+    val expect = short
+      .map(id => (id, l2Scaled(w(id), w(0L))))
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    val got = SparkEntry.queries("knn_ivfpq_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.forall { case (id, _) => keep.contains(id) },
+      "a result outside the probed clusters leaked through")
+  }
 }
