@@ -231,12 +231,27 @@ object Hnsw {
       * condition never fires and the beam naturally widens — exactly the
       * behavior that lets ACORN survive selective predicates. */
     private def searchLayer0Bounded(q: Array[Float], ep: Int, ef: Int, maxVisits: Int,
-                                    returnable: Int => Boolean): mutable.ArrayBuffer[(Double, Int)] = {
+                                    returnable: Int => Boolean,
+                                    hopThrough: Int => Boolean = _ => false): mutable.ArrayBuffer[(Double, Int)] = {
       val byDist = Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Int)
       val visited = mutable.BitSet(ep)
       var nVisits = 1
       val candidates = mutable.PriorityQueue.empty[(Double, Int)](byDist.reverse)
       val results = mutable.PriorityQueue.empty[(Double, Int)](byDist)
+      /** Touch node n (visit-counted); returns its distance if it was
+        * beam-worthy (entered the candidate queue), else None. */
+      def consider(n: Int): Option[Double] = {
+        visited += n; nVisits += 1
+        val d = sq(q, vecs(n))
+        if (results.size < ef || d < results.head._1) {
+          candidates.enqueue((d, n))
+          if (returnable(n)) {
+            results.enqueue((d, n))
+            if (results.size > ef) results.dequeue()
+          }
+          Some(d)
+        } else None
+      }
       val d0 = sq(q, vecs(ep))
       candidates.enqueue((d0, ep))
       if (returnable(ep)) results.enqueue((d0, ep))
@@ -244,17 +259,31 @@ object Hnsw {
         val (cd, c) = candidates.dequeue()
         if (results.size >= ef && cd > results.head._1) candidates.clear()
         else {
+          // ACORN-γ two-hop expansion (the ACORN paper's predicate-
+          // subgraph traversal): a predicate-FAILING neighbor is a dead
+          // end for the result heap, so bridge to ITS layer-0 neighbors
+          // in the SAME expansion step — the walk traverses the
+          // predicate-induced subgraph instead of waiting for the failing
+          // node to win the candidate queue. Two budget disciplines keep
+          // the bridge from WASTING visits at small budgets (measured:
+          // unconditional immediate bridging LOST recall at budget 16/32):
+          // the 1-hop pass runs first (close neighbors are never crowded
+          // out by bridged ones), and only BEAM-WORTHY failing neighbors
+          // (those that entered the candidate queue, nearest first) are
+          // bridged. Every bridged node is visit-counted; failing nodes
+          // stay on the frontier too, so 1-hop reachability is preserved.
+          val bridges = mutable.ArrayBuffer.empty[(Double, Int)]
           links(c)(0).foreach { n =>
             if (!visited(n) && nVisits < maxVisits) {
-              visited += n; nVisits += 1
-              val d = sq(q, vecs(n))
-              if (results.size < ef || d < results.head._1) {
-                candidates.enqueue((d, n))
-                if (returnable(n)) {
-                  results.enqueue((d, n))
-                  if (results.size > ef) results.dequeue()
-                }
+              consider(n).foreach { d =>
+                if (hopThrough(n)) bridges += ((d, n))
               }
+            }
+          }
+          bridges.sortInPlace()
+          bridges.foreach { case (_, n) =>
+            links(n)(0).foreach { n2 =>
+              if (!visited(n2) && nVisits < maxVisits) consider(n2)
             }
           }
         }
@@ -282,8 +311,16 @@ object Hnsw {
       * a round visits every reachable node, so further rounds cannot
       * change the survivor set — the loop exits early (pure optimization:
       * identical results, reference semantics). */
+    /** `twoHop` opts into the ACORN-γ predicate-subgraph traversal: each
+      * bounded round bridges through predicate-failing neighbors (their
+      * layer-0 neighbors join the same expansion, visit-counted), so at
+      * EQUAL visit budget the walk reaches more predicate-passing nodes
+      * under a selective predicate (HnswSpec pins recall ≥ the one-hop
+      * walk at matched budgets). Saturated walks are exact either way —
+      * the flag changes budget-bound traversal order only. */
     def searchFiltered(q: Array[Float], k: Int, pred: Long => Boolean, metaSearch: Int,
-                       largeK: Int = 200, ef: Int = 200): Seq[(Long, Long)] = {
+                       largeK: Int = 200, ef: Int = 200,
+                       twoHop: Boolean = false): Seq[(Long, Long)] = {
       if (entryPoint < 0) return Seq.empty
       val ep0 = descendToLayer0(q)
       val blocked = mutable.BitSet.empty
@@ -292,8 +329,11 @@ object Hnsw {
       var visits = 2
       var saturated = false
       val beam = math.max(math.max(ef, largeK), k)
+      val hopThrough: Int => Boolean =
+        if (twoHop) n => !pred(extIds(n)) else _ => false
       while (visits <= metaSearch && !saturated) {
-        val cands = searchLayer0Bounded(q, ep0, beam, visits, n => !blocked(n)).take(largeK)
+        val cands = searchLayer0Bounded(q, ep0, beam, visits, n => !blocked(n),
+          hopThrough).take(largeK)
         val (pass, fail) = cands.partition { case (_, n) => pred(extIds(n)) }
         pass.foreach { case (_, n) => survivors += n }
         // saturation is judged on the budget that JUST ran: only a round
@@ -660,7 +700,8 @@ object Hnsw {
     * metaSearch is the reference's recall/cost knob. */
   def searchFilteredPerPartition(corpus: DataFrame, query: Array[Float], k: Int,
                                  metaSearch: Int, m: Int = 16, efConstruction: Int = 64,
-                                 ef: Int = 200, largeK: Int = 200): DataFrame = {
+                                 ef: Int = 200, largeK: Int = 200,
+                                 twoHop: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.functions.col
@@ -680,7 +721,7 @@ object Hnsw {
           val (ms, lk, e) =
             if (metaSearch > 0) (metaSearch, largeK, ef)
             else (rows.length + 10, math.max(largeK, rows.length), math.max(ef, rows.length))
-          g.searchFiltered(query, k, passing, ms, lk, e).iterator
+          g.searchFiltered(query, k, passing, ms, lk, e, twoHop).iterator
         }
       }
     perPart.toDF("vec_id", "score")

@@ -765,6 +765,27 @@ object HybridQueries {
         metaSearch = 0)
     }),
 
+    // A35g: the ACORN-γ predicate-subgraph walk (r12 verdict next #4):
+    // the reference works around blocked-walk stalls by doubling M
+    // ("M 64 … so the one-hop doesn't block us", acorn.py:34); the
+    // ACORN paper's principled fix is TWO-HOP neighbor expansion — each
+    // bounded round bridges through predicate-failing neighbors (their
+    // layer-0 neighbors join the same expansion, visit-counted), so the
+    // walk traverses the predicate-induced subgraph instead of paying a
+    // dequeue per dead end. At the saturating sentinel the walk is exact
+    // (same sweep guarantee — the flag changes budget-bound traversal
+    // order only), so the class-1 prefilter oracle replays it; HnswSpec
+    // pins recall ≥ the one-hop walk at EQUAL visit budgets, which is
+    // where the flag earns its keep at 100 TB.
+    "hybrid_knn_hnsw_2hop" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val qv = e.filter(col("vec_id") === 17).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
+      Hnsw.searchFilteredPerPartition(withPassBit(s, dir, pred, 17), qv, 10,
+        metaSearch = 0, twoHop = true)
+    }),
+
     // A35c: the persisted-index LIFECYCLE driver-verified — the reference
     // builds its hnswlib index once (acorn.py:61 add_items; README prices
     // build at 51 s, query at 3.5 ms) and serves every query from it. The
@@ -1538,6 +1559,19 @@ object HybridQueries {
          |JOIN documents d ON d.doc_id = e.vec_id
          |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 11) q
          |WHERE e.vec_id <> 11
+         |  AND d.lang IS NOT NULL AND d.lang = 'zh'
+         |  AND d.n_chars IS NOT NULL AND d.n_chars < 150
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A35g: the saturated two-hop walk is exact under the same sweep
+    // guarantee (the flag changes budget-bound traversal order only), so
+    // the class-1 prefilter replays it at query id 17
+    "hybrid_knn_hnsw_2hop" ->
+      s"""SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM embeddings e
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 17) q
+         |WHERE e.vec_id <> 17
          |  AND d.lang IS NOT NULL AND d.lang = 'zh'
          |  AND d.n_chars IS NOT NULL AND d.n_chars < 150
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
