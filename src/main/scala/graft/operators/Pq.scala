@@ -908,12 +908,16 @@ object Pq {
   def searchRerankBatchWideExternal(emb: DataFrame, queries: DataFrame,
                                     k: Int, numSub: Int, subDim: Int,
                                     numCodes: Int, shortlist: Int,
-                                    keep: Option[DataFrame] = None): DataFrame = {
+                                    keep: Option[DataFrame] = None,
+                                    cb: Option[Array[(Int, Long, Array[Double])]] = None): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
     val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
-    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // `cb` lets a sharded driver thread ONE codebook collection across
+    // every pass (the r12 sharded-cascade convention: shards share model
+    // state instead of re-scanning for it); absent, build it here
+    val cbRows = cb.getOrElse(seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray)))
     // ADC relation FIRST (it carries the duplicate/empty/cap guards):
     // refuse before the corpus pays the encode — the batch-family
     // convention
@@ -1018,6 +1022,45 @@ object Pq {
     shardedWide(qids, cap, "searchRerankBatchShardedWide")(chunk =>
       searchRerankBatchWide(emb, chunk, k, numSub, subDim, numCodes,
         shortlist, keep))
+
+  /** Sharded wide EXTERNAL-query PQ (r12 verdict next #6 — the external ×
+    * sharded composition): every sharded driver above takes INDEXED qids;
+    * this one takes a non-indexed (q_id, q_vec) frame of ANY size and
+    * splits it into ⌈|Q|/cap⌉ wide external passes, results unioned.
+    * The whole-frame guards run FIRST on the INPUT frame ids (the
+    * [[shardedWide]] convention — a duplicate split ACROSS shards would
+    * pass each shard's own guard yet double-answer in the union, and the
+    * per-pass guard cannot see it), and the seeded codebook is collected
+    * ONCE and threaded through every pass (shards share model state
+    * instead of re-scanning for it). Per-query funnels are independent,
+    * so the union is row-identical to one uncapped pass (spec-pinned).
+    * Chunks are cut in ascending q_id order — deterministic sharding,
+    * though any partition of the ids yields the same union. */
+  def searchRerankBatchShardedWideExternal(emb: DataFrame, queries: DataFrame,
+                                           k: Int, numSub: Int, subDim: Int,
+                                           numCodes: Int, shortlist: Int,
+                                           keep: Option[DataFrame] = None,
+                                           cap: Int = WideBatchCap): DataFrame = {
+    val who = "searchRerankBatchShardedWideExternal"
+    require(cap >= 1 && cap <= WideBatchCap,
+      s"$who: cap=$cap must be in [1, $WideBatchCap] " +
+        "— the broadcast ADC relation ceiling binds per pass")
+    // the frame is model-state-sized (query files, not corpus); one tiny
+    // collect validates the WHOLE frame before any corpus work
+    val ids = queries.select("q_id").collect().map(_.getLong(0))
+    require(ids.nonEmpty, s"$who: empty query frame")
+    val dups = ids.diff(ids.distinct).distinct
+    require(dups.isEmpty,
+      s"$who: duplicate q_ids across the frame: ${dups.mkString(", ")} — " +
+        "a duplicate split across shards would double-answer in the union")
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    ids.sorted.grouped(cap).map { chunk =>
+      searchRerankBatchWideExternal(emb,
+        queries.filter(col("q_id").isin(chunk: _*)), k, numSub, subDim,
+        numCodes, shortlist, keep, Some(cbRows))
+    }.reduce(_.union(_))
+  }
 
   /** Sharded wide IVF×PQ — [[ivfpqBatchWide]] past [[WideBatchCap]]:
     * per-query probes are independent, so sharding the query file shards

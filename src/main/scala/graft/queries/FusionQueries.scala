@@ -120,6 +120,19 @@ object FusionQueries {
     * the 64-group bit_count(xor) fold. Ends with the same r1 CTE shape,
     * so [[cascFunnelDuck]] chains on unchanged (it is width-generic —
     * len(s.v)-driven sq8, list cosine). */
+  /** The A47 external-query construction: component-wise midpoints of
+    * corpus pairs (2g, 2g+1) for 2g < maxVecId, one deterministic float
+    * round per component — both engines derive identical non-indexed
+    * vectors with no new table. q_id = g. */
+  private def externalMidpointQueries(e: DataFrame, maxVecId: Int): DataFrame = {
+    val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < maxVecId)
+      .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS va")
+    val b = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < maxVecId)
+      .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS vb")
+    a.join(b, "q_id").selectExpr("q_id",
+      "zip_with(va, vb, (x, y) -> CAST((x + y) * 0.5D AS FLOAT)) AS q_vec")
+  }
+
   private def cascBaseDuckWide(maxQ: Int = 7): String =
     s"""wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
@@ -403,14 +416,25 @@ object FusionQueries {
     // indexed.
     "knn_pq_batch_external" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 8)
-        .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS va")
-      val b = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 8)
-        .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS vb")
-      val queries = a.join(b, "q_id").selectExpr("q_id",
-        "zip_with(va, vb, (x, y) -> CAST((x + y) * 0.5D AS FLOAT)) AS q_vec")
+      val queries = externalMidpointQueries(e, 8)
       Pq.searchRerankBatchWideExternal(e, queries, k = 10,
         numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)
+    }),
+
+    // A47b: EXTERNAL × SHARDED (r12 verdict next #6): the sharded drivers
+    // all assumed indexed qids; a production query FILE is external and
+    // unbounded, so the cap-and-union path must run on a non-indexed
+    // frame too. 128 external midpoint queries (the A47 construction at
+    // |Q|=128) split into 3 passes at cap=48 — the cross-shard duplicate
+    // guard validates the WHOLE input frame before any corpus work, the
+    // seeded codebook is collected once and threaded through every pass,
+    // and the union is row-identical to one uncapped pass (spec-pinned).
+    // Pins that the shard machinery never assumes a corpus row.
+    "knn_pq_batch_external_sharded" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val queries = externalMidpointQueries(e, 256)
+      Pq.searchRerankBatchShardedWideExternal(e, queries, k = 10,
+        numSub = 8, subDim = 8, numCodes = 64, shortlist = 100, cap = 48)
     }),
 
     // A46: PQ at the REFERENCE's dimensionality (r11 verdict "what's
@@ -1218,6 +1242,19 @@ object FusionQueries {
           |      i -> CAST(CAST(((CAST(a.embedding AS DOUBLE[]))[i] + (CAST(b.embedding AS DOUBLE[]))[i]) * 0.5 AS FLOAT) AS DOUBLE)) AS qv
           |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
           |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 8""".stripMargin),
+      excludeSelf = false),
+
+    // A47b: per-query results are shard-independent, so the UNSHARDED
+    // batch pipeline over all 128 external midpoints replays the
+    // 3-pass cap-and-union output row for row
+    "knn_pq_batch_external_sharded" -> pqBatchOracleSql(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+      qsSelect = Some(
+        """SELECT a.vec_id // 2 AS q_id,
+          |    list_transform(range(1, 65),
+          |      i -> CAST(CAST(((CAST(a.embedding AS DOUBLE[]))[i] + (CAST(b.embedding AS DOUBLE[]))[i]) * 0.5 AS FLOAT) AS DOUBLE)) AS qv
+          |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+          |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 256""".stripMargin),
       excludeSelf = false),
 
     // A46: the wide PQ pipeline — see pqOracleSql2048's width adaptations

@@ -220,6 +220,46 @@ class FusionSpec extends SparkSpec {
     assert(e2.getMessage.contains("empty"))
   }
 
+  test("sharded external PQ: cap-and-union equals one uncapped pass, whole-frame guards fire") {
+    import graft.operators.Pq
+    val e = Tables(spark, dir, "embeddings")
+    // a small frame with a tiny cap forces multiple shards; per-query
+    // funnels are independent so the union must equal the single pass
+    val a = e.filter(col("vec_id") % 2 === 0 && col("vec_id") < 16)
+      .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS va")
+    val b = e.filter(col("vec_id") % 2 === 1 && col("vec_id") < 16)
+      .selectExpr("vec_id div 2 AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS vb")
+    val queries = a.join(b, "q_id").selectExpr("q_id",
+      "zip_with(va, vb, (x, y) -> CAST((x + y) * 0.5D AS FLOAT)) AS q_vec")
+    val sharded = Pq.searchRerankBatchShardedWideExternal(e, queries, k = 5,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100, cap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    val whole = Pq.searchRerankBatchWideExternal(e, queries, k = 5,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sorted
+    assert(sharded == whole && sharded.map(_._1).distinct.size == 8)
+    // whole-frame guards fire BEFORE any pass: a duplicate SPLIT across
+    // shards (cap=1 would isolate each copy) still refuses
+    val twin = e.filter(col("vec_id") === 0)
+      .selectExpr("CAST(99L AS BIGINT) AS q_id", "embedding AS q_vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchShardedWideExternal(e, twin.union(twin), 3,
+        8, 8, 64, 100, cap = 1)
+    }
+    assert(e1.getMessage.contains("duplicate"))
+    val e2 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchShardedWideExternal(e,
+        twin.filter(col("q_id") === -1L), 3, 8, 8, 64, 100, cap = 3)
+    }
+    assert(e2.getMessage.contains("empty"))
+    val e3 = intercept[IllegalArgumentException] {
+      Pq.searchRerankBatchShardedWideExternal(e, twin, 3, 8, 8, 64, 100, cap = 0)
+    }
+    assert(e3.getMessage.contains("cap"))
+  }
+
   test("PQ encodeFast (literal codebook) equals the join-based encode") {
     import graft.operators.Pq
     val emb = Tables(spark, dir, "embeddings")
