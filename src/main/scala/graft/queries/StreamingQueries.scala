@@ -498,6 +498,43 @@ object StreamingQueries {
       cascadeServeStream(s, dir, "sq_casc_serve")
         .select("q_id", "rank", "vec_id", "ham")),
 
+    // C71c: EXTERNAL queries through the streaming cascade stage-1 (r12
+    // verdict next #8 — C66b closed external×PQ; this completes the
+    // external symmetry for the funnel): arriving NON-indexed vectors
+    // (deterministic derivation x−0.25, one float round — flips the sign
+    // of every component in [0, 0.25), so the packed code genuinely
+    // differs from the base row's) take ids in the external id space,
+    // pack to (q_lo, q_hi) INLINE in the stream projection, and
+    // Hamming-rank the static broadcast sign-code table with NO
+    // self-exclusion — an external query has no corpus row to exclude.
+    // Same O(|Q|·stage1) complete-mode heap state as C71.
+    "streaming_cascade_serve_external" -> ((s, dir) => {
+      val codes = Tables(s, dir, "embeddings").selectExpr("vec_id",
+        s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS lo",
+        s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS hi")
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .selectExpr("vec_id + 1000 AS q_id",
+          "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+        .selectExpr("q_id",
+          s"${graft.operators.Cascade.bqHalf("qe", 0)} AS q_lo",
+          s"${graft.operators.Cascade.bqHalf("qe", 32)} AS q_hi")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .drop("one")
+        .withColumn("ham",
+          expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"),
+            FusionQueries.CascStage1, asc = true).as("hits")),
+        "sq_casc_serve_ext", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    }),
+
     // C71b: the DOWNSTREAM RERANK the C66/C71 scaladoc promises (r11
     // verdict next #8 — "production reranks the emitted shortlist
     // downstream; a second streaming aggregation is forbidden" was
@@ -737,6 +774,27 @@ object StreamingQueries {
       // batch funnel end-to-end (stream stage-1 ≡ batch stage-1, shared
       // rerank tail by construction) — the oracle IS knn_cascade_batch's
       "streaming_cascade_rerank" -> FusionQueries.oracle("knn_cascade_batch"),
+
+      // C71c: the external derivation (x−0.25, one float round) packed and
+      // Hamming-ranked with no self-exclusion — stream ≡ this batch SQL
+      "streaming_cascade_serve_external" ->
+        s"""WITH b AS (SELECT vec_id,
+           |  ${FusionQueries.bqHalfDuck("embedding", 0)} AS lo,
+           |  ${FusionQueries.bqHalfDuck("embedding", 32)} AS hi FROM embeddings),
+           |qe AS (SELECT vec_id + 1000 AS q_id,
+           |    list_transform(CAST(embedding AS DOUBLE[]),
+           |      x -> CAST(x - 0.25 AS FLOAT)) AS qe
+           |  FROM embeddings WHERE vec_id < 8),
+           |qs AS (SELECT q_id,
+           |  ${FusionQueries.bqHalfDuck("qe", 0)} AS q_lo,
+           |  ${FusionQueries.bqHalfDuck("qe", 32)} AS q_hi FROM qe),
+           |h AS (SELECT q.q_id, b.vec_id,
+           |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
+           |  FROM b CROSS JOIN qs q)
+           |SELECT q_id, rank, vec_id, ham FROM (
+           |  SELECT q_id, vec_id, ham, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)
+           |WHERE rank <= ${FusionQueries.CascStage1}""".stripMargin,
 
       // C70: the batch bottom-k replayed with rank — same tie order as
       // the heap (pri asc, lower id wins)

@@ -176,6 +176,48 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count(_._1 == 0L) == 100)
   }
 
+  test("streaming_cascade_serve_external: external ids, derived codes, no exclusion, stream ≡ batch") {
+    import graft.operators.Cascade
+    val streamed = run("streaming_cascade_serve_external").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch mirror: the x−0.25 derivation packed, NO self-exclusion
+    val codes = Tables(spark, dir, "embeddings").selectExpr("vec_id",
+      s"${Cascade.bqHalf("embedding", 0)} AS lo",
+      s"${Cascade.bqHalf("embedding", 32)} AS hi")
+    val qs = Tables(spark, dir, "embeddings").filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 1000 AS q_id",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+      .selectExpr("q_id",
+        s"${Cascade.bqHalf("qe", 0)} AS q_lo",
+        s"${Cascade.bqHalf("qe", 32)} AS q_hi")
+    val w = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val batch = qs.crossJoin(codes)
+      .withColumn("ham",
+        expr("CAST(bit_count(lo ^ q_lo) + bit_count(hi ^ q_hi) AS BIGINT)"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 100)
+      .select("q_id", "rank", "vec_id", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (1000L until 1008L).toSet,
+      "external id space: every derived query answered")
+    // the derivation must actually flip signs somewhere, or the external
+    // code would equal the base row's and the entry would pin nothing new
+    val flipped = Tables(spark, dir, "embeddings").filter(col("vec_id") < 8)
+      .selectExpr(
+        s"${Cascade.bqHalf("embedding", 0)} AS base_lo",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+      .selectExpr("base_lo", s"${Cascade.bqHalf("qe", 0)} AS q_lo")
+      .collect().exists(r => r.getLong(0) != r.getLong(1))
+    assert(flipped, "x - 0.25 must change at least one sign bit")
+    // no self-exclusion: the base row may appear in its derived query's
+    // shortlist (it is just another candidate)
+    assert(streamed.exists { case (q, _, v, _) => q == v + 1000 },
+      "the base row should be servable to its own derived external query")
+  }
+
   test("streaming_drift equals the batch integer centroid per source") {
     val streamed = run("streaming_drift").collect().toSet
     val batch = Tables(spark, dir, "embeddings")
