@@ -167,6 +167,25 @@ object ScaleProbe {
       }
     }
     val results2 = results ++ Seq(
+      // r13 (r12 verdict next #7): NN-embed throughput — the
+      // IntMlpEmbedModel forward pass (histogram+taps featurize, W1
+      // matmul, ReLU, requantize, W2 matmul) over 123k ~500-byte binary
+      // payloads through the per-partition batch path. This is the
+      // inference-at-ingest cost a capacity planner reads next to
+      // casc_funnel_2048: embedding THE corpus is the one pass every
+      // multimodal pipeline pays before any index exists.
+      time("intmlp_embed_123k") {
+        import spark.implicits._
+        val media = spark.range(nVecs).selectExpr(
+            "id AS media_id",
+            "CAST(concat('payload_', CAST(id AS STRING), '_', " +
+              "repeat(CAST(pmod(xxhash64(id), 9973) AS STRING), 120)) AS BINARY) AS bytes",
+            "'application/x-probe' AS mime",
+            "'probe' AS source")
+          .as[graft.sources.Multimodal.MediaRecord]
+        graft.sources.Multimodal.embedWith(spark, media,
+          new graft.sources.Multimodal.IntMlpEmbedModel).count()
+      },
       // the r7 BPE kernel at its bench-relevant shape (r7 verdict "next"
       // #3 asks the wide probe to carry this row) — the throughput bound
       // of every tokenizer-apply entry
