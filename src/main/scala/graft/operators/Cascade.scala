@@ -122,7 +122,8 @@ object Cascade {
     * reference's d=2048. At 100 TB the always-resident code column is
     * dims/8 bytes/row (256 B at 2048-d vs the reference's 8 KB floats). */
   def searchWide(raw: DataFrame, qid: Long, stage1: Int, stage2: Int, k: Int,
-                 dims: Int): DataFrame = {
+                 dims: Int,
+                 restrict: DataFrame => DataFrame = identity): DataFrame = {
     require(dims % 32 == 0, s"searchWide: dims=$dims must be a multiple of 32")
     val groups = dims / 32
     val e = raw.select(col("vec_id"), col("embedding"),
@@ -131,7 +132,10 @@ object Cascade {
     val stats = calibrationAndPresence(e, Seq(qid))
     val q = e.filter(col("vec_id") === qid)
       .select(col("p").as("qp"), col("embedding").as("q_vec"), col("v").as("qd"))
-    e.filter(col("vec_id") =!= qid)
+    // `restrict` narrows the stage-1 BODY only (e.g. an IVF probe
+    // membership join — the [[search]] A43d convention at width);
+    // calibration and the query side stay corpus-wide index-build state
+    restrict(e.filter(col("vec_id") =!= qid))
       .crossJoin(broadcast(q))
       .withColumn("ham", vectors.hammingLong(col("p"), col("qp")))
       .orderBy(col("ham").asc, col("vec_id").asc).limit(stage1)

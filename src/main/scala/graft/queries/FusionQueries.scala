@@ -483,6 +483,27 @@ object FusionQueries {
         keep = Some(keep))
     }),
 
+    // A46g: the IVF×CASCADE composition at the reference width (with
+    // A46f this finishes the coarse-quantizer leg of the width matrix:
+    // every composition class — flat, filtered, PQ, SQ8, funnel, recall,
+    // IVF×PQ, IVF×funnel — is now hash-gated at d=2048): 2048-d
+    // centroids, scaled-cosine probe selection (nProbe=2 of 10), then
+    // the full three-stage funnel with its stage-1 Hamming BODY pruned
+    // to the probed clusters' members — calibration and the query side
+    // stay corpus-wide (the A43d convention at width). At 100 TB the
+    // always-resident 256 B/row code scan reads only nProbe/C of the
+    // corpus.
+    "knn_ivf_cascade_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val lbl = Tables(s, dir, "embeddings").select("vec_id", "label")
+      val probed = Ivf.probe(Ivf.centroids(w.join(lbl, "vec_id")),
+        w.filter(col("vec_id") === 3).select(col("embedding").as("q_vec")),
+        nProbe = 2)
+      Cascade.searchWide(w, qid = 3, stage1 = IvfCascStage1,
+        stage2 = CascStage2, k = 10, dims = HybridQueries.WideDims,
+        restrict = _.join(lbl, "vec_id").join(broadcast(probed), "label"))
+    }),
+
     // A46b: flat SQ8 at the reference width — the cascade funnel's int8
     // stage-2 arithmetic (full-corpus (mn,mx) calibration, 0..255 codes,
     // integer squared-L2) hash-gated at d=2048. With A45 (exact L2),
@@ -1321,6 +1342,56 @@ object FusionQueries {
          |       - CAST(floor(((q.qd[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)))) AS BIGINT) AS d8
          |  FROM s1 JOIN w2 b USING (vec_id) CROSS JOIN q CROSS JOIN st
          |  ORDER BY d8 ASC, s1.vec_id ASC LIMIT $s2)
+         |SELECT s2.vec_id,
+         |  CAST(floor(list_cosine_similarity(b.v, q.qd) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s2.d8, s2.ham
+         |FROM s2 JOIN w2 b USING (vec_id) CROSS JOIN q
+         |ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A46g: knn_cascade_2048's oracle with the A46f wide-centroid probe
+    // prelude and the stage-1 body restricted to probed clusters'
+    // members; calibration (st) and the query stay corpus-wide
+    "knn_ivf_cascade_2048" -> {
+      val (wideN, groups, s1w, s2w, qid) = (2048, 64, IvfCascStage1, CascStage2, 3)
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |w2 AS MATERIALIZED (SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_transform(range(0, $groups), g ->
+         |    list_reduce(list_transform(range(0, 32), j ->
+         |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
+         |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)) AS p
+         |  FROM wide),
+         |centw AS MATERIALIZED (
+         |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+         |    SELECT e.label AS label, d.dim AS dim,
+         |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
+         |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
+         |    GROUP BY e.label, d.dim)
+         |  GROUP BY label),
+         |qp0 AS (SELECT embedding FROM wide WHERE vec_id = $qid),
+         |probes AS (
+         |  SELECT c.label FROM centw c CROSS JOIN qp0
+         |  ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |    CAST(qp0.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
+         |  LIMIT 2),
+         |st AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM w2),
+         |q AS (SELECT p AS qp, embedding AS q_emb, v AS qd FROM w2 WHERE vec_id = $qid),
+         |s1 AS (SELECT b.vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${groups + 1}),
+         |      i -> bit_count(xor(b.p[i], q.qp[i])))) AS BIGINT) AS ham
+         |  FROM w2 b JOIN embeddings e2 ON e2.vec_id = b.vec_id
+         |  JOIN probes pr ON e2.label = pr.label
+         |  CROSS JOIN q WHERE b.vec_id <> $qid
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $s1w),
+         |s2 AS (SELECT s1.vec_id, s1.ham,
+         |    CAST(list_sum(list_transform(range(1, ${wideN + 1}), i ->
+         |      (CAST(floor(((b.v[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)
+         |       - CAST(floor(((q.qd[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT))
+         |      * (CAST(floor(((b.v[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)
+         |       - CAST(floor(((q.qd[i] - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)))) AS BIGINT) AS d8
+         |  FROM s1 JOIN w2 b USING (vec_id) CROSS JOIN q CROSS JOIN st
+         |  ORDER BY d8 ASC, s1.vec_id ASC LIMIT $s2w)
          |SELECT s2.vec_id,
          |  CAST(floor(list_cosine_similarity(b.v, q.qd) * 10000 + 0.5) AS BIGINT) AS score,
          |  s2.d8, s2.ham

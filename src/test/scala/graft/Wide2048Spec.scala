@@ -142,6 +142,65 @@ class Wide2048Spec extends SparkSpec {
     assert(got == fin)
   }
 
+  test("knn_ivf_cascade_2048 equals the plain-Scala probe-restricted wide funnel") {
+    // A46g: the knn_cascade_2048 reconstruction with the stage-1 body
+    // pruned to the two nearest wide-centroid clusters; calibration and
+    // the query stay corpus-wide
+    val (s1n, s2n, qid, nProbe) = (50, 25, 3L, 2)
+    val w = wideCorpus()
+    val wd = w.map { case (id, v) => id -> v.map(_.toDouble) }
+    val labels = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents: Map[Long, Array[Float]] = wd.groupBy { case (id, _) => labels(id) }
+      .map { case (lbl, m) =>
+        val vs = m.values.toSeq
+        lbl -> Array.tabulate(WideDims)(d => (vs.map(_(d)).sum / vs.size).toFloat)
+      }
+    def cosScaledF(a: Array[Float], b: Array[Float]): Long = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      math.floor(dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum)) * 10000.0 + 0.5).toLong
+    }
+    val probed = cents.toSeq
+      .map { case (lbl, c) => (-cosScaledF(c, w(qid)), lbl) }.sorted.take(nProbe)
+      .map(_._2).toSet
+    def pack(v: Array[Float]): Array[Long] =
+      Array.tabulate(64) { g =>
+        var acc = 0L; var j = 0
+        while (j < 32) { if (v(g * 32 + j) > 0.0f) acc |= (1L << j); j += 1 }
+        acc
+      }
+    val p = w.map { case (id, v) => id -> pack(v) }
+    val qp = p(qid); val qv = wd(qid)
+    val mn = wd.valuesIterator.map(_.min).min
+    val mx = wd.valuesIterator.map(_.max).max
+    val s1 = wd.keys.filter(id => id != qid && probed.contains(labels(id))).map { id =>
+      val ham = p(id).zip(qp).map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum.toLong
+      (ham, id)
+    }.toSeq.sorted.take(s1n)
+    def sq8(x: Double): Long = math.floor(((x - mn) * 255.0) / (mx - mn)).toLong
+    val qb = qv.map(sq8)
+    val s2 = s1.map { case (ham, id) =>
+      val qa = wd(id).map(sq8)
+      var d = 0L; var i = 0
+      while (i < qa.length) { val x = qa(i) - qb(i); d += x * x; i += 1 }
+      (d, id, ham)
+    }.sorted.take(s2n)
+    val fin = s2.map { case (d8, id, ham) =>
+      val v = wd(id)
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < v.length) { dot += v(i) * qv(i); na += v(i) * v(i); nb += qv(i) * qv(i); i += 1 }
+      (-math.floor((dot / (math.sqrt(na) * math.sqrt(nb))) * 10000 + 0.5).toLong, id, d8, ham)
+    }.sorted.take(10).map { case (ns, id, d8, ham) => (id, -ns, d8, ham) }
+    val got = SparkEntry.queries("knn_ivf_cascade_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == fin)
+    assert(got.forall { case (id, _, _, _) => probed.contains(labels(id)) },
+      "a result outside the probed clusters leaked through")
+  }
+
   test("recall_cascade_2048 is monotone in stage-1 width and recovers exact at the widest") {
     // the A43c contract at the reference width: one Hamming ranking feeds
     // every width; the aggregate curve climbs (33→51→68→77 of 80 at
