@@ -504,6 +504,23 @@ object FusionQueries {
         restrict = _.join(lbl, "vec_id").join(broadcast(probed), "label"))
     }),
 
+    // A42d: RESIDUAL IVF×PQ at the reference width — the one remaining
+    // compositional arithmetic not hash-checked at d=2048 (A46f gated
+    // direct-encode IVF×PQ; the FAISS-default residual encoding quantizes
+    // v − centroid instead, Jégou et al. 2011 §IV-A, and its per-CLUSTER
+    // ADC tables are a different serving arithmetic). The A42 integer
+    // composition verbatim over the A45 derived-wide frame: quantized
+    // 2048-d components, floor-mean coarse centroids, integer-sqL2 probe
+    // (ties to the lower label), residual transform, seeded residual
+    // codebook (16 subspaces × 128 dims), per-cluster ADC CASE, exact
+    // integer rerank — every step replayed by the oracle at full width.
+    "knn_ivfpq_residual_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      Pq.ivfpqResidual(e, qid = 0, k = 10,
+        numSub = 16, subDim = 128, numCodes = 16, nProbe = 2, shortlist = 100)
+    }),
+
     // A46b: flat SQ8 at the reference width — the cascade funnel's int8
     // stage-2 arithmetic (full-corpus (mn,mx) calibration, 0..255 codes,
     // integer squared-L2) hash-gated at d=2048. With A45 (exact L2),
@@ -609,6 +626,25 @@ object FusionQueries {
         iters = 2, sampleMax = 256)
       Pq.searchRerankInt(e, cb, qid = 0, k = 10,
         numSub = 8, subDim = 8, shortlist = 100)
+    }),
+
+    // A25b: the TRAINED codebook at the reference width — the width
+    // matrix so far gated only SEEDED codebooks at d=2048 (A46/A46f/
+    // A42d); production PQ codebooks are k-means-trained (the reference's
+    // hnswlib/faiss convention), and the training arithmetic itself is
+    // width-dependent (E-step distances and M-step floor-means run over
+    // 128-dim subspaces here, not 8). The A25 integer composition over
+    // the A45 derived-wide frame: per-subspace Lloyd's on the bounded
+    // 256-row sample (NearestCentroidLong E-step, integer floor-mean
+    // M-step, 2 iterations), then the integer ADC shortlist + exact
+    // integer rerank — train, encode, AND search all replayed by the
+    // oracle at d=2048.
+    "knn_pq_trained_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val cb = Pq.trainedCodebookInt(w, numSub = 16, subDim = 128, numCodes = 16,
+        iters = 2, sampleMax = 256)
+      Pq.searchRerankInt(w, cb, qid = 0, k = 10,
+        numSub = 16, subDim = 128, shortlist = 100)
     }),
 
     // A37: BINARY-quantized kNN — the 1-bit member of the quantized family
@@ -1399,6 +1435,60 @@ object FusionQueries {
          |ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin
     },
 
+    // A42d: the A42 residual-IVFPQ integer composition re-derived over the
+    // wide frame — quantized 2048-d components, floor-mean centroids,
+    // integer-sqL2 probe (asc, label asc), residual transform, 16×128
+    // seeded residual codebook, argmin encode, per-cluster ADC, exact
+    // integer rerank. Integer sums are order-insensitive so list_sum
+    // transliterates at any width.
+    "knn_ivfpq_residual_2048" -> {
+      val (dims, numSub, subDim, numCodes) = (2048, 16, 128, 16)
+      def sqdSub(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def sqdFull(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("w.embedding")
+      val bSlice = s"(b.r[cb.m*$subDim+1 : cb.m*$subDim+$subDim])"
+      val qSlice = s"(qr.qr[cb.m*$subDim+1 : cb.m*$subDim+$subDim])"
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |qe AS MATERIALIZED (SELECT w.vec_id, CAST(e.label AS BIGINT) AS label, $qz AS q
+         |  FROM wide w JOIN embeddings e USING (vec_id)),
+         |cent AS MATERIALIZED (SELECT label, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent FROM (
+         |    SELECT label, d.dim AS dim, sum(q[d.dim + 1]) AS s, count(*) AS cnt
+         |    FROM qe CROSS JOIN range($dims) d(dim) GROUP BY label, d.dim) GROUP BY label),
+         |qq AS (SELECT q FROM qe WHERE vec_id = 0),
+         |probes AS (SELECT label FROM (
+         |  SELECT c.label, row_number() OVER (ORDER BY ${sqdFull("c.cent", "q.q")} ASC, c.label ASC) AS rn
+         |  FROM cent c CROSS JOIN qq q) WHERE rn <= 2),
+         |res AS MATERIALIZED (SELECT e.vec_id, e.label,
+         |  list_transform(range(1, ${dims + 1}), i -> e.q[i] - c.cent[i]) AS r, e.q AS q
+         |  FROM qe e JOIN cent c USING (label)),
+         |cb AS MATERIALIZED (SELECT m.m AS m, s.vec_id AS code,
+         |  s.r[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+         |  FROM res s, (SELECT unnest(range($numSub)) AS m) m WHERE s.vec_id < $numCodes),
+         |body AS MATERIALIZED (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN probes USING (label)
+         |  WHERE b.vec_id <> 0),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  ${sqdSub(bSlice, "cb.cw")} AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |  GROUP BY 1, 2),
+         |qres AS (SELECT p.label, list_transform(range(1, ${dims + 1}), i -> q.q[i] - c.cent[i]) AS qr
+         |  FROM probes p JOIN cent c USING (label) CROSS JOIN qq q),
+         |adc AS (SELECT qr.label, cb.m, cb.code, ${sqdSub(qSlice, "cb.cw")} AS td
+         |  FROM cb CROSS JOIN qres qr),
+         |short AS (SELECT enc.vec_id FROM enc
+         |  JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
+         |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
+         |  GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)
+         |SELECT b.vec_id, ${sqdFull("b.q", "q2.q")} AS score
+         |FROM body b JOIN short USING (vec_id) CROSS JOIN qq q2
+         |ORDER BY score ASC, b.vec_id ASC LIMIT 10""".stripMargin
+    },
+
     // A46b: knn_sq8's oracle over the derived-wide vectors; integer
     // sq-L2 sums are order-insensitive so list_sum transliterates
     "knn_sq8_2048" ->
@@ -1536,6 +1626,61 @@ object FusionQueries {
          |  GROUP BY codes.vec_id ORDER BY CAST(sum(adc.td) AS BIGINT) ASC, codes.vec_id ASC
          |  LIMIT 100)
          |SELECT e.vec_id, ${dsq64("e.q", "qq.q")} AS score
+         |FROM ed e JOIN short USING (vec_id)
+         |CROSS JOIN (SELECT q FROM ed WHERE vec_id = 0) qq
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A25b: the knn_pq_trained composition re-derived over the wide frame
+    // — quantized 2048-d components, per-subspace Lloyd's (128-dim
+    // E-step distances, integer floor-mean M-step) unrolled as CTEs,
+    // integer ADC shortlist, exact integer rerank.
+    "knn_pq_trained_2048" -> {
+      val (dims, numSub, subDim) = (2048, 16, 128)
+      val iters = 2; val numCodes = 16; val sampleMax = 256
+      def dsqSub(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      def dsqFull(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      val iterCtes = (0 until iters).map { i =>
+        s"""p$i AS (SELECT vec_id, m, code FROM (
+           |  SELECT s.vec_id, s.m, c.code, row_number() OVER (PARTITION BY s.vec_id, s.m
+           |    ORDER BY ${dsqSub("s.s", "c.cw")} ASC, c.code ASC) AS rn
+           |  FROM sv s JOIN cb$i c ON s.m = c.m) WHERE rn = 1),
+           |u$i AS (SELECT p.m, p.code, dd.dim, sum(s.s[dd.dim + 1]) AS sm, count(*) AS cnt
+           |  FROM p$i p JOIN sv s ON p.vec_id = s.vec_id AND p.m = s.m
+           |  CROSS JOIN range($subDim) dd(dim) GROUP BY p.m, p.code, dd.dim),
+           |cb${i + 1} AS (SELECT c.m, c.code, coalesce(n.cw, c.cw) AS cw FROM cb$i c LEFT JOIN (
+           |  SELECT m, code, list((sm - ((sm % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cw
+           |  FROM u$i GROUP BY m, code) n ON c.m = n.m AND c.code = n.code)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |ed AS MATERIALIZED (SELECT vec_id, $qz AS q FROM wide),
+         |sv AS MATERIALIZED (SELECT e.vec_id, mm.m,
+         |  list_transform(range(1, ${subDim + 1}), i -> e.q[mm.m * $subDim + i]) AS s
+         |  FROM ed e CROSS JOIN range($numSub) mm(m) WHERE e.vec_id < $sampleMax),
+         |seeds AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS code
+         |  FROM (SELECT vec_id FROM ed WHERE vec_id < $sampleMax ORDER BY vec_id LIMIT $numCodes)),
+         |cb0 AS (SELECT s.m, sd.code, s.s AS cw FROM seeds sd JOIN sv s USING (vec_id)),
+         |$iterCtes,
+         |csv AS (SELECT e.vec_id, mm.m,
+         |  list_transform(range(1, ${subDim + 1}), i -> e.q[mm.m * $subDim + i]) AS s
+         |  FROM ed e CROSS JOIN range($numSub) mm(m) WHERE e.vec_id <> 0),
+         |codes AS (SELECT vec_id, m, code FROM (
+         |  SELECT s.vec_id, s.m, c.code, row_number() OVER (PARTITION BY s.vec_id, s.m
+         |    ORDER BY ${dsqSub("s.s", "c.cw")} ASC, c.code ASC) AS rn
+         |  FROM csv s JOIN cb$iters c ON s.m = c.m) WHERE rn = 1),
+         |qsv AS (SELECT mm.m,
+         |  list_transform(range(1, ${subDim + 1}), i -> e.q[mm.m * $subDim + i]) AS s
+         |  FROM ed e CROSS JOIN range($numSub) mm(m) WHERE e.vec_id = 0),
+         |adc AS (SELECT c.m, c.code, ${dsqSub("q.s", "c.cw")} AS td
+         |  FROM cb$iters c JOIN qsv q ON c.m = q.m),
+         |short AS (SELECT codes.vec_id FROM codes JOIN adc USING (m, code)
+         |  GROUP BY codes.vec_id ORDER BY CAST(sum(adc.td) AS BIGINT) ASC, codes.vec_id ASC
+         |  LIMIT 100)
+         |SELECT e.vec_id, ${dsqFull("e.q", "qq.q")} AS score
          |FROM ed e JOIN short USING (vec_id)
          |CROSS JOIN (SELECT q FROM ed WHERE vec_id = 0) qq
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin

@@ -113,6 +113,46 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count(_._1 == 0L) == 10)
   }
 
+  test("streaming_ivfpq_serve equals the batch probe-restricted ADC ranking") {
+    import graft.operators.{Ivf, Pq}
+    val streamed = run("streaming_ivfpq_serve").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch mirror: Ivf.probeBatch probes per q_id, membership via the
+    // label join, then the same inline ADC distance + window rank
+    val emb = Tables(spark, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, 8, 8, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 8, 8)
+      .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val qs = emb.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id", "embedding AS q_vec",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val probes = Ivf.probeBatch(Ivf.centroids(emb), qs, nProbe = 2)
+      .selectExpr("q_id", "CAST(label AS BIGINT) AS label")
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = qs.drop("q_vec").crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(probes, Seq("q_id", "label"))
+      .withColumn("adist", Pq.adcDistCol(cbRows, 8, 8))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
+    // the probe restriction is real: every served id is in its query's
+    // probed clusters
+    val probedPairs = probes.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val labelOf = emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    streamed.foreach { case (qid, _, vid, _) =>
+      assert(probedPairs.contains((qid, labelOf(vid))),
+        s"vec $vid served for q$qid outside its probed clusters")
+    }
+  }
+
   test("streaming_hll_rollup equals the batch sketch estimates, state bounded at G*256") {
     import graft.operators.Hll
     val streamed = run("streaming_hll_rollup").collect()

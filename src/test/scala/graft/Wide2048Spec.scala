@@ -305,4 +305,114 @@ class Wide2048Spec extends SparkSpec {
     assert(got.forall { case (id, _) => keep.contains(id) },
       "a result outside the probed clusters leaked through")
   }
+
+  test("knn_ivfpq_residual_2048 equals the plain-Scala integer residual reconstruction") {
+    // A42d: the full residual composition at width, re-derived without
+    // Spark expressions — quantize, floor-mean centroids, integer probe,
+    // residual transform, seeded codebook, argmin encode, per-cluster
+    // ADC, exact integer rerank.
+    val (numSub, subDim, numCodes, nProbe, shortlist) = (16, 128, 16, 2, 100)
+    val w = wideCorpus()
+    val qz: Map[Long, Array[Long]] = w.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    }
+    val labels = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents: Map[Long, Array[Long]] = qz.groupBy { case (id, _) => labels(id) }
+      .map { case (lbl, m) =>
+        val vs = m.values.toSeq
+        lbl -> Array.tabulate(WideDims)(d => Math.floorDiv(vs.map(_(d)).sum, vs.size))
+      }
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    val qv = qz(0L)
+    val probed = cents.toSeq.map { case (l, c) => (sqd(c, qv), l) }
+      .sortBy { case (d, l) => (d, l) }.take(nProbe).map(_._2)
+    val resOf: Long => Array[Long] = id => {
+      val v = qz(id); val c = cents(labels(id))
+      Array.tabulate(WideDims)(i => v(i) - c(i))
+    }
+    val cb: Map[(Int, Long), Array[Long]] =
+      (for (code <- 0L until numCodes; m <- 0 until numSub)
+        yield (m, code) -> resOf(code).slice(m * subDim, (m + 1) * subDim)).toMap
+    val bodyIds = qz.keys.filter(id => id != 0L && probed.contains(labels(id))).toSeq
+    val adc: Map[(Long, Int, Long), Long] = (for {
+      l <- probed
+      qr = Array.tabulate(WideDims)(i => qv(i) - cents(l)(i))
+      m <- 0 until numSub
+      code <- 0L until numCodes
+    } yield (l, m, code) -> sqd(qr.slice(m * subDim, (m + 1) * subDim), cb((m, code)))).toMap
+    val short = bodyIds.map { id =>
+      val r = resOf(id)
+      var asum = 0L
+      for (m <- 0 until numSub) {
+        val best = (0L until numCodes)
+          .map(c => (sqd(r.slice(m * subDim, (m + 1) * subDim), cb((m, c))), c)).min
+        asum += adc((labels(id), m, best._2))
+      }
+      (asum, id)
+    }.sorted.take(shortlist).map(_._2)
+    val expect = short.map(id => (id, sqd(qz(id), qv)))
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    val got = SparkEntry.queries("knn_ivfpq_residual_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.forall { case (id, _) => probed.contains(labels(id)) },
+      "a result outside the probed clusters leaked through")
+  }
+
+  test("knn_pq_trained_2048 equals the plain-Scala Lloyd's + ADC + rerank reconstruction") {
+    // A25b: the 2-iteration per-subspace k-means, the encode, the ADC
+    // shortlist and the exact integer rerank, all re-derived without
+    // Spark expressions at d=2048.
+    val (numSub, subDim, numCodes, iters, sampleMax, shortlist) = (16, 128, 16, 2, 256, 100)
+    val w = wideCorpus()
+    val qz: Map[Long, Array[Long]] = w.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * 10000 + 0.5).toLong)
+    }
+    def sqd(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); acc += d * d; i += 1 }
+      acc
+    }
+    def sub(v: Array[Long], m: Int): Array[Long] = v.slice(m * subDim, (m + 1) * subDim)
+    val sample = qz.filter(_._1 < sampleMax)
+    val seedIds = sample.keys.toSeq.sorted.take(numCodes)
+    var cb: Map[(Int, Long), Array[Long]] =
+      (for (m <- 0 until numSub; (sid, c) <- seedIds.zipWithIndex)
+        yield (m, c.toLong) -> sub(qz(sid), m)).toMap
+    for (_ <- 0 until iters) {
+      val assigned: Seq[((Int, Long), Array[Long])] = sample.toSeq.flatMap { case (_, v) =>
+        (0 until numSub).map { m =>
+          val s = sub(v, m)
+          val best = (0L until numCodes).map(c => (sqd(s, cb((m, c))), c)).min._2
+          (m, best) -> s
+        }
+      }
+      val next = assigned.groupBy(_._1).map { case (key, grp) =>
+        val vs = grp.map(_._2)
+        key -> Array.tabulate(subDim)(d => Math.floorDiv(vs.map(_(d)).sum, vs.size))
+      }
+      cb = cb.map { case (key, cw) => key -> next.getOrElse(key, cw) }
+    }
+    val qv = qz(0L)
+    val adc = cb.map { case ((m, c), cw) => (m, c) -> sqd(sub(qv, m), cw) }
+    val short = qz.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      var asum = 0L
+      for (m <- 0 until numSub) {
+        val best = (0L until numCodes).map(c => (sqd(sub(v, m), cb((m, c))), c)).min._2
+        asum += adc((m, best))
+      }
+      (asum, id)
+    }.sorted.take(shortlist).map(_._2)
+    val expect = short.map(id => (id, sqd(qz(id), qv)))
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    val got = SparkEntry.queries("knn_pq_trained_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
 }
