@@ -825,6 +825,31 @@ object HybridQueries {
       Hnsw.searchPersisted(s, path, qv, 10, ef = 0)
     }),
 
+    // A45c: the ACORN filtered walk at the REFERENCE width — the
+    // reference's NAMESAKE operation (predicate + graph walk over the one
+    // filter-agnostic index, acorn.py) ran at d=2048 only unfiltered
+    // (A45b); the filtered traversal's visit arithmetic is width-
+    // dependent (every hop pays a 2048-d distance). Same construction as
+    // A35b over the derived-wide frame: pass bits from the metadata
+    // predicate ride WITH the vectors into each partition's graph, the
+    // walk visits the full graph but collects only predicate-passing
+    // nodes; at the saturating sentinel (metaSearch=0) the walk is exact,
+    // so the prefilter oracle replays it over the wide vectors.
+    "hybrid_knn_hnsw_2048" -> ((s, dir) => {
+      val w = wideEmb(emb(s, dir))
+      val qv = w.filter(col("vec_id") === 11).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val corpus = w.filter(col("vec_id") =!= 11)
+        .join(docs(s, dir)
+          .filter(col("lang").isNotNull && col("lang") === "zh")
+          .select(col("doc_id"), lit(true).as("pass")),
+          col("vec_id") === col("doc_id"), "left")
+        .select(col("vec_id"), col("embedding"),
+          coalesce(col("pass"), lit(false)).as("pass"))
+        .repartition(8, col("vec_id"))
+      Hnsw.searchFilteredPerPartition(corpus, qv, 10, metaSearch = 0)
+    }),
+
     // A30's graph form: APPEND into the live persisted index (the
     // reference add_items()s while serving). The first 400 ids are the
     // persisted base; the rest arrive, route to their graph by replaying
@@ -1598,6 +1623,18 @@ object HybridQueries {
       s"""WITH wide AS (SELECT vec_id, $wideDuck AS w FROM embeddings)
          |SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
          |FROM wide e CROSS JOIN (SELECT w FROM wide WHERE vec_id = 13) q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A45c: saturated ACORN walk at 2048-d == exact pre-filter result
+    // over the wide vectors (self excluded, the A35b convention)
+    "hybrid_knn_hnsw_2048" ->
+      s"""WITH wide AS (SELECT vec_id, $wideDuck AS w FROM embeddings)
+         |SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+         |FROM wide e
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT w FROM wide WHERE vec_id = 11) q
+         |WHERE e.vec_id <> 11
+         |  AND d.lang IS NOT NULL AND d.lang = 'zh'
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // appended index == fresh full build == exact at the saturating beam

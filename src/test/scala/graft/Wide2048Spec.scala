@@ -415,4 +415,24 @@ class Wide2048Spec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == expect)
   }
+
+  test("hybrid_knn_hnsw_2048: saturated wide ACORN walk equals the exact prefilter") {
+    // A45c: the filtered graph walk at width — at the saturating sentinel
+    // the result is the exact top-10 of the predicate-passing wide rows
+    val w = wideCorpus()
+    val qv = w(11L)
+    val passing = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang").isNotNull &&
+        org.apache.spark.sql.functions.col("lang") === "zh")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val expect = w.toSeq
+      .filter { case (id, _) => id != 11L && passing.contains(id) }
+      .map { case (id, v) => (id, l2Scaled(v, qv)) }
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    val got = SparkEntry.queries("hybrid_knn_hnsw_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    assert(got.forall { case (id, _) => passing.contains(id) },
+      "a predicate-failing row leaked into the filtered walk's result")
+  }
 }
