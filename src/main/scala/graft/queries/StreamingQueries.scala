@@ -536,6 +536,58 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
     }),
 
+    // C66d: EXTERNAL queries through the streaming IVF×PQ serve — the
+    // C66b × C66c closure: a production stream receives NON-indexed
+    // queries continuously AND the index it probes is coarse-quantized.
+    // Arriving rows derive the external vector inline (the C66b ×1.5
+    // float-round derivation), select their own nProbe=2 clusters as the
+    // same pure array_sort projection over literal centroids, and
+    // ADC-rank only the probed clusters' members with NO self-exclusion
+    // — an external query has no corpus row to exclude.
+    "streaming_ivfpq_serve_external" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
+        numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val codes = Pq.encodeFast(
+        emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+        cbRows, numSub = 8, subDim = 8)
+        .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+      val cents = Ivf.centroids(emb).collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
+        .sortBy(_._1)
+      val probeStructs = cents.map { case (l, c) =>
+        struct(
+          (-graft.functions.scaled(
+            graft.functions.vectors.cosine(typedlit(c), col("qe")),
+            graft.operators.Knn.ScoreDigits)).as("n"),
+          lit(l).as("label"))
+      }
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .selectExpr("vec_id + 1000 AS q_id",
+          "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+            "x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+        .withColumn("qv", col("qe").cast("array<double>"))
+        .withColumn("parr", array(probeStructs: _*))
+        .withColumn("probes",
+          expr("transform(slice(array_sort(parr), 1, 2), x -> x.label)"))
+        .drop("parr", "qe")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(array_contains(col("probes"), col("label")))
+        .drop("one")
+        .withColumn("adist", Pq.adcDistCol(cbRows, numSub = 8, subDim = 8))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_ivfpq_serve_ext", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
     // C71: cascade stage-1 SERVING as a stream — C66's serving pattern
     // (static compressed index, arriving queries) applied to the funnel's
     // 8-byte Hamming stage: the always-resident sign-code index is STATIC
@@ -810,6 +862,44 @@ object StreamingQueries {
            |  JOIN embeddings el ON el.vec_id = enc.vec_id
            |  JOIN pr ON pr.q_id = adc.q_id AND pr.label = el.label
            |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2)
+           |SELECT q_id, rank, vec_id, adist FROM (
+           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
+           |WHERE rank <= 10""".stripMargin,
+
+      // C66d: the C66c oracle with the external qs derivation (the C66b
+      // ×1.5 float round) and the self-exclusion dropped
+      "streaming_ivfpq_serve_external" ->
+        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+           |  FROM body b CROSS JOIN cb),
+           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+           |        GROUP BY 1, 2),
+           |cent AS (${DuckDialect.centSql("embeddings")}),
+           |qs AS (SELECT vec_id + 1000 AS q_id,
+           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv
+           |  FROM embeddings WHERE vec_id < 8),
+           |pr AS (SELECT q_id, label FROM (
+           |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+           |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+           |      qs.qv) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
+           |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
+           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+           |adc AS (SELECT q.q_id, cb.m, cb.code,
+           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+           |  FROM cb JOIN q ON cb.m = q.m),
+           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+           |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+           |  JOIN embeddings el ON el.vec_id = enc.vec_id
+           |  JOIN pr ON pr.q_id = adc.q_id AND pr.label = el.label
+           |  GROUP BY 1, 2)
            |SELECT q_id, rank, vec_id, adist FROM (
            |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)

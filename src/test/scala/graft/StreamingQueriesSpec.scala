@@ -153,6 +153,41 @@ class StreamingQueriesSpec extends SparkSpec {
     }
   }
 
+  test("streaming_ivfpq_serve_external equals the batch external probe-restricted ranking") {
+    import graft.operators.{Ivf, Pq}
+    val streamed = run("streaming_ivfpq_serve_external").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val emb = Tables(spark, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, 8, 8, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 8, 8)
+      .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val qs = emb.filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 1000 AS q_id",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<FLOAT>) AS q_vec")
+      .withColumn("qv", col("q_vec").cast("array<double>"))
+    val probes = Ivf.probeBatch(Ivf.centroids(emb), qs, nProbe = 2)
+      .selectExpr("q_id", "CAST(label AS BIGINT) AS label")
+    val w = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = qs.drop("q_vec").crossJoin(codes)
+      .join(probes, Seq("q_id", "label"))
+      .withColumn("adist", Pq.adcDistCol(cbRows, 8, 8))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (1000L until 1008L).toSet,
+      "external queries must answer in the external id space")
+    // no self-exclusion: base row vec_id n is servable for external query
+    // n+1000 (the derivation preserves the nearest-neighbor structure)
+    assert(streamed.exists { case (qid, _, vid, _) => vid == qid - 1000L },
+      "an external query's own base row should be servable")
+  }
+
   test("streaming_hll_rollup equals the batch sketch estimates, state bounded at G*256") {
     import graft.operators.Hll
     val streamed = run("streaming_hll_rollup").collect()
