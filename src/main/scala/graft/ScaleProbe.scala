@@ -103,6 +103,14 @@ object ScaleProbe {
       time("casc_funnel_2048")(graft.operators.Cascade.searchWide(
         e.select("vec_id", "embedding"), qid = 7, stage1 = 100, stage2 = 25,
         k = 10, dims = dims).count()),
+      // r13 (A42d at the probe shape): the residual-IVFPQ serving
+      // composition — quantize, floor-mean centroids, probe, residual
+      // encode of the probed clusters, per-cluster ADC, exact rerank —
+      // over 123k×2048-d; the FAISS-default encoding's cost next to the
+      // direct-encode pq_encode_adc_2048 row
+      time("ivfpq_residual_2048")(graft.operators.Pq.ivfpqResidual(
+        e, qid = 7, k = 10, numSub = 16, subDim = 128, numCodes = 16,
+        nProbe = 2, shortlist = 100).count()),
       // the reference's headline: HNSW build+search over the same corpus
       time("hnsw_build_search_2048") {
         val qv = e.filter(col("vec_id") === 7).select("embedding")
