@@ -504,6 +504,40 @@ object FusionQueries {
         restrict = _.join(lbl, "vec_id").join(broadcast(probed), "label"))
     }),
 
+    // A44b: IVF×SQ8 at the reference width — the last coarse-quantizer
+    // composition class (A46f gated IVF×PQ, A46g IVF×funnel, A42d
+    // IVF×residual; the FAISS IVF_SQ shape ran at d=2048 only as the
+    // funnel's stage-2): wide centroids → scaled-cosine probe selection →
+    // int8 ranking of the probed clusters' members under CORPUS-WIDE
+    // (mn,mx) calibration → exact cosine rerank of the 40-row shortlist.
+    // Runs on the WidenVec/Sq8QuantizeVec/SqDistLong kernels.
+    "knn_ivfsq_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val lbl = Tables(s, dir, "embeddings").select("vec_id", "label")
+      val ev = w.join(lbl, "vec_id")
+        .selectExpr("vec_id", "label", "embedding",
+          "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = Cascade.calibrationStats(ev)
+      val q = ev.filter(col("vec_id") === 0)
+        .select(col("v").as("qd"), col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(ev),
+        w.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+        nProbe = 2)
+      val vecs = graft.functions.vectors
+      ev.filter(col("vec_id") =!= 0)
+        .join(broadcast(probed), "label")
+        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+        .select(col("vec_id"), col("embedding"), col("q_vec"),
+          vecs.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+          vecs.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+        .withColumn("d8", vecs.sqDistLong(col("qa"), col("qb")))
+        .orderBy(col("d8").asc, col("vec_id").asc).limit(IvfSqShortlist)
+        .withColumn("score", graft.functions.scaled(
+          vecs.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "d8")
+    }),
+
     // A42d: RESIDUAL IVF×PQ at the reference width — the one remaining
     // compositional arithmetic not hash-checked at d=2048 (A46f gated
     // direct-encode IVF×PQ; the FAISS-default residual encoding quantizes
@@ -1434,6 +1468,44 @@ object FusionQueries {
          |FROM s2 JOIN w2 b USING (vec_id) CROSS JOIN q
          |ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin
     },
+
+    // A44b: knn_sq8_2048's oracle with the A46f wide-centroid probe
+    // prelude, the body restricted to probed clusters' members,
+    // calibration corpus-wide, and the knn_ivfsq 40-row cosine rerank
+    "knn_ivfsq_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM wide),
+         |centw AS MATERIALIZED (
+         |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+         |    SELECT e.label AS label, d.dim AS dim,
+         |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
+         |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
+         |    GROUP BY e.label, d.dim)
+         |  GROUP BY label),
+         |qp AS (SELECT embedding FROM wide WHERE vec_id = 0),
+         |probes AS (
+         |  SELECT c.label FROM centw c CROSS JOIN qp
+         |  ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
+         |  LIMIT 2),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM wide WHERE vec_id = 0),
+         |b AS (SELECT w.vec_id, CAST(w.embedding AS DOUBLE[]) AS v
+         |  FROM wide w JOIN embeddings e USING (vec_id)
+         |  JOIN probes p ON e.label = p.label WHERE w.vec_id <> 0),
+         |qz AS (SELECT vec_id, v,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qa,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS qb
+         |  FROM b CROSS JOIN q CROSS JOIN st),
+         |short AS (SELECT vec_id, v,
+         |    CAST(list_sum(list_transform(range(1, len(qa) + 1),
+         |      i -> (qa[i] - qb[i]) * (qa[i] - qb[i]))) AS BIGINT) AS d8
+         |  FROM qz ORDER BY d8 ASC, vec_id ASC LIMIT $IvfSqShortlist)
+         |SELECT s.vec_id,
+         |  CAST(floor(list_cosine_similarity(s.v, q.qv) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s.d8
+         |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
 
     // A42d: the A42 residual-IVFPQ integer composition re-derived over the
     // wide frame — quantized 2048-d components, floor-mean centroids,

@@ -416,6 +416,57 @@ class Wide2048Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("knn_ivfsq_2048 equals the plain-Scala probe-restricted sq8 + rerank reconstruction") {
+    // A44b: wide centroids → scaled-cosine probe (desc, label asc) →
+    // corpus-wide-calibrated int8 ranking of probed members → exact
+    // cosine rerank of the 40-row shortlist
+    val (nProbe, shortlistN) = (2, 40)
+    val w = wideCorpus()
+    val wd = w.map { case (id, v) => id -> v.map(_.toDouble) }
+    val labels = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cents: Map[Long, Array[Float]] = wd.groupBy { case (id, _) => labels(id) }
+      .map { case (lbl, m) =>
+        val vs = m.values.toSeq
+        lbl -> Array.tabulate(WideDims)(d => (vs.map(_(d)).sum / vs.size).toFloat)
+      }
+    def cosScaled(a: Array[Float], b: Array[Float]): Long = {
+      val (ad, bd) = (a.map(_.toDouble), b.map(_.toDouble))
+      val dot = ad.zip(bd).map { case (x, y) => x * y }.sum
+      math.floor(dot / (math.sqrt(ad.map(x => x * x).sum) *
+        math.sqrt(bd.map(x => x * x).sum)) * 10000.0 + 0.5).toLong
+    }
+    val probed = cents.toSeq
+      .map { case (lbl, c) => (-cosScaled(c, w(0L)), lbl) }.sorted.take(nProbe)
+      .map(_._2).toSet
+    val mn = wd.valuesIterator.map(_.min).min
+    val mx = wd.valuesIterator.map(_.max).max
+    def sq8(x: Double): Long = math.floor(((x - mn) * 255.0) / (mx - mn)).toLong
+    val qb = wd(0L).map(sq8)
+    val short = wd.toSeq
+      .filter { case (id, _) => id != 0L && probed.contains(labels(id)) }
+      .map { case (id, v) =>
+        val qa = v.map(sq8)
+        var d = 0L; var i = 0
+        while (i < qa.length) { val x = qa(i) - qb(i); d += x * x; i += 1 }
+        (d, id)
+      }.sorted.take(shortlistN)
+    def cosScaledD(a: Array[Double], b: Array[Double]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000.0 + 0.5).toLong
+    }
+    val expect = short.map { case (d8, id) =>
+      (-cosScaledD(wd(id), wd(0L)), id, d8)
+    }.sorted.take(10).map { case (ns, id, d8) => (id, -ns, d8) }
+    val got = SparkEntry.queries("knn_ivfsq_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+    assert(got.forall { case (id, _, _) => probed.contains(labels(id)) },
+      "a result outside the probed clusters leaked through")
+  }
+
   test("hybrid_knn_hnsw_2048: saturated wide ACORN walk equals the exact prefilter") {
     // A45c: the filtered graph walk at width — at the saturating sentinel
     // the result is the exact top-10 of the predicate-passing wide rows
