@@ -100,6 +100,17 @@ object HybridQueries {
         coalesce(col("pass"), lit(false)).as("pass"))
       .repartition(8, col("vec_id"))
 
+  /** [[withPassBit]] over the derived-wide frame — the A45c/A45d filtered
+    * walks at d=2048 share the construction. */
+  private def widePassBit(s: SparkSession, dir: String,
+                          pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
+    wideEmb(emb(s, dir)).filter(col("vec_id") =!= exclId)
+      .join(docs(s, dir).filter(pred).select(col("doc_id"), lit(true).as("pass")),
+        col("vec_id") === col("doc_id"), "left")
+      .select(col("vec_id"), col("embedding"),
+        coalesce(col("pass"), lit(false)).as("pass"))
+      .repartition(8, col("vec_id"))
+
   // base-half index for the append entry (first IvfAppendSplit ids only)
   private val hnswBaseFor = scala.collection.mutable.Map.empty[String, String]
   private[queries] def ensureHnswBase(s: SparkSession, dir: String): String = synchronized {
@@ -839,15 +850,27 @@ object HybridQueries {
       val w = wideEmb(emb(s, dir))
       val qv = w.filter(col("vec_id") === 11).select("embedding")
         .collect().head.getSeq[Float](0).toArray
-      val corpus = w.filter(col("vec_id") =!= 11)
-        .join(docs(s, dir)
-          .filter(col("lang").isNotNull && col("lang") === "zh")
-          .select(col("doc_id"), lit(true).as("pass")),
-          col("vec_id") === col("doc_id"), "left")
-        .select(col("vec_id"), col("embedding"),
-          coalesce(col("pass"), lit(false)).as("pass"))
-        .repartition(8, col("vec_id"))
-      Hnsw.searchFilteredPerPartition(corpus, qv, 10, metaSearch = 0)
+      Hnsw.searchFilteredPerPartition(
+        widePassBit(s, dir, col("lang").isNotNull && col("lang") === "zh", 11),
+        qv, 10, metaSearch = 0)
+    }),
+
+    // A45d: the ACORN-γ TWO-HOP walk at the reference width — A35g's
+    // predicate-subgraph bridge, whose per-round budget economics are
+    // width-dependent (every bridged hop at d=2048 pays a 32× costlier
+    // distance than at d=64, so the flag's earn-rate must be re-measured
+    // at the width the reference actually builds). Saturating sentinel ⇒
+    // exact under both flags (the bridge changes budget-bound traversal
+    // order only), so the class-1 wide prefilter oracle replays it;
+    // Wide2048Spec measures the recall curve vs the one-hop walk at
+    // equal budgets at width.
+    "hybrid_knn_hnsw_2hop_2048" -> ((s, dir) => {
+      val w = wideEmb(emb(s, dir))
+      val qv = w.filter(col("vec_id") === 17).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
+      Hnsw.searchFilteredPerPartition(widePassBit(s, dir, pred, 17),
+        qv, 10, metaSearch = 0, twoHop = true)
     }),
 
     // A30's graph form: APPEND into the live persisted index (the
@@ -1635,6 +1658,19 @@ object HybridQueries {
          |CROSS JOIN (SELECT w FROM wide WHERE vec_id = 11) q
          |WHERE e.vec_id <> 11
          |  AND d.lang IS NOT NULL AND d.lang = 'zh'
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A45d: the saturated two-hop walk at width is exact under the same
+    // sweep guarantee, so the class-1 wide prefilter replays it
+    "hybrid_knn_hnsw_2hop_2048" ->
+      s"""WITH wide AS (SELECT vec_id, $wideDuck AS w FROM embeddings)
+         |SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+         |FROM wide e
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT w FROM wide WHERE vec_id = 17) q
+         |WHERE e.vec_id <> 17
+         |  AND d.lang IS NOT NULL AND d.lang = 'zh'
+         |  AND d.n_chars IS NOT NULL AND d.n_chars < 150
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     // appended index == fresh full build == exact at the saturating beam

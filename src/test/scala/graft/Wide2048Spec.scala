@@ -467,6 +467,54 @@ class Wide2048Spec extends SparkSpec {
       "a result outside the probed clusters leaked through")
   }
 
+  test("hybrid_knn_hnsw_2hop_2048: two-hop ≥ one-hop at equal budgets AT WIDTH, saturated ≡ exact") {
+    // A45d: the bridge's budget economics re-measured at d=2048 — every
+    // bridged hop pays a 32× costlier distance than at d=64, so the
+    // flag must re-earn its keep at the width the reference builds
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    import spark.implicits._
+    val c = org.apache.spark.sql.functions.col _
+    val pred = graft.operators.MetaPredicate(
+      "lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
+    val w = wideCorpus()
+    val qv = w(17L)
+    val passing = Tables(spark, dir, "documents").filter(pred)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = w.toSeq
+      .filter { case (id, _) => id != 17L && passing.contains(id) }
+      .map { case (id, v) => (id, l2Scaled(v, qv)) }
+      .sortBy { case (id, s) => (s, id) }.take(10).map(_._1).toSet
+    val wideDf = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .select(c("vec_id"),
+        graft.functions.vectors.widen(c("embedding"), Dims, WideDims).as("embedding"))
+    val corpus = wideDf.filter(c("vec_id") =!= 17)
+      .join(Tables(spark, dir, "documents").filter(pred)
+        .select(c("doc_id"), lit(true).as("pass")),
+        c("vec_id") === c("doc_id"), "left")
+      .select(c("vec_id"), c("embedding"), coalesce(c("pass"), lit(false)).as("pass"))
+      .repartition(8, c("vec_id"))
+      .localCheckpoint(true)
+    def recall(budget: Int, twoHop: Boolean): Int =
+      graft.operators.Hnsw.searchFilteredPerPartition(corpus, qv, 10,
+          metaSearch = budget, twoHop = twoHop)
+        .select("vec_id").as[Long].collect().toSet.intersect(exact).size
+    val budgets = Seq(4, 8, 16, 32, 64)
+    val curve = budgets.map(b => (b, recall(b, twoHop = false), recall(b, twoHop = true)))
+    info(s"WIDTH budget -> (one-hop, two-hop) recall@10: " +
+      curve.map { case (b, o, t) => s"$b->($o,$t)" }.mkString(", "))
+    curve.foreach { case (b, one, two) =>
+      assert(two >= one, s"budget $b: two-hop recall $two < one-hop $one at width")
+    }
+    // saturated walks are exact and flag-independent at width too
+    val got = SparkEntry.queries("hybrid_knn_hnsw_2hop_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expect = w.toSeq
+      .filter { case (id, _) => id != 17L && passing.contains(id) }
+      .map { case (id, v) => (id, l2Scaled(v, qv)) }
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    assert(got == expect)
+  }
+
   test("hybrid_knn_hnsw_2048: saturated wide ACORN walk equals the exact prefilter") {
     // A45c: the filtered graph walk at width — at the saturating sentinel
     // the result is the exact top-10 of the predicate-passing wide rows
