@@ -504,6 +504,20 @@ object FusionQueries {
         restrict = _.join(lbl, "vec_id").join(broadcast(probed), "label"))
     }),
 
+    // A21g: the WIDE-batch machinery at the reference width — every
+    // d=2048 gate so far serves ONE query, but the reference's
+    // evaluation loop serves a query FILE, and the O(1)-plan batch path
+    // (ADC tables riding as a broadcast-joined (q_id, tds) relation,
+    // map-side k-heaps) moves 16×64 lookup tables of 128-dim folds per
+    // query at this width — arithmetic the d=64 batch gate never
+    // exercises. One corpus encode + one code scan answer all 8 queries;
+    // per-query results ≡ knn_pq_2048's single-query pipeline at qid 0
+    // (same seeded codebook, same shortlist/rerank tie orders).
+    "knn_pq_batch_wide_2048" -> ((s, dir) =>
+      Pq.searchRerankBatchWide(HybridQueries.wideEmbeddings(s, dir),
+        qids = (0L until 8L), k = 10, numSub = 16, subDim = 128,
+        numCodes = 64, shortlist = 100)),
+
     // A44b: IVF×SQ8 at the reference width — the last coarse-quantizer
     // composition class (A46f gated IVF×PQ, A46g IVF×funnel, A42d
     // IVF×residual; the FAISS IVF_SQ shape ran at d=2048 only as the
@@ -1467,6 +1481,50 @@ object FusionQueries {
          |  s2.d8, s2.ham
          |FROM s2 JOIN w2 b USING (vec_id) CROSS JOIN q
          |ORDER BY score DESC, s2.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A21g: the pqBatchOracleSql pipeline at width — one shared wide
+    // encode, per-q ADC tables (list_reduce folds), per-q window cuts
+    "knn_pq_batch_wide_2048" -> {
+      val (numSub, subDim, numCodes) = (16, 128, 64)
+      def fold(vec: String, cw: String, offset: Boolean): String = {
+        val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
+        s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
+          s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
+      }
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
+         |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+         |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
+         |body AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide),
+         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |  CAST(floor(${fold("b.v", "cb.cw", offset = true)} * 10000.0) AS BIGINT) AS d
+         |  FROM body b CROSS JOIN cb),
+         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+         |        GROUP BY 1, 2),
+         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM wide WHERE vec_id < 8),
+         |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
+         |      FROM qs, (SELECT unnest(range($numSub)) AS m) m),
+         |adc AS (SELECT q.q_id, cb.m, cb.code,
+         |  CAST(floor(${fold("q.qsub", "cb.cw", offset = false)} * 10000.0) AS BIGINT) AS td
+         |  FROM cb JOIN q ON cb.m = q.m),
+         |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+         |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+         |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
+         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+         |  FROM sums) WHERE rn <= 100),
+         |rr AS (SELECT s.q_id, s.vec_id,
+         |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+         |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+         |WHERE rank <= 10""".stripMargin
     },
 
     // A44b: knn_sq8_2048's oracle with the A46f wide-centroid probe

@@ -416,6 +416,21 @@ class Wide2048Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("knn_pq_batch_wide_2048: per-query results equal the single-query wide pipeline") {
+    // A21g: the O(1)-plan batch machinery at width — query 0's slice of
+    // the batch result must be bit-identical to knn_pq_2048 (same seeded
+    // codebook, same shortlist/rerank tie orders)
+    val batch = SparkEntry.queries("knn_pq_batch_wide_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.map(_._1).distinct.sorted == (0L until 8L),
+      "every query in the file must be answered")
+    assert(batch.groupBy(_._1).forall(_._2.size == 10))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4))
+    val single = SparkEntry.queries("knn_pq_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q0 == single)
+  }
+
   test("knn_ivfsq_2048 equals the plain-Scala probe-restricted sq8 + rerank reconstruction") {
     // A44b: wide centroids → scaled-cosine probe (desc, label asc) →
     // corpus-wide-calibrated int8 ranking of probed members → exact
