@@ -155,6 +155,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(p3.contains("vec_widen") && p3.contains("TakeOrderedAndProject"), p3.take(3000))
   }
 
+  test("the r13 width gates: kernels in the scan, TakeOrdered cuts, O(1) batch shape") {
+    // knn_ivfsq_2048: the sq8/sqdist kernels carry the probed scan, both
+    // cuts are TakeOrdered — a regression to the HOF forms would re-box
+    // 4096 elements per row
+    val p = plan("knn_ivfsq_2048")
+    assert(p.contains("vec_sq8") && p.contains("vec_sqdist_long"), p.take(3000))
+    assert(p.contains("TakeOrderedAndProject") && !p.contains("Window"), p.take(3000))
+    // knn_ivfpq_residual_2048: the residual encode runs as the
+    // NearestCentroidLong kernel projection (codegen'd argmin), the
+    // shortlist/rerank as TakeOrdered
+    val p2 = plan("knn_ivfpq_residual_2048")
+    assert(p2.contains("nearest_centroid_long"), p2.take(3000))
+    assert(p2.contains("TakeOrderedAndProject") && !p2.contains("Window"), p2.take(3000))
+    // knn_pq_batch_wide_2048 inherits A21c's whole O(1)-in-|Q| contract
+    // at width: no per-query projection columns, exactly two materialized
+    // scans, one BNLJ of the 8-row ADC relation, two partial k-heaps
+    val p3 = plan("knn_pq_batch_wide_2048")
+    assert(!p3.contains("adist_"), s"per-query literal columns leaked\n${p3.take(3000)}")
+    assert("Scan ExistingRDD".r.findAllIn(p3).length === 2, p3.take(3000))
+    assert(p3.contains("BroadcastNestedLoopJoin"), p3.take(3000))
+    assert("partial_top_k_hits".r.findAllIn(p3).length === 2, p3.take(3000))
+    assert(!p3.contains("Window") && !p3.contains("SortMergeJoin"), p3.take(3000))
+  }
+
   test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
     val p = plan("hybrid_knn")
     assert(p.contains("partial_vec_sum"), p.take(2000))
