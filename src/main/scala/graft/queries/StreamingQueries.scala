@@ -603,6 +603,42 @@ object StreamingQueries {
       cascadeServeStream(s, dir, "sq_casc_serve")
         .select("q_id", "rank", "vec_id", "ham")),
 
+    // C71d: the cascade serving stream at the REFERENCE width — every
+    // streaming serve so far ran at d=64, but the production stream
+    // serves the index the reference actually builds (2048-d, 64-long
+    // packed sign codes, 256 B/row always-resident). The static side
+    // packs the derived-wide corpus once (BqPackVec); arriving queries
+    // widen AND pack INLINE in the stream projection (WidenVec →
+    // BqPackVec — two codegen kernels, no boxed lambdas in the
+    // per-micro-batch path); each row Hamming-ranks the broadcast code
+    // table (HammingDistLong on 64 longs = 512 B/candidate) into the
+    // same O(|Q|·stage1) complete-mode k-heap as C71.
+    "streaming_cascade_serve_2048" -> ((s, dir) => {
+      val vecs = graft.functions.vectors
+      val groups = HybridQueries.WideDims / 32
+      val codes = HybridQueries.wideEmbeddings(s, dir)
+        .select(col("vec_id"), vecs.bqPack(col("embedding"), groups).as("p"))
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"),
+          vecs.bqPack(
+            vecs.widen(col("embedding"), 64, HybridQueries.WideDims),
+            groups).as("qp"))
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(col("vec_id") =!= col("q_id"))
+        .drop("one")
+        .withColumn("ham", vecs.hammingLong(col("p"), col("qp")))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"),
+            FusionQueries.CascStage1, asc = true).as("hits")),
+        "sq_casc_serve_2048", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    }),
+
     // C71c: EXTERNAL queries through the streaming cascade stage-1 (r12
     // verdict next #8 — C66b closed external×PQ; this completes the
     // external symmetry for the funnel): arriving NON-indexed vectors
@@ -947,6 +983,28 @@ object StreamingQueries {
            |h AS (SELECT q.q_id, b.vec_id,
            |    CAST(bit_count(xor(b.lo, q.q_lo)) + bit_count(xor(b.hi, q.q_hi)) AS BIGINT) AS ham
            |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id)
+           |SELECT q_id, rank, vec_id, ham FROM (
+           |  SELECT q_id, vec_id, ham, CAST(row_number() OVER (PARTITION BY q_id
+           |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)
+           |WHERE rank <= ${FusionQueries.CascStage1}""".stripMargin,
+
+      // C71d: the knn_cascade_2048 pack CTE (the BqPackVec bit order as a
+      // list CASE fold) serving all 8 queries — per-q Hamming rank over
+      // the 64 packed groups, the heap's (ham asc, id asc) tie order
+      "streaming_cascade_serve_2048" ->
+        s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+           |    ${graft.queries.HybridQueries.wideDuck} AS embedding FROM embeddings),
+           |w2 AS MATERIALIZED (SELECT vec_id,
+           |  list_transform(range(0, 64), g ->
+           |    list_reduce(list_transform(range(0, 32), j ->
+           |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
+           |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)) AS p
+           |  FROM wide),
+           |qs AS (SELECT vec_id AS q_id, p AS qp FROM w2 WHERE vec_id < 8),
+           |h AS (SELECT q.q_id, b.vec_id,
+           |    CAST(list_sum(list_transform(range(1, 65),
+           |      i -> bit_count(xor(b.p[i], q.qp[i])))) AS BIGINT) AS ham
+           |  FROM w2 b CROSS JOIN qs q WHERE b.vec_id <> q.q_id)
            |SELECT q_id, rank, vec_id, ham FROM (
            |  SELECT q_id, vec_id, ham, CAST(row_number() OVER (PARTITION BY q_id
            |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)

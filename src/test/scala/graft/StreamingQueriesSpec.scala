@@ -188,6 +188,36 @@ class StreamingQueriesSpec extends SparkSpec {
       "an external query's own base row should be servable")
   }
 
+  test("streaming_cascade_serve_2048 equals the batch wide Hamming ranking; funnel-consistent") {
+    val streamed = run("streaming_cascade_serve_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // batch mirror: same WidenVec→BqPackVec codes, same HammingDistLong,
+    // per-q rank via a window
+    val vecs = graft.functions.vectors
+    val wide = Tables(spark, dir, "embeddings").select(col("vec_id"),
+      vecs.widen(col("embedding"), 64, 2048).as("embedding"))
+    val codes = wide.select(col("vec_id"), vecs.bqPack(col("embedding"), 64).as("p"))
+    val qs = codes.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("p").as("qp"))
+    val w = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val batch = qs.crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("ham", vecs.hammingLong(col("p"), col("qp")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 100)
+      .select("q_id", "rank", "vec_id", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
+    // funnel consistency: knn_cascade_2048 (qid 3, full-corpus stage-1 at
+    // the same width 100) can only return ids from q3's served stage-1
+    val served3 = streamed.collect { case (3L, _, vid, _) => vid }
+    val funnel = SparkEntry.queries("knn_cascade_2048")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(funnel.subsetOf(served3.toSet),
+      "the wide funnel's final top-10 must come from the served stage-1 shortlist")
+  }
+
   test("streaming_hll_rollup equals the batch sketch estimates, state bounded at G*256") {
     import graft.operators.Hll
     val streamed = run("streaming_hll_rollup").collect()
