@@ -505,6 +505,12 @@ object StreamingQueries {
       val cents = Ivf.centroids(emb).collect()
         .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
         .sortBy(_._1)
+      // the probe rides as a LITERAL array_sort projection — an empty
+      // centroid table would plan an untyped empty array and fail
+      // obscurely at bind time; refuse loudly instead
+      require(cents.nonEmpty,
+        "streaming ivfpq serve: empty centroid table — the per-row probe " +
+          "projection needs at least one cluster; ingest the corpus first")
       val probeStructs = cents.map { case (l, c) =>
         struct(
           (-graft.functions.scaled(
@@ -556,6 +562,12 @@ object StreamingQueries {
       val cents = Ivf.centroids(emb).collect()
         .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
         .sortBy(_._1)
+      // the probe rides as a LITERAL array_sort projection — an empty
+      // centroid table would plan an untyped empty array and fail
+      // obscurely at bind time; refuse loudly instead
+      require(cents.nonEmpty,
+        "streaming ivfpq serve: empty centroid table — the per-row probe " +
+          "projection needs at least one cluster; ingest the corpus first")
       val probeStructs = cents.map { case (l, c) =>
         struct(
           (-graft.functions.scaled(
