@@ -133,7 +133,37 @@ object FusionQueries {
       "zip_with(va, vb, (x, y) -> CAST((x + y) * 0.5D AS FLOAT)) AS q_vec")
   }
 
-  private def cascBaseDuckWide(maxQ: Int = 7): String =
+  /** The IVF×SQ8 pipeline over a (vec_id, label, embedding, v) frame —
+    * A44 `knn_ivfsq` (d=64) and A44b `knn_ivfsq_2048` share ONE
+    * construction path (the residualModel convention). Calibration
+    * threads [[Cascade.calibrationAndPresence]] so an absent qid fails
+    * LOUDLY instead of silently emptying the entry — an empty result
+    * would hash-match the oracle's equally-empty frame and the gate
+    * would pass vacuously. */
+  private def ivfsqSearch(ev: DataFrame, qid: Long): DataFrame = {
+    val stats = Cascade.calibrationAndPresence(ev, Seq(qid))
+    val q = ev.filter(col("vec_id") === qid)
+      .select(col("v").as("qd"), col("embedding").as("q_vec"))
+    val probed = Ivf.probe(Ivf.centroids(ev),
+      ev.filter(col("vec_id") === qid).select(col("embedding").as("q_vec")),
+      nProbe = 2)
+    val vecs = graft.functions.vectors
+    ev.filter(col("vec_id") =!= qid)
+      .join(broadcast(probed), "label")
+      .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+      // sq8 + integer sq-L2 kernels (the knn_sq8 swap; spec-pinned)
+      .select(col("vec_id"), col("embedding"), col("q_vec"),
+        vecs.sq8(col("v"), col("mn"), col("mx")).as("qa"),
+        vecs.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
+      .withColumn("d8", vecs.sqDistLong(col("qa"), col("qb")))
+      .orderBy(col("d8").asc, col("vec_id").asc).limit(IvfSqShortlist)
+      .withColumn("score", graft.functions.scaled(
+        vecs.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+      .select("vec_id", "score", "d8")
+  }
+
+  private[queries] def cascBaseDuckWide(maxQ: Int = 7): String =
     s"""wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
        |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -525,32 +555,12 @@ object FusionQueries {
     // int8 ranking of the probed clusters' members under CORPUS-WIDE
     // (mn,mx) calibration → exact cosine rerank of the 40-row shortlist.
     // Runs on the WidenVec/Sq8QuantizeVec/SqDistLong kernels.
-    "knn_ivfsq_2048" -> ((s, dir) => {
-      val w = HybridQueries.wideEmbeddings(s, dir)
-      val lbl = Tables(s, dir, "embeddings").select("vec_id", "label")
-      val ev = w.join(lbl, "vec_id")
+    "knn_ivfsq_2048" -> ((s, dir) => ivfsqSearch(
+      HybridQueries.wideEmbeddings(s, dir)
+        .join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
         .selectExpr("vec_id", "label", "embedding",
-          "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      val stats = Cascade.calibrationStats(ev)
-      val q = ev.filter(col("vec_id") === 0)
-        .select(col("v").as("qd"), col("embedding").as("q_vec"))
-      val probed = Ivf.probe(Ivf.centroids(ev),
-        w.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
-        nProbe = 2)
-      val vecs = graft.functions.vectors
-      ev.filter(col("vec_id") =!= 0)
-        .join(broadcast(probed), "label")
-        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
-        .select(col("vec_id"), col("embedding"), col("q_vec"),
-          vecs.sq8(col("v"), col("mn"), col("mx")).as("qa"),
-          vecs.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
-        .withColumn("d8", vecs.sqDistLong(col("qa"), col("qb")))
-        .orderBy(col("d8").asc, col("vec_id").asc).limit(IvfSqShortlist)
-        .withColumn("score", graft.functions.scaled(
-          vecs.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
-        .select("vec_id", "score", "d8")
-    }),
+          "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      qid = 0L)),
 
     // A42d: RESIDUAL IVF×PQ at the reference width — the one remaining
     // compositional arithmetic not hash-checked at d=2048 (A46f gated
@@ -775,30 +785,10 @@ object FusionQueries {
     // train/ship cost or accuracy loss is unwanted but raw floats don't
     // fit the scan budget. At 100 TB this reads nProbe/C of a
     // 4×-compressed corpus; floats page in for 40 rows.
-    "knn_ivfsq" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val ev = e.selectExpr("vec_id", "label", "embedding",
-        "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-      val stats = Cascade.calibrationStats(ev)
-      val q = ev.filter(col("vec_id") === 0)
-        .select(col("v").as("qd"), col("embedding").as("q_vec"))
-      val probed = Ivf.probe(Ivf.centroids(e),
-        e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
-        nProbe = 2)
-      ev.filter(col("vec_id") =!= 0)
-        .join(broadcast(probed), "label")
-        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
-        // sq8 + integer sq-L2 kernels (the knn_sq8 swap; spec-pinned)
-        .select(col("vec_id"), col("embedding"), col("q_vec"),
-          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("qa"),
-          graft.functions.vectors.sq8(col("qd"), col("mn"), col("mx")).as("qb"))
-        .withColumn("d8", graft.functions.vectors.sqDistLong(col("qa"), col("qb")))
-        .orderBy(col("d8").asc, col("vec_id").asc).limit(IvfSqShortlist)
-        .withColumn("score", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
-        .select("vec_id", "score", "d8")
-    }),
+    "knn_ivfsq" -> ((s, dir) => ivfsqSearch(
+      Tables(s, dir, "embeddings").selectExpr("vec_id", "label", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      qid = 0L)),
 
     // A43: three-stage cascade funnel — the production serving shape that
     // composes the compression family into one query (FAISS refine /
@@ -1379,13 +1369,7 @@ object FusionQueries {
     // clusters' members only
     "knn_ivfpq_2048" -> pqOracleSql2048(qid = 0,
       prelude =
-        """centw AS MATERIALIZED (
-          |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
-          |    SELECT e.label AS label, d.dim AS dim,
-          |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
-          |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
-          |    GROUP BY e.label, d.dim)
-          |  GROUP BY label),
+        s"""${HybridQueries.wideCentDuck},
           |qp AS (SELECT embedding FROM wide WHERE vec_id = 0),
           |probes AS (
           |  SELECT c.label FROM centw c CROSS JOIN qp
@@ -1446,13 +1430,7 @@ object FusionQueries {
          |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
          |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)) AS p
          |  FROM wide),
-         |centw AS MATERIALIZED (
-         |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
-         |    SELECT e.label AS label, d.dim AS dim,
-         |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
-         |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
-         |    GROUP BY e.label, d.dim)
-         |  GROUP BY label),
+         |${HybridQueries.wideCentDuck},
          |qp0 AS (SELECT embedding FROM wide WHERE vec_id = $qid),
          |probes AS (
          |  SELECT c.label FROM centw c CROSS JOIN qp0
@@ -1535,13 +1513,7 @@ object FusionQueries {
          |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
          |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
          |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM wide),
-         |centw AS MATERIALIZED (
-         |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
-         |    SELECT e.label AS label, d.dim AS dim,
-         |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
-         |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
-         |    GROUP BY e.label, d.dim)
-         |  GROUP BY label),
+         |${HybridQueries.wideCentDuck},
          |qp AS (SELECT embedding FROM wide WHERE vec_id = 0),
          |probes AS (
          |  SELECT c.label FROM centw c CROSS JOIN qp

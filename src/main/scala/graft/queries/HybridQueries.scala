@@ -70,6 +70,19 @@ object HybridQueries {
   private def wideEmb(e: DataFrame): DataFrame =
     e.select(col("vec_id"),
       graft.functions.vectors.widen(col("embedding"), Dims, WideDims).as("embedding"))
+  /** The per-cluster WIDE centroid CTE (per-dim avg of the 2048 slots,
+    * cast to FLOAT[] — the Ivf.centroids contract at width) — ONE copy
+    * shared by every wide oracle with a probe prelude (A46f/A46g/A44b).
+    * Expects a `wide` CTE in scope. */
+  private[queries] val wideCentDuck: String =
+    """centw AS MATERIALIZED (
+      |  SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+      |    SELECT e.label AS label, d.dim AS dim,
+      |           avg(CAST(w.embedding[d.dim + 1] AS DOUBLE)) AS cv
+      |    FROM wide w JOIN embeddings e USING (vec_id) CROSS JOIN range(2048) d(dim)
+      |    GROUP BY e.label, d.dim)
+      |  GROUP BY label)""".stripMargin
+
   /** The same construction as a DuckDB expression over `embedding`. */
   private[queries] def wideDuck: String =
     s"CAST(list_transform(range(0, $WideDims), j -> " +
@@ -91,25 +104,28 @@ object HybridQueries {
   /** The ACORN corpus shape: every row indexed, the predicate as ONE
     * relationally-computed bit (shared by the filtered entries and their
     * recall row so they can never desynchronize). */
-  private def withPassBit(s: SparkSession, dir: String,
+  /** Pass-bit corpus for the filtered (ACORN) walks: the predicate's
+    * verdict rides WITH each (vec_id, embedding) row into its partition's
+    * graph. ONE construction path for any embedding frame — the d=64
+    * walks pass the base corpus, the A45c/A45d wide walks the derived
+    * 2048-d frame (the repartition(8) count is part of the per-partition
+    * graph contract, so it must not diverge between them). */
+  private def passBitFrom(src: DataFrame, s: SparkSession, dir: String,
                           pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
-    emb(s, dir).filter(col("vec_id") =!= exclId).select("vec_id", "embedding")
+    src.filter(col("vec_id") =!= exclId).select("vec_id", "embedding")
       .join(docs(s, dir).filter(pred).select(col("doc_id"), lit(true).as("pass")),
         col("vec_id") === col("doc_id"), "left")
       .select(col("vec_id"), col("embedding"),
         coalesce(col("pass"), lit(false)).as("pass"))
       .repartition(8, col("vec_id"))
 
-  /** [[withPassBit]] over the derived-wide frame — the A45c/A45d filtered
-    * walks at d=2048 share the construction. */
+  private def withPassBit(s: SparkSession, dir: String,
+                          pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
+    passBitFrom(emb(s, dir), s, dir, pred, exclId)
+
   private def widePassBit(s: SparkSession, dir: String,
                           pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
-    wideEmb(emb(s, dir)).filter(col("vec_id") =!= exclId)
-      .join(docs(s, dir).filter(pred).select(col("doc_id"), lit(true).as("pass")),
-        col("vec_id") === col("doc_id"), "left")
-      .select(col("vec_id"), col("embedding"),
-        coalesce(col("pass"), lit(false)).as("pass"))
-      .repartition(8, col("vec_id"))
+    passBitFrom(wideEmb(emb(s, dir)), s, dir, pred, exclId)
 
   // base-half index for the append entry (first IvfAppendSplit ids only)
   private val hnswBaseFor = scala.collection.mutable.Map.empty[String, String]

@@ -49,6 +49,40 @@ object StreamingQueries {
     * TIMESTAMP(NANOS) conversion (lock-step with `Tables`). A single staged
     * file + an effectively-unbounded maxFilesPerTrigger pins ONE micro-batch
     * — the stateful entries' determinism contract. */
+  /** The static serve-side state the C66c/C66d IVF×PQ serves share: the
+    * seeded codebook rows, the label-carrying code table, and the literal
+    * probe structs that replay Ivf.probe's (scaled-cosine desc, label
+    * asc) contract per arriving row (over a query column named `qe`).
+    * The probe rides as a LITERAL array_sort projection — an empty
+    * centroid table would plan an untyped empty array and fail obscurely
+    * at bind time, so it refuses loudly instead. */
+  private def ivfpqServeStatics(s: SparkSession, dir: String)
+      : (Array[(Int, Long, Array[Double])], DataFrame,
+         Seq[org.apache.spark.sql.Column]) = {
+    val emb = Tables(s, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
+      numCodes = 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, numSub = 8, subDim = 8)
+      .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val cents = Ivf.centroids(emb).collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty,
+      "streaming ivfpq serve: empty centroid table — the per-row probe " +
+        "projection needs at least one cluster; ingest the corpus first")
+    val probeStructs = cents.map { case (l, c) =>
+      struct(
+        (-graft.functions.scaled(
+          graft.functions.vectors.cosine(typedlit(c), col("qe")),
+          graft.operators.Knn.ScoreDigits)).as("n"),
+        lit(l).as("label"))
+    }.toSeq
+    (cbRows, codes, probeStructs)
+  }
+
   private def readStreamTable(s: SparkSession, dir: String, name: String): DataFrame = {
     val src = stagedDir(dir, name)
     val schema = s.read.parquet(src).schema
@@ -494,30 +528,7 @@ object StreamingQueries {
     // the broadcast code table instead of all of it. Same O(|Q|·k)
     // complete-mode heap state as C66.
     "streaming_ivfpq_serve" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
-        numCodes = 64).collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      val codes = Pq.encodeFast(
-        emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
-        cbRows, numSub = 8, subDim = 8)
-        .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
-      val cents = Ivf.centroids(emb).collect()
-        .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
-        .sortBy(_._1)
-      // the probe rides as a LITERAL array_sort projection — an empty
-      // centroid table would plan an untyped empty array and fail
-      // obscurely at bind time; refuse loudly instead
-      require(cents.nonEmpty,
-        "streaming ivfpq serve: empty centroid table — the per-row probe " +
-          "projection needs at least one cluster; ingest the corpus first")
-      val probeStructs = cents.map { case (l, c) =>
-        struct(
-          (-graft.functions.scaled(
-            graft.functions.vectors.cosine(typedlit(c), col("qe")),
-            graft.operators.Knn.ScoreDigits)).as("n"),
-          lit(l).as("label"))
-      }
+      val (cbRows, codes, probeStructs) = ivfpqServeStatics(s, dir)
       val qStream = readStreamTable(s, dir, "embeddings")
         .filter(col("vec_id") < 8)
         .selectExpr("vec_id AS q_id", "embedding AS qe",
@@ -551,30 +562,7 @@ object StreamingQueries {
     // ADC-rank only the probed clusters' members with NO self-exclusion
     // — an external query has no corpus row to exclude.
     "streaming_ivfpq_serve_external" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
-        numCodes = 64).collect()
-        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      val codes = Pq.encodeFast(
-        emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
-        cbRows, numSub = 8, subDim = 8)
-        .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
-      val cents = Ivf.centroids(emb).collect()
-        .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
-        .sortBy(_._1)
-      // the probe rides as a LITERAL array_sort projection — an empty
-      // centroid table would plan an untyped empty array and fail
-      // obscurely at bind time; refuse loudly instead
-      require(cents.nonEmpty,
-        "streaming ivfpq serve: empty centroid table — the per-row probe " +
-          "projection needs at least one cluster; ingest the corpus first")
-      val probeStructs = cents.map { case (l, c) =>
-        struct(
-          (-graft.functions.scaled(
-            graft.functions.vectors.cosine(typedlit(c), col("qe")),
-            graft.operators.Knn.ScoreDigits)).as("n"),
-          lit(l).as("label"))
-      }
+      val (cbRows, codes, probeStructs) = ivfpqServeStatics(s, dir)
       val qStream = readStreamTable(s, dir, "embeddings")
         .filter(col("vec_id") < 8)
         .selectExpr("vec_id + 1000 AS q_id",
@@ -1000,27 +988,14 @@ object StreamingQueries {
            |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)
            |WHERE rank <= ${FusionQueries.CascStage1}""".stripMargin,
 
-      // C71d: the knn_cascade_2048 pack CTE (the BqPackVec bit order as a
-      // list CASE fold) serving all 8 queries — per-q Hamming rank over
-      // the 64 packed groups, the heap's (ham asc, id asc) tie order
+      // C71d: the shared wide funnel base (FusionQueries.cascBaseDuckWide
+      // — ONE copy of the BqPackVec bit-order pack CTE and the per-q
+      // Hamming ranking, the same CTEs the batch funnel oracles read)
+      // cut at the stage-1 width with the heap's (ham asc, id asc) order
       "streaming_cascade_serve_2048" ->
-        s"""WITH wide AS MATERIALIZED (SELECT vec_id,
-           |    ${graft.queries.HybridQueries.wideDuck} AS embedding FROM embeddings),
-           |w2 AS MATERIALIZED (SELECT vec_id,
-           |  list_transform(range(0, 64), g ->
-           |    list_reduce(list_transform(range(0, 32), j ->
-           |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
-           |           ELSE CAST(0 AS BIGINT) END), (a, b) -> a + b)) AS p
-           |  FROM wide),
-           |qs AS (SELECT vec_id AS q_id, p AS qp FROM w2 WHERE vec_id < 8),
-           |h AS (SELECT q.q_id, b.vec_id,
-           |    CAST(list_sum(list_transform(range(1, 65),
-           |      i -> bit_count(xor(b.p[i], q.qp[i])))) AS BIGINT) AS ham
-           |  FROM w2 b CROSS JOIN qs q WHERE b.vec_id <> q.q_id)
-           |SELECT q_id, rank, vec_id, ham FROM (
-           |  SELECT q_id, vec_id, ham, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY ham ASC, vec_id ASC) AS BIGINT) AS rank FROM h)
-           |WHERE rank <= ${FusionQueries.CascStage1}""".stripMargin,
+        s"""WITH ${FusionQueries.cascBaseDuckWide()}
+           |SELECT q_id, CAST(rn1 AS BIGINT) AS rank, vec_id, ham FROM r1
+           |WHERE rn1 <= ${FusionQueries.CascStage1}""".stripMargin,
 
       // C71b: the streamed stage-1 + downstream batch rerank equals the
       // batch funnel end-to-end (stream stage-1 ≡ batch stage-1, shared
