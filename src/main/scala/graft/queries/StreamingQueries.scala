@@ -56,6 +56,11 @@ object StreamingQueries {
     * The probe rides as a LITERAL array_sort projection — an empty
     * centroid table would plan an untyped empty array and fail obscurely
     * at bind time, so it refuses loudly instead. */
+  // ceiling on the probe-as-projection coarse quantizer (ADVICE r13):
+  // the per-row probe embeds one literal struct per centroid, so this
+  // bounds plan/codegen size the way Pq.WideBatchCap bounds broadcast size
+  private[queries] val ProbeProjectionCap = 1024
+
   private def ivfpqServeStatics(s: SparkSession, dir: String)
       : (Array[(Int, Long, Array[Double])], DataFrame,
          Seq[org.apache.spark.sql.Column]) = {
@@ -73,6 +78,20 @@ object StreamingQueries {
     require(cents.nonEmpty,
       "streaming ivfpq serve: empty centroid table — the per-row probe " +
         "projection needs at least one cluster; ingest the corpus first")
+    // the probe rides as ONE literal cosine struct per centroid inside the
+    // per-row projection, so plan/codegen size grows O(C) with the label
+    // count (ADVICE r13) — the probe-as-projection pattern's scaling
+    // assumption is a BOUNDED coarse quantizer (model state, the
+    // WideBatchCap convention). Past the cap the projection would silently
+    // fall back to interpreted evaluation or fail at codegen; refuse
+    // loudly instead — a corpus with more clusters should serve through
+    // the batch IVF×PQ path, whose probes are a broadcast relation.
+    require(cents.length <= ProbeProjectionCap,
+      s"streaming ivfpq serve: ${cents.length} centroids exceed the " +
+        s"probe-as-projection cap $ProbeProjectionCap — each cluster adds " +
+        "a literal cosine struct to the per-row projection (plan size is " +
+        "O(C)); re-cluster to fewer coarse cells or serve via the batch " +
+        "IVF×PQ path")
     val probeStructs = cents.map { case (l, c) =>
       struct(
         (-graft.functions.scaled(
@@ -765,6 +784,75 @@ object StreamingQueries {
     })
   )
 
+  // ---- the one shared replay of the streaming PQ/IVF×PQ serves --------
+  // (ADVICE r13: C66/C66b/C66c/C66d duplicated ~35 CTE lines — cb/body/
+  // enc0/dmin/enc/q/adc/sums — differing only in the qs derivation, the
+  // probe prelude, and the self-exclusion predicate; a fix landing in one
+  // copy would silently miss the others. One parameterized composer, the
+  // cascBaseDuckWide convention.)
+
+  /** Indexed query set: the first 8 corpus vectors ask (self-excluded). */
+  private val IndexedServeQs =
+    """SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      |       FROM embeddings WHERE vec_id < 8""".stripMargin
+
+  /** External query set: the C66b derivation — ×1.5 with one float round
+    * (then widened back to double, the entry's transform order), ids
+    * offset by 1000 so no corpus row matches (⇒ no self-exclusion). */
+  private val ExternalServeQs =
+    """SELECT vec_id + 1000 AS q_id,
+      |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv
+      |  FROM embeddings WHERE vec_id < 8""".stripMargin
+
+  /** The streaming PQ-serve oracle: seeded codebook, whole-corpus argmin
+    * encode, the parameterized `qs` CTE, per-q ADC tables, and the
+    * per-q_id (adist asc, id asc) rank cut — `probed` adds the per-query
+    * coarse probe prelude (scaled-cosine desc, label asc, top 2) plus the
+    * label-membership join; `excludeSelf` keeps indexed queries out of
+    * their own answer sets (external ids match no corpus row). */
+  private def pqServeDuck(qsCte: String, probed: Boolean,
+                          excludeSelf: Boolean): String = {
+    val probeCtes = if (probed)
+      s""",
+         |cent AS (${DuckDialect.centSql("embeddings")}),
+         |pr AS (SELECT q_id, label FROM (
+         |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+         |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+         |      qs.qv) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
+         |  FROM cent c CROSS JOIN qs) WHERE rn <= 2)""".stripMargin
+    else ""
+    val memberJoin = if (probed)
+      """
+        |  JOIN embeddings el ON el.vec_id = enc.vec_id
+        |  JOIN pr ON pr.q_id = adc.q_id AND pr.label = el.label""".stripMargin
+    else ""
+    val excl = if (excludeSelf) "\n  WHERE enc.vec_id <> adc.q_id" else ""
+    s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
+       |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
+       |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |        GROUP BY 1, 2),
+       |qs AS ($qsCte)$probeCtes,
+       |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
+       |      FROM qs, (SELECT unnest(range(8)) AS m) m),
+       |adc AS (SELECT q.q_id, cb.m, cb.code,
+       |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
+       |  FROM cb JOIN q ON cb.m = q.m),
+       |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code$memberJoin$excl
+       |  GROUP BY 1, 2)
+       |SELECT q_id, rank, vec_id, adist FROM (
+       |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
+       |WHERE rank <= 10""".stripMargin
+  }
+
   val oracle: Map[String, String] = {
     import TextScoring._
     val dTok = DuckDialect.Tok
@@ -836,141 +924,30 @@ object StreamingQueries {
 
       // C66: the knn_pq pipeline MINUS the rerank stage (ADC-ranked
       // serving) — shared cb/enc/adc arithmetic with the PQ oracles;
-      // per-query rank replays the k-heap's (adist asc, id asc) contract
+      // per-query rank replays the k-heap's (adist asc, id asc) contract.
+      // C66/C66b/C66c/C66d compose ONE shared replay (pqServeDuck —
+      // ADVICE r13: the four blocks duplicated ~35 CTE lines differing
+      // only in qs derivation, probe prelude, and self-exclusion).
       "streaming_pq_serve" ->
-        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
-           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
-           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
-           |  FROM body b CROSS JOIN cb),
-           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-           |        GROUP BY 1, 2),
-           |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-           |       FROM embeddings WHERE vec_id < 8),
-           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
-           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
-           |adc AS (SELECT q.q_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
-           |  FROM cb JOIN q ON cb.m = q.m),
-           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-           |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-           |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2)
-           |SELECT q_id, rank, vec_id, adist FROM (
-           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
-           |WHERE rank <= 10""".stripMargin,
+        pqServeDuck(IndexedServeQs, probed = false, excludeSelf = true),
 
-      // C66c: the C66 oracle with the knn_ivfpq probe prelude made
+      // C66c: the C66 replay with the knn_ivfpq probe prelude made
       // per-query (scaled-cosine desc, label asc, top 2 per q_id) and a
       // label-membership join restricting each query's sums to its own
       // probed clusters' members
       "streaming_ivfpq_serve" ->
-        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
-           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
-           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
-           |  FROM body b CROSS JOIN cb),
-           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-           |        GROUP BY 1, 2),
-           |cent AS (${DuckDialect.centSql("embeddings")}),
-           |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-           |       FROM embeddings WHERE vec_id < 8),
-           |pr AS (SELECT q_id, label FROM (
-           |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
-           |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
-           |      qs.qv) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
-           |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
-           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
-           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
-           |adc AS (SELECT q.q_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
-           |  FROM cb JOIN q ON cb.m = q.m),
-           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-           |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-           |  JOIN embeddings el ON el.vec_id = enc.vec_id
-           |  JOIN pr ON pr.q_id = adc.q_id AND pr.label = el.label
-           |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2)
-           |SELECT q_id, rank, vec_id, adist FROM (
-           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
-           |WHERE rank <= 10""".stripMargin,
+        pqServeDuck(IndexedServeQs, probed = true, excludeSelf = true),
 
-      // C66d: the C66c oracle with the external qs derivation (the C66b
+      // C66d: the C66c replay with the external qs derivation (the C66b
       // ×1.5 float round) and the self-exclusion dropped
       "streaming_ivfpq_serve_external" ->
-        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
-           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
-           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
-           |  FROM body b CROSS JOIN cb),
-           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-           |        GROUP BY 1, 2),
-           |cent AS (${DuckDialect.centSql("embeddings")}),
-           |qs AS (SELECT vec_id + 1000 AS q_id,
-           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv
-           |  FROM embeddings WHERE vec_id < 8),
-           |pr AS (SELECT q_id, label FROM (
-           |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
-           |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
-           |      qs.qv) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
-           |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
-           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
-           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
-           |adc AS (SELECT q.q_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
-           |  FROM cb JOIN q ON cb.m = q.m),
-           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-           |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-           |  JOIN embeddings el ON el.vec_id = enc.vec_id
-           |  JOIN pr ON pr.q_id = adc.q_id AND pr.label = el.label
-           |  GROUP BY 1, 2)
-           |SELECT q_id, rank, vec_id, adist FROM (
-           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
-           |WHERE rank <= 10""".stripMargin,
+        pqServeDuck(ExternalServeQs, probed = true, excludeSelf = false),
 
-      // C66b: the C66 oracle with the qs CTE deriving the external
+      // C66b: the C66 replay with the qs CTE deriving the external
       // scaled vectors (one float round, then widened back to double —
       // the entry's transform order) and NO self-exclusion
       "streaming_pq_serve_external" ->
-        s"""WITH cb AS (SELECT m.m AS m, e.vec_id AS code,
-           |    (CAST(e.embedding AS DOUBLE[]))[m.m*8+1 : m.m*8+8] AS cw
-           |  FROM embeddings e, (SELECT unnest(range(8)) AS m) m WHERE e.vec_id < 64),
-           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("b.v", "cb.cw", 8, offset = true)}) * 10000.0) AS BIGINT) AS d
-           |  FROM body b CROSS JOIN cb),
-           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-           |        GROUP BY 1, 2),
-           |qs AS (SELECT vec_id + 1000 AS q_id,
-           |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv
-           |  FROM embeddings WHERE vec_id < 8),
-           |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*8+1 : m.m*8+8] AS qsub
-           |      FROM qs, (SELECT unnest(range(8)) AS m) m),
-           |adc AS (SELECT q.q_id, cb.m, cb.code,
-           |  CAST(floor((${FusionQueries.pqTerms("q.qsub", "cb.cw", 8, offset = false)}) * 10000.0) AS BIGINT) AS td
-           |  FROM cb JOIN q ON cb.m = q.m),
-           |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-           |  FROM enc JOIN adc ON adc.m = enc.m AND adc.code = enc.code
-           |  GROUP BY 1, 2)
-           |SELECT q_id, rank, vec_id, adist FROM (
-           |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
-           |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
-           |WHERE rank <= 10""".stripMargin,
+        pqServeDuck(ExternalServeQs, probed = false, excludeSelf = false),
 
       // C71: the per-q_id Hamming ranking replayed relationally — same
       // tie order as the heap (ham asc, lower id wins), cut at the
