@@ -111,6 +111,14 @@ object ScaleProbe {
       time("ivfpq_residual_2048")(graft.operators.Pq.ivfpqResidual(
         e, qid = 7, k = 10, numSub = 16, subDim = 128, numCodes = 16,
         nProbe = 2, shortlist = 100).count()),
+      // r14 (A24d at the probe shape): the amortized wide-batch IVF×PQ
+      // serving plan — 8 queries, one probed-union encode + one code
+      // scan, membership+ADC in a single label-keyed broadcast join —
+      // the per-query cost a capacity planner divides by |Q| next to the
+      // single-query pq_encode_adc_2048 row
+      time("ivfpq_batch8_wide_2048")(graft.operators.Pq.ivfpqBatchWide(
+        e, qids = (0L until 8L), k = 10, numSub = 16, subDim = 128,
+        numCodes = 64, nProbe = 2, shortlist = 100).count()),
       // the reference's headline: HNSW build+search over the same corpus
       time("hnsw_build_search_2048") {
         val qv = e.filter(col("vec_id") === 7).select("embedding")

@@ -94,6 +94,19 @@ object FusionQueries {
       path
     })
   }
+  // A21h: the persisted PQ index at the REFERENCE width — build-once memo
+  // per (JVM, sfDir), the ensurePqIndex convention over the A45
+  // derived-wide frame (16×128-dim subspaces, 64 seeded codewords)
+  private val pqWideIndexFor = scala.collection.mutable.Map.empty[String, String]
+  private def ensurePqWideIndex(s: SparkSession, dir: String): String = synchronized {
+    pqWideIndexFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("pq_wide_index_" + graft.TmpDirs.dirKey(dir))
+      Pq.buildAndWriteIndex(HybridQueries.wideEmbeddings(s, dir), path,
+        numSub = 16, subDim = 128, numCodes = 64)
+      path
+    })
+  }
+
   // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
   private val CascWidths = Seq(25, 50, 100, 200)
 
@@ -465,6 +478,59 @@ object FusionQueries {
       val queries = externalMidpointQueries(e, 256)
       Pq.searchRerankBatchShardedWideExternal(e, queries, k = 10,
         numSub = 8, subDim = 8, numCodes = 64, shortlist = 100, cap = 48)
+    }),
+
+    // A21h: the PERSISTED PQ lifecycle at the reference width (r13
+    // verdict next #3): the one-time build encodes the whole derived-wide
+    // corpus and stores the 16-bytes-per-row code table + the 16-subspace
+    // codebook as parquet (reference acorn.py:61 add_items → serve, at
+    // the d=2048 it actually builds); the timed body restores the
+    // codebook, scans the STORED codes — never re-encoding — and pages
+    // raw wide floats only for the ≤100-row rerank. Turns PROBE_r13's
+    // "codes pre-exist from ingest in production" comment (the 15.7 s
+    // residual-probe caveat) into a gated plan: at 100 TB a serving
+    // session reads 16 B/row where the build read 8 KB. Query id 9 stays
+    // in the corpus (the A21e convention); persistence must not change a
+    // single row, so the fresh-pipeline wide oracle replays it verbatim.
+    "knn_pq_persisted_2048" -> ((s, dir) => {
+      val path = ensurePqWideIndex(s, dir)
+      Pq.searchPersisted(s, path, HybridQueries.wideEmbeddings(s, dir),
+        qid = 9, k = 10, numSub = 16, subDim = 128, shortlist = 100)
+    }),
+
+    // A24d: WIDE-batch IVF×PQ at the REFERENCE width (r13 verdict next
+    // #2): the amortized serving plan for the reference's query-file loop
+    // at the width it builds (acorn.py `__main__` serves a query FILE
+    // against the d=2048 index of :30–40) — A24c's label-keyed
+    // (q_id, label, tds) broadcast relation over the A45 derived-wide
+    // frame. Per-query probes rank the 2048-d centroids (scaled cosine
+    // desc, label asc), the ONE code scan reads only the probed clusters'
+    // union, membership and ADC resolve in a single broadcast join, and
+    // map-side k-heaps cut the shortlists — O(1) plan size in |Q| at the
+    // width where each query's ADC table is 16×64 lookup entries of
+    // 128-dim folds. Per-query results ≡ knn_ivfpq_2048 (spec-pinned).
+    "knn_ivfpq_batch_wide_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      Pq.ivfpqBatchWide(e, qids = (0L until 8L), k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, nProbe = 2, shortlist = 100)
+    }),
+
+    // A42e: WIDE-batch RESIDUAL IVF×PQ at the reference width — the
+    // FAISS-default encoding (Jégou et al. 2011 §IV-A), amortized, at
+    // d=2048: the last cell of the batch×width matrix (r13 verdict next
+    // #4). Residual structure is query-independent (rows encode against
+    // their OWN centroid), so ONE union encode serves the whole query
+    // file; per-(query, probed-cluster) ADC tables ride as the label-
+    // keyed broadcast relation; integer-exact end-to-end so the oracle
+    // replays probe, residual transform, encode, ADC, and the integer
+    // rerank at full width. Per-query results ≡ knn_ivfpq_residual_2048
+    // (spec-pinned).
+    "knn_ivfpq_residual_batch_wide_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      Pq.ivfpqResidualBatchWide(e, qids = (0L until 8L), k = 10,
+        numSub = 16, subDim = 128, numCodes = 16, nProbe = 2, shortlist = 100)
     }),
 
     // A46: PQ at the REFERENCE's dimensionality (r11 verdict "what's
@@ -1355,6 +1421,18 @@ object FusionQueries {
     // A46: the wide PQ pipeline — see pqOracleSql2048's width adaptations
     "knn_pq_2048" -> pqOracleSql2048(qid = 0),
 
+    // A21h: persistence must not change a single row — the FRESH wide
+    // pipeline at query id 9 replays build+store+restore+serve verbatim
+    // (longs and the FLOAT wide vectors round-trip parquet exactly)
+    "knn_pq_persisted_2048" -> pqOracleSql2048(qid = 9),
+
+    // A24d / A42e: the batch replays at the reference width — per-query
+    // probe windows over the wide centroids, union-pruned bodies,
+    // membership enforced per (q_id, label), per-query window cuts
+    "knn_ivfpq_batch_wide_2048" -> ivfpqBatchWideOracleSql2048("vec_id < 8"),
+    "knn_ivfpq_residual_batch_wide_2048" ->
+      ivfpqResidualBatchWideOracleSql2048("vec_id < 8"),
+
     // A46e: the same wide pipeline over the metadata-qualified body only
     // (the hybrid_knn_pq body join, at width)
     "hybrid_knn_pq_2048" -> pqOracleSql2048(qid = 0, bodySelect = Some(
@@ -1550,8 +1628,14 @@ object FusionQueries {
       def sqdFull(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
       val qz = DuckDialect.quantizeVec("w.embedding")
-      val bSlice = s"(b.r[cb.m*$subDim+1 : cb.m*$subDim+$subDim])"
-      val qSlice = s"(qr.qr[cb.m*$subDim+1 : cb.m*$subDim+$subDim])"
+      // per-(row, m) residual sub-vectors hoisted into their own CTE
+      // (r14): a slice expression INSIDE the fold lambda re-slices the
+      // 128-element list per term — 128× redundant copies per (row, m,
+      // code) that made this oracle take ~210 s at the gate scale;
+      // pre-slicing cuts it to one slice per (row, m). Integer sums are
+      // unchanged, so the replayed values are bit-identical.
+      val bSlice = "s.sub"
+      val qSlice = "qr.sub"
       s"""WITH wide AS MATERIALIZED (SELECT vec_id,
          |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
          |qe AS MATERIALIZED (SELECT w.vec_id, CAST(e.label AS BIGINT) AS label, $qz AS q
@@ -1571,17 +1655,22 @@ object FusionQueries {
          |  FROM res s, (SELECT unnest(range($numSub)) AS m) m WHERE s.vec_id < $numCodes),
          |body AS MATERIALIZED (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN probes USING (label)
          |  WHERE b.vec_id <> 0),
-         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+         |bsl AS MATERIALIZED (SELECT b.vec_id, m.m AS m,
+         |  b.r[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
+         |  FROM body b, (SELECT unnest(range($numSub)) AS m) m),
+         |enc0 AS (SELECT s.vec_id, cb.m, cb.code,
          |  ${sqdSub(bSlice, "cb.cw")} AS d
-         |  FROM body b CROSS JOIN cb),
+         |  FROM bsl s JOIN cb ON cb.m = s.m),
          |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
          |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
          |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
          |  GROUP BY 1, 2),
-         |qres AS (SELECT p.label, list_transform(range(1, ${dims + 1}), i -> q.q[i] - c.cent[i]) AS qr
-         |  FROM probes p JOIN cent c USING (label) CROSS JOIN qq q),
+         |qres AS (SELECT p.label, m.m AS m,
+         |  list_transform(range(1, ${dims + 1}), i -> q.q[i] - c.cent[i])[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
+         |  FROM probes p JOIN cent c USING (label) CROSS JOIN qq q,
+         |  (SELECT unnest(range($numSub)) AS m) m),
          |adc AS (SELECT qr.label, cb.m, cb.code, ${sqdSub(qSlice, "cb.cw")} AS td
-         |  FROM cb CROSS JOIN qres qr),
+         |  FROM cb JOIN qres qr ON qr.m = cb.m),
          |short AS (SELECT enc.vec_id FROM enc
          |  JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
          |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
@@ -2267,6 +2356,138 @@ object FusionQueries {
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
        |  FROM sums) WHERE rn <= 100),
        |rr AS (SELECT s.q_id, s.vec_id, ${sqd64("b.q", "qs.q")} AS score
+       |  FROM short s JOIN body b USING (vec_id) JOIN qs ON qs.q_id = s.q_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** A24d: the wide-batch pipeline oracle at the reference width — the
+    * knn_pq_batch_wide_2048 replay with the A46f wide-centroid probe
+    * prelude made per-query (scaled cosine desc, label asc, top 2 per
+    * q_id) and a label-membership join restricting each query's sums to
+    * its own probed clusters' members. Encode runs over the probed-UNION
+    * body only (the entry's pruned one-scan shape — per-query results
+    * are unchanged since every scored row is membership-checked). */
+  private def ivfpqBatchWideOracleSql2048(qsWhere: String): String = {
+    val (numSub, subDim, numCodes) = (16, 128, 64)
+    def fold(vec: String, cw: String, offset: Boolean): String = {
+      val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
+    }
+    s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+       |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+       |${HybridQueries.wideCentDuck},
+       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+       |         embedding AS qemb
+       |       FROM wide WHERE $qsWhere),
+       |probes AS (SELECT q_id, label FROM (
+       |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+       |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
+       |      CAST(qs.qemb AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC) AS rn
+       |  FROM centw c CROSS JOIN qs) WHERE rn <= 2),
+       |ul AS (SELECT DISTINCT label FROM probes),
+       |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+       |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
+       |body AS MATERIALIZED (SELECT w.vec_id, e.label, CAST(w.embedding AS DOUBLE[]) AS v
+       |  FROM wide w JOIN embeddings e USING (vec_id) JOIN ul ON e.label = ul.label),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  CAST(floor(${fold("b.v", "cb.cw", offset = true)} * 10000.0) AS BIGINT) AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |        GROUP BY 1, 2),
+       |q8 AS (SELECT qs.q_id, m.m AS m, qv[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
+       |      FROM qs, (SELECT unnest(range($numSub)) AS m) m),
+       |adc AS (SELECT q8.q_id, cb.m, cb.code,
+       |  CAST(floor(${fold("q8.qsub", "cb.cw", offset = false)} * 10000.0) AS BIGINT) AS td
+       |  FROM cb JOIN q8 ON cb.m = q8.m),
+       |sums AS (SELECT p.q_id, b.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN body b USING (vec_id)
+       |  JOIN probes p ON p.label = b.label
+       |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code
+       |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sums) WHERE rn <= 100),
+       |rr AS (SELECT s.q_id, s.vec_id,
+       |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+       |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** A42e: the batch residual-IVFPQ oracle at the reference width — the
+    * knn_ivfpq_residual_2048 integer composition (quantized 2048-d
+    * components, floor-mean coarse centroids, integer-sqL2 probes,
+    * residual transform, 16×128 seeded residual codebook, per-cluster
+    * ADC, exact integer rerank) with ivfpqResidualBatchOracleSql's
+    * per-query structure: per-q probe windows, union-label body, the
+    * (q_id, label)-keyed ADC join enforcing membership, per-q window
+    * cuts. Integer sums are order-insensitive so list_sum transliterates
+    * at any width. */
+  private def ivfpqResidualBatchWideOracleSql2048(qsWhere: String): String = {
+    val (dims, numSub, subDim, numCodes) = (2048, 16, 128, 16)
+    def sqdSub(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, ${subDim + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    def sqdFull(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+    val qz = DuckDialect.quantizeVec("w.embedding")
+    // per-(row, m) sub-vectors pre-sliced (the knn_ivfpq_residual_2048
+    // hoist — a slice inside the fold lambda re-slices per term)
+    val bSlice = "s.sub"
+    val qSlice = "qr.sub"
+    s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+       |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+       |qe AS MATERIALIZED (SELECT w.vec_id, CAST(e.label AS BIGINT) AS label, $qz AS q
+       |  FROM wide w JOIN embeddings e USING (vec_id)),
+       |cent AS MATERIALIZED (SELECT label, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent FROM (
+       |    SELECT label, d.dim AS dim, sum(q[d.dim + 1]) AS s, count(*) AS cnt
+       |    FROM qe CROSS JOIN range($dims) d(dim) GROUP BY label, d.dim) GROUP BY label),
+       |qs AS (SELECT vec_id AS q_id, q FROM qe WHERE $qsWhere),
+       |probes AS (SELECT q_id, label FROM (
+       |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
+       |    ORDER BY ${sqdFull("c.cent", "qs.q")} ASC, c.label ASC) AS rn
+       |  FROM cent c CROSS JOIN qs) WHERE rn <= 2),
+       |ul AS (SELECT DISTINCT label FROM probes),
+       |res AS MATERIALIZED (SELECT e.vec_id, e.label,
+       |  list_transform(range(1, ${dims + 1}), i -> e.q[i] - c.cent[i]) AS r, e.q AS q
+       |  FROM qe e JOIN cent c USING (label)),
+       |cb AS MATERIALIZED (SELECT m.m AS m, s.vec_id AS code,
+       |  s.r[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+       |  FROM res s, (SELECT unnest(range($numSub)) AS m) m WHERE s.vec_id < $numCodes),
+       |body AS MATERIALIZED (SELECT b.vec_id, b.label, b.r, b.q FROM res b JOIN ul USING (label)),
+       |bsl AS MATERIALIZED (SELECT b.vec_id, m.m AS m,
+       |  b.r[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
+       |  FROM body b, (SELECT unnest(range($numSub)) AS m) m),
+       |enc0 AS (SELECT s.vec_id, cb.m, cb.code,
+       |  ${sqdSub(bSlice, "cb.cw")} AS d
+       |  FROM bsl s JOIN cb ON cb.m = s.m),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |  GROUP BY 1, 2),
+       |qres AS (SELECT p.q_id, p.label, m.m AS m,
+       |  list_transform(range(1, ${dims + 1}), i -> qs.q[i] - c.cent[i])[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
+       |  FROM probes p JOIN cent c USING (label) JOIN qs ON qs.q_id = p.q_id,
+       |  (SELECT unnest(range($numSub)) AS m) m),
+       |adc AS (SELECT qr.q_id, qr.label, cb.m, cb.code,
+       |  ${sqdSub(qSlice, "cb.cw")} AS td
+       |  FROM cb JOIN qres qr ON qr.m = cb.m),
+       |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN (SELECT vec_id, label FROM body) bl USING (vec_id)
+       |  JOIN adc ON adc.label = bl.label AND adc.m = enc.m AND adc.code = enc.code
+       |  WHERE bl.vec_id <> adc.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sums) WHERE rn <= 100),
+       |rr AS (SELECT s.q_id, s.vec_id, ${sqdFull("b.q", "qs.q")} AS score
        |  FROM short s JOIN body b USING (vec_id) JOIN qs ON qs.q_id = s.q_id)
        |SELECT q_id, vec_id, rank, score FROM (
        |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id

@@ -59,7 +59,7 @@ object HybridQueries {
   // values derive from 64-d data (no new gate table exists), but every one
   // of the 2048 slots is computed, stored, and scored for real.
   private[queries] val WideDims = 2048
-  private[queries] def wideEmbeddings(s: SparkSession, dir: String): DataFrame =
+  private[graft] def wideEmbeddings(s: SparkSession, dir: String): DataFrame =
     wideEmb(emb(s, dir))
   // the derivation runs as the codegen'd WidenVec kernel (r12: the
   // transform(sequence(0, 2047), ...) HOF form paid ~2048 boxed lambda
@@ -126,6 +126,28 @@ object HybridQueries {
   private def widePassBit(s: SparkSession, dir: String,
                           pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
     passBitFrom(wideEmb(emb(s, dir)), s, dir, pred, exclId)
+
+  /** The A15b ABO-shaped JSONL synthesis (nested value-structs, optional
+    * brand, optional other_image_id), deterministic from `documents` —
+    * ONE construction shared by listings_parse and the A50 end-to-end
+    * pipeline so their parse inputs can never desynchronize. */
+  private def listingsJsonl(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(concat(
+      lit("{\"item_id\":\"item_"), col("doc_id"),
+      lit("\",\"main_image_id\":\"img_"), col("doc_id"), lit("_0\""),
+      when(col("doc_id") % 3 =!= 0,
+        concat(lit(",\"other_image_id\":[\"img_"), col("doc_id"), lit("_1\"]")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 =!= 0,
+        concat(lit(",\"brand\":[{\"value\":\""),
+          coalesce(col("source"), lit("unknown")), lit("\"}]")))
+        .otherwise(lit("")),
+      lit(",\"color\":[{\"value\":\""), coalesce(col("lang"), lit("und")), lit("\"}]"),
+      lit(",\"model_year\":[{\"value\":"), lit(2000) + col("doc_id") % 25,
+      lit("}],\"item_weight\":[{\"normalized_value\":{\"unit\":\"g\",\"value\":"),
+      coalesce(col("n_chars"), lit(0L)),
+      lit("}}],\"country\":\"C"), col("doc_id") % 7, lit("\"}")
+    ).as("value"))
 
   // base-half index for the append entry (first IvfAppendSplit ids only)
   private val hnswBaseFor = scala.collection.mutable.Map.empty[String, String]
@@ -270,6 +292,24 @@ object HybridQueries {
       val corpus = emb(s, dir).filter(col("vec_id") =!= 3).select("vec_id", "embedding")
       val q = emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
       Lsh.multiProbeSearch(corpus, q, 5, NumPlanes, Dims, maxFlips = 1)
+        .select("vec_id", "score")
+    }),
+
+    // A31b: multi-probe LSH at the REFERENCE width (r13 verdict next #5):
+    // the hyperplane/recall trade is width-dependent — each plane test
+    // pays a 2048-term dot product and the hash geometry changes with
+    // dimensionality, so the d=64 gate never exercises the wide sign
+    // arithmetic. Same deterministic integer plane weights (md5-derived,
+    // exactly representable as Float) derived AT d=2048 over the A45
+    // wide frame; the 1-flip Hamming ball still prunes the scan to
+    // (numPlanes+1) of 2^numPlanes buckets. The oracle re-derives the
+    // buckets from the identical plane constants embedded as literals.
+    // Wide2048Spec pins the candidate-superset law at width.
+    "ann_lsh_multiprobe_2048" -> ((s, dir) => {
+      val w = wideEmb(emb(s, dir))
+      val corpus = w.filter(col("vec_id") =!= 3).select("vec_id", "embedding")
+      val q = w.filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      Lsh.multiProbeSearch(corpus, q, 5, NumPlanes, WideDims, maxFlips = 1)
         .select("vec_id", "score")
     }),
 
@@ -721,26 +761,53 @@ object HybridQueries {
     // row); lang/source are alphanumeric by the testdata contract, so no
     // JSON string escaping is needed.
     "listings_parse" -> ((s, dir) => {
-      val jsonl = docs(s, dir).select(concat(
-        lit("{\"item_id\":\"item_"), col("doc_id"),
-        lit("\",\"main_image_id\":\"img_"), col("doc_id"), lit("_0\""),
-        when(col("doc_id") % 3 =!= 0,
-          concat(lit(",\"other_image_id\":[\"img_"), col("doc_id"), lit("_1\"]")))
-          .otherwise(lit("")),
-        when(col("doc_id") % 5 =!= 0,
-          concat(lit(",\"brand\":[{\"value\":\""),
-            coalesce(col("source"), lit("unknown")), lit("\"}]")))
-          .otherwise(lit("")),
-        lit(",\"color\":[{\"value\":\""), coalesce(col("lang"), lit("und")), lit("\"}]"),
-        lit(",\"model_year\":[{\"value\":"), lit(2000) + col("doc_id") % 25,
-        lit("}],\"item_weight\":[{\"normalized_value\":{\"unit\":\"g\",\"value\":"),
-        coalesce(col("n_chars"), lit(0L)),
-        lit("}}],\"country\":\"C"), col("doc_id") % 7, lit("\"}")
-      ).as("value"))
+      val jsonl = listingsJsonl(s, dir)
       val im = graft.sources.Listings.imageMetadata(
         graft.sources.Listings.parseListings(jsonl))
       im.select(col("image_id"), col("brand"), col("color"), col("model_year"),
         col("item_weight").cast("long").as("item_weight"), col("country"))
+    }),
+
+    // A50: the reference's WHOLE notebook flow as ONE gated plan (r13
+    // verdict next #7; reference 6400Project.ipynb end-to-end): ABO-shaped
+    // listings JSONL → sources.Listings typed parse → image-id explode →
+    // the per-listing embed slot at the reference width (the A45
+    // derived-wide frame keyed by the PARSED main-image ids — the honest
+    // d=2048 stand-in for ResNet-50, scope declared at wideEmbeddings) →
+    // the ONE persisted filter-agnostic wide HNSW index → class-1/2/3
+    // metadata predicates over the PARSED attributes (brand / color /
+    // model_year — the notebook's query_metadata classes) answered by the
+    // ACORN filtered walk, composed with zero driver-side glue between
+    // stages: the pass sets flow from the parse output into the cogrouped
+    // walk as relations. Saturating sentinel ⇒ each class's top-10 is
+    // exact, so the oracle replays the COMPOSITION: attribute derivation,
+    // predicate, wide vectors, prefilter top-k. Queries stay in the
+    // corpus (persisted-serving convention) — whether a query's own
+    // listing passes its class predicate is decided identically on both
+    // sides.
+    "acorn_pipeline_e2e" -> ((s, dir) => {
+      val im = graft.sources.Listings.imageMetadata(
+        graft.sources.Listings.parseListings(listingsJsonl(s, dir)))
+      // main image per listing (ids are img_<doc>_0) carries the attrs;
+      // the parsed id string maps back to the embedding key
+      val attrs = im.filter(col("image_id").endsWith("_0"))
+        .select(regexp_extract(col("image_id"), "^img_(\\d+)_0$", 1)
+            .cast("long").as("vec_id"),
+          col("brand"), col("color"), col("model_year"))
+      val path = ensureHnswWideIndex(s, dir)
+      val w = wideEmb(emb(s, dir))
+      val classes = Seq(
+        ("c1", col("brand").isNotNull && col("brand") === "src1", 3L),
+        ("c2", col("color").isNotNull && col("color") === "zh", 11L),
+        ("c3", col("model_year").isNotNull && col("model_year") <= 2010, 17L))
+      classes.map { case (cls, pred, qid) =>
+        val qv = w.filter(col("vec_id") === qid).select("embedding")
+          .collect().head.getSeq[Float](0).toArray
+        val passing = attrs.filter(pred).select("vec_id")
+        Hnsw.searchFilteredPersisted(s, path, passing, numParts = 8, qv, 10,
+          metaSearch = 0)
+          .select(lit(cls).as("cls"), col("vec_id"), col("score"))
+      }.reduce(_ union _)
     }),
 
     // A15: JSONL metadata ingest — typed from_json (parse-json.py analogue)
@@ -1050,6 +1117,81 @@ object HybridQueries {
       rows.reduce(_ union _)
     }),
 
+    // A48: the reference's HEADLINE evaluation matrix AT THE REFERENCE
+    // WIDTH (r13 verdict next #1 — README §3's central table is measured
+    // at the d=2048 the reference actually builds, README.md:229–232;
+    // until now the class × strategy matrix gated only over the 64-d
+    // frame): selectivity class 1/2/3 × strategy {beam, acorn, post} at
+    // the real constants (ef=200, largeK=200, metaSearch=100 —
+    // acorn.py:150–162) against the PERSISTED d=2048 graphs, 8 queries
+    // per class, recall@10 hits SUMMED per (class, strategy), emitted as
+    // least(n_hit, FLOOR) so the oracle's literal-floor assertion goes
+    // red exactly when wide realistic-beam recall drops below its
+    // measured knee. Floors sit 4–7 hits under the tri-scale min
+    // (sf0.001/0.01/0.1 measurements in SURVEY §8q): beam 80/80/80 all
+    // classes; acorn c1 80/80/53, c2 80/80/64, c3 80/80/62; post
+    // c1 73/77/74, c2 80/80/80, c3 80/80/80 — the metaSearch=100 budget
+    // knee (it bites at sf0.1's 250-row partitions, where the budget is
+    // finally smaller than the partition) and the post-filter collapse
+    // on the selective class both reproduce at the reference width.
+    "recall_hnsw_beam_2048" -> ((s, dir) => {
+      val path = ensureHnswWideIndex(s, dir)
+      val w = wideEmb(emb(s, dir))
+      val classes = Seq(
+        ("c1", MetaPredicate("source" -> ("exact", "src1")),
+          Seq(3L, 7L, 13L, 17L, 23L, 29L, 31L, 37L)),
+        ("c2", MetaPredicate("lang" -> ("exact", "zh")),
+          Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L)),
+        ("c3", MetaPredicate("n_chars" -> ("leq", 300)),
+          Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L)))
+      val floors = Map(
+        ("c1", "beam") -> 76L, ("c1", "acorn") -> 48L, ("c1", "post") -> 68L,
+        ("c2", "beam") -> 76L, ("c2", "acorn") -> 58L, ("c2", "post") -> 76L,
+        ("c3", "beam") -> 76L, ("c3", "acorn") -> 56L, ("c3", "post") -> 76L)
+      val rows = classes.flatMap { case (cls, pred, qids) =>
+        val qs = w.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1)
+        val qDf = w.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val exactU = Knn.batchKnn(w.select("vec_id", "embedding"), qDf, 10, Knn.L2,
+            excludeSelf = false)
+          .select("q_id", "vec_id").localCheckpoint(true)
+        val beamRow = Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
+          .select("q_id", "vec_id")
+          .join(exactU, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(cls).as("cls"), lit("beam").as("strategy"),
+            least(col("n_hit"), lit(floors((cls, "beam")))).as("n_hit_floor"))
+        val passing = docs(s, dir).filter(pred).select(col("doc_id").as("vec_id"))
+        val exactF = Knn.batchKnn(
+            w.select("vec_id", "embedding").join(passing, "vec_id"),
+            qDf, 10, Knn.L2, excludeSelf = false)
+          .select("q_id", "vec_id").localCheckpoint(true)
+        val acornRow = Hnsw.searchFilteredPersistedBatch(s, path, passing,
+            numParts = 8, qs, 10, metaSearch = 100, ef = 200, largeK = 200)
+          .select("q_id", "vec_id")
+          .join(exactF, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
+            least(col("n_hit"), lit(floors((cls, "acorn")))).as("n_hit_floor"))
+        val postRow = Hnsw.searchPersistedBatch(s, path, qs, 200, ef = 200)
+          .join(passing, Seq("vec_id"))
+          .groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
+            asc = true).as("hits"))
+          .select(col("q_id"), explode(col("hits")).as("hit"))
+          .select(col("q_id"), col("hit.id").as("vec_id"))
+          .join(exactF, Seq("q_id", "vec_id"))
+          .agg(count(lit(1)).as("n_hit"))
+          .select(lit(cls).as("cls"), lit("post").as("strategy"),
+            least(col("n_hit"), lit(floors((cls, "post")))).as("n_hit_floor"))
+        Seq(beamRow, acornRow, postRow)
+      }
+      rows.reduce(_ union _)
+    }),
+
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
     // against the exact pre-filter ground truth. Post-filter collapses
@@ -1227,6 +1369,44 @@ object HybridQueries {
          |FROM b e CROSS JOIN q
          |WHERE e.vec_id <> 3 AND bit_count(xor(e.bucket, q.bucket)) <= 1
          |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    // A31b: the same 1-flip Hamming-ball replay with the plane constants
+    // derived at d=2048 over the wide CTE (the dot products and the sign
+    // tests are sequential double accumulation in both engines)
+    "ann_lsh_multiprobe_2048" ->
+      s"""WITH wide AS MATERIALIZED (
+         |  SELECT vec_id, $wideDuck AS embedding FROM embeddings),
+         |b AS (SELECT vec_id, embedding,
+         |  ${DuckDialect.bucketSql("embedding", NumPlanes, WideDims)} AS bucket FROM wide),
+         |q AS (SELECT embedding, bucket FROM b WHERE vec_id = 3)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM b e CROSS JOIN q
+         |WHERE e.vec_id <> 3 AND bit_count(xor(e.bucket, q.bucket)) <= 1
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 5""".stripMargin,
+
+    // A50: the composition replay — attribute derivation (the JSONL
+    // synthesis collapsed to its attr projection), class predicate, wide
+    // vectors, exact prefilter top-10 per class (the saturated walk is
+    // exact, so parse → embed slot → persisted index → filtered serve
+    // must land on these rows bit-for-bit)
+    "acorn_pipeline_e2e" -> {
+      def clsSql(cls: String, qid: Long, pred: String) =
+        s"""$cls AS (SELECT '$cls' AS cls, e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+           |  FROM wide e JOIN attrs a USING (vec_id)
+           |  CROSS JOIN (SELECT w FROM wide WHERE vec_id = $qid) q
+           |  WHERE $pred
+           |  ORDER BY score ASC, e.vec_id ASC LIMIT 10)""".stripMargin
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS w FROM embeddings),
+         |attrs AS (SELECT doc_id AS vec_id,
+         |  CASE WHEN doc_id % 5 <> 0 THEN coalesce(source, 'unknown') END AS brand,
+         |  coalesce(lang, 'und') AS color,
+         |  2000 + doc_id % 25 AS model_year
+         |  FROM documents),
+         |${clsSql("c1", 3L, "a.brand IS NOT NULL AND a.brand = 'src1'")},
+         |${clsSql("c2", 11L, "a.color IS NOT NULL AND a.color = 'zh'")},
+         |${clsSql("c3", 17L, "a.model_year IS NOT NULL AND a.model_year <= 2010")}
+         |SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3""".stripMargin
+    },
 
     "recall_eval" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id <= 4),
@@ -1738,6 +1918,15 @@ object HybridQueries {
         |  ('c1', 'beam', 76), ('c1', 'acorn', 50), ('c1', 'post', 68),
         |  ('c2', 'beam', 76), ('c2', 'acorn', 56), ('c2', 'post', 76),
         |  ('c3', 'beam', 76), ('c3', 'acorn', 52), ('c3', 'post', 76)
+        |) AS t(cls, strategy, floor)""".stripMargin,
+
+    // A48: the width matrix's floors — same least(n_hit, floor) contract,
+    // measured over the d=2048 persisted graphs (SURVEY §8q)
+    "recall_hnsw_beam_2048" ->
+      """SELECT cls, strategy, CAST(floor AS BIGINT) AS n_hit_floor FROM (VALUES
+        |  ('c1', 'beam', 76), ('c1', 'acorn', 48), ('c1', 'post', 68),
+        |  ('c2', 'beam', 76), ('c2', 'acorn', 58), ('c2', 'post', 76),
+        |  ('c3', 'beam', 76), ('c3', 'acorn', 56), ('c3', 'post', 76)
         |) AS t(cls, strategy, floor)""".stripMargin,
 
     // the 'acorn' row ASSERTS perfect filtered recall (n_hit = n_ret =

@@ -179,6 +179,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p3.contains("Window") && !p3.contains("SortMergeJoin"), p3.take(3000))
   }
 
+  test("the r14 width gates: wide-batch IVF×PQ O(1) plan, persisted wide codes never re-encode") {
+    // knn_ivfpq_batch_wide_2048: membership AND ADC resolve in broadcast
+    // joins (never a SortMergeJoin on the model-state relations), the
+    // shortlist and rerank are map-side k-heaps, no per-query literal
+    // ADC columns, no Window anywhere
+    val p = plan("knn_ivfpq_batch_wide_2048")
+    assert(!p.contains("adist_"), s"per-query literal columns leaked\n${p.take(3000)}")
+    assert("partial_top_k_hits".r.findAllIn(p).length === 2, p.take(3000))
+    assert(!p.contains("Window") && !p.contains("SortMergeJoin"), p.take(3000))
+    // knn_pq_persisted_2048: the serve plan scans the STORED code table
+    // (code_0… columns from parquet) and never runs the encode kernel —
+    // re-encoding at serve time is exactly what A21h exists to rule out
+    val p2 = plan("knn_pq_persisted_2048")
+    assert(p2.contains("code_0"), p2.take(3000))
+    assert(!p2.contains("pq_nearest_code"),
+      s"the persisted serve re-encoded the corpus\n${p2.take(3000)}")
+    assert(p2.contains("TakeOrderedAndProject") && !p2.contains("Window"), p2.take(3000))
+  }
+
   test("hybrid_knn: centroid build partial-aggregates via vec_sum") {
     val p = plan("hybrid_knn")
     assert(p.contains("partial_vec_sum"), p.take(2000))

@@ -549,4 +549,145 @@ class Wide2048Spec extends SparkSpec {
     assert(got.forall { case (id, _) => passing.contains(id) },
       "a predicate-failing row leaked into the filtered walk's result")
   }
+
+  // ---- round 14: the batch×width closure + persisted wide codes --------
+
+  test("knn_ivfpq_batch_wide_2048: per-query slice equals the single-query wide composition") {
+    // A24d: the label-keyed broadcast (q_id, label, tds) relation at
+    // width — query 0's slice must be bit-identical to knn_ivfpq_2048
+    // (same wide centroids, same probe tie order, same seeded codebook)
+    val batch = SparkEntry.queries("knn_ivfpq_batch_wide_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.map(_._1).distinct.sorted == (0L until 8L),
+      "every query in the file must be answered")
+    assert(batch.groupBy(_._1).forall(_._2.size == 10))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4))
+    val single = SparkEntry.queries("knn_ivfpq_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q0 == single)
+  }
+
+  test("knn_ivfpq_residual_batch_wide_2048: per-query slice equals the single-query residual path") {
+    // A42e: the FAISS-default encoding, amortized at width — query 0's
+    // slice ≡ knn_ivfpq_residual_2048 (integer-exact end to end, so
+    // equality is bit-equality, not approximate)
+    val batch = SparkEntry.queries("knn_ivfpq_residual_batch_wide_2048")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.map(_._1).distinct.sorted == (0L until 8L))
+    assert(batch.groupBy(_._1).forall(_._2.size == 10))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4))
+    val single = SparkEntry.queries("knn_ivfpq_residual_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q0 == single)
+  }
+
+  test("knn_pq_persisted_2048: the stored-code serve equals the fresh wide pipeline") {
+    // A21h: build→store→restore→serve must not change a single row vs
+    // the in-memory encode path at the same constants (the A21e pin, at
+    // the reference width — FLOAT wide vectors and long codes round-trip
+    // parquet exactly)
+    val served = SparkEntry.queries("knn_pq_persisted_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fresh = graft.operators.Pq.searchRerank(
+        HybridQueries.wideEmbeddings(spark, dir), qid = 9, k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == fresh)
+    assert(served.size == 10)
+  }
+
+  /** floor(cos(a,b)·10⁴ + 0.5) with the CosineSimilarity kernel's exact
+    * arithmetic: sequential double dot and norms, then / (√na · √nb). */
+  private def cosScaled(a: Array[Float], b: Array[Float]): Long = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+  }
+
+  test("ann_lsh_multiprobe_2048 equals the plain-Scala 1-flip reconstruction; single-bucket ⊆ ball") {
+    // A31b: buckets re-derived from the same md5 plane constants at
+    // d=2048, candidates = the 1-flip Hamming ball, top-5 by scaled
+    // cosine desc then id asc — entirely without Spark expressions
+    val w = wideCorpus()
+    def bucket(v: Array[Float]): Long =
+      (0 until 4).map { j =>
+        val pw = graft.operators.Lsh.planeWeights(j, WideDims)
+        var acc = 0.0; var i = 0
+        while (i < WideDims) { acc += v(i).toDouble * pw(i).toDouble; i += 1 }
+        if (acc > 0) 1L << j else 0L
+      }.sum
+    val qv = w(3L); val qb = bucket(qv)
+    val ball = w.toSeq.filter { case (id, v) =>
+      id != 3L && java.lang.Long.bitCount(bucket(v) ^ qb) <= 1 }
+    val expect = ball.map { case (id, v) => (id, cosScaled(v, qv)) }
+      .sortBy { case (id, s) => (-s, id) }.take(5)
+    val got = SparkEntry.queries("ann_lsh_multiprobe_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+    // the superset law at width: the single-bucket operator's answers all
+    // sit inside the 1-flip ball the multi-probe scan searched
+    val singleIds = graft.operators.Lsh.annSearch(
+        HybridQueries.wideEmbeddings(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("vec_id") =!= 3L),
+        HybridQueries.wideEmbeddings(spark, dir)
+          .filter(org.apache.spark.sql.functions.col("vec_id") === 3L)
+          .select(org.apache.spark.sql.functions.col("embedding").as("q_vec")),
+        5, 4, WideDims)
+      .collect().map(_.getLong(0)).toSet
+    val ballIds = ball.map(_._1).toSet
+    assert(singleIds.subsetOf(ballIds),
+      "a single-bucket answer fell outside the 1-flip ball")
+  }
+
+  test("recall_hnsw_beam_2048: wide recall sits at or above every floor") {
+    // A48: least(n_hit, floor) == floor ⇔ measured ≥ floor — the same
+    // assertion the oracle gate makes, kept red-close to the code
+    val rows = SparkEntry.queries("recall_hnsw_beam_2048")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    val floors = Map(
+      ("c1", "beam") -> 76L, ("c1", "acorn") -> 48L, ("c1", "post") -> 68L,
+      ("c2", "beam") -> 76L, ("c2", "acorn") -> 58L, ("c2", "post") -> 76L,
+      ("c3", "beam") -> 76L, ("c3", "acorn") -> 56L, ("c3", "post") -> 76L)
+    assert(rows == floors)
+  }
+
+  test("acorn_pipeline_e2e equals the plain-Scala parse→attr→prefilter reconstruction") {
+    // A50: the whole composition re-derived without Spark — attributes
+    // straight from documents (the JSONL synthesis collapsed), class
+    // predicates, wide vectors, exact top-10 per class. Queries stay in
+    // the corpus; whether a query's own listing passes is decided by the
+    // same predicate on both sides.
+    val w = wideCorpus()
+    val docRows = Tables(spark, dir, "documents")
+      .select("doc_id", "source", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    case class Attr(brand: String, color: String, modelYear: Long)
+    val attrs = docRows.map { case (id, source, lang) =>
+      id -> Attr(
+        if (id % 5 != 0) Option(source).getOrElse("unknown") else null,
+        Option(lang).getOrElse("und"),
+        2000L + id % 25)
+    }.toMap
+    val classes = Seq(
+      ("c1", 3L, (a: Attr) => a.brand != null && a.brand == "src1"),
+      ("c2", 11L, (a: Attr) => a.color == "zh"),
+      ("c3", 17L, (a: Attr) => a.modelYear <= 2010L))
+    val expect = classes.flatMap { case (cls, qid, pred) =>
+      val qv = w(qid)
+      w.toSeq.filter { case (id, _) => attrs.get(id).exists(pred) }
+        .map { case (id, v) => (id, l2Scaled(v, qv)) }
+        .sortBy { case (id, s) => (s, id) }.take(10)
+        .map { case (id, s) => (cls, id, s) }
+    }.toSet
+    val got = SparkEntry.queries("acorn_pipeline_e2e")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+    assert(got.size == 30, "three classes x top-10")
+  }
 }
