@@ -107,6 +107,24 @@ object FusionQueries {
     })
   }
 
+  // A21i: base-half wide index + incremental append — the A21f split
+  // convention at the reference width (base = vec_id < IvfAppendSplit,
+  // the rest arrive and encode with the STORED codebook)
+  private val pqWideAppendedFor = scala.collection.mutable.Map.empty[String, String]
+  private def ensurePqWideAppendedIndex(s: SparkSession, dir: String): String =
+    synchronized {
+      pqWideAppendedFor.getOrElseUpdate(dir, {
+        val path = graft.TmpDirs.path("pq_wide_append_" + graft.TmpDirs.dirKey(dir))
+        val w = HybridQueries.wideEmbeddings(s, dir)
+        Pq.buildAndWriteIndex(w.filter(col("vec_id") < HybridQueries.IvfAppendSplit),
+          path, numSub = 16, subDim = 128, numCodes = 64)
+        Pq.appendToIndex(s, path,
+          w.filter(col("vec_id") >= HybridQueries.IvfAppendSplit),
+          numSub = 16, subDim = 128)
+        path
+      })
+    }
+
   // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
   private val CascWidths = Seq(25, 50, 100, 200)
 
@@ -496,6 +514,49 @@ object FusionQueries {
       val path = ensurePqWideIndex(s, dir)
       Pq.searchPersisted(s, path, HybridQueries.wideEmbeddings(s, dir),
         qid = 9, k = 10, numSub = 16, subDim = 128, shortlist = 100)
+    }),
+
+    // A21i: incremental ADD to the persisted WIDE index — the add_items
+    // maintenance path (reference acorn.py:61) at the d=2048 it runs:
+    // base = the first IvfAppendSplit wide rows build+persist, the rest
+    // ARRIVE and encode with the STORED codebook (never retrained — the
+    // A21f convention), appending 16 B/row of new parquet while the
+    // existing code table is never rewritten. Codeword seeds (vec_id <
+    // 64) all sit inside the base half and encode is per-row
+    // independent, so appended-serve ≡ full-rebuild serve row-for-row
+    // and the fresh wide pipeline oracle replays it at query id 5.
+    "knn_pq_append_2048" -> ((s, dir) => {
+      val path = ensurePqWideAppendedIndex(s, dir)
+      Pq.searchPersisted(s, path, HybridQueries.wideEmbeddings(s, dir),
+        qid = 5, k = 10, numSub = 16, subDim = 128, shortlist = 100)
+    }),
+
+    // A21j: SHARDED wide-batch PQ at the reference width — the past-cap
+    // driver shape (A21d) over the wide frame: the same 8-query file as
+    // A21g forced through THREE ≤3-query wide passes and unioned (cap
+    // parameterized; production caps at WideBatchCap=4096 and this shape
+    // appears only past it). Every q_id lands in exactly one shard ⇒
+    // results ≡ one uncapped pass ⇒ the oracle IS the same wide batch
+    // replay — the driver independently verifies the cap-and-union path
+    // at d=2048 end-to-end.
+    "knn_pq_batch_sharded_2048" -> ((s, dir) =>
+      Pq.searchRerankBatchShardedWide(HybridQueries.wideEmbeddings(s, dir),
+        qids = (0L until 8L), k = 10, numSub = 16, subDim = 128,
+        numCodes = 64, shortlist = 100, cap = 3)),
+
+    // A23d: the FILTERED wide batch at the reference width — the
+    // ACORN-hybrid composition (metadata keep set prunes the encode and
+    // the one code scan; queries come from the FULL table — the filter
+    // qualifies candidates, never who may ask), amortized over the query
+    // file with the broadcast (q_id, tds) ADC relation at d=2048. The
+    // last composition of {filtered} × {wide-batch} × {width}.
+    "hybrid_knn_pq_batch_wide_2048" -> ((s, dir) => {
+      val keep = docs(s, dir)
+        .filter(col("lang").isNotNull && col("lang") === "en")
+        .select(col("doc_id").as("vec_id"))
+      Pq.searchRerankBatchWide(HybridQueries.wideEmbeddings(s, dir),
+        qids = (0L until 8L), k = 10, numSub = 16, subDim = 128,
+        numCodes = 64, shortlist = 100, keep = Some(keep))
     }),
 
     // A24d: WIDE-batch IVF×PQ at the REFERENCE width (r13 verdict next
@@ -1541,47 +1602,25 @@ object FusionQueries {
 
     // A21g: the pqBatchOracleSql pipeline at width — one shared wide
     // encode, per-q ADC tables (list_reduce folds), per-q window cuts
-    "knn_pq_batch_wide_2048" -> {
-      val (numSub, subDim, numCodes) = (16, 128, 64)
-      def fold(vec: String, cw: String, offset: Boolean): String = {
-        val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
-        s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
-          s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
-      }
-      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
-         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
-         |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
-         |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
-         |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
-         |body AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide),
-         |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
-         |  CAST(floor(${fold("b.v", "cb.cw", offset = true)} * 10000.0) AS BIGINT) AS d
-         |  FROM body b CROSS JOIN cb),
-         |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
-         |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
-         |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
-         |        GROUP BY 1, 2),
-         |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-         |       FROM wide WHERE vec_id < 8),
-         |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
-         |      FROM qs, (SELECT unnest(range($numSub)) AS m) m),
-         |adc AS (SELECT q.q_id, cb.m, cb.code,
-         |  CAST(floor(${fold("q.qsub", "cb.cw", offset = false)} * 10000.0) AS BIGINT) AS td
-         |  FROM cb JOIN q ON cb.m = q.m),
-         |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-         |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-         |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
-         |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-         |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
-         |  FROM sums) WHERE rn <= 100),
-         |rr AS (SELECT s.q_id, s.vec_id,
-         |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
-         |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
-         |SELECT q_id, vec_id, rank, score FROM (
-         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
-         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
-         |WHERE rank <= 10""".stripMargin
-    },
+    "knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048("vec_id < 8"),
+
+    // A21i: appended wide index ≡ full rebuild at the same stored
+    // codebook — the fresh single-query wide pipeline replays
+    // build+append+serve verbatim at query id 5 (the A21f convention)
+    "knn_pq_append_2048" -> pqOracleSql2048(qid = 5),
+
+    // A21j: sharding never changes per-query results, so the oracle is
+    // the SAME wide batch replay at the same 8-query width (the A21d
+    // convention)
+    "knn_pq_batch_sharded_2048" -> pqBatchWideOracleSql2048("vec_id < 8"),
+
+    // A23d: the wide batch replay over the metadata-qualified body only
+    // (queries still from the full wide frame — the A23b convention)
+    "hybrid_knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048("vec_id < 8",
+      bodySelect = Some(
+        """SELECT w.vec_id, CAST(w.embedding AS DOUBLE[]) AS v
+          |  FROM wide w JOIN documents d ON d.doc_id = w.vec_id
+          |  WHERE d.lang IS NOT NULL AND d.lang = 'en'""".stripMargin)),
 
     // A44b: knn_sq8_2048's oracle with the A46f wide-centroid probe
     // prelude, the body restricted to probed clusters' members,
@@ -2357,6 +2396,57 @@ object FusionQueries {
        |  FROM sums) WHERE rn <= 100),
        |rr AS (SELECT s.q_id, s.vec_id, ${sqd64("b.q", "qs.q")} AS score
        |  FROM short s JOIN body b USING (vec_id) JOIN qs ON qs.q_id = s.q_id)
+       |SELECT q_id, vec_id, rank, score FROM (
+       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+       |WHERE rank <= 10""".stripMargin
+  }
+
+  /** A21g/A21j/A23d: the batch PQ pipeline oracle at the reference width
+    * — one shared wide encode (over `bodySelect`, defaulting to the whole
+    * wide frame; the filtered entry passes the metadata-qualified body),
+    * per-q ADC tables as list_reduce folds, per-q window cuts. Sharded
+    * and unsharded wide entries share it verbatim (sharding never changes
+    * per-query results — the A21d convention). */
+  private def pqBatchWideOracleSql2048(qsWhere: String,
+                                       bodySelect: Option[String] = None): String = {
+    val (numSub, subDim, numCodes) = (16, 128, 64)
+    def fold(vec: String, cw: String, offset: Boolean): String = {
+      val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
+        s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
+    }
+    val body = bodySelect.getOrElse(
+      "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide")
+    s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+       |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+       |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
+       |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+       |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
+       |body AS MATERIALIZED ($body),
+       |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+       |  CAST(floor(${fold("b.v", "cb.cw", offset = true)} * 10000.0) AS BIGINT) AS d
+       |  FROM body b CROSS JOIN cb),
+       |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+       |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+       |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+       |        GROUP BY 1, 2),
+       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+       |       FROM wide WHERE $qsWhere),
+       |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
+       |      FROM qs, (SELECT unnest(range($numSub)) AS m) m),
+       |adc AS (SELECT q.q_id, cb.m, cb.code,
+       |  CAST(floor(${fold("q.qsub", "cb.cw", offset = false)} * 10000.0) AS BIGINT) AS td
+       |  FROM cb JOIN q ON cb.m = q.m),
+       |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
+       |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+       |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
+       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+       |  FROM sums) WHERE rn <= 100),
+       |rr AS (SELECT s.q_id, s.vec_id,
+       |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+       |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
        |SELECT q_id, vec_id, rank, score FROM (
        |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
        |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)

@@ -309,6 +309,12 @@ object HybridQueries {
       val w = wideEmb(emb(s, dir))
       val corpus = w.filter(col("vec_id") =!= 3).select("vec_id", "embedding")
       val q = w.filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      // presence guard (the r13 vacuous-gate rule for qid-parameterized
+      // entries): an absent query id would empty BOTH the entry and its
+      // oracle and the hash gate would pass while checking nothing
+      require(q.limit(1).count() == 1,
+        "ann_lsh_multiprobe_2048: query vec_id 3 absent from the corpus — " +
+          "the gate would pass vacuously on two empty frames")
       Lsh.multiProbeSearch(corpus, q, 5, NumPlanes, WideDims, maxFlips = 1)
         .select("vec_id", "score")
     }),
@@ -790,10 +796,14 @@ object HybridQueries {
         graft.sources.Listings.parseListings(listingsJsonl(s, dir)))
       // main image per listing (ids are img_<doc>_0) carries the attrs;
       // the parsed id string maps back to the embedding key
-      val attrs = im.filter(col("image_id").endsWith("_0"))
-        .select(regexp_extract(col("image_id"), "^img_(\\d+)_0$", 1)
-            .cast("long").as("vec_id"),
-          col("brand"), col("color"), col("model_year"))
+      // parse ONCE: three class predicates read this frame, and without a
+      // materialization each passing-set filter would re-run the whole
+      // JSONL parse — at 100 TB that is 3 corpus parses for 1 needed
+      val attrs = graft.operators.Dedup.materialize(
+        im.filter(col("image_id").endsWith("_0"))
+          .select(regexp_extract(col("image_id"), "^img_(\\d+)_0$", 1)
+              .cast("long").as("vec_id"),
+            col("brand"), col("color"), col("model_year")))
       val path = ensureHnswWideIndex(s, dir)
       val w = wideEmb(emb(s, dir))
       val classes = Seq(

@@ -643,6 +643,48 @@ class Wide2048Spec extends SparkSpec {
       "a single-bucket answer fell outside the 1-flip ball")
   }
 
+  test("knn_pq_append_2048: appended wide index equals a full fresh rebuild at serve") {
+    // A21i: base+append serve ≡ the fresh whole-corpus pipeline at the
+    // same stored-codebook constants (codeword seeds sit in the base
+    // half; encode is per-row independent) — the A21f pin at width
+    val served = SparkEntry.queries("knn_pq_append_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val fresh = graft.operators.Pq.searchRerank(
+        HybridQueries.wideEmbeddings(spark, dir), qid = 5, k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(served == fresh)
+  }
+
+  test("knn_pq_batch_sharded_2048: the cap-and-union passes equal one uncapped wide pass") {
+    // A21j: every q_id lands in exactly one shard, so the 3-pass union is
+    // row-identical to the single wide pass at the same 8-query file
+    val sharded = SparkEntry.queries("knn_pq_batch_sharded_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val one = SparkEntry.queries("knn_pq_batch_wide_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sharded == one)
+  }
+
+  test("hybrid_knn_pq_batch_wide_2048: per-query slice equals the single-query filtered wide pipeline") {
+    // A23d ≡ A46e per query: same keep set, same seeded codebook, same
+    // shortlist/rerank tie orders
+    val batch = SparkEntry.queries("hybrid_knn_pq_batch_wide_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(batch.map(_._1).distinct.sorted == (0L until 8L))
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._3).map(t => (t._2, t._4))
+    val single = SparkEntry.queries("hybrid_knn_pq_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(q0 == single)
+    // the keep contract: every answered row is filter-qualified
+    val keep = Tables(spark, dir, "documents")
+      .filter(org.apache.spark.sql.functions.col("lang").isNotNull &&
+        org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batch.forall { case (_, id, _, _) => keep.contains(id) },
+      "a filter-failing row leaked into the filtered wide batch")
+  }
+
   test("recall_hnsw_beam_2048: wide recall sits at or above every floor") {
     // A48: least(n_hit, floor) == floor ⇔ measured ≥ floor — the same
     // assertion the oracle gate makes, kept red-close to the code
