@@ -1352,6 +1352,18 @@ object FusionQueries {
       s"(($x - $cw[$i]) * ($x - $cw[$i]))"
     }.mkString(" + ")
 
+  /** [[pqTerms]] at widths past DuckDB's 128-deep binder recursion: the
+    * per-subspace squared distance as a list_reduce LEFT FOLD, which
+    * accumulates in the same sequential order as the PqNearestCode
+    * kernel's loop (r14 review: this def existed in three identical
+    * local copies — one drifting copy would silently desynchronize an
+    * oracle family's arithmetic). */
+  private def pqFold(vec: String, cw: String, subDim: Int, offset: Boolean): String = {
+    val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
+    s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
+      s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
+  }
+
   val oracle: Map[String, String] = Map(
     "text_bm25" ->
       s"""WITH $bm25Sql
@@ -1704,10 +1716,12 @@ object FusionQueries {
          |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
          |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
          |  GROUP BY 1, 2),
-         |qres AS (SELECT p.label, m.m AS m,
-         |  list_transform(range(1, ${dims + 1}), i -> q.q[i] - c.cent[i])[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
-         |  FROM probes p JOIN cent c USING (label) CROSS JOIN qq q,
-         |  (SELECT unnest(range($numSub)) AS m) m),
+         |qres0 AS (SELECT p.label,
+         |  list_transform(range(1, ${dims + 1}), i -> q.q[i] - c.cent[i]) AS qr
+         |  FROM probes p JOIN cent c USING (label) CROSS JOIN qq q),
+         |qres AS (SELECT q0.label, m.m AS m,
+         |  q0.qr[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
+         |  FROM qres0 q0, (SELECT unnest(range($numSub)) AS m) m),
          |adc AS (SELECT qr.label, cb.m, cb.code, ${sqdSub(qSlice, "cb.cw")} AS td
          |  FROM cb JOIN qres qr ON qr.m = cb.m),
          |short AS (SELECT enc.vec_id FROM enc
@@ -2411,11 +2425,8 @@ object FusionQueries {
   private def pqBatchWideOracleSql2048(qsWhere: String,
                                        bodySelect: Option[String] = None): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
-    def fold(vec: String, cw: String, offset: Boolean): String = {
-      val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
-        s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
-    }
+    def fold(vec: String, cw: String, offset: Boolean): String =
+      pqFold(vec, cw, subDim, offset)
     val body = bodySelect.getOrElse(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide")
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
@@ -2462,11 +2473,8 @@ object FusionQueries {
     * are unchanged since every scored row is membership-checked). */
   private def ivfpqBatchWideOracleSql2048(qsWhere: String): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
-    def fold(vec: String, cw: String, offset: Boolean): String = {
-      val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
-        s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
-    }
+    def fold(vec: String, cw: String, offset: Boolean): String =
+      pqFold(vec, cw, subDim, offset)
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
        |${HybridQueries.wideCentDuck},
@@ -2563,10 +2571,12 @@ object FusionQueries {
        |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
        |  FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
        |  GROUP BY 1, 2),
-       |qres AS (SELECT p.q_id, p.label, m.m AS m,
-       |  list_transform(range(1, ${dims + 1}), i -> qs.q[i] - c.cent[i])[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
-       |  FROM probes p JOIN cent c USING (label) JOIN qs ON qs.q_id = p.q_id,
-       |  (SELECT unnest(range($numSub)) AS m) m),
+       |qres0 AS (SELECT p.q_id, p.label,
+       |  list_transform(range(1, ${dims + 1}), i -> qs.q[i] - c.cent[i]) AS qr
+       |  FROM probes p JOIN cent c USING (label) JOIN qs ON qs.q_id = p.q_id),
+       |qres AS (SELECT q0.q_id, q0.label, m.m AS m,
+       |  q0.qr[m.m*$subDim+1 : m.m*$subDim+$subDim] AS sub
+       |  FROM qres0 q0, (SELECT unnest(range($numSub)) AS m) m),
        |adc AS (SELECT qr.q_id, qr.label, cb.m, cb.code,
        |  ${sqdSub(qSlice, "cb.cw")} AS td
        |  FROM cb JOIN qres qr ON qr.m = cb.m),
@@ -2597,11 +2607,8 @@ object FusionQueries {
   private def pqOracleSql2048(qid: Int, bodySelect: Option[String] = None,
                               prelude: String = ""): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
-    def fold(vec: String, cw: String, offset: Boolean): String = {
-      val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
-      s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
-        s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"
-    }
+    def fold(vec: String, cw: String, offset: Boolean): String =
+      pqFold(vec, cw, subDim, offset)
     val body = bodySelect.getOrElse(
       s"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide WHERE vec_id <> $qid")
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,

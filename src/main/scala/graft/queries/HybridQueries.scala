@@ -127,6 +127,90 @@ object HybridQueries {
                           pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
     passBitFrom(wideEmb(emb(s, dir)), s, dir, pred, exclId)
 
+  /** The r13 vacuous-gate rule as ONE helper (r14 review: the guard was
+    * hand-inlined into a single entry while its twins stayed unguarded):
+    * a qid-parameterized entry whose query frame comes back empty would
+    * silently empty BOTH the entry and its oracle, and the hash gate
+    * would pass while checking nothing. Refuse loudly instead. Returns
+    * the frame so call sites stay expression-shaped. */
+  private def requireQueryPresent(q: DataFrame, who: String): DataFrame = {
+    require(q.limit(1).count() == 1,
+      s"$who: query vector absent from the corpus — the gate would pass " +
+        "vacuously on two empty frames")
+    q
+  }
+
+  /** The README §3 evaluation-matrix body shared by the d=64 (A35h) and
+    * d=2048 (A48) gates (r14 review: the two entries duplicated ~55
+    * lines — the drift hazard pqServeDuck closes on the oracle side):
+    * selectivity class 1/2/3 × strategy {beam, acorn, post} at the
+    * reference's REAL constants (ef=200, largeK=200, metaSearch=100 —
+    * acorn.py:150–162) against the given persisted index, 8 queries per
+    * class, recall@10 hits SUMMED per (class, strategy) so one unlucky
+    * query cannot flip the gate, emitted as least(n_hit, floor) so the
+    * oracle's literal-floor assertion goes red exactly when measured
+    * recall drops below its knee. `frame` is the embedding frame the
+    * index was built over (base or derived-wide) — ground truths,
+    * queries, and walks all read it. */
+  private def recallBeamMatrix(s: SparkSession, dir: String, frame: DataFrame,
+                               path: String,
+                               floors: Map[(String, String), Long]): DataFrame = {
+    val classes = Seq(
+      ("c1", MetaPredicate("source" -> ("exact", "src1")),
+        Seq(3L, 7L, 13L, 17L, 23L, 29L, 31L, 37L)),
+      ("c2", MetaPredicate("lang" -> ("exact", "zh")),
+        Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L)),
+      ("c3", MetaPredicate("n_chars" -> ("leq", 300)),
+        Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L)))
+    val rows = classes.flatMap { case (cls, pred, qids) =>
+      // query vectors are driver-side model state (clustered_probe
+      // contract); queries stay IN the corpus — rank 1 is the self-hit
+      // on both sides, the persisted-serving convention
+      val qs = frame.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+        .sortBy(_._1)
+      val qDf = frame.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val exactU = Knn.batchKnn(frame.select("vec_id", "embedding"), qDf, 10,
+          Knn.L2, excludeSelf = false)
+        .select("q_id", "vec_id").localCheckpoint(true)
+      val beamRow = Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
+        .select("q_id", "vec_id")
+        .join(exactU, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(cls).as("cls"), lit("beam").as("strategy"),
+          least(col("n_hit"), lit(floors((cls, "beam")))).as("n_hit_floor"))
+      val passing = docs(s, dir).filter(pred).select(col("doc_id").as("vec_id"))
+      val exactF = Knn.batchKnn(
+          frame.select("vec_id", "embedding").join(passing, "vec_id"),
+          qDf, 10, Knn.L2, excludeSelf = false)
+        .select("q_id", "vec_id").localCheckpoint(true)
+      val acornRow = Hnsw.searchFilteredPersistedBatch(s, path, passing,
+          numParts = 8, qs, 10, metaSearch = 100, ef = 200, largeK = 200)
+        .select("q_id", "vec_id")
+        .join(exactF, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
+          least(col("n_hit"), lit(floors((cls, "acorn")))).as("n_hit_floor"))
+      // post-filter baseline (post-filter.py): unfiltered top-largeK
+      // beam, predicate applied afterwards, best 10 survivors per query
+      val postRow = Hnsw.searchPersistedBatch(s, path, qs, 200, ef = 200)
+        .join(passing, Seq("vec_id"))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
+          asc = true).as("hits"))
+        .select(col("q_id"), explode(col("hits")).as("hit"))
+        .select(col("q_id"), col("hit.id").as("vec_id"))
+        .join(exactF, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("n_hit"))
+        .select(lit(cls).as("cls"), lit("post").as("strategy"),
+          least(col("n_hit"), lit(floors((cls, "post")))).as("n_hit_floor"))
+      Seq(beamRow, acornRow, postRow)
+    }
+    rows.reduce(_ union _)
+  }
+
   /** The A15b ABO-shaped JSONL synthesis (nested value-structs, optional
     * brand, optional other_image_id), deterministic from `documents` —
     * ONE construction shared by listings_parse and the A50 end-to-end
@@ -280,7 +364,9 @@ object HybridQueries {
     // B6: LSH-bucketed ANN — deterministic hyperplanes, in-bucket search
     "ann_lsh" -> ((s, dir) => {
       val corpus = emb(s, dir).filter(col("vec_id") =!= 3).select("vec_id", "embedding")
-      val q = emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      val q = requireQueryPresent(
+        emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec")),
+        "ann_lsh")
       Lsh.annSearch(corpus, q, 5, NumPlanes, Dims).select("vec_id", "score")
     }),
 
@@ -290,7 +376,9 @@ object HybridQueries {
     // probe set is (numPlanes+1) buckets via an integer bit_count test.
     "ann_lsh_multiprobe" -> ((s, dir) => {
       val corpus = emb(s, dir).filter(col("vec_id") =!= 3).select("vec_id", "embedding")
-      val q = emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
+      val q = requireQueryPresent(
+        emb(s, dir).filter(col("vec_id") === 3).select(col("embedding").as("q_vec")),
+        "ann_lsh_multiprobe")
       Lsh.multiProbeSearch(corpus, q, 5, NumPlanes, Dims, maxFlips = 1)
         .select("vec_id", "score")
     }),
@@ -308,13 +396,9 @@ object HybridQueries {
     "ann_lsh_multiprobe_2048" -> ((s, dir) => {
       val w = wideEmb(emb(s, dir))
       val corpus = w.filter(col("vec_id") =!= 3).select("vec_id", "embedding")
-      val q = w.filter(col("vec_id") === 3).select(col("embedding").as("q_vec"))
-      // presence guard (the r13 vacuous-gate rule for qid-parameterized
-      // entries): an absent query id would empty BOTH the entry and its
-      // oracle and the hash gate would pass while checking nothing
-      require(q.limit(1).count() == 1,
-        "ann_lsh_multiprobe_2048: query vec_id 3 absent from the corpus — " +
-          "the gate would pass vacuously on two empty frames")
+      val q = requireQueryPresent(
+        w.filter(col("vec_id") === 3).select(col("embedding").as("q_vec")),
+        "ann_lsh_multiprobe_2048")
       Lsh.multiProbeSearch(corpus, q, 5, NumPlanes, WideDims, maxFlips = 1)
         .select("vec_id", "score")
     }),
@@ -814,6 +898,13 @@ object HybridQueries {
         val qv = w.filter(col("vec_id") === qid).select("embedding")
           .collect().head.getSeq[Float](0).toArray
         val passing = attrs.filter(pred).select("vec_id")
+        // per-class vacuous-gate guard (r14 review): a class predicate
+        // matching zero listings would emit zero rows on BOTH sides and
+        // that cell of the matrix would gate nothing — refuse loudly
+        // (cheap: attrs is materialized, this scans the cached frame)
+        require(passing.limit(1).count() >= 1,
+          s"acorn_pipeline_e2e: class $cls predicate matches no parsed " +
+            "listings — its cell would gate vacuously")
         Hnsw.searchFilteredPersisted(s, path, passing, numParts = 8, qv, 10,
           metaSearch = 0)
           .select(lit(cls).as("cls"), col("vec_id"), col("score"))
@@ -1050,22 +1141,6 @@ object HybridQueries {
     // sf0.001/0.01/0.1 with margin for testdata regeneration; the graph
     // and walk are deterministic, so at fixed data the number is exact.
     "recall_hnsw_beam" -> ((s, dir) => {
-      val path = ensureHnswIndex(s, dir)
-      val e = emb(s, dir)
-      // README §3's full evaluation matrix: selectivity class 1/2/3
-      // (selective ~5% / mid ~15% / broad ~50%, the knn_auto classing) ×
-      // strategy {beam, acorn, post} at the reference's REAL constants
-      // (ef=200, largeK=200, metaSearch=100 — acorn.py:150-162), 8 queries
-      // per class, hits SUMMED per (class, strategy) so one unlucky query
-      // cannot flip the gate (r6 verdict #1: the old 4+1-query floors sat
-      // one hit from a false red under testdata regeneration).
-      val classes = Seq(
-        ("c1", MetaPredicate("source" -> ("exact", "src1")),
-          Seq(3L, 7L, 13L, 17L, 23L, 29L, 31L, 37L)),
-        ("c2", MetaPredicate("lang" -> ("exact", "zh")),
-          Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L)),
-        ("c3", MetaPredicate("n_chars" -> ("leq", 300)),
-          Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L)))
       // floors: tri-scale measured min − ≥2-hit margin (SURVEY §8 records
       // the measured values); the oracle asserts the literals, so a cell
       // goes red exactly when summed recall drops below its knee
@@ -1073,58 +1148,12 @@ object HybridQueries {
       // acorn c1 80/80/57, c2 80/80/63, c3 80/80/59 (the metaSearch=100
       // budget knee at 250-row partitions — the reference's trade-off);
       // post c1 75/77/74, c2 80/80/80, c3 80/80/80. Floors sit 4-7 hits
-      // under the tri-scale min.
-      val floors = Map(
+      // under the tri-scale min. Matrix body shared with A48
+      // (recallBeamMatrix above).
+      recallBeamMatrix(s, dir, emb(s, dir), ensureHnswIndex(s, dir), Map(
         ("c1", "beam") -> 76L, ("c1", "acorn") -> 50L, ("c1", "post") -> 68L,
         ("c2", "beam") -> 76L, ("c2", "acorn") -> 56L, ("c2", "post") -> 76L,
-        ("c3", "beam") -> 76L, ("c3", "acorn") -> 52L, ("c3", "post") -> 76L)
-      val rows = classes.flatMap { case (cls, pred, qids) =>
-        // query vectors are driver-side model state (clustered_probe
-        // contract); queries stay IN the corpus — rank 1 is the self-hit
-        // on both sides, the persisted-serving convention
-        val qs = e.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-          .sortBy(_._1)
-        val qDf = e.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val exactU = Knn.batchKnn(e.select("vec_id", "embedding"), qDf, 10, Knn.L2,
-            excludeSelf = false)
-          .select("q_id", "vec_id").localCheckpoint(true)
-        val beamRow = Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
-          .select("q_id", "vec_id")
-          .join(exactU, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-          .select(lit(cls).as("cls"), lit("beam").as("strategy"),
-            least(col("n_hit"), lit(floors((cls, "beam")))).as("n_hit_floor"))
-        val passing = docs(s, dir).filter(pred).select(col("doc_id").as("vec_id"))
-        val exactF = Knn.batchKnn(
-            e.select("vec_id", "embedding").join(passing, "vec_id"),
-            qDf, 10, Knn.L2, excludeSelf = false)
-          .select("q_id", "vec_id").localCheckpoint(true)
-        val acornRow = Hnsw.searchFilteredPersistedBatch(s, path, passing,
-            numParts = 8, qs, 10, metaSearch = 100, ef = 200, largeK = 200)
-          .select("q_id", "vec_id")
-          .join(exactF, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-          .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
-            least(col("n_hit"), lit(floors((cls, "acorn")))).as("n_hit_floor"))
-        // post-filter baseline (post-filter.py): unfiltered top-largeK
-        // beam, predicate applied afterwards, best 10 survivors per query
-        val postRow = Hnsw.searchPersistedBatch(s, path, qs, 200, ef = 200)
-          .join(passing, Seq("vec_id"))
-          .groupBy("q_id")
-          .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
-            asc = true).as("hits"))
-          .select(col("q_id"), explode(col("hits")).as("hit"))
-          .select(col("q_id"), col("hit.id").as("vec_id"))
-          .join(exactF, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-          .select(lit(cls).as("cls"), lit("post").as("strategy"),
-            least(col("n_hit"), lit(floors((cls, "post")))).as("n_hit_floor"))
-        Seq(beamRow, acornRow, postRow)
-      }
-      rows.reduce(_ union _)
+        ("c3", "beam") -> 76L, ("c3", "acorn") -> 52L, ("c3", "post") -> 76L))
     }),
 
     // A48: the reference's HEADLINE evaluation matrix AT THE REFERENCE
@@ -1145,61 +1174,17 @@ object HybridQueries {
     // finally smaller than the partition) and the post-filter collapse
     // on the selective class both reproduce at the reference width.
     "recall_hnsw_beam_2048" -> ((s, dir) => {
-      val path = ensureHnswWideIndex(s, dir)
-      val w = wideEmb(emb(s, dir))
-      val classes = Seq(
-        ("c1", MetaPredicate("source" -> ("exact", "src1")),
-          Seq(3L, 7L, 13L, 17L, 23L, 29L, 31L, 37L)),
-        ("c2", MetaPredicate("lang" -> ("exact", "zh")),
-          Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L)),
-        ("c3", MetaPredicate("n_chars" -> ("leq", 300)),
-          Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L)))
-      val floors = Map(
+      // Floors sit 4–7 hits under the tri-scale min
+      // (sf0.001/0.01/0.1 measurements in SURVEY §8q): beam 80/80/80 all
+      // classes; acorn c1 80/80/53, c2 80/80/64, c3 80/80/62; post
+      // c1 73/77/74, c2 80/80/80, c3 80/80/80 — the metaSearch=100 budget
+      // knee (it bites at sf0.1's 250-row partitions, where the budget is
+      // finally smaller than the partition) and the post-filter collapse
+      // on the selective class both reproduce at the reference width.
+      recallBeamMatrix(s, dir, wideEmb(emb(s, dir)), ensureHnswWideIndex(s, dir), Map(
         ("c1", "beam") -> 76L, ("c1", "acorn") -> 48L, ("c1", "post") -> 68L,
         ("c2", "beam") -> 76L, ("c2", "acorn") -> 58L, ("c2", "post") -> 76L,
-        ("c3", "beam") -> 76L, ("c3", "acorn") -> 56L, ("c3", "post") -> 76L)
-      val rows = classes.flatMap { case (cls, pred, qids) =>
-        val qs = w.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-          .sortBy(_._1)
-        val qDf = w.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val exactU = Knn.batchKnn(w.select("vec_id", "embedding"), qDf, 10, Knn.L2,
-            excludeSelf = false)
-          .select("q_id", "vec_id").localCheckpoint(true)
-        val beamRow = Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
-          .select("q_id", "vec_id")
-          .join(exactU, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-          .select(lit(cls).as("cls"), lit("beam").as("strategy"),
-            least(col("n_hit"), lit(floors((cls, "beam")))).as("n_hit_floor"))
-        val passing = docs(s, dir).filter(pred).select(col("doc_id").as("vec_id"))
-        val exactF = Knn.batchKnn(
-            w.select("vec_id", "embedding").join(passing, "vec_id"),
-            qDf, 10, Knn.L2, excludeSelf = false)
-          .select("q_id", "vec_id").localCheckpoint(true)
-        val acornRow = Hnsw.searchFilteredPersistedBatch(s, path, passing,
-            numParts = 8, qs, 10, metaSearch = 100, ef = 200, largeK = 200)
-          .select("q_id", "vec_id")
-          .join(exactF, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-          .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
-            least(col("n_hit"), lit(floors((cls, "acorn")))).as("n_hit_floor"))
-        val postRow = Hnsw.searchPersistedBatch(s, path, qs, 200, ef = 200)
-          .join(passing, Seq("vec_id"))
-          .groupBy("q_id")
-          .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
-            asc = true).as("hits"))
-          .select(col("q_id"), explode(col("hits")).as("hit"))
-          .select(col("q_id"), col("hit.id").as("vec_id"))
-          .join(exactF, Seq("q_id", "vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-          .select(lit(cls).as("cls"), lit("post").as("strategy"),
-            least(col("n_hit"), lit(floors((cls, "post")))).as("n_hit_floor"))
-        Seq(beamRow, acornRow, postRow)
-      }
-      rows.reduce(_ union _)
+        ("c3", "beam") -> 76L, ("c3", "acorn") -> 56L, ("c3", "post") -> 76L))
     }),
 
     // A13c: recall row beside recall_filtered — the ACORN walk vs the

@@ -705,7 +705,7 @@ class Wide2048Spec extends SparkSpec {
     // same predicate on both sides.
     val w = wideCorpus()
     val docRows = Tables(spark, dir, "documents")
-      .select("doc_id", "source", "lang", "n_chars").collect()
+      .select("doc_id", "source", "lang").collect()
       .map(r => (r.getLong(0),
         if (r.isNullAt(1)) null else r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2)))
