@@ -559,6 +559,24 @@ object FusionQueries {
         numCodes = 64, shortlist = 100, keep = Some(keep))
     }),
 
+    // A47c: EXTERNAL queries at the REFERENCE width — the reference's
+    // actual demo shape end-to-end: acorn.py `__main__` embeds a query
+    // image that is NOT in the corpus (query.jpg) and serves it against
+    // the d=2048 index it builds (:30–40); until now the external-query
+    // machinery gated only at d=64 (A47/A47b) and the wide gates only
+    // queried by indexed item. Four external midpoint queries derived
+    // from WIDE vector pairs (one float round per component — both
+    // engines derive identical non-indexed 2048-d vectors with no new
+    // table) ride the broadcast (q_id, tds) ADC relation with NO
+    // self-exclusion and the rerank joining the frame's raw vectors —
+    // the pin that nothing in the wide-batch machinery secretly depends
+    // on the query being indexed, at the width it runs in production.
+    "knn_pq_batch_external_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      Pq.searchRerankBatchWideExternal(w, externalMidpointQueries(w, 8),
+        k = 10, numSub = 16, subDim = 128, numCodes = 64, shortlist = 100)
+    }),
+
     // A24d: WIDE-batch IVF×PQ at the REFERENCE width (r13 verdict next
     // #2): the amortized serving plan for the reference's query-file loop
     // at the width it builds (acorn.py `__main__` serves a query FILE
@@ -1626,6 +1644,19 @@ object FusionQueries {
     // convention)
     "knn_pq_batch_sharded_2048" -> pqBatchWideOracleSql2048("vec_id < 8"),
 
+    // A47c: the wide batch replay with the qs CTE deriving the four
+    // external midpoints from WIDE vector pairs (one float round per
+    // component, the A47 construction at width) and the self-exclusion
+    // dropped (external q_ids name no corpus row)
+    "knn_pq_batch_external_2048" -> pqBatchWideOracleSql2048("unused",
+      qsSelect = Some(
+        """SELECT a.vec_id // 2 AS q_id,
+          |    list_transform(range(1, 2049),
+          |      i -> CAST(CAST(((CAST(a.embedding AS DOUBLE[]))[i] + (CAST(b.embedding AS DOUBLE[]))[i]) * 0.5 AS FLOAT) AS DOUBLE)) AS qv
+          |  FROM wide a JOIN wide b ON b.vec_id = a.vec_id + 1
+          |  WHERE a.vec_id % 2 = 0 AND a.vec_id < 8""".stripMargin),
+      excludeSelf = false),
+
     // A23d: the wide batch replay over the metadata-qualified body only
     // (queries still from the full wide frame — the A23b convention)
     "hybrid_knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048("vec_id < 8",
@@ -2423,12 +2454,18 @@ object FusionQueries {
     * and unsharded wide entries share it verbatim (sharding never changes
     * per-query results — the A21d convention). */
   private def pqBatchWideOracleSql2048(qsWhere: String,
-                                       bodySelect: Option[String] = None): String = {
+                                       bodySelect: Option[String] = None,
+                                       qsSelect: Option[String] = None,
+                                       excludeSelf: Boolean = true): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
     def fold(vec: String, cw: String, offset: Boolean): String =
       pqFold(vec, cw, subDim, offset)
     val body = bodySelect.getOrElse(
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide")
+    val qsCte = qsSelect.getOrElse(
+      s"""SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM wide WHERE $qsWhere""".stripMargin)
+    val excl = if (excludeSelf) "\n  WHERE enc.vec_id <> adc.q_id" else ""
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
        |cb AS MATERIALIZED (SELECT m.m AS m, e.vec_id AS code,
@@ -2442,16 +2479,15 @@ object FusionQueries {
        |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
        |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
        |        GROUP BY 1, 2),
-       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-       |       FROM wide WHERE $qsWhere),
+       |qs AS ($qsCte),
        |q AS (SELECT qs.q_id, m.m AS m, qv[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
        |      FROM qs, (SELECT unnest(range($numSub)) AS m) m),
        |adc AS (SELECT q.q_id, cb.m, cb.code,
        |  CAST(floor(${fold("q.qsub", "cb.cw", offset = false)} * 10000.0) AS BIGINT) AS td
        |  FROM cb JOIN q ON cb.m = q.m),
        |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
-       |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
-       |  WHERE enc.vec_id <> adc.q_id GROUP BY 1, 2),
+       |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code$excl
+       |  GROUP BY 1, 2),
        |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
        |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
        |  FROM sums) WHERE rn <= 100),

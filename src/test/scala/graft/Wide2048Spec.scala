@@ -685,6 +685,47 @@ class Wide2048Spec extends SparkSpec {
       "a filter-failing row leaked into the filtered wide batch")
   }
 
+  test("knn_pq_batch_external_2048 equals the plain-Scala external-midpoint reconstruction") {
+    // A47c: the reference's demo shape (an out-of-corpus query against
+    // the d=2048 index) re-derived without Spark — midpoint derivation
+    // (one float round per component), seeded codebook, per-query ADC
+    // over the WHOLE corpus (no self-exclusion: external ids name no
+    // corpus row), shortlist, exact L2 rerank against the raw midpoint
+    val (numSub, subDim, numCodes, shortlist) = (16, 128, 64, 100)
+    val w = wideCorpus()
+    val wd = w.map { case (id, v) => id -> v.map(_.toDouble) }
+    def sqdFloor(a: Array[Double], off: Int, cw: Array[Double]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < cw.length) { val d = a(off + i) - cw(i); acc += d * d; i += 1 }
+      math.floor(acc * 10000.0).toLong
+    }
+    val cb: Map[(Int, Long), Array[Double]] =
+      (for (code <- 0L until numCodes; m <- 0 until numSub)
+        yield (m, code) -> wd(code).slice(m * subDim, (m + 1) * subDim)).toMap
+    val expect = (0L until 4L).flatMap { g =>
+      val a = wd(2 * g); val b = wd(2 * g + 1)
+      val qf = Array.tabulate(WideDims)(i => ((a(i) + b(i)) * 0.5).toFloat)
+      val qd = qf.map(_.toDouble)
+      val adc = cb.map { case ((m, c), cw) => (m, c) -> sqdFloor(qd, m * subDim, cw) }
+      val short = wd.toSeq.map { case (id, v) =>
+        var asum = 0L
+        for (m <- 0 until numSub) {
+          val best = (0L until numCodes)
+            .map(c => (sqdFloor(v, m * subDim, cb((m, c))), c)).min
+          asum += adc((m, best._2))
+        }
+        (asum, id)
+      }.sorted.take(shortlist).map(_._2)
+      short.map(id => (id, l2Scaled(w(id), qf)))
+        .sortBy { case (id, s) => (s, id) }.take(10).zipWithIndex
+        .map { case ((id, s), i) => (g, id, (i + 1).toLong, s) }
+    }.toSeq
+    val got = SparkEntry.queries("knn_pq_batch_external_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(t => (t._1, t._3))
+    assert(got == expect)
+  }
+
   test("recall_hnsw_beam_2048: wide recall sits at or above every floor") {
     // A48: least(n_hit, floor) == floor ⇔ measured ≥ floor — the same
     // assertion the oracle gate makes, kept red-close to the code
