@@ -162,9 +162,9 @@ object DuckDialect {
     * integer sums) and c_{i+1} (floor-mean centroids, empty clusters keep
     * their previous centroid); `af` is the final assignment under c<iters>.
     * The knn_ivf_trained / dedup_semdedup oracles embed this in a WITH. */
-  def lloydChain(k: Int, iters: Int): String = {
+  def lloydChain(k: Int, iters: Int, dims: Int = 64): String = {
     def dsq(a: String, b: String) =
-      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
     val sb = new StringBuilder
     sb ++= s"""c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cl, q AS cent
               |  FROM (SELECT vec_id, q FROM ed ORDER BY vec_id LIMIT $k))""".stripMargin
@@ -175,7 +175,7 @@ object DuckDialect {
                 |    ORDER BY ${dsq("e.q", "c.cent")} ASC, c.cl ASC) AS rn
                 |  FROM ed e CROSS JOIN c$i c) WHERE rn = 1),
                 |n$i AS (SELECT a.cl, dd.dim, sum(e.q[dd.dim + 1]) AS s, count(*) AS cnt
-                |  FROM a$i a JOIN ed e USING (vec_id) CROSS JOIN range(64) dd(dim)
+                |  FROM a$i a JOIN ed e USING (vec_id) CROSS JOIN range($dims) dd(dim)
                 |  GROUP BY a.cl, dd.dim),
                 |c${i + 1} AS (SELECT c.cl, coalesce(m.cent, c.cent) AS cent FROM c$i c LEFT JOIN (
                 |  SELECT cl, list((s - ((s % cnt + cnt) % cnt)) // cnt ORDER BY dim) AS cent

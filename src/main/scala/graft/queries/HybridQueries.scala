@@ -328,6 +328,37 @@ object HybridQueries {
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     }),
 
+    // A14e: IVF×HNSW at the REFERENCE width — the A14d composition (the
+    // coarse quantizer ITSELF is graph-searched: at 10⁶ centroids the
+    // probe step is its own ANN problem, faiss's IVF_HNSW/quantizer
+    // pattern) with every distance at d=2048: integer Lloyd's over the
+    // wide frame (NearestCentroidLong E-step, floor-mean M-step), the
+    // k·d centroid table walked by the HNSW graph at the saturating beam
+    // (exact ⇒ oracle-replayable), then pruned exact integer search over
+    // the probed clusters' members. The kmeans/graph/scan arithmetic is
+    // width-dependent end to end; the oracle unrolls the wide Lloyd
+    // chain (lloydChain at dims=2048) and replays probe + scan.
+    "knn_ivf_hnsw_2048" -> ((s, dir) => {
+      import s.implicits._
+      val w = wideEmb(emb(s, dir))
+      val corpus = w.filter(col("vec_id") =!= 21).select("vec_id", "embedding")
+      val (cent, qemb) = KMeans.fitInt(corpus, k = 10, iters = 3)
+      val qv = graft.operators.Pq.quantized(w.filter(col("vec_id") === 21))
+        .select("q").head.getSeq[Long](0).toArray
+      // quantized components stay < 10⁵ ⇒ exactly representable as Float
+      val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding").repartition(1)
+      val probed = Hnsw.searchPerPartition(centDf, qv.map(_.toFloat), k = 3, ef = 0)
+        .select("vec_id").collect().map(_.getLong(0))
+      val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+      qemb.select(col("vec_id"),
+          graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"), col("q"))
+        .filter(col("cluster").isin(probed: _*))
+        .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
+        .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+    }),
+
     // A10: ACORN-style hybrid search — probe 2 nearest clusters, metadata
     // predicate pushed into the pruned scan
     "hybrid_knn" -> ((s, dir) => {
@@ -1511,6 +1542,28 @@ object HybridQueries {
       s"""WITH ed AS (SELECT vec_id, $qz AS q FROM embeddings WHERE vec_id <> 21),
          |qq AS (SELECT $qz AS q FROM embeddings WHERE vec_id = 21),
          |${DuckDialect.lloydChain(k, iters)},
+         |probes AS (SELECT cl FROM (
+         |  SELECT c.cl, row_number() OVER (ORDER BY
+         |      CAST(floor(sqrt(CAST(${dsq("c.cent", "q.q")} AS DOUBLE)) * 10000 + 0.5) AS BIGINT) ASC,
+         |      c.cl ASC) AS rn
+         |  FROM c$iters c CROSS JOIN qq q) WHERE rn <= $np)
+         |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
+         |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A14e: the A14d oracle with the Lloyd chain, probe ranking, and scan
+    // re-derived over the wide frame (lloydChain at dims=2048); ed is
+    // MATERIALIZED — the chain references it once per iteration
+    "knn_ivf_hnsw_2048" -> {
+      val k = 10; val iters = 3; val np = 3; val dims = 2048
+      def dsq(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings),
+         |ed AS MATERIALIZED (SELECT vec_id, $qz AS q FROM wide WHERE vec_id <> 21),
+         |qq AS (SELECT $qz AS q FROM wide WHERE vec_id = 21),
+         |${DuckDialect.lloydChain(k, iters, dims)},
          |probes AS (SELECT cl FROM (
          |  SELECT c.cl, row_number() OVER (ORDER BY
          |      CAST(floor(sqrt(CAST(${dsq("c.cent", "q.q")} AS DOUBLE)) * 10000 + 0.5) AS BIGINT) ASC,

@@ -726,6 +726,47 @@ class Wide2048Spec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("knn_ivf_hnsw_2048: graph probe matches the scaled-sqrt ranking at width; entry equals the pruned scan") {
+    // A14e: the FunnelSpec A14d pin at the reference width — the HNSW
+    // walk over the k·2048 centroid table must return exactly the
+    // scaled-sqrt top-3 (floor(sqrt(d²)·10⁴+0.5), ties to the lower
+    // label), and the entry must equal the exact integer scan restricted
+    // to those clusters' members
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val w = HybridQueries.wideEmbeddings(spark, dir)
+    val corpus = w.select("vec_id", "embedding").filter(col("vec_id") =!= 21)
+    val (cent, qemb) = graft.operators.KMeans.fitInt(corpus, k = 10, iters = 3)
+    val qv = graft.operators.Pq.quantized(w.filter(col("vec_id") === 21))
+      .select("q").head.getSeq[Long](0).toArray
+    assert(qv.length == WideDims)
+    def scaledDist(c: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < c.length) { val d = c(i) - qv(i); acc += d * d; i += 1 }
+      math.floor(math.sqrt(acc.toDouble) * 10000 + 0.5).toLong
+    }
+    val expectProbe = cent.map { case (cl, v) => (cl, scaledDist(v)) }
+      .sortBy { case (cl, s) => (s, cl) }.take(3).map(_._1).toSet
+    val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").repartition(1)
+    val graphProbe = graft.operators.Hnsw
+      .searchPerPartition(centDf, qv.map(_.toFloat), k = 3, ef = 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(graphProbe == expectProbe)
+    val entry = SparkEntry.queries("knn_ivf_hnsw_2048")(spark, dir)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(entry.size == 10)
+    val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
+    val expected = qemb.select(col("vec_id"),
+        graft.functions.centroids.nearestLong(col("q"), cent)
+          .getField("label").as("cluster"), col("q"))
+      .filter(col("cluster").isin(expectProbe.toSeq: _*))
+      .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
+      .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(entry == expected)
+  }
+
   test("recall_hnsw_beam_2048: wide recall sits at or above every floor") {
     // A48: least(n_hit, floor) == floor ⇔ measured ≥ floor — the same
     // assertion the oracle gate makes, kept red-close to the code
