@@ -646,7 +646,8 @@ object Hnsw {
     * the searchPersistedBatch shape with the ACORN walk inside. */
   def searchFilteredPersistedBatch(spark: SparkSession, path: String, passing: DataFrame,
                                    numParts: Int, queries: Seq[(Long, Array[Float])], k: Int,
-                                   metaSearch: Int, ef: Int = 200, largeK: Int = 200): DataFrame = {
+                                   metaSearch: Int, ef: Int = 200, largeK: Int = 200,
+                                   twoHop: Boolean = false): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, hash, lit, pmod, posexplode}
     val qb = spark.sparkContext.broadcast(queries)
@@ -673,7 +674,8 @@ object Hnsw {
           qb.value.iterator.flatMap { case (qid, qv) =>
             require(qv.length == dims,
               s"hnsw query $qid has ${qv.length} dims, persisted index has $dims")
-            g.searchFiltered(qv, k, ok, ms, lk, e).map { case (id, sc) => (qid, id, sc) }
+            g.searchFiltered(qv, k, ok, ms, lk, e, twoHop)
+              .map { case (id, sc) => (qid, id, sc) }
           }
         }
     }

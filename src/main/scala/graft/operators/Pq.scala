@@ -699,6 +699,13 @@ object Pq {
         s"expected ${expectCols.mkString(",")}")
     val qv = emb.filter(col("vec_id") === qid)
       .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    // ADVICE r14: an absent qid would empty the entry AND its oracle and
+    // the hash gate would pass vacuously — refuse loudly instead (the
+    // requireQueryPresent convention, on the operator side so every
+    // persisted-serve entry at every width inherits it)
+    require(qv.limit(1).count() == 1,
+      s"pq persisted serve: query id $qid absent from the corpus — the " +
+        "gate would pass vacuously on two empty frames")
     val td = adcTable(qv, cb, subDim).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     adcServe(codes.filter(col("vec_id") =!= qid), emb, qid, cbRows, td, k, numSub, shortlist)
@@ -964,25 +971,33 @@ object Pq {
     * [[wideAdistExpr]], so the oracle's sums CTE replays it exactly.
     * Expects the query vector in `qvCol` (ARRAY<DOUBLE>) and the row
     * codes in code_0 … code_{M-1}. */
-  def adcDistCol(cbRows: Array[(Int, Long, Array[Double])], numSub: Int,
-                 subDim: Int, qvCol: String = "qv"): Column = {
+  /** Group [[cbRows]] by subspace and validate the positional-lookup
+    * layout — the typedlit lookups index codewords POSITIONALLY, so a
+    * codebook with code-id gaps would throw a bare
+    * NoSuchElementException at plan-build time (r10 ADVICE); validate up
+    * front with a message naming the expectation. Shared by
+    * [[adcDistCol]] and [[adcTableCol]]. */
+  private def densifiedByM(cbRows: Array[(Int, Long, Array[Double])],
+                           numSub: Int, who: String): Map[Int, Map[Long, Array[Double]]] = {
     val byM: Map[Int, Map[Long, Array[Double]]] =
       cbRows.groupBy(_._1).view
         .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
-    // the typedlit lookup below indexes codewords POSITIONALLY — a
-    // codebook with code-id gaps would throw a bare NoSuchElementException
-    // at plan-build time (r10 ADVICE); validate the layout up front with
-    // a message naming the expectation, the searchPersisted vintage style
     require((0 until numSub).forall(byM.contains),
-      s"adcDistCol: codebook holds subspaces ${byM.keys.toSeq.sorted.mkString(",")}, " +
+      s"$who: codebook holds subspaces ${byM.keys.toSeq.sorted.mkString(",")}, " +
         s"caller expects 0..${numSub - 1}")
     (0 until numSub).foreach { m =>
       val ks = byM(m).keySet
       require(ks == (0L until ks.size.toLong).toSet,
-        s"adcDistCol: subspace $m codes ${ks.toSeq.sorted.mkString(",")} are not " +
+        s"$who: subspace $m codes ${ks.toSeq.sorted.mkString(",")} are not " +
           "contiguous 0..K-1 — the literal lookup indexes by code position; " +
           "re-densify the codebook's code ids first")
     }
+    byM
+  }
+
+  def adcDistCol(cbRows: Array[(Int, Long, Array[Double])], numSub: Int,
+                 subDim: Int, qvCol: String = "qv"): Column = {
+    val byM = densifiedByM(cbRows, numSub, "adcDistCol")
     (0 until numSub).map { m =>
       val codes = byM(m)
       val cwm = typedlit(
@@ -996,6 +1011,42 @@ object Pq {
       floor(sq * 10000.0).cast("long")
     }.reduce(_ + _)
   }
+
+  /** One arriving query's WHOLE ADC table as a projection column — the
+    * streaming counterpart of [[adcRelationOf]] for widths where
+    * [[adcDistCol]]'s inlined M·subDim-term tree would dwarf the plan
+    * (16×128 = 2048 terms per candidate ROW at d=2048):
+    * `tds[m+1][code+1] = floor(Σᵢ (qv[m·subDim+i] − cw[i])² · 10⁴)`,
+    * computed via nested HOFs over the typedlit codebook (model state
+    * rides as a literal, the [[adcDistCol]] convention). A serving
+    * stream derives each query's table INLINE in the micro-batch
+    * projection — no second streaming aggregation, no per-query driver
+    * work — and the candidate scan then pays only [[wideAdistExpr]]'s M
+    * lookups per row instead of M·subDim FLOPs: the ADC economics that
+    * make PQ serving cheap at 100 TB. Accumulation is an ascending left
+    * fold in DOUBLE seeded at 0.0 (+0.0 + x ≡ x in IEEE, so the sum
+    * order is exactly [[sqDistExpr]]'s left-assoc chain) — the oracle's
+    * list_reduce fold replays it bit-for-bit. */
+  def adcTableCol(cbRows: Array[(Int, Long, Array[Double])], numSub: Int,
+                  subDim: Int, qvCol: String = "qv"): Column = {
+    val byM = densifiedByM(cbRows, numSub, "adcTableCol")
+    val cbLit = typedlit((0 until numSub).map(m =>
+      (0L until byM(m).size.toLong).map(c => byM(m)(c).toSeq)))
+    transform(sequence(lit(0), lit(numSub - 1)), m =>
+      transform(element_at(cbLit, m + 1), cw =>
+        floor(aggregate(
+          sequence(lit(1), lit(subDim)), lit(0.0),
+          (acc: Column, i: Column) => {
+            val d = element_at(col(qvCol), m * lit(subDim) + i) -
+              element_at(cw, i)
+            acc + d * d
+          }) * 10000.0).cast("long")))
+  }
+
+  /** The [[wideAdistExpr]] candidate-scan sum as a public SQL fragment —
+    * M nested-array lookups against a joined or projected `tds` column
+    * (the streaming wide serve shares the batch scan's arithmetic). */
+  def wideAdistSql(numSub: Int): String = wideAdistExpr(numSub)
 
   /** The whole-file guard + chunk-and-union skeleton shared by every
     * sharded wide form: validates cap bounds, non-emptiness, and

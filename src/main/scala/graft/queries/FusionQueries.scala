@@ -577,6 +577,36 @@ object FusionQueries {
         k = 10, numSub = 16, subDim = 128, numCodes = 64, shortlist = 100)
     }),
 
+    // A24e: SHARDED wide-batch IVF×PQ at the reference width (r14
+    // verdict next #5 — A21j proved the cap-and-union shape at d=2048
+    // for plain PQ only; the label-keyed coarse-quantizer family had
+    // sharded drivers only at d=64). The A24d 8-query file forced
+    // through THREE ≤3-query wide passes: per-query probes are
+    // independent, so sharding the query file shards the probe set with
+    // it and each pass scans only ITS chunk's probed-cluster union.
+    // Every q_id lands in exactly one shard ⇒ union ≡ one uncapped pass
+    // ⇒ the oracle IS the A24d wide batch replay.
+    "knn_ivfpq_batch_sharded_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      Pq.ivfpqBatchShardedWide(e, qids = (0L until 8L), k = 10,
+        numSub = 16, subDim = 128, numCodes = 64, nProbe = 2,
+        shortlist = 100, cap = 3)
+    }),
+
+    // A42f: SHARDED wide-batch RESIDUAL IVF×PQ at the reference width —
+    // the A42e pipeline through the cap-and-union driver: rows encode
+    // against their OWN centroid (query-independent), so the encode is
+    // chunk-independent too and union ≡ one uncapped pass; the oracle IS
+    // the A42e replay.
+    "knn_ivfpq_residual_batch_sharded_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      Pq.ivfpqResidualBatchShardedWide(e, qids = (0L until 8L), k = 10,
+        numSub = 16, subDim = 128, numCodes = 16, nProbe = 2,
+        shortlist = 100, cap = 3)
+    }),
+
     // A24d: WIDE-batch IVF×PQ at the REFERENCE width (r13 verdict next
     // #2): the amortized serving plan for the reference's query-file loop
     // at the width it builds (acorn.py `__main__` serves a query FILE
@@ -1524,6 +1554,13 @@ object FusionQueries {
     "knn_ivfpq_residual_batch_wide_2048" ->
       ivfpqResidualBatchWideOracleSql2048("vec_id < 8"),
 
+    // A24e / A42f: sharding never changes per-query results, so the
+    // sharded wide drivers replay the SAME wide batch oracles (the A21j
+    // convention applied to the coarse-quantizer families)
+    "knn_ivfpq_batch_sharded_2048" -> ivfpqBatchWideOracleSql2048("vec_id < 8"),
+    "knn_ivfpq_residual_batch_sharded_2048" ->
+      ivfpqResidualBatchWideOracleSql2048("vec_id < 8"),
+
     // A46e: the same wide pipeline over the metadata-qualified body only
     // (the hybrid_knn_pq body join, at width)
     "hybrid_knn_pq_2048" -> pqOracleSql2048(qid = 0, bodySelect = Some(
@@ -1632,7 +1669,7 @@ object FusionQueries {
 
     // A21g: the pqBatchOracleSql pipeline at width — one shared wide
     // encode, per-q ADC tables (list_reduce folds), per-q window cuts
-    "knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048("vec_id < 8"),
+    "knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048(Some("vec_id < 8")),
 
     // A21i: appended wide index ≡ full rebuild at the same stored
     // codebook — the fresh single-query wide pipeline replays
@@ -1642,13 +1679,13 @@ object FusionQueries {
     // A21j: sharding never changes per-query results, so the oracle is
     // the SAME wide batch replay at the same 8-query width (the A21d
     // convention)
-    "knn_pq_batch_sharded_2048" -> pqBatchWideOracleSql2048("vec_id < 8"),
+    "knn_pq_batch_sharded_2048" -> pqBatchWideOracleSql2048(Some("vec_id < 8")),
 
     // A47c: the wide batch replay with the qs CTE deriving the four
     // external midpoints from WIDE vector pairs (one float round per
     // component, the A47 construction at width) and the self-exclusion
     // dropped (external q_ids name no corpus row)
-    "knn_pq_batch_external_2048" -> pqBatchWideOracleSql2048("unused",
+    "knn_pq_batch_external_2048" -> pqBatchWideOracleSql2048(qsWhere = None,
       qsSelect = Some(
         """SELECT a.vec_id // 2 AS q_id,
           |    list_transform(range(1, 2049),
@@ -1659,7 +1696,7 @@ object FusionQueries {
 
     // A23d: the wide batch replay over the metadata-qualified body only
     // (queries still from the full wide frame — the A23b convention)
-    "hybrid_knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048("vec_id < 8",
+    "hybrid_knn_pq_batch_wide_2048" -> pqBatchWideOracleSql2048(Some("vec_id < 8"),
       bodySelect = Some(
         """SELECT w.vec_id, CAST(w.embedding AS DOUBLE[]) AS v
           |  FROM wide w JOIN documents d ON d.doc_id = w.vec_id
@@ -2453,10 +2490,21 @@ object FusionQueries {
     * per-q ADC tables as list_reduce folds, per-q window cuts. Sharded
     * and unsharded wide entries share it verbatim (sharding never changes
     * per-query results — the A21d convention). */
-  private def pqBatchWideOracleSql2048(qsWhere: String,
+  /** `adcOnly` stops the replay at the ADC ranking (no shortlist/rerank)
+    * and emits (q_id, rank, vec_id, adist) — the streaming wide serve's
+    * contract (C66's "ADC-ranked serving" at width; pqServeDuck is its
+    * d=64 twin). */
+  private[queries] def pqBatchWideOracleSql2048(qsWhere: Option[String],
                                        bodySelect: Option[String] = None,
                                        qsSelect: Option[String] = None,
-                                       excludeSelf: Boolean = true): String = {
+                                       excludeSelf: Boolean = true,
+                                       adcOnly: Boolean = false): String = {
+    // exactly ONE query-set source: a WHERE over the wide frame, or a
+    // whole replacement CTE (ADVICE r14: a sentinel string silently
+    // ignored when qsSelect was given invited the next caller to pass a
+    // real predicate and have it dropped)
+    require(qsWhere.isDefined != qsSelect.isDefined,
+      "pqBatchWideOracleSql2048: pass exactly one of qsWhere / qsSelect")
     val (numSub, subDim, numCodes) = (16, 128, 64)
     def fold(vec: String, cw: String, offset: Boolean): String =
       pqFold(vec, cw, subDim, offset)
@@ -2464,7 +2512,7 @@ object FusionQueries {
       "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide")
     val qsCte = qsSelect.getOrElse(
       s"""SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
-         |       FROM wide WHERE $qsWhere""".stripMargin)
+         |       FROM wide WHERE ${qsWhere.get}""".stripMargin)
     val excl = if (excludeSelf) "\n  WHERE enc.vec_id <> adc.q_id" else ""
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
@@ -2487,17 +2535,24 @@ object FusionQueries {
        |  FROM cb JOIN q ON cb.m = q.m),
        |sums AS (SELECT adc.q_id, enc.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
        |  FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code$excl
-       |  GROUP BY 1, 2),
-       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
-       |  FROM sums) WHERE rn <= 100),
-       |rr AS (SELECT s.q_id, s.vec_id,
-       |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
-       |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
-       |SELECT q_id, vec_id, rank, score FROM (
-       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
-       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
-       |WHERE rank <= 10""".stripMargin
+       |  GROUP BY 1, 2)""".stripMargin + (if (adcOnly)
+      """
+        |SELECT q_id, rank, vec_id, adist FROM (
+        |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
+        |WHERE rank <= 10""".stripMargin
+    else
+      """,
+        |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+        |  FROM sums) WHERE rn <= 100),
+        |rr AS (SELECT s.q_id, s.vec_id,
+        |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+        |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+        |SELECT q_id, vec_id, rank, score FROM (
+        |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+        |WHERE rank <= 10""".stripMargin)
   }
 
   /** A24d: the wide-batch pipeline oracle at the reference width — the

@@ -499,6 +499,51 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
     }),
 
+    // C66e: the PQ serving stream at the REFERENCE width (r14 verdict
+    // next #3 — of the streaming serve family only the cascade had a
+    // d=2048 gate): the static side is the ENCODED wide corpus (16
+    // codes/row via PqNearestCode — 16 B/row broadcast where the raw
+    // frame is 8 KB/row, the 100 TB serving economics); arriving queries
+    // widen INLINE (WidenVec) and derive their WHOLE ADC table in the
+    // micro-batch projection (Pq.adcTableCol — nested HOFs over the
+    // typedlit codebook; adcDistCol's inlined form would put 2048
+    // squared-diff terms in the per-CANDIDATE path at this width), so
+    // the candidate scan pays only 16 array lookups per row
+    // (Pq.wideAdistSql — the batch scan's arithmetic). Same O(|Q|·k)
+    // complete-mode k-heap state as C66; stage-1-only contract (the
+    // exact rerank is a second streaming aggregation — downstream,
+    // the C66 convention).
+    "streaming_pq_serve_2048" -> ((s, dir) => {
+      val (numSub, subDim) = (16, 128)
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val cbRows = Pq.seededCodebook(w, numSub = numSub, subDim = subDim,
+        numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val codes = Pq.encodeFast(
+        w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+        cbRows, numSub = numSub, subDim = subDim)
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"),
+          graft.functions.vectors.widen(col("embedding"), 64,
+            HybridQueries.WideDims).cast("array<double>").as("qv"))
+        .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
+        .drop("qv")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(col("vec_id") =!= col("q_id"))
+        .drop("one")
+        .withColumn("adist", expr(Pq.wideAdistSql(numSub)).cast("long"))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_pq_serve_2048", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
     // C66b: EXTERNAL queries served as a stream — the A47 × C66
     // composition closure: the reference's production loop receives
     // queries that are NOT indexed rows (query.jpg embedded at serve
@@ -930,6 +975,13 @@ object StreamingQueries {
       // only in qs derivation, probe prelude, and self-exclusion).
       "streaming_pq_serve" ->
         pqServeDuck(IndexedServeQs, probed = false, excludeSelf = true),
+
+      // C66e: the wide batch replay cut at the ADC ranking (the serve
+      // stops where a second streaming aggregation would begin) — ONE
+      // composer with the A21g family (pqBatchWideOracleSql2048), the
+      // pqServeDuck convention at width
+      "streaming_pq_serve_2048" -> FusionQueries.pqBatchWideOracleSql2048(
+        Some("vec_id < 8"), adcOnly = true),
 
       // C66c: the C66 replay with the knn_ivfpq probe prelude made
       // per-query (scaled-cosine desc, label asc, top 2 per q_id) and a

@@ -145,6 +145,21 @@ class HnswSpec extends SparkSpec {
     assert(sat1.map(_._1).toSet.subsetOf(exact) && sat1.size == math.min(10, exact.size))
   }
 
+  test("recall_hnsw_2hop entry: every (budget, mode) row sits at its floor") {
+    // A51: the spec's budget-curve measurement as the driver gates it —
+    // least(n_hit, floor) == floor ⇔ measured ≥ floor, and the gain rows
+    // pin two-hop ≥ one-hop at every budget (the never-loses half of the
+    // curve claim; the strict win above stays spec-level)
+    val rows = SparkEntry.queries("recall_hnsw_2hop")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val expect = graft.queries.HybridQueries.TwoHopBudgets.flatMap {
+      case (b, one, two, gain) => Seq(
+        (b.toLong, "one") -> one, (b.toLong, "two") -> two,
+        (b.toLong, "gain") -> gain)
+    }.toMap
+    assert(rows == expect)
+  }
+
   test("two-hop walk routes through an all-blocked chain exactly like one-hop") {
     // the anti-stall contract is flag-independent: every path to the far
     // end runs through failing nodes, and both walks must reach it

@@ -113,6 +113,56 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.count(_._1 == 0L) == 10)
   }
 
+  test("streaming_pq_serve_2048 equals the batch wide ADC ranking") {
+    // C66e: stream ≡ batch at the reference width — same wide codebook,
+    // same encodeFast codes, same inline ADC-table projection, per-query
+    // rank replayed with a window
+    import graft.operators.Pq
+    val streamed = run("streaming_pq_serve_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+    val cbRows = Pq.seededCodebook(w, 16, 128, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 16, 128)
+    val win = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = w.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+      .withColumn("tds", Pq.adcTableCol(cbRows, 16, 128))
+      .crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adist", expr(Pq.wideAdistSql(16)).cast("long"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
+  }
+
+  test("adcTableCol lookups equal adcDistCol per (query, candidate) at d=64") {
+    // the HOF-projected ADC table and the inlined per-candidate
+    // expression are the same arithmetic — every (q, candidate) adist
+    // must agree bit-for-bit (the wide serve rides the former, the d=64
+    // serves the latter)
+    import graft.operators.Pq
+    val emb = Tables(spark, dir, "embeddings")
+    val cbRows = Pq.seededCodebook(emb, 8, 8, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 8, 8)
+    val joined = emb.filter(col("vec_id") < 4)
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+      .withColumn("tds", Pq.adcTableCol(cbRows, 8, 8))
+      .crossJoin(codes)
+      .withColumn("a1", expr(Pq.wideAdistSql(8)).cast("long"))
+      .withColumn("a2", Pq.adcDistCol(cbRows, 8, 8))
+    assert(joined.count() > 0)
+    assert(joined.filter(col("a1") =!= col("a2")).count() == 0)
+  }
+
   test("streaming_ivfpq_serve equals the batch probe-restricted ADC ranking") {
     import graft.operators.{Ivf, Pq}
     val streamed = run("streaming_ivfpq_serve").collect()

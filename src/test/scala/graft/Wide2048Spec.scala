@@ -666,6 +666,66 @@ class Wide2048Spec extends SparkSpec {
     assert(sharded == one)
   }
 
+  test("knn_ivfpq_batch_sharded_2048: the cap-and-union passes equal one uncapped wide pass") {
+    // A24e: per-query probes are independent, so every q_id lands in
+    // exactly one shard and the 3-pass union is row-identical to the
+    // single wide pass over the same 8-query file
+    val sharded = SparkEntry.queries("knn_ivfpq_batch_sharded_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val one = SparkEntry.queries("knn_ivfpq_batch_wide_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sharded == one)
+  }
+
+  test("knn_ivfpq_residual_batch_sharded_2048: the cap-and-union passes equal one uncapped wide pass") {
+    // A42f: rows encode against their OWN centroid, so the encode is
+    // chunk-independent too — union ≡ one pass, bit-identical
+    val sharded = SparkEntry.queries("knn_ivfpq_residual_batch_sharded_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val one = SparkEntry.queries("knn_ivfpq_residual_batch_wide_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(sharded == one)
+  }
+
+  test("knn_hnsw_batch_2048 equals the plain-Scala per-query exact top-3 (self included)") {
+    // A35i: the persisted wide graphs at the saturating beam answer the
+    // whole query file exactly — every (q_id, rank) cell replayed from
+    // the no-Spark reconstruction
+    val w = wideCorpus()
+    val got = SparkEntry.queries("knn_hnsw_batch_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+      .sortBy(t => (t._1, t._3))
+    val expect = (0L to 4L).flatMap { qid =>
+      w.toSeq.map { case (id, v) => (id, l2Scaled(v, w(qid))) }
+        .sortBy { case (id, s) => (s, id) }.take(3).zipWithIndex
+        .map { case ((id, s), i) => (qid, id, (i + 1).toLong, s) }
+    }
+    assert(got == expect)
+  }
+
+  test("knn_hnsw_external_2048 equals the plain-Scala external-midpoint reconstruction (no exclusion)") {
+    // A49: the midpoint derives OUTSIDE the corpus ((w0+w1)/2, one float
+    // round), the saturated walk is exact, and no corpus row is excluded
+    val w = wideCorpus()
+    val qv = Array.tabulate(WideDims)(i =>
+      ((w(0L)(i).toDouble + w(1L)(i).toDouble) * 0.5).toFloat)
+    assert(!w.values.exists(_.sameElements(qv)),
+      "midpoint must not collide with an indexed vector")
+    val expect = w.toSeq.map { case (id, v) => (id, l2Scaled(v, qv)) }
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    val got = SparkEntry.queries("knn_hnsw_external_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("acorn_pipeline_recall: parsed-attr realistic-budget recall sits at or above every floor") {
+    // A50b: least(n_hit, floor) == floor ⇔ measured ≥ floor — the same
+    // assertion the oracle gate makes, kept red-close to the code
+    val rows = SparkEntry.queries("acorn_pipeline_recall")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows == graft.queries.HybridQueries.PipelineRecallFloors)
+  }
+
   test("hybrid_knn_pq_batch_wide_2048: per-query slice equals the single-query filtered wide pipeline") {
     // A23d ≡ A46e per query: same keep set, same seeded codebook, same
     // shortlist/rerank tie orders
@@ -772,11 +832,7 @@ class Wide2048Spec extends SparkSpec {
     // assertion the oracle gate makes, kept red-close to the code
     val rows = SparkEntry.queries("recall_hnsw_beam_2048")(spark, dir).collect()
       .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
-    val floors = Map(
-      ("c1", "beam") -> 76L, ("c1", "acorn") -> 48L, ("c1", "post") -> 68L,
-      ("c2", "beam") -> 76L, ("c2", "acorn") -> 58L, ("c2", "post") -> 76L,
-      ("c3", "beam") -> 76L, ("c3", "acorn") -> 56L, ("c3", "post") -> 76L)
-    assert(rows == floors)
+    assert(rows == graft.queries.HybridQueries.RecallBeam2048Floors)
   }
 
   test("acorn_pipeline_e2e equals the plain-Scala parse→attr→prefilter reconstruction") {
