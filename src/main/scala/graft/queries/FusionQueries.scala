@@ -2562,7 +2562,11 @@ object FusionQueries {
     * its own probed clusters' members. Encode runs over the probed-UNION
     * body only (the entry's pruned one-scan shape — per-query results
     * are unchanged since every scored row is membership-checked). */
-  private def ivfpqBatchWideOracleSql2048(qsWhere: String): String = {
+  /** `adcOnly` stops at the probe-restricted ADC ranking and emits
+    * (q_id, rank, vec_id, adist) — the streaming wide IVF×PQ serve's
+    * contract (the pqBatchWideOracleSql2048 convention). */
+  private[queries] def ivfpqBatchWideOracleSql2048(qsWhere: String,
+                                                   adcOnly: Boolean = false): String = {
     val (numSub, subDim, numCodes) = (16, 128, 64)
     def fold(vec: String, cw: String, offset: Boolean): String =
       pqFold(vec, cw, subDim, offset)
@@ -2599,17 +2603,24 @@ object FusionQueries {
        |  FROM enc JOIN body b USING (vec_id)
        |  JOIN probes p ON p.label = b.label
        |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code
-       |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2),
-       |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
-       |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
-       |  FROM sums) WHERE rn <= 100),
-       |rr AS (SELECT s.q_id, s.vec_id,
-       |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
-       |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
-       |SELECT q_id, vec_id, rank, score FROM (
-       |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
-       |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
-       |WHERE rank <= 10""".stripMargin
+       |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2)""".stripMargin + (if (adcOnly)
+      """
+        |SELECT q_id, rank, vec_id, adist FROM (
+        |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY adist ASC, vec_id ASC) AS BIGINT) AS rank FROM sums)
+        |WHERE rank <= 10""".stripMargin
+    else
+      """,
+        |short AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY adist ASC, vec_id ASC) AS rn
+        |  FROM sums) WHERE rn <= 100),
+        |rr AS (SELECT s.q_id, s.vec_id,
+        |    CAST(floor(list_distance(b.v, qs.qv) * 10000 + 0.5) AS BIGINT) AS score
+        |  FROM short s JOIN body b ON b.vec_id = s.vec_id JOIN qs ON qs.q_id = s.q_id)
+        |SELECT q_id, vec_id, rank, score FROM (
+        |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM rr)
+        |WHERE rank <= 10""".stripMargin)
   }
 
   /** A42e: the batch residual-IVFPQ oracle at the reference width — the

@@ -63,14 +63,23 @@ object StreamingQueries {
 
   private def ivfpqServeStatics(s: SparkSession, dir: String)
       : (Array[(Int, Long, Array[Double])], DataFrame,
+         Seq[org.apache.spark.sql.Column]) =
+    ivfpqServeStaticsOf(Tables(s, dir, "embeddings"), numSub = 8, subDim = 8)
+
+  /** The C66c statics over ANY (vec_id, embedding, label) frame — the
+    * d=64 serves pass the base table, the C66f width gate the derived-
+    * wide frame (probe structs stay one cosine KERNEL call per centroid,
+    * so width changes literal size, not plan shape). */
+  private def ivfpqServeStaticsOf(emb: org.apache.spark.sql.DataFrame,
+                                  numSub: Int, subDim: Int)
+      : (Array[(Int, Long, Array[Double])], DataFrame,
          Seq[org.apache.spark.sql.Column]) = {
-    val emb = Tables(s, dir, "embeddings")
-    val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
+    val cbRows = Pq.seededCodebook(emb, numSub = numSub, subDim = subDim,
       numCodes = 64).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val codes = Pq.encodeFast(
       emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
-      cbRows, numSub = 8, subDim = 8)
+      cbRows, numSub = numSub, subDim = subDim)
       .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
     val cents = Ivf.centroids(emb).collect()
       .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
@@ -617,6 +626,49 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
     }),
 
+    // C66f: the IVF×PQ serving stream at the REFERENCE width — C66e's
+    // wide-ADC projection with the COARSE QUANTIZER in the serve path:
+    // the wide centroids are model state (C×2048 floats, each riding as
+    // ONE literal-argument cosine-kernel struct — the C66c probe-as-
+    // projection pattern; width grows literal size, not plan shape, and
+    // the ProbeProjectionCap refusal still bounds C), so each arriving
+    // query selects its own nProbe=2 clusters as a pure array_sort
+    // projection, derives its ADC table inline (Pq.adcTableCol), and
+    // ADC-ranks ONLY the probed clusters' members of the broadcast
+    // 16 B/row code table. At 100 TB an arriving row fans out over
+    // nProbe/C of the compressed index. Same O(|Q|·k) heap as C66.
+    "streaming_ivfpq_serve_2048" -> ((s, dir) => {
+      val (numSub, subDim) = (16, 128)
+      val w = HybridQueries.wideEmbeddings(s, dir)
+        .join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      val (cbRows, codes, probeStructs) = ivfpqServeStaticsOf(w, numSub, subDim)
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"),
+          graft.functions.vectors.widen(col("embedding"), 64,
+            HybridQueries.WideDims).as("qe"))
+        .withColumn("qv", col("qe").cast("array<double>"))
+        .withColumn("parr", array(probeStructs: _*))
+        .withColumn("probes",
+          expr("transform(slice(array_sort(parr), 1, 2), x -> x.label)"))
+        .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
+        .drop("parr", "qe", "qv")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(col("vec_id") =!= col("q_id") &&
+          array_contains(col("probes"), col("label")))
+        .drop("one")
+        .withColumn("adist", expr(Pq.wideAdistSql(numSub)).cast("long"))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_ivfpq_serve_2048", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
     // C66d: EXTERNAL queries through the streaming IVF×PQ serve — the
     // C66b × C66c closure: a production stream receives NON-indexed
     // queries continuously AND the index it probes is coarse-quantized.
@@ -982,6 +1034,11 @@ object StreamingQueries {
       // pqServeDuck convention at width
       "streaming_pq_serve_2048" -> FusionQueries.pqBatchWideOracleSql2048(
         Some("vec_id < 8"), adcOnly = true),
+
+      // C66f: the wide IVF×PQ batch replay cut at the probe-restricted
+      // ADC ranking — ONE composer with the A24d family
+      "streaming_ivfpq_serve_2048" -> FusionQueries.ivfpqBatchWideOracleSql2048(
+        "vec_id < 8", adcOnly = true),
 
       // C66c: the C66 replay with the knn_ivfpq probe prelude made
       // per-query (scaled-cosine desc, label asc, top 2 per q_id) and a

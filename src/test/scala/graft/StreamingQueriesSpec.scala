@@ -141,6 +141,41 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
   }
 
+  test("streaming_ivfpq_serve_2048 equals the batch wide probe-restricted ADC ranking") {
+    // C66f: stream ≡ batch at width — Ivf.probeBatch replays the probe
+    // structs' (scaled-cosine desc, label asc) contract, the same wide
+    // codebook/codes/ADC-table machinery ranks only probed members
+    import graft.operators.{Ivf, Pq}
+    val streamed = run("streaming_ivfpq_serve_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+      .join(Tables(spark, dir, "embeddings").select("vec_id", "label"), "vec_id")
+    val cbRows = Pq.seededCodebook(w, 16, 128, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 16, 128)
+      .join(w.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val qs = w.filter(col("vec_id") < 8)
+      .selectExpr("vec_id AS q_id", "embedding AS q_vec",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val probes = Ivf.probeBatch(Ivf.centroids(w), qs, nProbe = 2)
+      .selectExpr("q_id", "CAST(label AS BIGINT) AS label")
+    val win = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = qs.drop("q_vec")
+      .withColumn("tds", Pq.adcTableCol(cbRows, 16, 128))
+      .crossJoin(codes)
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(probes, Seq("q_id", "label"))
+      .withColumn("adist", expr(Pq.wideAdistSql(16)).cast("long"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
+  }
+
   test("adcTableCol lookups equal adcDistCol per (query, candidate) at d=64") {
     // the HOF-projected ADC table and the inlined per-candidate
     // expression are the same arithmetic — every (q, candidate) adist
