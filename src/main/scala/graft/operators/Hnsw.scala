@@ -395,6 +395,45 @@ object Hnsw {
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
 
+  /** BATCHED fresh-graph search — [[searchPerPartition]] amortized over a
+    * query file: each partition builds its graph ONCE and answers every
+    * broadcast query, ≤ P·|Q|·k rows into the same per-query k-heap merge
+    * [[searchPersistedBatch]] uses. The A14d coarse-quantizer probe's
+    * batch form rides this (the centroid frame is the corpus; at 10⁶
+    * centroids per-query rebuilds would dominate the serve). */
+  def searchPerPartitionBatch(corpus: DataFrame, queries: Seq[(Long, Array[Float])],
+                              k: Int, m: Int = 16, efConstruction: Int = 64,
+                              ef: Int = 64): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val qb = spark.sparkContext.broadcast(queries)
+    val perPart: Dataset[(Long, Long, Long)] = corpus
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val dims = rows.head._2.length
+          val g = new Graph(dims, m, efConstruction)
+          rows.foreach { case (id, v) => g.insert(id, v) }
+          qb.value.iterator.flatMap { case (qid, qv) =>
+            require(qv.length == dims,
+              s"hnsw query $qid has ${qv.length} dims, corpus has $dims")
+            g.search(qv, k, if (ef > 0) ef else rows.length)
+              .map { case (id, s) => (qid, id, s) }
+          }
+        }
+      }
+    perPart.toDF("q_id", "vec_id", "score")
+      .groupBy("q_id")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("q_id"), col("hit.id").as("vec_id"),
+        (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+  }
+
   /** The persisted-index EXPORT CONTRACT version. The on-disk parquet is
     * the hand-off artifact an external serving engine (FAISS / Milvus /
     * hnswlib — reference README:257 points there for online serving)

@@ -403,6 +403,53 @@ object HybridQueries {
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     }),
 
+    // A14f: the IVF×HNSW coarse quantizer BATCHED (r14 verdict "also
+    // open" — the one serving family composition without a batch form):
+    // the reference's query-file loop against the graph-searched coarse
+    // quantizer. The index trains ONCE over the FULL corpus (queries
+    // arrive later — the persisted-serving convention, self-hits
+    // included, unlike A14d's single-query exclude-then-train), the
+    // centroid frame's per-partition graphs answer the WHOLE broadcast
+    // query file in one pass (searchPerPartitionBatch — at 10⁶ centroids
+    // a per-query graph rebuild would dominate the serve), and ONE
+    // pruned scan joins the (q_id, cluster) probe relation against the
+    // assigned members with per-query map-side k-heaps. Saturating beam
+    // ⇒ the probe ranking is exact and the oracle replays Lloyd's, the
+    // per-query probe windows, and the pruned integer scan.
+    "knn_ivf_hnsw_batch" -> ((s, dir) => {
+      import s.implicits._
+      val e = emb(s, dir)
+      val (cent, qemb) = KMeans.fitInt(e.select("vec_id", "embedding"),
+        k = 10, iters = 3)
+      val qids = (0L until 8L)
+      val qFrame = graft.operators.Pq.quantized(
+          e.filter(col("vec_id").isin(qids: _*)))
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      val qvs = qFrame.collect()
+        .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toFloat).toArray))
+        .toSeq.sortBy(_._1)
+      require(qvs.nonEmpty,
+        "knn_ivf_hnsw_batch: query set empty — the gate would pass " +
+          "vacuously on two empty frames")
+      val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding").repartition(1)
+      // ≤ |Q|·nProbe rows of model state — the A14d probed-label contract
+      val probeRel = Hnsw.searchPerPartitionBatch(centDf, qvs, k = 3, ef = 0)
+        .select(col("q_id"), col("vec_id").as("cluster"))
+      qemb.select(col("vec_id"),
+          graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"), col("q"))
+        .join(broadcast(probeRel), "cluster")
+        .join(broadcast(qFrame), "q_id")
+        .withColumn("score", graft.functions.vectors.sqDistLong(col("q"), col("qq")))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
+          asc = true).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), col("hit.id").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+    }),
+
     // A14e: IVF×HNSW at the REFERENCE width — the A14d composition (the
     // coarse quantizer ITSELF is graph-searched: at 10⁶ centroids the
     // probe step is its own ANN problem, faiss's IVF_HNSW/quantizer
@@ -1752,6 +1799,33 @@ object HybridQueries {
          |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
          |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A14f: the A14d oracle batched — the Lloyd chain trains on the FULL
+    // corpus (queries are indexed; self-hits included), the probe CTE
+    // ranks per q_id under the HNSW score contract, the scan joins the
+    // (q_id, cl) probe relation, per-query window cuts
+    "knn_ivf_hnsw_batch" -> {
+      val k = 10; val iters = 3; val np = 3
+      def dsq(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, 65), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      s"""WITH ed AS (SELECT vec_id, $qz AS q FROM embeddings),
+         |qs AS (SELECT vec_id AS q_id, $qz AS q FROM embeddings WHERE vec_id < 8),
+         |${DuckDialect.lloydChain(k, iters)},
+         |probes AS (SELECT q_id, cl FROM (
+         |  SELECT qs.q_id, c.cl, row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |      CAST(floor(sqrt(CAST(${dsq("c.cent", "qs.q")} AS DOUBLE)) * 10000 + 0.5) AS BIGINT) ASC,
+         |      c.cl ASC) AS rn
+         |  FROM c$iters c CROSS JOIN qs) WHERE rn <= $np),
+         |scored AS (SELECT qs.q_id, e.vec_id, ${dsq("e.q", "qs.q")} AS score
+         |  FROM ed e JOIN af USING (vec_id)
+         |  JOIN probes p ON af.cl = p.cl
+         |  JOIN qs ON qs.q_id = p.q_id)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM scored)
+         |WHERE rank <= $k""".stripMargin
     },
 
     // A14e: the A14d oracle with the Lloyd chain, probe ranking, and scan

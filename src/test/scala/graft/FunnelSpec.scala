@@ -179,6 +179,42 @@ class FunnelSpec extends SparkSpec {
     assert(entry == expected)
   }
 
+  test("knn_ivf_hnsw_batch: batched graph probe ≡ per-query ranking; full-corpus self-hits at rank 1") {
+    // A14f: the one-pass batched centroid walk must equal the per-query
+    // scaled-sqrt ranking for EVERY query in the file, and the pruned
+    // scan over the full-corpus index must surface each indexed query's
+    // self-hit first (score 0 — its own cluster ranks first in the probe)
+    val e = Tables(spark, dir, "embeddings")
+    val (cent, _) = KMeans.fitInt(e.select("vec_id", "embedding"), k = 10, iters = 3)
+    val qvs = graft.operators.Pq.quantized(e.filter(col("vec_id") < 8))
+      .select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq.sortBy(_._1)
+    def scaledDist(c: Array[Long], qv: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < c.length) { val d = c(i) - qv(i); acc += d * d; i += 1 }
+      math.floor(math.sqrt(acc.toDouble) * 10000 + 0.5).toLong
+    }
+    val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").repartition(1)
+    val batchedProbe = Hnsw.searchPerPartitionBatch(centDf,
+        qvs.map { case (id, q) => (id, q.map(_.toFloat)) }, k = 3, ef = 0)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qvs.foreach { case (qid, qv) =>
+      val expect = cent.map { case (cl, v) => (cl, scaledDist(v, qv)) }
+        .sortBy { case (cl, s) => (s, cl) }.take(3).map(_._1).toSet
+      assert(batchedProbe(qid) == expect, s"probe mismatch for q$qid")
+    }
+    val entry = SparkEntry.queries("knn_ivf_hnsw_batch")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(entry.map(_._1).distinct.sorted == (0L until 8L))
+    assert(entry.groupBy(_._1).forall(_._2.size == 10))
+    entry.filter(_._3 == 1L).foreach { case (qid, vid, _, score) =>
+      assert(vid == qid && score == 0L,
+        s"q$qid rank-1 must be its own indexed row at score 0, got ($vid, $score)")
+    }
+  }
+
   test("knn_cascade_batch per-query slice equals the single-query funnel") {
     val batch = SparkEntry.queries("knn_cascade_batch")(spark, dir)
       .as[(Long, Long, Long, Long, Long)].collect().toSeq
