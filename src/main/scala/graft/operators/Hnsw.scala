@@ -685,8 +685,7 @@ object Hnsw {
     * the searchPersistedBatch shape with the ACORN walk inside. */
   def searchFilteredPersistedBatch(spark: SparkSession, path: String, passing: DataFrame,
                                    numParts: Int, queries: Seq[(Long, Array[Float])], k: Int,
-                                   metaSearch: Int, ef: Int = 200, largeK: Int = 200,
-                                   twoHop: Boolean = false): DataFrame = {
+                                   metaSearch: Int, ef: Int = 200, largeK: Int = 200): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col, hash, lit, pmod, posexplode}
     val qb = spark.sparkContext.broadcast(queries)
@@ -713,8 +712,7 @@ object Hnsw {
           qb.value.iterator.flatMap { case (qid, qv) =>
             require(qv.length == dims,
               s"hnsw query $qid has ${qv.length} dims, persisted index has $dims")
-            g.searchFiltered(qv, k, ok, ms, lk, e, twoHop)
-              .map { case (id, sc) => (qid, id, sc) }
+            g.searchFiltered(qv, k, ok, ms, lk, e).map { case (id, sc) => (qid, id, sc) }
           }
         }
     }
@@ -739,6 +737,51 @@ object Hnsw {
     * provably recovers every reachable passing node at ANY sf — the
     * setting the oracle-replayed driver entries use. A positive
     * metaSearch is the reference's recall/cost knob. */
+  /** The whole (budget × twoHop) GRID of filtered walks in ONE pass —
+    * [[searchFilteredPerPartition]] amortized over a settings sweep (the
+    * A51 recall-curve entry: 5 budgets × 2 flags would otherwise rebuild
+    * every per-partition graph 10 times; construction is deterministic,
+    * so one build serves every cell with results identical to the
+    * per-call form — spec-pinned). Output: (budget, two_hop, vec_id,
+    * score), per-cell global top-k via the k-heap merge. budget <= 0 is
+    * the saturating sentinel, as everywhere. */
+  def searchFilteredPerPartitionSweep(corpus: DataFrame, query: Array[Float], k: Int,
+                                      settings: Seq[(Int, Boolean)], m: Int = 16,
+                                      efConstruction: Int = 64, ef: Int = 200,
+                                      largeK: Int = 200): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val dims = query.length
+    val sb = spark.sparkContext.broadcast(settings)
+    val perPart: Dataset[(Int, Boolean, Long, Long)] = corpus
+      .select(col("vec_id").cast("long"), col("embedding"), col("pass").cast("boolean"))
+      .as[(Long, Array[Float], Boolean)]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val passing = rows.iterator.collect { case (id, _, true) => id }.toSet
+          val g = new Graph(dims, m, efConstruction)
+          rows.foreach { case (id, v, _) => g.insert(id, v) }
+          sb.value.iterator.flatMap { case (budget, twoHop) =>
+            val (ms, lk, e) =
+              if (budget > 0) (budget, largeK, ef)
+              else (rows.length + 10, math.max(largeK, rows.length), math.max(ef, rows.length))
+            g.searchFiltered(query, k, passing, ms, lk, e, twoHop)
+              .map { case (id, s) => (budget, twoHop, id, s) }
+          }
+        }
+      }
+    perPart.toDF("budget", "two_hop", "vec_id", "score")
+      .groupBy("budget", "two_hop")
+      .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), k, asc = true).as("hits"))
+      .select(col("budget").cast("long").as("budget"), col("two_hop"),
+        posexplode(col("hits")).as(Seq("pos", "hit")))
+      .select(col("budget"), col("two_hop"), col("hit.id").as("vec_id"),
+        col("hit.score").as("score"))
+  }
+
   def searchFilteredPerPartition(corpus: DataFrame, query: Array[Float], k: Int,
                                  metaSearch: Int, m: Int = 16, efConstruction: Int = 64,
                                  ef: Int = 200, largeK: Int = 200,

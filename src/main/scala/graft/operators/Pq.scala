@@ -950,27 +950,6 @@ object Pq {
         (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
   }
 
-  /** AUTO-SHARDED wide-batch PQ search (r9 verdict next #4 — the
-    * sharding recipe [[requireWideQids]]'s guard message describes,
-    * executed): a query file of ANY size splits into ⌈|Q|/cap⌉ wide
-    * passes, each ONE corpus scan serving ≤ cap queries, results
-    * unioned. Every q_id lands in exactly one shard, so per-query
-    * results are IDENTICAL to a single wide pass (spec-pinned with a
-    * small cap); shards share nothing but the (deterministic, seeded)
-    * codebook, which each pass rebuilds from the same model-state rows.
-    * `cap` is parameterized for testability and bounded by
-    * [[WideBatchCap]] — the broadcast-size ceiling still binds per pass. */
-  /** Per-row ADC distance computed ONLINE from a literal codebook — the
-    * streaming-serve form of [[sqDistExpr]]: no precomputed ADC table at
-    * all, because a STREAMING query row cannot wait for a driver-side
-    * table build. Each subspace m looks its codeword up in a
-    * `typedlit`-embedded K×subDim literal (exact doubles — never
-    * stringified SQL literals, whose decimal parse would break the
-    * engine-proof arithmetic), then floors the scaled squared distance
-    * per m and sums — term order identical to [[sqDistExpr]] +
-    * [[wideAdistExpr]], so the oracle's sums CTE replays it exactly.
-    * Expects the query vector in `qvCol` (ARRAY<DOUBLE>) and the row
-    * codes in code_0 … code_{M-1}. */
   /** Group [[cbRows]] by subspace and validate the positional-lookup
     * layout — the typedlit lookups index codewords POSITIONALLY, so a
     * codebook with code-id gaps would throw a bare
@@ -995,6 +974,17 @@ object Pq {
     byM
   }
 
+  /** Per-row ADC distance computed ONLINE from a literal codebook — the
+    * streaming-serve form of [[sqDistExpr]]: no precomputed ADC table at
+    * all, because a STREAMING query row cannot wait for a driver-side
+    * table build. Each subspace m looks its codeword up in a
+    * `typedlit`-embedded K×subDim literal (exact doubles — never
+    * stringified SQL literals, whose decimal parse would break the
+    * engine-proof arithmetic), then floors the scaled squared distance
+    * per m and sums — term order identical to [[sqDistExpr]] +
+    * [[wideAdistExpr]], so the oracle's sums CTE replays it exactly.
+    * Expects the query vector in `qvCol` (ARRAY<DOUBLE>) and the row
+    * codes in code_0 … code_{M-1}. */
   def adcDistCol(cbRows: Array[(Int, Long, Array[Double])], numSub: Int,
                  subDim: Int, qvCol: String = "qv"): Column = {
     val byM = densifiedByM(cbRows, numSub, "adcDistCol")
@@ -1065,6 +1055,16 @@ object Pq {
     qids.grouped(cap).map(pass).reduce(_.union(_))
   }
 
+  /** AUTO-SHARDED wide-batch PQ search (r9 verdict next #4 — the
+    * sharding recipe [[requireWideQids]]'s guard message describes,
+    * executed): a query file of ANY size splits into ⌈|Q|/cap⌉ wide
+    * passes, each ONE corpus scan serving ≤ cap queries, results
+    * unioned. Every q_id lands in exactly one shard, so per-query
+    * results are IDENTICAL to a single wide pass (spec-pinned with a
+    * small cap); shards share nothing but the (deterministic, seeded)
+    * codebook, which each pass rebuilds from the same model-state rows.
+    * `cap` is parameterized for testability and bounded by
+    * [[WideBatchCap]] — the broadcast-size ceiling still binds per pass. */
   def searchRerankBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
                                    numSub: Int, subDim: Int, numCodes: Int,
                                    shortlist: Int,

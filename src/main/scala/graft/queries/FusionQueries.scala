@@ -2489,11 +2489,11 @@ object FusionQueries {
     * wide frame; the filtered entry passes the metadata-qualified body),
     * per-q ADC tables as list_reduce folds, per-q window cuts. Sharded
     * and unsharded wide entries share it verbatim (sharding never changes
-    * per-query results — the A21d convention). */
-  /** `adcOnly` stops the replay at the ADC ranking (no shortlist/rerank)
-    * and emits (q_id, rank, vec_id, adist) — the streaming wide serve's
-    * contract (C66's "ADC-ranked serving" at width; pqServeDuck is its
-    * d=64 twin). */
+    * per-query results — the A21d convention). `adcOnly` stops the
+    * replay at the ADC ranking (no shortlist/rerank) and emits
+    * (q_id, rank, vec_id, adist) — the streaming wide serve's contract
+    * (C66's "ADC-ranked serving" at width; pqServeDuck is its d=64
+    * twin). */
   private[queries] def pqBatchWideOracleSql2048(qsWhere: Option[String],
                                        bodySelect: Option[String] = None,
                                        qsSelect: Option[String] = None,
@@ -2561,8 +2561,8 @@ object FusionQueries {
     * q_id) and a label-membership join restricting each query's sums to
     * its own probed clusters' members. Encode runs over the probed-UNION
     * body only (the entry's pruned one-scan shape — per-query results
-    * are unchanged since every scored row is membership-checked). */
-  /** `adcOnly` stops at the probe-restricted ADC ranking and emits
+    * are unchanged since every scored row is membership-checked).
+    * `adcOnly` stops at the probe-restricted ADC ranking and emits
     * (q_id, rank, vec_id, adist) — the streaming wide IVF×PQ serve's
     * contract (the pqBatchWideOracleSql2048 convention). */
   private[queries] def ivfpqBatchWideOracleSql2048(qsWhere: String,

@@ -133,6 +133,15 @@ object HybridQueries {
     * silently empty BOTH the entry and its oracle, and the hash gate
     * would pass while checking nothing. Refuse loudly instead. Returns
     * the frame so call sites stay expression-shaped. */
+  /** The collected-query-file form of the same rule (r15 review: the
+    * batch drivers hand-rolled this message three times). */
+  private def requireQueriesPresent[T](qs: Seq[T], who: String): Seq[T] = {
+    require(qs.nonEmpty,
+      s"$who: query set empty — the gate would pass vacuously on two " +
+        "empty frames")
+    qs
+  }
+
   private def requireQueryPresent(q: DataFrame, who: String): DataFrame = {
     require(q.limit(1).count() == 1,
       s"$who: query vector absent from the corpus — the gate would pass " +
@@ -425,12 +434,11 @@ object HybridQueries {
       val qFrame = graft.operators.Pq.quantized(
           e.filter(col("vec_id").isin(qids: _*)))
         .select(col("vec_id").as("q_id"), col("q").as("qq"))
-      val qvs = qFrame.collect()
-        .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toFloat).toArray))
-        .toSeq.sortBy(_._1)
-      require(qvs.nonEmpty,
-        "knn_ivf_hnsw_batch: query set empty — the gate would pass " +
-          "vacuously on two empty frames")
+      val qvs = requireQueriesPresent(
+        qFrame.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toFloat).toArray))
+          .toSeq.sortBy(_._1),
+        "knn_ivf_hnsw_batch")
       val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
         .toDF("vec_id", "embedding").repartition(1)
       // ≤ |Q|·nProbe rows of model state — the A14d probed-label contract
@@ -1078,13 +1086,12 @@ object HybridQueries {
         require(passing.limit(1).count() >= 1,
           s"acorn_pipeline_recall: class $cls predicate matches no parsed " +
             "listings — its row would gate vacuously")
-        val qs = w.filter(col("vec_id").isin(qids: _*))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-          .sortBy(_._1)
-        require(qs.nonEmpty,
-          s"acorn_pipeline_recall: class $cls query set empty — the row " +
-            "would gate vacuously")
+        val qs = requireQueriesPresent(
+          w.filter(col("vec_id").isin(qids: _*))
+            .select(col("vec_id"), col("embedding")).collect()
+            .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+            .sortBy(_._1),
+          s"acorn_pipeline_recall class $cls")
         val qDf = w.filter(col("vec_id").isin(qids: _*))
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val exactF = Knn.batchKnn(
@@ -1308,13 +1315,12 @@ object HybridQueries {
     // would empty BOTH sides and the gate would pass vacuously.
     "knn_hnsw_batch_2048" -> ((s, dir) => {
       val path = ensureHnswWideIndex(s, dir)
-      val qs = wideEmb(emb(s, dir)).filter(col("vec_id") <= 4)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-        .sortBy(_._1)
-      require(qs.nonEmpty,
-        "knn_hnsw_batch_2048: query set empty — the gate would pass " +
-          "vacuously on two empty frames")
+      val qs = requireQueriesPresent(
+        wideEmb(emb(s, dir)).filter(col("vec_id") <= 4)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1),
+        "knn_hnsw_batch_2048")
       Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 0)
     }),
 
@@ -1432,6 +1438,7 @@ object HybridQueries {
     // the entry goes red if the bridge ever LOSES recall at equal budget
     // on the measured grid. Floors sit under the tri-scale min (§8r).
     "recall_hnsw_2hop" -> ((s, dir) => {
+      import s.implicits._
       val e = emb(s, dir)
       val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
       val qv = requireQueryPresent(e.filter(col("vec_id") === 17),
@@ -1444,27 +1451,36 @@ object HybridQueries {
           e.filter(col("vec_id") === 17).select(col("embedding").as("q_vec")),
           10, Knn.L2)
         .select("vec_id").localCheckpoint(true)
-      def hits(budget: Int, twoHop: Boolean): DataFrame =
-        Hnsw.searchFilteredPerPartition(corpus, qv, 10, metaSearch = budget,
-            twoHop = twoHop)
-          .select("vec_id")
-          .join(exact, Seq("vec_id"))
-          .agg(count(lit(1)).as("n_hit"))
-      TwoHopBudgets.map { case (budget, oneFloor, twoFloor, gainFloor) =>
-        val one = hits(budget, twoHop = false).localCheckpoint(true)
-        val two = hits(budget, twoHop = true).localCheckpoint(true)
-        val oneRow = one.select(lit(budget.toLong).as("budget"),
-          lit("one").as("mode"),
-          least(col("n_hit"), lit(oneFloor)).as("n_hit_floor"))
-        val twoRow = two.select(lit(budget.toLong).as("budget"),
-          lit("two").as("mode"),
-          least(col("n_hit"), lit(twoFloor)).as("n_hit_floor"))
-        val gainRow = two.select(col("n_hit").as("n2"))
-          .crossJoin(one.select(col("n_hit").as("n1")))
-          .select(lit(budget.toLong).as("budget"), lit("gain").as("mode"),
-            least(col("n2") - col("n1"), lit(gainFloor)).as("n_hit_floor"))
-        oneRow.union(twoRow).union(gainRow)
-      }.reduce(_ union _)
+      // the whole 5×2 grid in ONE pass: each partition's graph builds
+      // once and serves every (budget, flag) cell (r15 review — the
+      // per-call form rebuilt the graphs 10×); a cell with zero hits
+      // must still emit its row, so the literal grid left-joins the
+      // counts and coalesces to 0
+      val sweep = Hnsw.searchFilteredPerPartitionSweep(corpus, qv, 10,
+        TwoHopBudgets.flatMap { case (b, _, _, _) => Seq((b, false), (b, true)) })
+      val hc = sweep.select("budget", "two_hop", "vec_id")
+        .join(exact, Seq("vec_id"))
+        .groupBy("budget", "two_hop").agg(count(lit(1)).as("hits"))
+      val grid = TwoHopBudgets.flatMap { case (b, oneF, twoF, _) =>
+          Seq((b.toLong, false, oneF), (b.toLong, true, twoF)) }
+        .toDF("budget", "two_hop", "floor")
+      val counts = grid.join(hc, Seq("budget", "two_hop"), "left")
+        .select(col("budget"), col("two_hop"),
+          coalesce(col("hits"), lit(0L)).as("n_hit"), col("floor"))
+        .localCheckpoint(true)
+      val modeRows = counts.select(col("budget"),
+        when(col("two_hop"), lit("two")).otherwise(lit("one")).as("mode"),
+        least(col("n_hit"), col("floor")).as("n_hit_floor"))
+      val gainFloors = TwoHopBudgets.map { case (b, _, _, gF) => (b.toLong, gF) }
+        .toDF("budget", "gain_floor")
+      val gainRows = counts.filter(col("two_hop"))
+        .select(col("budget"), col("n_hit").as("n2"))
+        .join(counts.filter(!col("two_hop"))
+          .select(col("budget"), col("n_hit").as("n1")), "budget")
+        .join(gainFloors, "budget")
+        .select(col("budget"), lit("gain").as("mode"),
+          least(col("n2") - col("n1"), col("gain_floor")).as("n_hit_floor"))
+      modeRows.union(gainRows)
     }),
 
     // A13c: recall row beside recall_filtered — the ACORN walk vs the

@@ -145,6 +145,28 @@ class HnswSpec extends SparkSpec {
     assert(sat1.map(_._1).toSet.subsetOf(exact) && sat1.size == math.min(10, exact.size))
   }
 
+  test("searchFilteredPerPartitionSweep equals the per-call filtered walks cell for cell") {
+    // the one-build-many-walks amortization must be invisible in the
+    // results: every (budget, twoHop) cell of the sweep is bit-identical
+    // to an independent searchFilteredPerPartition call (construction is
+    // deterministic, so both build the same graphs)
+    import graft.operators.MetaPredicate
+    val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
+    val q = queryVec(17)
+    val corpus = corpusWithPass(pred, 17).localCheckpoint(true)
+    val settings = Seq((8, false), (8, true), (32, false), (32, true), (0, true))
+    val sweep = Hnsw.searchFilteredPerPartitionSweep(corpus, q, 10, settings)
+      .collect().map(r => ((r.getLong(0), r.getBoolean(1)), (r.getLong(2), r.getLong(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    settings.foreach { case (b, th) =>
+      val single = Hnsw.searchFilteredPerPartition(corpus, q, 10,
+          metaSearch = b, twoHop = th)
+        .select("vec_id", "score").as[(Long, Long)].collect().toSet
+      assert(sweep.getOrElse((b.toLong, th), Set.empty) == single,
+        s"sweep cell ($b, $th) diverged from the per-call walk")
+    }
+  }
+
   test("recall_hnsw_2hop entry: every (budget, mode) row sits at its floor") {
     // A51: the spec's budget-curve measurement as the driver gates it —
     // least(n_hit, floor) == floor ⇔ measured ≥ floor, and the gain rows
