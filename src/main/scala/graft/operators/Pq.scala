@@ -702,12 +702,16 @@ object Pq {
     // ADVICE r14: an absent qid would empty the entry AND its oracle and
     // the hash gate would pass vacuously — refuse loudly instead (the
     // requireQueryPresent convention, on the operator side so every
-    // persisted-serve entry at every width inherits it)
-    require(qv.limit(1).count() == 1,
-      s"pq persisted serve: query id $qid absent from the corpus — the " +
-        "gate would pass vacuously on two empty frames")
+    // persisted-serve entry at every width inherits it). The ADC collect
+    // crossJoins the non-empty codebook against the query, so an empty
+    // table ⟺ the qid is absent — one action serves both the guard and
+    // the serve (ADVICE r15: the separate limit(1).count() paid an extra
+    // job per serve on the hot path).
     val td = adcTable(qv, cb, subDim).collect()
       .map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    require(td.nonEmpty,
+      s"pq persisted serve: query id $qid absent from the corpus — the " +
+        "gate would pass vacuously on two empty frames")
     adcServe(codes.filter(col("vec_id") =!= qid), emb, qid, cbRows, td, k, numSub, shortlist)
   }
 

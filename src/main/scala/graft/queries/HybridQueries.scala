@@ -134,11 +134,18 @@ object HybridQueries {
     * would pass while checking nothing. Refuse loudly instead. Returns
     * the frame so call sites stay expression-shaped. */
   /** The collected-query-file form of the same rule (r15 review: the
-    * batch drivers hand-rolled this message three times). */
-  private def requireQueriesPresent[T](qs: Seq[T], who: String): Seq[T] = {
-    require(qs.nonEmpty,
-      s"$who: query set empty — the gate would pass vacuously on two " +
-        "empty frames")
+    * batch drivers hand-rolled this message three times). `expected` pins
+    * the FULL query-file size (ADVICE r15: a nonEmpty-only guard let a
+    * partially absent query file — 5 of 8 qids — silently shrink the gate
+    * on both entry and oracle sides; the single-qid requireQueryPresent
+    * convention refuses exactly this). */
+  private def requireQueriesPresent[T](qs: Seq[T], expected: Int,
+                                       who: String): Seq[T] = {
+    require(qs.length == expected,
+      s"$who: query file holds ${qs.length} of $expected expected queries " +
+        "— a shrunken set would gate fewer rows on both entry and oracle " +
+        "sides (empty would pass vacuously); regenerate the corpus or fix " +
+        "the qid list")
     qs
   }
 
@@ -438,7 +445,7 @@ object HybridQueries {
         qFrame.collect()
           .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toFloat).toArray))
           .toSeq.sortBy(_._1),
-        "knn_ivf_hnsw_batch")
+        qids.length, "knn_ivf_hnsw_batch")
       val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
         .toDF("vec_id", "embedding").repartition(1)
       // ≤ |Q|·nProbe rows of model state — the A14d probed-label contract
@@ -1091,7 +1098,7 @@ object HybridQueries {
             .select(col("vec_id"), col("embedding")).collect()
             .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
             .sortBy(_._1),
-          s"acorn_pipeline_recall class $cls")
+          qids.length, s"acorn_pipeline_recall class $cls")
         val qDf = w.filter(col("vec_id").isin(qids: _*))
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         val exactF = Knn.batchKnn(
@@ -1296,10 +1303,12 @@ object HybridQueries {
     // included (queries are indexed items).
     "knn_hnsw_batch" -> ((s, dir) => {
       val path = ensureHnswIndex(s, dir)
-      val qs = emb(s, dir).filter(col("vec_id") <= 4)
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-        .sortBy(_._1)
+      val qs = requireQueriesPresent(
+        emb(s, dir).filter(col("vec_id") <= 4)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1),
+        5, "knn_hnsw_batch")
       Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 0)
     }),
 
@@ -1320,7 +1329,7 @@ object HybridQueries {
           .select(col("vec_id"), col("embedding")).collect()
           .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
           .sortBy(_._1),
-        "knn_hnsw_batch_2048")
+        5, "knn_hnsw_batch_2048")
       Hnsw.searchPersistedBatch(s, path, qs, 3, ef = 0)
     }),
 

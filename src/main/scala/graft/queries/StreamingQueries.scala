@@ -193,12 +193,30 @@ object StreamingQueries {
     }
   }
 
+  /** ADVICE r15 — the vacuous-gate rule on the one family that cannot
+    * collect its query set: a streaming serve whose `vec_id < 8` filter
+    * matches nothing would empty BOTH the sink table and its oracle, and
+    * the hash gate would pass while checking nothing. The stream side
+    * can't be collected before it runs, so the guard runs on the STATIC
+    * batch view of the same parquet source — one bounded limit(1).count()
+    * with the filter pushed to the scan, before the stream starts
+    * (mirroring requireQueriesPresent). Threaded through EVERY serving
+    * stream, not just the width entries the advice named. */
+  private def requireStreamQueriesPresent(s: SparkSession, dir: String,
+                                          who: String): Unit =
+    require(Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .limit(1).count() >= 1,
+      s"$who: no embeddings row matches the serve's vec_id < 8 query " +
+        "filter — the stream and its oracle would both be empty and the " +
+        "gate would pass vacuously")
+
   /** C71's streamed cascade stage-1 (static sign-code index, arriving
     * queries, complete-mode per-q_id heap) run to its sink table — shared
     * by the serve entry and the C71b downstream rerank, which differ only
     * in what consumes the shortlist. Output: (q_id, rank, vec_id, ham). */
   private def cascadeServeStream(s: SparkSession, dir: String,
                                  sink: String): DataFrame = {
+    requireStreamQueriesPresent(s, dir, s"cascade serve stream ($sink)")
     val codes = Tables(s, dir, "embeddings").selectExpr("vec_id",
       s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS lo",
       s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS hi")
@@ -481,6 +499,7 @@ object StreamingQueries {
     // exact-rerank stage would be a second streaming aggregation, which
     // Spark forbids; production reranks the emitted shortlist downstream.
     "streaming_pq_serve" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_pq_serve")
       val emb = Tables(s, dir, "embeddings")
       val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
         numCodes = 64).collect()
@@ -523,6 +542,7 @@ object StreamingQueries {
     // exact rerank is a second streaming aggregation — downstream,
     // the C66 convention).
     "streaming_pq_serve_2048" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_pq_serve_2048")
       val (numSub, subDim) = (16, 128)
       val w = HybridQueries.wideEmbeddings(s, dir)
       val cbRows = Pq.seededCodebook(w, numSub = numSub, subDim = subDim,
@@ -564,6 +584,7 @@ object StreamingQueries {
     // query has no corpus row to exclude. Same O(|Q|·k) complete-mode
     // heap state as C66.
     "streaming_pq_serve_external" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_pq_serve_external")
       val emb = Tables(s, dir, "embeddings")
       val cbRows = Pq.seededCodebook(emb, numSub = 8, subDim = 8,
         numCodes = 64).collect()
@@ -601,6 +622,7 @@ object StreamingQueries {
     // the broadcast code table instead of all of it. Same O(|Q|·k)
     // complete-mode heap state as C66.
     "streaming_ivfpq_serve" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_ivfpq_serve")
       val (cbRows, codes, probeStructs) = ivfpqServeStatics(s, dir)
       val qStream = readStreamTable(s, dir, "embeddings")
         .filter(col("vec_id") < 8)
@@ -638,6 +660,7 @@ object StreamingQueries {
     // 16 B/row code table. At 100 TB an arriving row fans out over
     // nProbe/C of the compressed index. Same O(|Q|·k) heap as C66.
     "streaming_ivfpq_serve_2048" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_ivfpq_serve_2048")
       val (numSub, subDim) = (16, 128)
       val w = HybridQueries.wideEmbeddings(s, dir)
         .join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
@@ -678,6 +701,7 @@ object StreamingQueries {
     // ADC-rank only the probed clusters' members with NO self-exclusion
     // — an external query has no corpus row to exclude.
     "streaming_ivfpq_serve_external" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_ivfpq_serve_external")
       val (cbRows, codes, probeStructs) = ivfpqServeStatics(s, dir)
       val qStream = readStreamTable(s, dir, "embeddings")
         .filter(col("vec_id") < 8)
@@ -730,6 +754,7 @@ object StreamingQueries {
     // table (HammingDistLong on 64 longs = 512 B/candidate) into the
     // same O(|Q|·stage1) complete-mode k-heap as C71.
     "streaming_cascade_serve_2048" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_cascade_serve_2048")
       val vecs = graft.functions.vectors
       val groups = HybridQueries.WideDims / 32
       val codes = HybridQueries.wideEmbeddings(s, dir)
@@ -766,6 +791,7 @@ object StreamingQueries {
     // self-exclusion — an external query has no corpus row to exclude.
     // Same O(|Q|·stage1) complete-mode heap state as C71.
     "streaming_cascade_serve_external" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_cascade_serve_external")
       val codes = Tables(s, dir, "embeddings").selectExpr("vec_id",
         s"${graft.operators.Cascade.bqHalf("embedding", 0)} AS lo",
         s"${graft.operators.Cascade.bqHalf("embedding", 32)} AS hi")
