@@ -497,6 +497,57 @@ object HybridQueries {
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     }),
 
+    // A14g: the batched graph-searched coarse quantizer AT THE REFERENCE
+    // WIDTH (r15 verdict next #2 — A14f × A14e: the reference's query-file
+    // loop, acorn.py `__main__`, runs against the d=2048 index it builds
+    // at :35–49, and the batched-probe arithmetic — per-partition centroid
+    // walks + per-query probe windows — is width-dependent end to end).
+    // The wide integer Lloyd's chain trains ONCE over the FULL derived
+    // corpus (the A14f persisted-serving convention — queries are indexed,
+    // self-hits included), the d=2048 centroid frame's per-partition
+    // graphs answer the whole broadcast query file in one pass
+    // (searchPerPartitionBatch at the saturating beam — exact ⇒ the probe
+    // ranking is oracle-replayable), and ONE pruned scan joins the
+    // (q_id, cluster) probe relation against the assigned members with
+    // per-query map-side k-heaps — ≤ |Q|·k rows cross the shuffle. The
+    // oracle unrolls the wide Lloyd chain (lloydChain at dims=2048),
+    // replays the per-query probe windows under the HNSW score contract,
+    // and re-runs the pruned integer scan.
+    "knn_ivf_hnsw_batch_2048" -> ((s, dir) => {
+      import s.implicits._
+      val w = wideEmb(emb(s, dir))
+      val (cent, qemb) = KMeans.fitInt(w.select("vec_id", "embedding"),
+        k = 10, iters = 3)
+      val qids = (0L until 8L)
+      val qFrame = graft.operators.Pq.quantized(
+          w.filter(col("vec_id").isin(qids: _*)))
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      val qvs = requireQueriesPresent(
+        qFrame.collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1).map(_.toFloat).toArray))
+          .toSeq.sortBy(_._1),
+        qids.length, "knn_ivf_hnsw_batch_2048")
+      // quantized wide components stay < 7·10⁴ ⇒ exactly representable as
+      // Float (the A14e contract); the k·2048 model state as a frame
+      val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+        .toDF("vec_id", "embedding").repartition(1)
+      // ≤ |Q|·nProbe rows of model state — the A14d probed-label contract
+      val probeRel = Hnsw.searchPerPartitionBatch(centDf, qvs, k = 3, ef = 0)
+        .select(col("q_id"), col("vec_id").as("cluster"))
+      qemb.select(col("vec_id"),
+          graft.functions.centroids.nearestLong(col("q"), cent)
+            .getField("label").as("cluster"), col("q"))
+        .join(broadcast(probeRel), "cluster")
+        .join(broadcast(qFrame), "q_id")
+        .withColumn("score", graft.functions.vectors.sqDistLong(col("q"), col("qq")))
+        .groupBy("q_id")
+        .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
+          asc = true).as("hits"))
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), col("hit.id").as("vec_id"),
+          (col("pos") + 1).cast("long").as("rank"), col("hit.score").as("score"))
+    }),
+
     // A10: ACORN-style hybrid search — probe 2 nearest clusters, metadata
     // predicate pushed into the pruned scan
     "hybrid_knn" -> ((s, dir) => {
@@ -1873,6 +1924,35 @@ object HybridQueries {
          |SELECT e.vec_id, ${dsq("e.q", "q.q")} AS score
          |FROM ed e JOIN af USING (vec_id) JOIN probes p ON af.cl = p.cl CROSS JOIN qq q
          |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
+
+    // A14g: the A14f batch oracle with the Lloyd chain, per-query probe
+    // windows, and pruned scan re-derived over the wide frame (lloydChain
+    // at dims=2048); wide/ed MATERIALIZED — the chain references ed once
+    // per iteration, and qs reuses ed's quantization (the batch trains on
+    // the full corpus, so every query row is already in ed)
+    "knn_ivf_hnsw_batch_2048" -> {
+      val k = 10; val iters = 3; val np = 3; val dims = 2048
+      def dsq(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${dims + 1}), i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))) AS BIGINT)"
+      val qz = DuckDialect.quantizeVec("embedding")
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings),
+         |ed AS MATERIALIZED (SELECT vec_id, $qz AS q FROM wide),
+         |qs AS MATERIALIZED (SELECT vec_id AS q_id, q FROM ed WHERE vec_id < 8),
+         |${DuckDialect.lloydChain(k, iters, dims)},
+         |probes AS (SELECT q_id, cl FROM (
+         |  SELECT qs.q_id, c.cl, row_number() OVER (PARTITION BY qs.q_id ORDER BY
+         |      CAST(floor(sqrt(CAST(${dsq("c.cent", "qs.q")} AS DOUBLE)) * 10000 + 0.5) AS BIGINT) ASC,
+         |      c.cl ASC) AS rn
+         |  FROM c$iters c CROSS JOIN qs) WHERE rn <= $np),
+         |scored AS (SELECT qs.q_id, e.vec_id, ${dsq("e.q", "qs.q")} AS score
+         |  FROM ed e JOIN af USING (vec_id)
+         |  JOIN probes p ON af.cl = p.cl
+         |  JOIN qs ON qs.q_id = p.q_id)
+         |SELECT q_id, vec_id, rank, score FROM (
+         |  SELECT q_id, vec_id, CAST(row_number() OVER (PARTITION BY q_id
+         |    ORDER BY score ASC, vec_id ASC) AS BIGINT) AS rank, score FROM scored)
+         |WHERE rank <= $k""".stripMargin
     },
 
     "ivf_split_hot" -> {

@@ -827,6 +827,47 @@ class Wide2048Spec extends SparkSpec {
     assert(entry == expected)
   }
 
+  test("knn_ivf_hnsw_batch_2048: batched wide graph probe ≡ per-query ranking; self-hits at rank 1") {
+    // A14g: the FunnelSpec A14f pin at the reference width — the one-pass
+    // batched walk over the k·2048 centroid table must equal the
+    // per-query scaled-sqrt ranking for EVERY query in the file, and the
+    // pruned scan over the full-corpus wide index must surface each
+    // indexed query's self-hit first (score 0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val w = HybridQueries.wideEmbeddings(spark, dir)
+    val (cent, _) = graft.operators.KMeans.fitInt(
+      w.select("vec_id", "embedding"), k = 10, iters = 3)
+    val qvs = graft.operators.Pq.quantized(w.filter(col("vec_id") < 8))
+      .select("vec_id", "q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).toSeq.sortBy(_._1)
+    assert(qvs.size == 8 && qvs.head._2.length == WideDims)
+    def scaledDist(c: Array[Long], qv: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < c.length) { val d = c(i) - qv(i); acc += d * d; i += 1 }
+      math.floor(math.sqrt(acc.toDouble) * 10000 + 0.5).toLong
+    }
+    val centDf = cent.map { case (cl, v) => (cl, v.map(_.toFloat)) }
+      .toDF("vec_id", "embedding").repartition(1)
+    val batchedProbe = graft.operators.Hnsw.searchPerPartitionBatch(centDf,
+        qvs.map { case (id, q) => (id, q.map(_.toFloat)) }, k = 3, ef = 0)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    qvs.foreach { case (qid, qv) =>
+      val expect = cent.map { case (cl, v) => (cl, scaledDist(v, qv)) }
+        .sortBy { case (cl, s) => (s, cl) }.take(3).map(_._1).toSet
+      assert(batchedProbe(qid) == expect, s"wide probe mismatch for q$qid")
+    }
+    val entry = SparkEntry.queries("knn_ivf_hnsw_batch_2048")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(entry.map(_._1).distinct.sorted == (0L until 8L))
+    assert(entry.groupBy(_._1).forall(_._2.size == 10))
+    entry.filter(_._3 == 1L).foreach { case (qid, vid, _, score) =>
+      assert(vid == qid && score == 0L,
+        s"q$qid rank-1 must be its own indexed row at score 0, got ($vid, $score)")
+    }
+  }
+
   test("recall_hnsw_beam_2048: wide recall sits at or above every floor") {
     // A48: least(n_hit, floor) == floor ⇔ measured ≥ floor — the same
     // assertion the oracle gate makes, kept red-close to the code
