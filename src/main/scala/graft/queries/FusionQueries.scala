@@ -1550,14 +1550,14 @@ object FusionQueries {
     // A24d / A42e: the batch replays at the reference width — per-query
     // probe windows over the wide centroids, union-pruned bodies,
     // membership enforced per (q_id, label), per-query window cuts
-    "knn_ivfpq_batch_wide_2048" -> ivfpqBatchWideOracleSql2048("vec_id < 8"),
+    "knn_ivfpq_batch_wide_2048" -> ivfpqBatchWideOracleSql2048(Some("vec_id < 8")),
     "knn_ivfpq_residual_batch_wide_2048" ->
       ivfpqResidualBatchWideOracleSql2048("vec_id < 8"),
 
     // A24e / A42f: sharding never changes per-query results, so the
     // sharded wide drivers replay the SAME wide batch oracles (the A21j
     // convention applied to the coarse-quantizer families)
-    "knn_ivfpq_batch_sharded_2048" -> ivfpqBatchWideOracleSql2048("vec_id < 8"),
+    "knn_ivfpq_batch_sharded_2048" -> ivfpqBatchWideOracleSql2048(Some("vec_id < 8")),
     "knn_ivfpq_residual_batch_sharded_2048" ->
       ivfpqResidualBatchWideOracleSql2048("vec_id < 8"),
 
@@ -2564,18 +2564,30 @@ object FusionQueries {
     * are unchanged since every scored row is membership-checked).
     * `adcOnly` stops at the probe-restricted ADC ranking and emits
     * (q_id, rank, vec_id, adist) — the streaming wide IVF×PQ serve's
-    * contract (the pqBatchWideOracleSql2048 convention). */
-  private[queries] def ivfpqBatchWideOracleSql2048(qsWhere: String,
-                                                   adcOnly: Boolean = false): String = {
+    * contract (the pqBatchWideOracleSql2048 convention). `qsSelect`
+    * replaces the whole query CTE (must yield q_id, qv DOUBLE[], qemb —
+    * the C66h external serve derives non-indexed wide queries) and
+    * `excludeSelf` drops the self-exclusion (external q_ids name no
+    * corpus row) — exactly one of qsWhere / qsSelect, the
+    * pqBatchWideOracleSql2048 rule. */
+  private[queries] def ivfpqBatchWideOracleSql2048(qsWhere: Option[String],
+                                                   adcOnly: Boolean = false,
+                                                   qsSelect: Option[String] = None,
+                                                   excludeSelf: Boolean = true): String = {
+    require(qsWhere.isDefined != qsSelect.isDefined,
+      "ivfpqBatchWideOracleSql2048: pass exactly one of qsWhere / qsSelect")
     val (numSub, subDim, numCodes) = (16, 128, 64)
     def fold(vec: String, cw: String, offset: Boolean): String =
       pqFold(vec, cw, subDim, offset)
+    val qsCte = qsSelect.getOrElse(
+      s"""SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
+         |         embedding AS qemb
+         |       FROM wide WHERE ${qsWhere.get}""".stripMargin)
+    val excl = if (excludeSelf) "\n  WHERE b.vec_id <> p.q_id" else ""
     s"""WITH wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
        |${HybridQueries.wideCentDuck},
-       |qs AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv,
-       |         embedding AS qemb
-       |       FROM wide WHERE $qsWhere),
+       |qs AS ($qsCte),
        |probes AS (SELECT q_id, label FROM (
        |  SELECT qs.q_id, c.label, row_number() OVER (PARTITION BY qs.q_id
        |    ORDER BY CAST(floor(list_cosine_similarity(CAST(c.cent AS DOUBLE[]),
@@ -2602,8 +2614,8 @@ object FusionQueries {
        |sums AS (SELECT p.q_id, b.vec_id, CAST(sum(adc.td) AS BIGINT) AS adist
        |  FROM enc JOIN body b USING (vec_id)
        |  JOIN probes p ON p.label = b.label
-       |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code
-       |  WHERE b.vec_id <> p.q_id GROUP BY 1, 2)""".stripMargin + (if (adcOnly)
+       |  JOIN adc ON adc.q_id = p.q_id AND adc.m = enc.m AND adc.code = enc.code$excl
+       |  GROUP BY 1, 2)""".stripMargin + (if (adcOnly)
       """
         |SELECT q_id, rank, vec_id, adist FROM (
         |  SELECT q_id, vec_id, adist, CAST(row_number() OVER (PARTITION BY q_id

@@ -262,6 +262,73 @@ object HybridQueries {
     (32, 2L, 2L, 0L),
     (64, 4L, 4L, 0L))
 
+  /** A51b budget grid at d=2048 — same (budget, one-hop floor, two-hop
+    * floor, gain floor) semantics as [[TwoHopBudgets]], re-measured
+    * tri-scale AT the wide configuration (SURVEY §8s — the r15 lesson:
+    * the two-hop gain is configuration-specific, so the width claim
+    * needs its own measured grid). ONE copy shared by the entry and
+    * Wide2048Spec; the oracle VALUES stays an independent replica. */
+  // measured (sf0.001/0.01/0.1, one ≡ two unless noted): b4 0/1/1,
+  // b8 0/1/1, b16 2/2/3, b32 6/5/3 (two-hop 6/6/3 — the one strict win,
+  // sf0.01 b32, the SAME cell that won at d=64), b64 9/9/5. Gain
+  // tri-scale min is 0 at every budget, so the gain floors pin the
+  // never-loses half (the TwoHopBudgets convention). Floors = tri-scale
+  // min − 1 where the min allows.
+  private[graft] val TwoHopBudgets2048: Seq[(Int, Long, Long, Long)] = Seq(
+    (4, 0L, 0L, 0L),
+    (8, 0L, 0L, 0L),
+    (16, 1L, 1L, 0L),
+    (32, 2L, 2L, 0L),
+    (64, 4L, 4L, 0L))
+
+  /** The A51/A51b curve body shared by both widths: pass-bit corpus from
+    * the given embedding frame, exact prefilter ground truth over the
+    * same frame, ONE sweep pass (each partition's graph builds once and
+    * serves every (budget, flag) cell — r15 review: the per-call form
+    * rebuilt the graphs 10×), counts left-joined onto the literal grid
+    * (a zero-hit cell must still emit its row), least(n_hit, floor) mode
+    * rows plus per-budget least(two − one, gain_floor) `gain` rows. */
+  private def twoHopRecallCurve(s: SparkSession, dir: String, src: DataFrame,
+                                budgets: Seq[(Int, Long, Long, Long)],
+                                who: String): DataFrame = {
+    import s.implicits._
+    val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
+    val qv = requireQueryPresent(src.filter(col("vec_id") === 17), who)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
+    val corpus = passBitFrom(src, s, dir, pred, 17).localCheckpoint(true)
+    val exact = Knn.prefilterKnn(
+        src.filter(col("vec_id") =!= 17).select("vec_id", "embedding"),
+        docs(s, dir), pred,
+        src.filter(col("vec_id") === 17).select(col("embedding").as("q_vec")),
+        10, Knn.L2)
+      .select("vec_id").localCheckpoint(true)
+    val sweep = Hnsw.searchFilteredPerPartitionSweep(corpus, qv, 10,
+      budgets.flatMap { case (b, _, _, _) => Seq((b, false), (b, true)) })
+    val hc = sweep.select("budget", "two_hop", "vec_id")
+      .join(exact, Seq("vec_id"))
+      .groupBy("budget", "two_hop").agg(count(lit(1)).as("hits"))
+    val grid = budgets.flatMap { case (b, oneF, twoF, _) =>
+        Seq((b.toLong, false, oneF), (b.toLong, true, twoF)) }
+      .toDF("budget", "two_hop", "floor")
+    val counts = grid.join(hc, Seq("budget", "two_hop"), "left")
+      .select(col("budget"), col("two_hop"),
+        coalesce(col("hits"), lit(0L)).as("n_hit"), col("floor"))
+      .localCheckpoint(true)
+    val modeRows = counts.select(col("budget"),
+      when(col("two_hop"), lit("two")).otherwise(lit("one")).as("mode"),
+      least(col("n_hit"), col("floor")).as("n_hit_floor"))
+    val gainFloors = budgets.map { case (b, _, _, gF) => (b.toLong, gF) }
+      .toDF("budget", "gain_floor")
+    val gainRows = counts.filter(col("two_hop"))
+      .select(col("budget"), col("n_hit").as("n2"))
+      .join(counts.filter(!col("two_hop"))
+        .select(col("budget"), col("n_hit").as("n1")), "budget")
+      .join(gainFloors, "budget")
+      .select(col("budget"), lit("gain").as("mode"),
+        least(col("n2") - col("n1"), col("gain_floor")).as("n_hit_floor"))
+    modeRows.union(gainRows)
+  }
+
   /** A50b floor per class — tri-scale min − margin (SURVEY §8r: measured
     * c1 80/80/53, c2 80/80/64, c3 80/80/61 — the metaSearch=100 budget
     * knee bites at sf0.1's 250-row partitions, the A48 pattern through
@@ -1497,51 +1564,20 @@ object HybridQueries {
     // budget a third `gain` row emits least(two − one, GAIN_FLOOR), so
     // the entry goes red if the bridge ever LOSES recall at equal budget
     // on the measured grid. Floors sit under the tri-scale min (§8r).
-    "recall_hnsw_2hop" -> ((s, dir) => {
-      import s.implicits._
-      val e = emb(s, dir)
-      val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
-      val qv = requireQueryPresent(e.filter(col("vec_id") === 17),
-          "recall_hnsw_2hop")
-        .select("embedding").collect().head.getSeq[Float](0).toArray
-      val corpus = withPassBit(s, dir, pred, 17).localCheckpoint(true)
-      val exact = Knn.prefilterKnn(
-          e.filter(col("vec_id") =!= 17).select("vec_id", "embedding"),
-          docs(s, dir), pred,
-          e.filter(col("vec_id") === 17).select(col("embedding").as("q_vec")),
-          10, Knn.L2)
-        .select("vec_id").localCheckpoint(true)
-      // the whole 5×2 grid in ONE pass: each partition's graph builds
-      // once and serves every (budget, flag) cell (r15 review — the
-      // per-call form rebuilt the graphs 10×); a cell with zero hits
-      // must still emit its row, so the literal grid left-joins the
-      // counts and coalesces to 0
-      val sweep = Hnsw.searchFilteredPerPartitionSweep(corpus, qv, 10,
-        TwoHopBudgets.flatMap { case (b, _, _, _) => Seq((b, false), (b, true)) })
-      val hc = sweep.select("budget", "two_hop", "vec_id")
-        .join(exact, Seq("vec_id"))
-        .groupBy("budget", "two_hop").agg(count(lit(1)).as("hits"))
-      val grid = TwoHopBudgets.flatMap { case (b, oneF, twoF, _) =>
-          Seq((b.toLong, false, oneF), (b.toLong, true, twoF)) }
-        .toDF("budget", "two_hop", "floor")
-      val counts = grid.join(hc, Seq("budget", "two_hop"), "left")
-        .select(col("budget"), col("two_hop"),
-          coalesce(col("hits"), lit(0L)).as("n_hit"), col("floor"))
-        .localCheckpoint(true)
-      val modeRows = counts.select(col("budget"),
-        when(col("two_hop"), lit("two")).otherwise(lit("one")).as("mode"),
-        least(col("n_hit"), col("floor")).as("n_hit_floor"))
-      val gainFloors = TwoHopBudgets.map { case (b, _, _, gF) => (b.toLong, gF) }
-        .toDF("budget", "gain_floor")
-      val gainRows = counts.filter(col("two_hop"))
-        .select(col("budget"), col("n_hit").as("n2"))
-        .join(counts.filter(!col("two_hop"))
-          .select(col("budget"), col("n_hit").as("n1")), "budget")
-        .join(gainFloors, "budget")
-        .select(col("budget"), lit("gain").as("mode"),
-          least(col("n2") - col("n1"), col("gain_floor")).as("n_hit_floor"))
-      modeRows.union(gainRows)
-    }),
+    "recall_hnsw_2hop" -> ((s, dir) =>
+      twoHopRecallCurve(s, dir, emb(s, dir), TwoHopBudgets,
+        "recall_hnsw_2hop")),
+
+    // A51b: the two-hop budget curve AT THE REFERENCE WIDTH (r15 verdict
+    // next #4 — the one measured two-hop claim not gated at d=2048, and
+    // the r15 floors lesson says the gain is CONFIGURATION-specific, so
+    // the width configuration deserves its own measured grid). The same
+    // one-pass sweep over the derived-wide pass-bit corpus; floors
+    // re-measured tri-scale AT width (§8s) — the wide geometry changes
+    // the knee, not the never-loses claim.
+    "recall_hnsw_2hop_2048" -> ((s, dir) =>
+      twoHopRecallCurve(s, dir, wideEmb(emb(s, dir)), TwoHopBudgets2048,
+        "recall_hnsw_2hop_2048")),
 
     // A13c: recall row beside recall_filtered — the ACORN walk vs the
     // post-filter baseline on the class-1 selective predicate, both scored
@@ -2356,6 +2392,20 @@ object HybridQueries {
     // a `gain` row below its floor means the bridge LOST recall at
     // equal budget
     "recall_hnsw_2hop" ->
+      """SELECT CAST(budget AS BIGINT) AS budget, mode,
+        |  CAST(n_hit_floor AS BIGINT) AS n_hit_floor
+        |FROM (VALUES
+        |  (4, 'one', 0), (4, 'two', 0), (4, 'gain', 0),
+        |  (8, 'one', 0), (8, 'two', 0), (8, 'gain', 0),
+        |  (16, 'one', 1), (16, 'two', 1), (16, 'gain', 0),
+        |  (32, 'one', 2), (32, 'two', 2), (32, 'gain', 0),
+        |  (64, 'one', 4), (64, 'two', 4), (64, 'gain', 0)
+        |) t(budget, mode, n_hit_floor)""".stripMargin,
+
+    // A51b: the wide curve's literal floors — re-measured AT the d=2048
+    // configuration (§8s); the grid happens to coincide with the d=64
+    // knee, but it is its own measurement, not a copy
+    "recall_hnsw_2hop_2048" ->
       """SELECT CAST(budget AS BIGINT) AS budget, mode,
         |  CAST(n_hit_floor AS BIGINT) AS n_hit_floor
         |FROM (VALUES

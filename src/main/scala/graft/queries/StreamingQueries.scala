@@ -611,6 +611,53 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
     }),
 
+    // C66g: EXTERNAL queries through the WIDE PQ serving stream (r15
+    // verdict next #3 — the one external × streaming × width cell left
+    // open: a production stream receives NON-indexed queries at the
+    // width the index was built). C66b's external construction composed
+    // with C66e's wide-ADC projection: arriving rows widen INLINE
+    // (WidenVec), derive the deterministic external vector (×1.5, one
+    // float round per component — both engines agree bit-for-bit,
+    // derivation order pinned as widen-then-scale), take ids in the
+    // external id space (vec_id + 1000), derive their WHOLE ADC table in
+    // the micro-batch projection (Pq.adcTableCol), and ADC-rank the
+    // static broadcast 16 B/row code table with NO self-exclusion — an
+    // external query has no corpus row to exclude. Same O(|Q|·k)
+    // complete-mode heap state as C66.
+    "streaming_pq_serve_external_2048" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_pq_serve_external_2048")
+      val (numSub, subDim) = (16, 128)
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val cbRows = Pq.seededCodebook(w, numSub = numSub, subDim = subDim,
+        numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      val codes = Pq.encodeFast(
+        w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+        cbRows, numSub = numSub, subDim = subDim)
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000).as("q_id"),
+          graft.functions.vectors.widen(col("embedding"), 64,
+            HybridQueries.WideDims).as("we"))
+        .selectExpr("q_id",
+          "CAST(transform(CAST(we AS ARRAY<DOUBLE>), " +
+            "x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<DOUBLE>) AS qv")
+        .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
+        .drop("qv")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .drop("one")
+        .withColumn("adist", expr(Pq.wideAdistSql(numSub)).cast("long"))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_pq_serve_ext_2048", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
     // C66c: IVF×PQ SERVING as a stream — C66's serving pattern with the
     // COARSE QUANTIZER in the serve path: centroids are model state
     // (C×d, literal), so each ARRIVING query selects its own nProbe=2
@@ -723,6 +770,51 @@ object StreamingQueries {
           .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
             asc = true).as("hits")),
         "sq_ivfpq_serve_ext", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("adist"))
+    }),
+
+    // C66h: EXTERNAL queries through the WIDE IVF×PQ serving stream —
+    // the C66d × C66f closure (r15 verdict next #3): non-indexed queries
+    // arrive at the width the coarse-quantized index was built. Arriving
+    // rows widen INLINE and derive the external vector (widen-then-scale,
+    // one float round — the C66g derivation), select their own nProbe=2
+    // clusters as the pure array_sort projection over literal wide
+    // centroids (cosine against the DERIVED external vector), derive
+    // their ADC table inline (Pq.adcTableCol), and ADC-rank ONLY the
+    // probed clusters' members of the broadcast 16 B/row code table with
+    // NO self-exclusion. Same O(|Q|·k) heap state as C66.
+    "streaming_ivfpq_serve_external_2048" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_ivfpq_serve_external_2048")
+      val (numSub, subDim) = (16, 128)
+      val w = HybridQueries.wideEmbeddings(s, dir)
+        .join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      val (cbRows, codes, probeStructs) = ivfpqServeStaticsOf(w, numSub, subDim)
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000).as("q_id"),
+          graft.functions.vectors.widen(col("embedding"), 64,
+            HybridQueries.WideDims).as("we"))
+        .selectExpr("q_id",
+          "CAST(transform(CAST(we AS ARRAY<DOUBLE>), " +
+            "x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+        .withColumn("qv", col("qe").cast("array<double>"))
+        .withColumn("parr", array(probeStructs: _*))
+        .withColumn("probes",
+          expr("transform(slice(array_sort(parr), 1, 2), x -> x.label)"))
+        .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
+        .drop("parr", "qe", "qv")
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .filter(array_contains(col("probes"), col("label")))
+        .drop("one")
+        .withColumn("adist", expr(Pq.wideAdistSql(numSub)).cast("long"))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), 10,
+            asc = true).as("hits")),
+        "sq_ivfpq_serve_ext_2048", "complete")
         .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
         .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
           col("hit.id").as("vec_id"), col("hit.score").as("adist"))
@@ -927,6 +1019,19 @@ object StreamingQueries {
       |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv
       |  FROM embeddings WHERE vec_id < 8""".stripMargin
 
+  /** External query set AT WIDTH (C66g/C66h): the corpus vector widened
+    * (the `wide` CTE both wide composers open with), then ×1.5 with one
+    * float round per component — widen-then-scale, matching the entries'
+    * WidenVec→transform order; ids offset by 1000 so no corpus row
+    * matches (⇒ no self-exclusion). `qemb` carries the FLOAT form the
+    * IVF×PQ composer's cosine probe reads; the plain-PQ composer ignores
+    * it. */
+  private val ExternalServeQsWide =
+    """SELECT vec_id + 1000 AS q_id,
+      |  list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(CAST(x * 1.5 AS FLOAT) AS DOUBLE)) AS qv,
+      |  CAST(list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(x * 1.5 AS FLOAT)) AS FLOAT[]) AS qemb
+      |  FROM wide WHERE vec_id < 8""".stripMargin
+
   /** The streaming PQ-serve oracle: seeded codebook, whole-corpus argmin
     * encode, the parameterized `qs` CTE, per-q ADC tables, and the
     * per-q_id (adist asc, id asc) rank cut — `probed` adds the per-query
@@ -1064,7 +1169,18 @@ object StreamingQueries {
       // C66f: the wide IVF×PQ batch replay cut at the probe-restricted
       // ADC ranking — ONE composer with the A24d family
       "streaming_ivfpq_serve_2048" -> FusionQueries.ivfpqBatchWideOracleSql2048(
-        "vec_id < 8", adcOnly = true),
+        Some("vec_id < 8"), adcOnly = true),
+
+      // C66g/C66h: the wide serve replays with the qs CTE deriving the
+      // external queries (widen-then-scale, ids + 1000) and the
+      // self-exclusion dropped — external q_ids name no corpus row
+      "streaming_pq_serve_external_2048" -> FusionQueries.pqBatchWideOracleSql2048(
+        qsWhere = None, qsSelect = Some(ExternalServeQsWide),
+        excludeSelf = false, adcOnly = true),
+
+      "streaming_ivfpq_serve_external_2048" -> FusionQueries.ivfpqBatchWideOracleSql2048(
+        qsWhere = None, qsSelect = Some(ExternalServeQsWide),
+        excludeSelf = false, adcOnly = true),
 
       // C66c: the C66 replay with the knn_ivfpq probe prelude made
       // per-query (scaled-cosine desc, label asc, top 2 per q_id) and a

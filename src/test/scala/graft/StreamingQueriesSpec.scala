@@ -176,6 +176,73 @@ class StreamingQueriesSpec extends SparkSpec {
     assert(streamed.map(_._1) == (0L until 8L).toSet, "every query answered")
   }
 
+  test("streaming_pq_serve_external_2048 equals the batch wide ADC ranking over the same external queries") {
+    // C66g: external (non-indexed) wide queries served as a stream must
+    // equal the identical batch pipeline — same wide codebook, same
+    // derivation (widen-then-scale, one float round), same ADC-table
+    // projection, NO self-exclusion
+    import graft.operators.Pq
+    val streamed = run("streaming_pq_serve_external_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(streamed.map(_._1).distinct.sorted == (1000L to 1007L),
+      "external queries live in the vec_id + 1000 id space")
+    assert(streamed.groupBy(_._1).forall(_._2.size == 10))
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+    val cbRows = Pq.seededCodebook(w, 16, 128, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 16, 128)
+    val win = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = w.filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 1000 AS q_id",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<DOUBLE>) AS qv")
+      .withColumn("tds", Pq.adcTableCol(cbRows, 16, 128))
+      .crossJoin(codes)
+      .withColumn("adist", expr(Pq.wideAdistSql(16)).cast("long"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(streamed == batch)
+  }
+
+  test("streaming_ivfpq_serve_external_2048 equals the batch wide probe-restricted external ranking") {
+    // C66h: external wide queries through the coarse-quantized serve —
+    // Ivf.probeBatch over the DERIVED external vectors replays the probe
+    // structs' contract, no self-exclusion anywhere
+    import graft.operators.{Ivf, Pq}
+    val streamed = run("streaming_ivfpq_serve_external_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(streamed.map(_._1).distinct.sorted == (1000L to 1007L),
+      "external queries live in the vec_id + 1000 id space")
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+      .join(Tables(spark, dir, "embeddings").select("vec_id", "label"), "vec_id")
+    val cbRows = Pq.seededCodebook(w, 16, 128, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val codes = Pq.encodeFast(
+      w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 16, 128)
+      .join(w.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val qs = w.filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 1000 AS q_id",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), x -> CAST(x * 1.5D AS FLOAT)) AS ARRAY<FLOAT>) AS q_vec")
+      .withColumn("qv", col("q_vec").cast("array<double>"))
+    val probes = Ivf.probeBatch(Ivf.centroids(w), qs, nProbe = 2)
+      .selectExpr("q_id", "CAST(label AS BIGINT) AS label")
+    val win = Window.partitionBy("q_id").orderBy(col("adist").asc, col("vec_id").asc)
+    val batch = qs.drop("q_vec")
+      .withColumn("tds", Pq.adcTableCol(cbRows, 16, 128))
+      .crossJoin(codes)
+      .join(probes, Seq("q_id", "label"))
+      .withColumn("adist", expr(Pq.wideAdistSql(16)).cast("long"))
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= 10)
+      .select("q_id", "rank", "vec_id", "adist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq.sorted
+    assert(streamed == batch)
+  }
+
   test("adcTableCol lookups equal adcDistCol per (query, candidate) at d=64") {
     // the HOF-projected ADC table and the inlined per-candidate
     // expression are the same arithmetic — every (q, candidate) adist

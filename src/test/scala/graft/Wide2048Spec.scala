@@ -876,6 +876,19 @@ class Wide2048Spec extends SparkSpec {
     assert(rows == graft.queries.HybridQueries.RecallBeam2048Floors)
   }
 
+  test("recall_hnsw_2hop_2048: wide two-hop curve sits at or above every floor") {
+    // A51b: least(n_hit, floor) == floor ⇔ measured ≥ floor, and the
+    // gain rows pin two-hop ≥ one-hop at equal budget AT width — the
+    // same assertion the oracle gate makes, kept red-close to the code
+    val rows = SparkEntry.queries("recall_hnsw_2hop_2048")(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val expect = HybridQueries.TwoHopBudgets2048.flatMap {
+      case (b, oneF, twoF, gF) => Seq((b.toLong, "one") -> oneF,
+        (b.toLong, "two") -> twoF, (b.toLong, "gain") -> gF)
+    }.toMap
+    assert(rows == expect)
+  }
+
   test("acorn_pipeline_e2e equals the plain-Scala parse→attr→prefilter reconstruction") {
     // A50: the whole composition re-derived without Spark — attributes
     // straight from documents (the JSONL synthesis collapsed), class
