@@ -155,17 +155,53 @@ object Ivf {
     index
   }
 
+  /** The clustered-layout EXPORT CONTRACT version (the Hnsw/Pq
+    * SchemaVersion convention): the partitioned parquet IS the on-disk
+    * index another engine or a later session consumes, and its one
+    * structural convention — WHICH column the directories partition by —
+    * is invisible in the row schema once partition values are folded
+    * back in. The sidecar records it: `_graft_meta` (underscore-prefixed,
+    * so corpus readers listing `path` ignore it) holds one
+    * (schema_version, cluster_col) row written atomically after the
+    * layout. Any layout-convention change MUST bump this constant
+    * (PqExportContractSpec pins it) and readers refuse a mismatched
+    * vintage or a foreign partition column loudly instead of pruning on
+    * the wrong key. */
+  val SchemaVersion = 1
+
   /** Materialize the corpus partitioned by cluster id — the 100 TB index
     * layout. Probing then PRUNES PARTITIONS at the file source (visible as
     * `PartitionFilters` in the scan), reading only nProbe/C of the data. */
-  def writeClustered(emb: DataFrame, path: String, clusterCol: String = "label"): Unit =
+  def writeClustered(emb: DataFrame, path: String, clusterCol: String = "label"): Unit = {
     emb.write.mode("overwrite").partitionBy(clusterCol).parquet(path)
+    // after the main write: overwrite mode truncates `path` first
+    val s = emb.sparkSession
+    import s.implicits._
+    Seq((SchemaVersion, clusterCol)).toDF("schema_version", "cluster_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/_graft_meta")
+  }
 
   /** Probe a clustered layout: the `isin(probedClusters)` filter on the
-    * partition column prunes directories before any IO. */
+    * partition column prunes directories before any IO. The sidecar meta
+    * is validated first — serving a layout partitioned on a DIFFERENT
+    * column would silently prune nothing (the filter falls back to a
+    * row-level scan predicate) or prune wrongly. */
   def readProbed(spark: org.apache.spark.sql.SparkSession, path: String,
-                 probedClusters: Seq[Int], clusterCol: String = "label"): DataFrame =
+                 probedClusters: Seq[Int], clusterCol: String = "label"): DataFrame = {
+    val meta = spark.read.parquet(s"$path/_graft_meta").collect()
+    require(meta.length == 1,
+      s"ivf clustered read: layout at $path carries ${meta.length} meta rows, " +
+        "expected exactly one — rebuild with writeClustered")
+    require(meta.head.getInt(0) == SchemaVersion,
+      s"ivf clustered layout at $path has schema_version ${meta.head.getInt(0)}, " +
+        s"this engine reads $SchemaVersion — rebuild the index or use a " +
+        "matching engine version")
+    require(meta.head.getString(1) == clusterCol,
+      s"ivf clustered layout at $path is partitioned by '${meta.head.getString(1)}', " +
+        s"caller probes '$clusterCol' — partition pruning would miss or " +
+        "mis-prune; rebuild or probe the recorded column")
     spark.read.parquet(path).filter(col(clusterCol).isin(probedClusters: _*))
+  }
 
   /** ACORN-style hybrid search: metadata-aware pruned probe.
     * `pred` is evaluated inside the pruned scan — rows failing the filter

@@ -602,6 +602,26 @@ object Pq {
     * distributed, partition-prunable relation (co-partitionable with its
     * metadata), and the k·d codebook is the only driver-held state a
     * serving session restores. */
+  /** The persisted-PQ EXPORT CONTRACT version (r15 verdict next #5 — the
+    * Hnsw.SchemaVersion convention for the compressed family). The two
+    * parquet artifacts under `path` are the hand-off an external serving
+    * engine (FAISS / Milvus — reference README:257 delegates online
+    * serving there) consumes:
+    *  - `codebook`: (m, code, cw, schema_version) — subspace index,
+    *    codeword id, the subDim-double codeword, and the contract
+    *    version replicated per row (HNSW-style; the table is k·M rows of
+    *    model state, so the column is free).
+    *  - `codes`: (vec_id, code_0 … code_{M-1}) — M bytes/row; NO version
+    *    column by design (the table is the corpus-sized 8 B/row
+    *    economics story), its vintage is carried by the codebook written
+    *    atomically under the same path root, and appends validate
+    *    against the restored codebook before writing.
+    * Any change to either layout or the conventions above MUST bump this
+    * constant (PqExportContractSpec fails on silent drift), and readers
+    * refuse a mismatched vintage loudly instead of serving reinterpreted
+    * rankings. */
+  val SchemaVersion = 1
+
   def buildAndWriteIndex(emb: DataFrame, path: String, numSub: Int,
                          subDim: Int, numCodes: Int): Unit = {
     val cb = seededCodebook(emb, numSub, subDim, numCodes)
@@ -610,7 +630,8 @@ object Pq {
     val body = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     encodeFast(body, cbRows, numSub, subDim)
       .write.mode("overwrite").parquet(s"$path/codes")
-    cb.write.mode("overwrite").parquet(s"$path/codebook")
+    cb.withColumn("schema_version", lit(SchemaVersion))
+      .write.mode("overwrite").parquet(s"$path/codebook")
   }
 
   /** Restore + vintage-validate the persisted codebook: refuse a
@@ -622,7 +643,21 @@ object Pq {
   def restoreCodebook(s: SparkSession, path: String, numSub: Int,
                       subDim: Int): (DataFrame, Array[(Int, Long, Array[Double])]) = {
     val cb = s.read.parquet(s"$path/codebook")
-    val cbRows = cb.collect().map(r =>
+    // the export contract pins the exact column set — a codebook without
+    // the version column predates the contract (or is foreign) and its
+    // layout conventions cannot be trusted
+    require(cb.columns.sameElements(Array("m", "code", "cw", "schema_version")),
+      s"pq restore: codebook at $path has columns ${cb.columns.mkString(",")}, " +
+        s"the schema_version-$SchemaVersion contract writes " +
+        "m,code,cw,schema_version — rebuild the index with buildAndWriteIndex")
+    val all = cb.collect()
+    all.find(_.getInt(3) != SchemaVersion).foreach { r =>
+      throw new IllegalArgumentException(
+        s"pq persisted index at $path has schema_version ${r.getInt(3)}, " +
+          s"this engine reads $SchemaVersion — rebuild the index or use a " +
+          "matching engine version")
+    }
+    val cbRows = all.map(r =>
       (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
     val storedSubs = cbRows.map(_._1).distinct.sorted
     require(storedSubs.sameElements(0 until numSub),

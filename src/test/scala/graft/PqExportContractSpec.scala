@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, Pq}
+
+/** The persisted-PQ and clustered-IVF parquet artifacts are VERSIONED
+  * EXPORT CONTRACTS (r15 verdict next #5 — the HnswExportContractSpec
+  * convention extended to the compressed and clustered families): an
+  * external serving engine (FAISS / Milvus — reference README:257
+  * delegates online serving there) consumes them, so their layouts must
+  * not drift silently. This spec pins the exact on-disk schemas, the
+  * no-version-column-on-codes economics decision, and the refusal
+  * paths. */
+class PqExportContractSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val path: String = {
+    val p = TmpDirs.wiped("pq_contract_spec")
+    Pq.buildAndWriteIndex(Tables(spark, dir, "embeddings"), p,
+      numSub = 8, subDim = 8, numCodes = 64)
+    p
+  }
+
+  test("codebook on-disk schema is exactly the documented contract (version-gated)") {
+    val schema = spark.read.parquet(s"$path/codebook").schema
+    val expected = Map(
+      "m" -> IntegerType,
+      "code" -> LongType,
+      "cw" -> ArrayType(DoubleType, containsNull = false),
+      "schema_version" -> IntegerType)
+    val actual = schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(actual.keySet === expected.keySet,
+      s"column drift: ${actual.keySet} vs contract ${expected.keySet}")
+    expected.foreach { case (name, dt) =>
+      def erase(t: DataType): DataType = t match {
+        case ArrayType(e, _) => ArrayType(erase(e), containsNull = false)
+        case o => o
+      }
+      assert(erase(actual(name)) === erase(dt), s"type drift on $name")
+    }
+    assert(Pq.SchemaVersion === 1, "SchemaVersion bumped: update this " +
+      "spec's expected layout and the scaladoc contract together")
+  }
+
+  test("code table stays vec_id + M code columns — no version column by design") {
+    // the 8 B/row economics: vintage rides on the codebook written under
+    // the same path root, never on the corpus-sized table
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.columns.toSeq === ("vec_id" +: (0 until 8).map(m => s"code_$m")))
+    assert(codes.count() === Tables(spark, dir, "embeddings").count())
+  }
+
+  test("a mismatched codebook schema_version is refused loudly") {
+    val bad = TmpDirs.wiped("pq_contract_bad")
+    spark.read.parquet(s"$path/codes").write.parquet(s"$bad/codes")
+    spark.read.parquet(s"$path/codebook").withColumn("schema_version", lit(99))
+      .write.parquet(s"$bad/codebook")
+    val e = intercept[IllegalArgumentException] {
+      Pq.searchPersisted(spark, bad, Tables(spark, dir, "embeddings"),
+        qid = 9, k = 10, numSub = 8, subDim = 8, shortlist = 100).collect()
+    }
+    assert(e.getMessage.contains("schema_version"), e.getMessage)
+  }
+
+  test("a pre-versioning codebook (no version column) is refused loudly") {
+    val bad = TmpDirs.wiped("pq_contract_nover")
+    spark.read.parquet(s"$path/codes").write.parquet(s"$bad/codes")
+    spark.read.parquet(s"$path/codebook").drop("schema_version")
+      .write.parquet(s"$bad/codebook")
+    val e = intercept[IllegalArgumentException] {
+      Pq.searchPersisted(spark, bad, Tables(spark, dir, "embeddings"),
+        qid = 9, k = 10, numSub = 8, subDim = 8, shortlist = 100).collect()
+    }
+    assert(e.getMessage.contains("schema_version"), e.getMessage)
+  }
+
+  test("clustered layout writes the sidecar meta; readers validate version and column") {
+    val emb = Tables(spark, dir, "embeddings")
+    val p = TmpDirs.wiped("ivf_contract_spec")
+    Ivf.writeClustered(emb, p)
+    // the underscore-prefixed sidecar is invisible to corpus readers —
+    // the row schema and count are exactly the written frame's
+    val all = spark.read.parquet(p)
+    assert(!all.columns.contains("schema_version"))
+    assert(all.count() === emb.count())
+    // probed read ≡ a filtered full read (pruning changes IO, not rows)
+    val probed = Ivf.readProbed(spark, p, Seq(3, 7))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val expect = emb.filter(col("label").isin(3, 7))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(probed === expect && probed.nonEmpty)
+    // probing a column the layout was not partitioned by is refused
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.readProbed(spark, p, Seq(3), clusterCol = "part")
+    }
+    assert(e1.getMessage.contains("partitioned by"), e1.getMessage)
+    // a foreign vintage is refused
+    val s2 = spark
+    import s2.implicits._
+    Seq((99, "label")).toDF("schema_version", "cluster_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p/_graft_meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.readProbed(spark, p, Seq(3))
+    }
+    assert(e2.getMessage.contains("schema_version"), e2.getMessage)
+    assert(Ivf.SchemaVersion === 1)
+  }
+}
