@@ -25,10 +25,10 @@ object DuckDialect {
 
   /** Per-cluster mean-vector table — mirrors operators.Ivf.centroids over
     * source relation `src` (needs cols label, embedding FLOAT[64]). */
-  def centSql(src: String): String =
+  def centSql(src: String, dims: Int = 64): String =
     s"""SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
        |    SELECT e.label AS label, d.dim AS dim, avg(CAST(e.embedding[d.dim + 1] AS DOUBLE)) AS cv
-       |    FROM $src e CROSS JOIN range(64) d(dim)
+       |    FROM $src e CROSS JOIN range($dims) d(dim)
        |    GROUP BY e.label, d.dim)
        |  GROUP BY label""".stripMargin
 

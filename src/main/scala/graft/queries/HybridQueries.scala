@@ -281,6 +281,60 @@ object HybridQueries {
     (32, 2L, 2L, 0L),
     (64, 4L, 4L, 0L))
 
+  /** The A30b/A30c drift-rebuild body shared by both widths over any
+    * (vec_id, embedding, label) frame: base centroids, one narrow
+    * assignment projection for the arrivals, two label-keyed dispersion
+    * aggregates, the integer threshold verdict, and ONE conditional
+    * re-centering pass over only the verdict-rebuilt clusters' members
+    * (served_mean reads fresh centroids exactly where rebuild=1). */
+  private def ivfDriftRebuild(src: DataFrame): DataFrame = {
+    val base = src.filter(col("vec_id") < IvfAppendSplit)
+    val cent = Ivf.centroids(base)
+    val centL = cent.select(col("label").cast("long").as("label"), col("cent"))
+    val arrA = Ivf.assignToNearest(src.filter(col("vec_id") >= IvfAppendSplit), cent)
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
+    val baseD = base
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+      .join(broadcast(centL), "label")
+      .select(col("vec_id"), col("label"),
+        scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits).as("d"))
+    val sb = baseD.groupBy("label")
+      .agg(count(lit(1)).as("n_base"), sum("d").as("sd_base"))
+    val sn = arrA.groupBy("label")
+      .agg(count(lit(1)).as("n_new"), sum("d").as("sd_new"))
+    val verd = sb.join(sn, Seq("label"), "left")
+      .selectExpr("label", "n_base", "coalesce(n_new, 0L) AS n_new",
+        "sd_base div n_base AS mean_base",
+        "CASE WHEN coalesce(n_new, 0L) = 0 THEN 0L ELSE sd_new div n_new END AS mean_new")
+      .selectExpr("label", "n_base", "n_new", "mean_base", "mean_new",
+        "CAST(mean_new * 10 > mean_base * 12 OR n_new * 5 >= n_base + n_new AS BIGINT) AS rebuild")
+    val members = base
+      .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
+      .union(arrA.select("vec_id", "label")
+        .join(src.select("vec_id", "embedding"), "vec_id")
+        .select(col("vec_id"), col("label"), col("embedding")))
+    // Re-center ONLY the rebuilt clusters' members (r12 verdict note):
+    // the fresh frame's non-rebuilt rows were never read by the CASE
+    // dispatch below, so restricting the aggregate to verdict-rebuilt
+    // labels skips the pass entirely on drift-free days — output hash
+    // unchanged, the "one conditional re-centering pass" claim literal.
+    // The fresh join becomes LEFT (fcent null ⇔ rebuild=0, never read).
+    val fresh = Ivf.centroids(members
+        .join(broadcast(verd.filter(col("rebuild") === 1).select("label")), "label")
+        .select("vec_id", "label", "embedding"))
+      .select(col("label"), col("cent").as("fcent"))
+    val served = members
+      .join(broadcast(verd.select("label", "rebuild")), "label")
+      .join(broadcast(centL.select(col("label"), col("cent").as("scent"))), "label")
+      .join(broadcast(fresh), Seq("label"), "left")
+      .withColumn("dsv", scaled(vectors.l2(col("embedding"),
+        when(col("rebuild") === 1, col("fcent")).otherwise(col("scent"))), Knn.ScoreDigits))
+      .groupBy("label")
+      .agg(expr("sum(dsv) div count(*)").as("served_mean"))
+    verd.join(served, "label")
+      .select("label", "n_base", "n_new", "mean_base", "mean_new", "rebuild", "served_mean")
+  }
+
   /** The A51/A51b curve body shared by both widths: pass-bit corpus from
     * the given embedding frame, exact prefilter ground truth over the
     * same frame, ONE sweep pass (each partition's graph builds once and
@@ -862,53 +916,23 @@ object HybridQueries {
     // At 100 TB this is the maintenance planner's query: one narrow
     // assignment projection, two label-keyed aggregates, one conditional
     // re-centering pass over only the members' vectors.
-    "ivf_drift_rebuild" -> ((s, dir) => {
+    "ivf_drift_rebuild" -> ((s, dir) => ivfDriftRebuild(emb(s, dir))),
+
+    // A30c: the drift-triggered rebuild AT THE REFERENCE WIDTH (r15
+    // verdict next #6 — the maintenance family's kernels are
+    // width-parametric, but the add-while-serving path the reference
+    // actually runs, acorn.py:40–49 add_items, happens at the d=2048 it
+    // builds; this gates the assign kernel, the dispersion monitor, and
+    // the conditional re-centering over 2048-slot vectors). Same body as
+    // A30b through the shared helper; the oracle re-derives the
+    // assignment CTEs, drift stats, verdict, and dispatch over the wide
+    // frame (centSql at dims=2048). Both dispatch arms fire at the gate
+    // scales (measured in SURVEY §8s).
+    "ivf_drift_rebuild_2048" -> ((s, dir) => {
       val e = emb(s, dir)
-      val base = e.filter(col("vec_id") < IvfAppendSplit)
-      val cent = Ivf.centroids(base)
-      val centL = cent.select(col("label").cast("long").as("label"), col("cent"))
-      val arrA = Ivf.assignToNearest(e.filter(col("vec_id") >= IvfAppendSplit), cent)
-        .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
-      val baseD = base
-        .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
-        .join(broadcast(centL), "label")
-        .select(col("vec_id"), col("label"),
-          scaled(vectors.l2(col("embedding"), col("cent")), Knn.ScoreDigits).as("d"))
-      val sb = baseD.groupBy("label")
-        .agg(count(lit(1)).as("n_base"), sum("d").as("sd_base"))
-      val sn = arrA.groupBy("label")
-        .agg(count(lit(1)).as("n_new"), sum("d").as("sd_new"))
-      val verd = sb.join(sn, Seq("label"), "left")
-        .selectExpr("label", "n_base", "coalesce(n_new, 0L) AS n_new",
-          "sd_base div n_base AS mean_base",
-          "CASE WHEN coalesce(n_new, 0L) = 0 THEN 0L ELSE sd_new div n_new END AS mean_new")
-        .selectExpr("label", "n_base", "n_new", "mean_base", "mean_new",
-          "CAST(mean_new * 10 > mean_base * 12 OR n_new * 5 >= n_base + n_new AS BIGINT) AS rebuild")
-      val members = base
-        .select(col("vec_id"), col("label").cast("long").as("label"), col("embedding"))
-        .union(arrA.select("vec_id", "label")
-          .join(e.select("vec_id", "embedding"), "vec_id")
-          .select(col("vec_id"), col("label"), col("embedding")))
-      // Re-center ONLY the rebuilt clusters' members (r12 verdict note):
-      // the fresh frame's non-rebuilt rows were never read by the CASE
-      // dispatch below, so restricting the aggregate to verdict-rebuilt
-      // labels skips the pass entirely on drift-free days — output hash
-      // unchanged, the "one conditional re-centering pass" claim literal.
-      // The fresh join becomes LEFT (fcent null ⇔ rebuild=0, never read).
-      val fresh = Ivf.centroids(members
-          .join(broadcast(verd.filter(col("rebuild") === 1).select("label")), "label")
-          .select("vec_id", "label", "embedding"))
-        .select(col("label"), col("cent").as("fcent"))
-      val served = members
-        .join(broadcast(verd.select("label", "rebuild")), "label")
-        .join(broadcast(centL.select(col("label"), col("cent").as("scent"))), "label")
-        .join(broadcast(fresh), Seq("label"), "left")
-        .withColumn("dsv", scaled(vectors.l2(col("embedding"),
-          when(col("rebuild") === 1, col("fcent")).otherwise(col("scent"))), Knn.ScoreDigits))
-        .groupBy("label")
-        .agg(expr("sum(dsv) div count(*)").as("served_mean"))
-      verd.join(served, "label")
-        .select("label", "n_base", "n_new", "mean_base", "mean_new", "rebuild", "served_mean")
+      // the derived-wide frame carries no cluster column — join the
+      // seeded label back (the C66f convention)
+      ivfDriftRebuild(wideEmb(e).join(e.select("vec_id", "label"), "vec_id"))
     }),
 
     // A28: the recall/cost KNOB curve (reference acorn.py trades nprobe/
@@ -1607,6 +1631,57 @@ object HybridQueries {
     })
   )
 
+  /** A30b/A30c oracle body over a source relation `src` exposing
+    * (vec_id, label, embedding at `dims`): the assignment CTEs,
+    * per-cluster drift stats, the integer threshold verdict, and the
+    * dispatch — served_mean re-scores every member against the
+    * verdict-chosen centroid. `prelude` contributes the wide CTEs for
+    * the width gate ("" at d=64). Sums CAST to BIGINT (DuckDB sums
+    * BIGINT into HUGEINT); all cuts integer. The oracle's `fresh` CTE
+    * recomputes centroids over ALL members (an independent replica —
+    * only verdict-rebuilt rows are ever read by the CASE dispatch, so
+    * the values agree with the engine's restricted pass). */
+  private def driftRebuildOracleSql(src: String, dims: Int,
+                                    prelude: String): String = {
+    def l2s(a: String, b: String) =
+      s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+    s"""WITH ${prelude}cent AS MATERIALIZED (${DuckDialect.centSql(s"(SELECT * FROM $src WHERE vec_id < $IvfAppendSplit)", dims)}),
+       |arr AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM (
+       |  SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
+       |  FROM $src e CROSS JOIN cent c WHERE e.vec_id >= $IvfAppendSplit) WHERE rn = 1),
+       |based AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
+       |    ${l2s("e.embedding", "c.cent")} AS d
+       |  FROM $src e JOIN cent c ON c.label = e.label WHERE e.vec_id < $IvfAppendSplit),
+       |sb AS (SELECT label, count(*) AS n_base, CAST(sum(d) AS BIGINT) AS sd_base
+       |  FROM based GROUP BY 1),
+       |sn AS (SELECT label, count(*) AS n_new, CAST(sum(d) AS BIGINT) AS sd_new
+       |  FROM arr GROUP BY 1),
+       |stats AS (SELECT sb.label, sb.n_base, coalesce(sn.n_new, 0) AS n_new,
+       |  sb.sd_base // sb.n_base AS mean_base,
+       |  CASE WHEN coalesce(sn.n_new, 0) = 0 THEN 0 ELSE sn.sd_new // sn.n_new END AS mean_new
+       |  FROM sb LEFT JOIN sn USING (label)),
+       |verd AS (SELECT label, n_base, n_new, mean_base, mean_new,
+       |  CAST(mean_new * 10 > mean_base * 12 OR n_new * 5 >= n_base + n_new AS BIGINT) AS rebuild
+       |  FROM stats),
+       |members AS MATERIALIZED (
+       |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, e.embedding
+       |  FROM $src e WHERE e.vec_id < $IvfAppendSplit
+       |  UNION ALL
+       |  SELECT a.vec_id, a.label, e.embedding FROM arr a JOIN $src e USING (vec_id)),
+       |fresh AS MATERIALIZED (${DuckDialect.centSql("members", dims)}),
+       |served AS (SELECT m.label,
+       |    CAST(sum(${l2s("m.embedding",
+                  "CASE WHEN v.rebuild = 1 THEN f.cent ELSE c.cent END")}) AS BIGINT)
+       |      // count(*) AS served_mean
+       |  FROM members m JOIN verd v ON v.label = m.label
+       |  JOIN cent c ON c.label = m.label JOIN fresh f ON f.label = m.label
+       |  GROUP BY m.label)
+       |SELECT v.label, v.n_base, v.n_new, v.mean_base, v.mean_new, v.rebuild, s.served_mean
+       |FROM verd v JOIN served s ON s.label = v.label""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
     "ivf_build" ->
       """SELECT e.label, d.dim AS dim,
@@ -2028,45 +2103,15 @@ object HybridQueries {
     // BIGINT (DuckDB sums BIGINT into HUGEINT); all cuts integer.
     // Pre-validated standalone in python/duckdb at sf0.001/sf0.01
     // (6/10 and 5/10 clusters rebuild — both arms fire).
-    "ivf_drift_rebuild" -> {
-      def l2s(a: String, b: String) =
-        s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
-      s"""WITH cent AS MATERIALIZED (${centSql(s"(SELECT * FROM embeddings WHERE vec_id < $IvfAppendSplit)")}),
-         |arr AS MATERIALIZED (SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM (
-         |  SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
-         |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= $IvfAppendSplit) WHERE rn = 1),
-         |based AS (SELECT e.vec_id, CAST(e.label AS BIGINT) AS label,
-         |    ${l2s("e.embedding", "c.cent")} AS d
-         |  FROM embeddings e JOIN cent c ON c.label = e.label WHERE e.vec_id < $IvfAppendSplit),
-         |sb AS (SELECT label, count(*) AS n_base, CAST(sum(d) AS BIGINT) AS sd_base
-         |  FROM based GROUP BY 1),
-         |sn AS (SELECT label, count(*) AS n_new, CAST(sum(d) AS BIGINT) AS sd_new
-         |  FROM arr GROUP BY 1),
-         |stats AS (SELECT sb.label, sb.n_base, coalesce(sn.n_new, 0) AS n_new,
-         |  sb.sd_base // sb.n_base AS mean_base,
-         |  CASE WHEN coalesce(sn.n_new, 0) = 0 THEN 0 ELSE sn.sd_new // sn.n_new END AS mean_new
-         |  FROM sb LEFT JOIN sn USING (label)),
-         |verd AS (SELECT label, n_base, n_new, mean_base, mean_new,
-         |  CAST(mean_new * 10 > mean_base * 12 OR n_new * 5 >= n_base + n_new AS BIGINT) AS rebuild
-         |  FROM stats),
-         |members AS MATERIALIZED (
-         |  SELECT e.vec_id, CAST(e.label AS BIGINT) AS label, e.embedding
-         |  FROM embeddings e WHERE e.vec_id < $IvfAppendSplit
-         |  UNION ALL
-         |  SELECT a.vec_id, a.label, e.embedding FROM arr a JOIN embeddings e USING (vec_id)),
-         |fresh AS MATERIALIZED (${centSql("members")}),
-         |served AS (SELECT m.label,
-         |    CAST(sum(${l2s("m.embedding",
-                    "CASE WHEN v.rebuild = 1 THEN f.cent ELSE c.cent END")}) AS BIGINT)
-         |      // count(*) AS served_mean
-         |  FROM members m JOIN verd v ON v.label = m.label
-         |  JOIN cent c ON c.label = m.label JOIN fresh f ON f.label = m.label
-         |  GROUP BY m.label)
-         |SELECT v.label, v.n_base, v.n_new, v.mean_base, v.mean_new, v.rebuild, s.served_mean
-         |FROM verd v JOIN served s ON s.label = v.label""".stripMargin
-    },
+    "ivf_drift_rebuild" -> driftRebuildOracleSql("embeddings", 64, ""),
+
+    // A30c: the same replay over the derived-wide frame — `wl` carries
+    // (vec_id, label, 2048-slot embedding), centSql at dims=2048
+    "ivf_drift_rebuild_2048" -> driftRebuildOracleSql("wl", 2048,
+      s"""wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings),
+         |wl AS MATERIALIZED (SELECT w.vec_id, e.label, w.embedding
+         |  FROM wide w JOIN embeddings e USING (vec_id)),
+         |""".stripMargin),
 
     "recall_probe_sweep" -> {
       val sweep = Seq(1, 2, 4, 8)

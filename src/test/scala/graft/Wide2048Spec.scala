@@ -876,6 +876,29 @@ class Wide2048Spec extends SparkSpec {
     assert(rows == graft.queries.HybridQueries.RecallBeam2048Floors)
   }
 
+  test("ivf_drift_rebuild_2048: verdict self-consistent, both arms fire, membership conserved at width") {
+    // A30c: the FunnelSpec A30b pins at the reference width — the verdict
+    // column equals the threshold formula applied to the entry's own
+    // stats, base/arriving membership is conserved, and BOTH dispatch
+    // arms fire (a decision entry where one branch never runs proves
+    // nothing)
+    import org.apache.spark.sql.functions.col
+    val rows = SparkEntry.queries("ivf_drift_rebuild_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nb, nn, mb, mn2, rebuild, served) =>
+      val expect = if (mn2 * 10 > mb * 12 || nn * 5 >= nb + nn) 1L else 0L
+      assert(rebuild == expect, s"verdict disagrees with its own stats: ${rows.mkString(", ")}")
+      assert(served > 0)
+    }
+    assert(rows.map(_._2).sum == 400L, "base membership must cover vec_id < 400")
+    assert(rows.map(_._3).sum ==
+      Tables(spark, dir, "embeddings").filter(col("vec_id") >= 400).count())
+    assert(rows.exists(_._6 == 1L) && rows.exists(_._6 == 0L),
+      s"both verdict arms must fire at the gate scale: ${rows.mkString(", ")}")
+  }
+
   test("recall_hnsw_2hop_2048: wide two-hop curve sits at or above every floor") {
     // A51b: least(n_hit, floor) == floor ⇔ measured ≥ floor, and the
     // gain rows pin two-hop ≥ one-hop at equal budget AT width — the
