@@ -194,7 +194,17 @@ object FusionQueries {
       .select("vec_id", "score", "d8")
   }
 
-  private[queries] def cascBaseDuckWide(maxQ: Int = 7): String =
+  /** `qsSelect` replaces the indexed-query CTE (must yield q_id, q_p —
+    * the 64-long packed code — and q_vec; the C71e external wide serve
+    * derives non-indexed queries) and `excludeSelf` drops the
+    * self-exclusion (external q_ids name no corpus row) — the
+    * pqBatchWideOracleSql2048 convention. */
+  private[queries] def cascBaseDuckWide(maxQ: Int = 7,
+                                        qsSelect: Option[String] = None,
+                                        excludeSelf: Boolean = true): String = {
+    val qsCte = qsSelect.getOrElse(
+      s"SELECT vec_id AS q_id, p AS q_p, v AS q_vec FROM b WHERE vec_id <= $maxQ")
+    val excl = if (excludeSelf) " WHERE b.vec_id <> q.q_id" else ""
     s"""wide AS MATERIALIZED (SELECT vec_id,
        |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
        |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
@@ -204,13 +214,14 @@ object FusionQueries {
        |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)) AS p
        |  FROM wide),
        |st AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM b),
-       |qs AS (SELECT vec_id AS q_id, p AS q_p, v AS q_vec FROM b WHERE vec_id <= $maxQ),
+       |qs AS ($qsCte),
        |h AS (SELECT q.q_id, b.vec_id, b.v, q.q_vec,
        |    CAST(list_sum(list_transform(range(1, 65),
        |      i -> bit_count(xor(b.p[i], q.q_p[i])))) AS BIGINT) AS ham
-       |  FROM b CROSS JOIN qs q WHERE b.vec_id <> q.q_id),
+       |  FROM b CROSS JOIN qs q$excl),
        |r1 AS (SELECT h.*, row_number() OVER (PARTITION BY q_id ORDER BY ham ASC, vec_id ASC) AS rn1
        |  FROM h)""".stripMargin
+  }
 
   private def cascFunnelDuck(width: Int, tag: String): String = {
     def q8(x: String) = s"CAST(floor((($x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)"

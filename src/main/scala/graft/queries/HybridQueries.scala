@@ -58,7 +58,7 @@ object HybridQueries {
   // the kernels are HASH-checked at the reference's width. Honest scope:
   // values derive from 64-d data (no new gate table exists), but every one
   // of the 2048 slots is computed, stored, and scored for real.
-  private[queries] val WideDims = 2048
+  private[graft] val WideDims = 2048
   private[graft] def wideEmbeddings(s: SparkSession, dir: String): DataFrame =
     wideEmb(emb(s, dir))
   // the derivation runs as the codegen'd WidenVec kernel (r12: the
@@ -901,6 +901,21 @@ object HybridQueries {
         .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
     }),
 
+    // A30d: the A30 ingest path at the REFERENCE WIDTH — the other half
+    // of the r15 verdict's maintenance-at-width leftover (A30c gates the
+    // rebuild DECISION; this gates the plain add_items assignment,
+    // acorn.py:40–49, at the d=2048 the reference runs it). The
+    // NearestCentroid kernel compiles the 10×2048 centroid table as
+    // literal state, so assignment stays ONE narrow projection — width
+    // grows the literal, not the plan.
+    "knn_ivf_append_2048" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val w = wideEmb(e).join(e.select("vec_id", "label"), "vec_id")
+      val cent = Ivf.centroids(w.filter(col("vec_id") < IvfAppendSplit))
+      Ivf.assignToNearest(w.filter(col("vec_id") >= IvfAppendSplit), cent)
+        .select(col("vec_id"), col("label").cast("long").as("label"), col("d"))
+    }),
+
     // A30b: DRIFT-TRIGGERED REBUILD (r11 verdict next #6): A30/A21f/A35d
     // all say "drift is handled by periodic rebuild" — this entry DECIDES
     // one, composing A34's dispersion monitor over the appended index.
@@ -1631,6 +1646,15 @@ object HybridQueries {
     })
   )
 
+  /** The wide frame JOINED with its cluster column, as oracle CTEs —
+    * shared by every wide replay whose arithmetic needs
+    * (vec_id, label, 2048-slot embedding) (A30c / A30d). */
+  private val wideLabeledCtes: String =
+    s"""wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings),
+       |wl AS MATERIALIZED (SELECT w.vec_id, e.label, w.embedding
+       |  FROM wide w JOIN embeddings e USING (vec_id)),
+       |""".stripMargin
+
   /** A30b/A30c oracle body over a source relation `src` exposing
     * (vec_id, label, embedding at `dims`): the assignment CTEs,
     * per-cluster drift stats, the integer threshold verdict, and the
@@ -2108,10 +2132,21 @@ object HybridQueries {
     // A30c: the same replay over the derived-wide frame — `wl` carries
     // (vec_id, label, 2048-slot embedding), centSql at dims=2048
     "ivf_drift_rebuild_2048" -> driftRebuildOracleSql("wl", 2048,
-      s"""wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings),
-         |wl AS MATERIALIZED (SELECT w.vec_id, e.label, w.embedding
-         |  FROM wide w JOIN embeddings e USING (vec_id)),
-         |""".stripMargin),
+      wideLabeledCtes),
+
+    // A30d: the A30 assignment replay over the wide frame — centroids of
+    // the wide base (centSql at dims=2048), per-arrival argmin under the
+    // same (scaled-L2 asc, label asc) contract
+    "knn_ivf_append_2048" -> {
+      def l2s(a: String, b: String) =
+        s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+      s"""WITH ${wideLabeledCtes}cent AS MATERIALIZED (${DuckDialect.centSql(s"(SELECT * FROM wl WHERE vec_id < $IvfAppendSplit)", 2048)}),
+         |a AS (SELECT e.vec_id, c.label, ${l2s("e.embedding", "c.cent")} AS d,
+         |  row_number() OVER (PARTITION BY e.vec_id
+         |    ORDER BY ${l2s("e.embedding", "c.cent")} ASC, c.label ASC) AS rn
+         |  FROM wl e CROSS JOIN cent c WHERE e.vec_id >= $IvfAppendSplit)
+         |SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM a WHERE rn = 1""".stripMargin
+    },
 
     "recall_probe_sweep" -> {
       val sweep = Seq(1, 2, 4, 8)

@@ -910,6 +910,43 @@ object StreamingQueries {
           col("hit.id").as("vec_id"), col("hit.score").as("ham"))
     }),
 
+    // C71e: EXTERNAL queries through the WIDE cascade stage-1 — the
+    // C71c × C71d closure, completing the external × streaming × width
+    // symmetry across all three serving families (PQ C66g, IVF×PQ C66h,
+    // cascade here): arriving rows widen INLINE, derive the external
+    // vector (x−0.25, one float round — the cascade family's documented
+    // sign-flip derivation, applied after the widen like C66g), pack to
+    // 64 longs (BqPackVec), and Hamming-rank the static broadcast
+    // 512 B/row sign-code table with NO self-exclusion. Same
+    // O(|Q|·stage1) complete-mode heap as C71.
+    "streaming_cascade_serve_external_2048" -> ((s, dir) => {
+      requireStreamQueriesPresent(s, dir, "streaming_cascade_serve_external_2048")
+      val vecs = graft.functions.vectors
+      val groups = HybridQueries.WideDims / 32
+      val codes = HybridQueries.wideEmbeddings(s, dir)
+        .select(col("vec_id"), vecs.bqPack(col("embedding"), groups).as("p"))
+      val qStream = readStreamTable(s, dir, "embeddings")
+        .filter(col("vec_id") < 8)
+        .select((col("vec_id") + 1000).as("q_id"),
+          vecs.widen(col("embedding"), 64, HybridQueries.WideDims).as("we"))
+        .selectExpr("q_id",
+          "CAST(transform(CAST(we AS ARRAY<DOUBLE>), " +
+            "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+        .select(col("q_id"), vecs.bqPack(col("qe"), groups).as("qp"))
+        .withColumn("one", lit(1))
+      val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
+        .drop("one")
+        .withColumn("ham", vecs.hammingLong(col("p"), col("qp")))
+      runToTable(s,
+        scored.groupBy("q_id")
+          .agg(graft.functions.aggs.topK(col("ham"), col("vec_id"),
+            FusionQueries.CascStage1, asc = true).as("hits")),
+        "sq_casc_serve_ext_2048", "complete")
+        .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
+        .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+          col("hit.id").as("vec_id"), col("hit.score").as("ham"))
+    }),
+
     // C71b: the DOWNSTREAM RERANK the C66/C71 scaladoc promises (r11
     // verdict next #8 — "production reranks the emitted shortlist
     // downstream; a second streaming aggregation is forbidden" was
@@ -1222,6 +1259,25 @@ object StreamingQueries {
       // cut at the stage-1 width with the heap's (ham asc, id asc) order
       "streaming_cascade_serve_2048" ->
         s"""WITH ${FusionQueries.cascBaseDuckWide()}
+           |SELECT q_id, CAST(rn1 AS BIGINT) AS rank, vec_id, ham FROM r1
+           |WHERE rn1 <= ${FusionQueries.CascStage1}""".stripMargin,
+
+      // C71e: the wide funnel base with the qs CTE deriving the external
+      // queries (widen → x−0.25 float round → pack, the b CTE's own
+      // bit-order fold) and the self-exclusion dropped
+      "streaming_cascade_serve_external_2048" ->
+        s"""WITH ${FusionQueries.cascBaseDuckWide(qsSelect = Some(
+             """SELECT q_id,
+               |  list_transform(range(0, 64), g ->
+               |    list_reduce(list_transform(range(0, 32), j ->
+               |      CASE WHEN qe[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
+               |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)) AS q_p,
+               |  CAST(qe AS DOUBLE[]) AS q_vec
+               |  FROM (SELECT vec_id + 1000 AS q_id,
+               |    list_transform(CAST(embedding AS DOUBLE[]),
+               |      x -> CAST(x - 0.25 AS FLOAT)) AS qe
+               |    FROM wide WHERE vec_id < 8)""".stripMargin),
+             excludeSelf = false)}
            |SELECT q_id, CAST(rn1 AS BIGINT) AS rank, vec_id, ham FROM r1
            |WHERE rn1 <= ${FusionQueries.CascStage1}""".stripMargin,
 

@@ -370,6 +370,41 @@ class StreamingQueriesSpec extends SparkSpec {
       "the wide funnel's final top-10 must come from the served stage-1 shortlist")
   }
 
+  test("streaming_cascade_serve_external_2048: external ids, wide derived codes, no exclusion, stream ≡ batch") {
+    // C71e: the C71c pin at the reference width — widen, derive
+    // (x−0.25, one float round), pack with BqPackVec, Hamming-rank the
+    // wide sign-code table, NO self-exclusion
+    val vecs = graft.functions.vectors
+    val groups = graft.queries.HybridQueries.WideDims / 32
+    val streamed = run("streaming_cascade_serve_external_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed.map(_._1) == (1000L until 1008L).toSet,
+      "external id space: every derived query answered")
+    val wide = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+    val codes = wide.select(col("vec_id"), vecs.bqPack(col("embedding"), groups).as("p"))
+    val qs = wide.filter(col("vec_id") < 8)
+      .selectExpr("vec_id + 1000 AS q_id",
+        "CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
+      .select(col("q_id"), vecs.bqPack(col("qe"), groups).as("qp"))
+    val w = Window.partitionBy("q_id").orderBy(col("ham").asc, col("vec_id").asc)
+    val batch = qs.crossJoin(codes)
+      .withColumn("ham", vecs.hammingLong(col("p"), col("qp")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 100)
+      .select("q_id", "rank", "vec_id", "ham")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(streamed == batch)
+    // the wide derivation must flip at least one sign bit, or the
+    // external code equals the base row's and the entry pins nothing new
+    val flipped = wide.filter(col("vec_id") < 8)
+      .select(vecs.bqPack(col("embedding"), groups).as("bp"),
+        vecs.bqPack(expr("CAST(transform(CAST(embedding AS ARRAY<DOUBLE>), " +
+          "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>)"), groups).as("qp"))
+      .collect().exists(r => r.getSeq[Long](0) != r.getSeq[Long](1))
+    assert(flipped, "x - 0.25 must change at least one wide sign bit")
+  }
+
   test("streaming_hll_rollup equals the batch sketch estimates, state bounded at G*256") {
     import graft.operators.Hll
     val streamed = run("streaming_hll_rollup").collect()

@@ -876,6 +876,32 @@ class Wide2048Spec extends SparkSpec {
     assert(rows == graft.queries.HybridQueries.RecallBeam2048Floors)
   }
 
+  test("knn_ivf_append_2048 equals the plain-Scala wide assignment reconstruction") {
+    // A30d: base centroids (per-label mean over the wide doubles, one
+    // float round per dim — the knn_ivfpq_2048 reconstruction) and the
+    // per-arrival argmin under (scaled-L2 asc, label asc), re-derived
+    // without Spark
+    val w = wideCorpus()
+    val labels = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val baseIds = w.keys.filter(_ < 400L).toSeq.sorted
+    val cents: Map[Long, Array[Float]] = baseIds.groupBy(labels)
+      .map { case (lbl, ids) =>
+        lbl -> Array.tabulate(WideDims)(d =>
+          (ids.map(i => w(i)(d).toDouble).sum / ids.size).toFloat)
+      }
+    val expect = w.keys.filter(_ >= 400L).toSeq.sorted.map { id =>
+      val (lbl, d) = cents.toSeq
+        .map { case (l, c) => (l, l2Scaled(w(id), c)) }
+        .sortBy { case (l, s) => (s, l) }.head
+      (id, lbl, d)
+    }
+    val entry = SparkEntry.queries("knn_ivf_append_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sortBy(_._1)
+    assert(entry.nonEmpty && entry == expect)
+  }
+
   test("ivf_drift_rebuild_2048: verdict self-consistent, both arms fire, membership conserved at width") {
     // A30c: the FunnelSpec A30b pins at the reference width — the verdict
     // column equals the threshold formula applied to the entry's own
