@@ -281,6 +281,28 @@ object HybridQueries {
     (32, 2L, 2L, 0L),
     (64, 4L, 4L, 0L))
 
+  /** The A33/A33b hot-split body shared by both widths over any
+    * (vec_id, embedding, label) frame: 3 hottest clusters by count, the
+    * lowest/highest member ids as the two sub-centroid seeds, every
+    * member re-assigned to its nearer seed (scaled L2, ties to lo). */
+  private def ivfSplitHot(src: DataFrame): DataFrame = {
+    val hot = src.groupBy("label").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("label")).limit(3).select("label")
+    val seedIds = src.join(broadcast(hot), "label")
+      .groupBy("label").agg(min("vec_id").as("lo_id"), max("vec_id").as("hi_id"))
+    val vecs = src.select(col("vec_id"), col("embedding"))
+    val seeds = seedIds
+      .join(vecs.toDF("lo_id", "lo_vec"), "lo_id")
+      .join(vecs.toDF("hi_id", "hi_vec"), "hi_id")
+    src.join(broadcast(seeds), "label")
+      .withColumn("d_lo", scaled(vectors.l2(col("embedding"), col("lo_vec")), Knn.ScoreDigits))
+      .withColumn("d_hi", scaled(vectors.l2(col("embedding"), col("hi_vec")), Knn.ScoreDigits))
+      .selectExpr("CAST(label AS BIGINT) AS label", "vec_id",
+        "CAST(CASE WHEN d_lo <= d_hi THEN 0 ELSE 1 END AS BIGINT) AS sub")
+      .groupBy("label", "sub")
+      .agg(count(lit(1)).as("n"), min("vec_id").as("min_member"))
+  }
+
   /** The A30b/A30c drift-rebuild body shared by both widths over any
     * (vec_id, embedding, label) frame: base centroids, one narrow
     * assignment projection for the arrivals, two label-keyed dispersion
@@ -831,23 +853,18 @@ object HybridQueries {
     // vectors + one narrow argmin over ONLY the hot clusters' members. At
     // 100 TB this is the periodic rebalance that keeps probe fan-out
     // uniform while the append path (A30) keeps ingesting.
-    "ivf_split_hot" -> ((s, dir) => {
+    "ivf_split_hot" -> ((s, dir) => ivfSplitHot(emb(s, dir))),
+
+    // A33b: hot-cluster splitting at the REFERENCE WIDTH — the last
+    // maintenance-family member gated only at d=64 (A30c/A30d closed the
+    // other two this round): the seed distances and the two-way re-
+    // assignment are width-dependent, so the wide geometry can split a
+    // hot cluster DIFFERENTLY than the 64-d frame does. Same body via
+    // the shared helper; the oracle replays hot selection, min/max seeds,
+    // and the tie-to-lo assignment over the wide CTEs.
+    "ivf_split_hot_2048" -> ((s, dir) => {
       val e = emb(s, dir)
-      val hot = e.groupBy("label").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("label")).limit(3).select("label")
-      val seedIds = e.join(broadcast(hot), "label")
-        .groupBy("label").agg(min("vec_id").as("lo_id"), max("vec_id").as("hi_id"))
-      val vecs = e.select(col("vec_id"), col("embedding"))
-      val seeds = seedIds
-        .join(vecs.toDF("lo_id", "lo_vec"), "lo_id")
-        .join(vecs.toDF("hi_id", "hi_vec"), "hi_id")
-      e.join(broadcast(seeds), "label")
-        .withColumn("d_lo", scaled(vectors.l2(col("embedding"), col("lo_vec")), Knn.ScoreDigits))
-        .withColumn("d_hi", scaled(vectors.l2(col("embedding"), col("hi_vec")), Knn.ScoreDigits))
-        .selectExpr("CAST(label AS BIGINT) AS label", "vec_id",
-          "CAST(CASE WHEN d_lo <= d_hi THEN 0 ELSE 1 END AS BIGINT) AS sub")
-        .groupBy("label", "sub")
-        .agg(count(lit(1)).as("n"), min("vec_id").as("min_member"))
+      ivfSplitHot(wideEmb(e).join(e.select("vec_id", "label"), "vec_id"))
     }),
 
     // A32: recall of single-bucket vs 1-flip multi-probe LSH against the
@@ -1655,6 +1672,29 @@ object HybridQueries {
        |  FROM wide w JOIN embeddings e USING (vec_id)),
        |""".stripMargin
 
+  /** A33/A33b oracle body over a source relation `src` exposing
+    * (vec_id, label, embedding): hot selection, min/max seeds, tie-to-lo
+    * two-way re-assignment. `prelude` contributes the wide CTEs ("" at
+    * d=64). */
+  private def splitHotOracleSql(src: String, prelude: String): String = {
+    def l2s(a: String, b: String) =
+      s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+    s"""WITH ${prelude}hot AS (SELECT label FROM $src GROUP BY label
+       |  ORDER BY count(*) DESC, label LIMIT 3),
+       |seeds AS (SELECT e.label, min(e.vec_id) AS lo_id, max(e.vec_id) AS hi_id
+       |  FROM $src e JOIN hot USING (label) GROUP BY e.label),
+       |sv AS (SELECT s.label, lo.embedding AS lo_vec, hi.embedding AS hi_vec
+       |  FROM seeds s JOIN $src lo ON lo.vec_id = s.lo_id
+       |               JOIN $src hi ON hi.vec_id = s.hi_id),
+       |m AS (SELECT e.label, e.vec_id,
+       |  CASE WHEN ${l2s("e.embedding", "v.lo_vec")} <= ${l2s("e.embedding", "v.hi_vec")}
+       |       THEN 0 ELSE 1 END AS sub
+       |  FROM $src e JOIN sv v ON e.label = v.label)
+       |SELECT CAST(label AS BIGINT) AS label, CAST(sub AS BIGINT) AS sub,
+       |  CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_member
+       |FROM m GROUP BY 1, 2""".stripMargin
+  }
+
   /** A30b/A30c oracle body over a source relation `src` exposing
     * (vec_id, label, embedding at `dims`): the assignment CTEs,
     * per-cluster drift stats, the integer threshold verdict, and the
@@ -2090,24 +2130,10 @@ object HybridQueries {
          |WHERE rank <= $k""".stripMargin
     },
 
-    "ivf_split_hot" -> {
-      def l2s(a: String, b: String) =
-        s"CAST(floor(list_distance(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
-      s"""WITH hot AS (SELECT label FROM embeddings GROUP BY label
-         |  ORDER BY count(*) DESC, label LIMIT 3),
-         |seeds AS (SELECT e.label, min(e.vec_id) AS lo_id, max(e.vec_id) AS hi_id
-         |  FROM embeddings e JOIN hot USING (label) GROUP BY e.label),
-         |sv AS (SELECT s.label, lo.embedding AS lo_vec, hi.embedding AS hi_vec
-         |  FROM seeds s JOIN embeddings lo ON lo.vec_id = s.lo_id
-         |               JOIN embeddings hi ON hi.vec_id = s.hi_id),
-         |m AS (SELECT e.label, e.vec_id,
-         |  CASE WHEN ${l2s("e.embedding", "v.lo_vec")} <= ${l2s("e.embedding", "v.hi_vec")}
-         |       THEN 0 ELSE 1 END AS sub
-         |  FROM embeddings e JOIN sv v ON e.label = v.label)
-         |SELECT CAST(label AS BIGINT) AS label, CAST(sub AS BIGINT) AS sub,
-         |  CAST(count(*) AS BIGINT) AS n, min(vec_id) AS min_member
-         |FROM m GROUP BY 1, 2""".stripMargin
-    },
+    "ivf_split_hot" -> splitHotOracleSql("embeddings", ""),
+
+    // A33b: the same replay over the wide CTEs (wl = wide frame + label)
+    "ivf_split_hot_2048" -> splitHotOracleSql("wl", wideLabeledCtes),
 
     "knn_ivf_append" -> {
       def l2s(a: String, b: String) =

@@ -902,6 +902,32 @@ class Wide2048Spec extends SparkSpec {
     assert(entry.nonEmpty && entry == expect)
   }
 
+  test("ivf_split_hot_2048 equals the plain-Scala wide split reconstruction") {
+    // A33b: hot selection, min/max seeds, and the tie-to-lo two-way
+    // re-assignment re-derived without Spark over the wide vectors
+    val w = wideCorpus()
+    val labels = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "CAST(label AS BIGINT) AS label")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byLabel = w.keys.toSeq.groupBy(labels)
+    val hot = byLabel.toSeq.map { case (l, ids) => (-ids.size, l) }
+      .sorted.take(3).map(_._2)
+    val expect = hot.flatMap { l =>
+      val ids = byLabel(l).sorted
+      val (lo, hi) = (w(ids.min), w(ids.max))
+      ids.map { id =>
+        val sub = if (l2Scaled(w(id), lo) <= l2Scaled(w(id), hi)) 0L else 1L
+        (l, sub, id)
+      }.groupBy { case (_, sub, _) => sub }.toSeq.map { case (sub, ms) =>
+        (l, sub, ms.size.toLong, ms.map(_._3).min)
+      }
+    }.sortBy { case (l, sub, _, _) => (l, sub) }
+    val entry = SparkEntry.queries("ivf_split_hot_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy { case (l, sub, _, _) => (l, sub) }
+    assert(entry.nonEmpty && entry == expect)
+  }
+
   test("ivf_drift_rebuild_2048: verdict self-consistent, both arms fire, membership conserved at width") {
     // A30c: the FunnelSpec A30b pins at the reference width — the verdict
     // column equals the threshold formula applied to the entry's own
