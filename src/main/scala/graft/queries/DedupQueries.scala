@@ -74,6 +74,25 @@ object DedupQueries {
   // width (4 tokens yields a non-trivial cross-doc gram set at every sf)
   private val SpanGram = 4
 
+  /** The B35/B35b SemDeDup body shared by both widths over any
+    * (vec_id, embedding) frame: integer-exact Lloyd's clusters the
+    * space (bounded k·d model state, bit-identical in any engine), then
+    * the cosine near-dup join runs WITHIN each cluster only — pair work
+    * O(Σ|cluster|²) ≈ O(n²/k), shuffled on the cluster id. */
+  private def semdedupPairs(e: DataFrame): DataFrame = {
+    val (cent, qemb) = graft.operators.KMeans.fitInt(e, k = SemClusters, iters = SemIters)
+    val asg = qemb.select(col("vec_id"),
+      graft.functions.centroids.nearestLong(col("q"), cent).getField("label").as("cl"))
+    val m = e.join(asg, "vec_id")
+    val a = m.select(col("cl"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+    val b = m.select(col("cl"), col("vec_id").as("b_id"), col("embedding").as("eb"))
+    a.join(b, Seq("cl")).filter(col("a_id") < col("b_id"))
+      .withColumn("cs", graft.functions.scaled(
+        graft.functions.vectors.cosine(col("ea"), col("eb")), 4))
+      .filter(col("cs") >= CosineTauScaled)
+      .select(col("cl"), col("a_id"), col("b_id"), col("cs"))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1: exact dedup — one shuffle on the content hash
     "dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -120,6 +139,19 @@ object DedupQueries {
         Tables(s, dir, "embeddings").select("vec_id", "embedding"), CosineTauScaled,
         EmbNumPlanes, EmbDims, EmbPairThreshold)),
 
+    // B5b: embedding near-dup at the REFERENCE width — production
+    // embeddings arrive at the width the encoder emits (the reference's
+    // 2048-d ResNet stand-in), and BOTH dispatch branches' arithmetic is
+    // width-dependent: the all-pairs cosine AND the hyperplane buckets
+    // (planeWeights(j, dims) draws 2048-slot planes, so the bucket
+    // assignment itself changes with width). Same constants — the
+    // dispatch count is width-independent, so the branch taken per scale
+    // matches B5 (exact ≤1000 rows, bucketed above).
+    "dedup_embedding_2048" -> ((s, dir) =>
+      Dedup.embeddingPairsAuto(
+        HybridQueries.wideEmbeddings(s, dir), CosineTauScaled,
+        EmbNumPlanes, HybridQueries.WideDims, EmbPairThreshold)),
+
     // B35: SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic dedup
     // at the published scale shape: k-means-cluster the embedding space,
     // then compute cosine near-dup pairs ONLY within each cluster. Pair
@@ -131,20 +163,17 @@ object DedupQueries {
     // oracle replays clustering AND pairing end-to-end. Cross-cluster
     // near-dups are invisible by design — the algorithm's documented
     // recall trade (B5 is the exact small-corpus baseline).
-    "dedup_semdedup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").select("vec_id", "embedding")
-      val (cent, qemb) = graft.operators.KMeans.fitInt(e, k = SemClusters, iters = SemIters)
-      val asg = qemb.select(col("vec_id"),
-        graft.functions.centroids.nearestLong(col("q"), cent).getField("label").as("cl"))
-      val m = e.join(asg, "vec_id")
-      val a = m.select(col("cl"), col("vec_id").as("a_id"), col("embedding").as("ea"))
-      val b = m.select(col("cl"), col("vec_id").as("b_id"), col("embedding").as("eb"))
-      a.join(b, Seq("cl")).filter(col("a_id") < col("b_id"))
-        .withColumn("cs", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("ea"), col("eb")), 4))
-        .filter(col("cs") >= CosineTauScaled)
-        .select(col("cl"), col("a_id"), col("b_id"), col("cs"))
-    }),
+    "dedup_semdedup" -> ((s, dir) =>
+      semdedupPairs(Tables(s, dir, "embeddings").select("vec_id", "embedding"))),
+
+    // B35b: SemDeDup at the REFERENCE width — the paper's actual shape
+    // (Abbas et al. cluster 512–2048-d image embeddings): the wide
+    // integer Lloyd's (the A14g chain) clusters the 2048-slot space,
+    // cosine near-dup pairs within each cluster only. Same body via the
+    // shared helper; the oracle replays lloydChain at dims=2048 + the
+    // in-cluster wide cosine join.
+    "dedup_semdedup_2048" -> ((s, dir) =>
+      semdedupPairs(HybridQueries.wideEmbeddings(s, dir))),
 
     // B36: per-document duplicated-span coverage — the "fraction of text in
     // a duplicated ≥n-token span" metric from the exact-substring dedup line
@@ -619,6 +648,43 @@ object DedupQueries {
            |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
            |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled
            |  AND (SELECT c FROM nr) > $EmbPairThreshold""".stripMargin
+      },
+
+      // B5b: the B5 dual-branch replay over the wide CTE — bucketSql
+      // draws its hyperplanes at dims=2048, matching planeWeights
+      "dedup_embedding_2048" -> {
+        def cs(a: String, b: String) =
+          s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+        s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+           |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+           |nr AS (SELECT count(*) AS c FROM wide),
+           |bk AS (SELECT vec_id, embedding,
+           |  ${DuckDialect.bucketSql("embedding", EmbNumPlanes, HybridQueries.WideDims)} AS bucket FROM wide)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id, ${cs("a.embedding", "b.embedding")} AS cs
+           |FROM wide a JOIN wide b ON a.vec_id < b.vec_id
+           |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled
+           |  AND (SELECT c FROM nr) <= $EmbPairThreshold
+           |UNION ALL
+           |SELECT a.vec_id, b.vec_id, ${cs("a.embedding", "b.embedding")}
+           |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+           |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled
+           |  AND (SELECT c FROM nr) > $EmbPairThreshold""".stripMargin
+      },
+
+      // B35b: the B35 replay at width — lloydChain at dims=2048 assigns,
+      // the in-cluster cosine pair join runs over the wide vectors
+      "dedup_semdedup_2048" -> {
+        def cs(a: String, b: String) =
+          s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+        s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+           |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+           |ed AS MATERIALIZED (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS q FROM wide),
+           |${DuckDialect.lloydChain(SemClusters, SemIters, HybridQueries.WideDims)},
+           |m AS (SELECT w.vec_id, w.embedding, a.cl FROM wide w JOIN af a USING (vec_id))
+           |SELECT a.cl AS cl, a.vec_id AS a_id, b.vec_id AS b_id,
+           |  ${cs("a.embedding", "b.embedding")} AS cs
+           |FROM m a JOIN m b ON a.cl = b.cl AND a.vec_id < b.vec_id
+           |WHERE ${cs("a.embedding", "b.embedding")} >= $CosineTauScaled""".stripMargin
       },
 
       // B36: the same gram hash on the DuckDB side — distinct-doc count

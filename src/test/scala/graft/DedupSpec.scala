@@ -335,6 +335,44 @@ class DedupSpec extends SparkSpec {
     assert(exact.nonEmpty, "no exact cosine pairs at sf0.001 — test is vacuous")
   }
 
+  test("B35b dedup_semdedup_2048 == exact wide cosine pairs restricted to shared k-means clusters") {
+    // the B35 pin at the reference width: the wide Lloyd's re-run
+    // independently, exact wide all-pairs restricted to shared clusters
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+    val (cent, qemb) = graft.operators.KMeans.fitInt(e, k = 10, iters = 3)
+    val asg = qemb.select(col("vec_id"),
+        graft.functions.centroids.nearestLong(col("q"), cent).getField("label").as("cl"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exact = Dedup.embeddingPairs(e, 4500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = graft.queries.DedupQueries.defs("dedup_semdedup_2048")(spark, dir).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    val expected = exact.filter { case (a, b) => asg(a) == asg(b) }
+    assert(got == expected, s"wide semdedup pairs ${got.size} != cluster-scoped exact ${expected.size}")
+    assert(exact.nonEmpty, "no exact wide cosine pairs at sf0.001 — test is vacuous")
+  }
+
+  test("B5b dedup_embedding_2048: bucketed wide pairs ⊆ exact wide pairs; identical vectors always pair") {
+    // the width dispatch contract: below the threshold the entry IS the
+    // exact all-pairs (sf0.001 — checked vs Dedup.embeddingPairs over the
+    // wide frame); the bucketed form (forced) is a subset sharing the
+    // 2048-slot hyperplane buckets
+    val dir = "/root/testdata/sf0.001"
+    val e = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+    val exact = Dedup.embeddingPairs(e, 4500L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val entry = graft.queries.DedupQueries.defs("dedup_embedding_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(entry == exact, "below the dispatch threshold the entry must be the exact all-pairs")
+    val bucketed = Dedup.embeddingPairsBucketed(e, 4500L, numPlanes = 4,
+        dims = graft.queries.HybridQueries.WideDims)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact), "bucketed pairs must be a recall-trading subset")
+    assert(exact.nonEmpty)
+  }
+
   test("B36 dedup_span_coverage == independent raw-gram computation") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
