@@ -1417,7 +1417,7 @@ object FusionQueries {
     * kernel's loop (r14 review: this def existed in three identical
     * local copies — one drifting copy would silently desynchronize an
     * oracle family's arithmetic). */
-  private def pqFold(vec: String, cw: String, subDim: Int, offset: Boolean): String = {
+  private[queries] def pqFold(vec: String, cw: String, subDim: Int, offset: Boolean): String = {
     val x = if (offset) s"$vec[cb.m*$subDim+i]" else s"$vec[i]"
     s"list_reduce(list_transform(range(1, ${subDim + 1}), " +
       s"i -> (($x - $cw[i]) * ($x - $cw[i]))), (a, b) -> a + b)"

@@ -478,6 +478,20 @@ object HybridQueries {
     })
   }
 
+  // base-half WIDE index for the streaming wide append entry (C58f) —
+  // the ensureHnswBase construction over the derived 2048-d frame
+  private val hnswWideBaseFor = scala.collection.mutable.Map.empty[String, String]
+  private[queries] def ensureHnswWideBase(s: SparkSession, dir: String): String = synchronized {
+    hnswWideBaseFor.getOrElseUpdate(dir, {
+      val path = graft.TmpDirs.path("hnsw_wide_base_" + dirKey(dir))
+      Hnsw.buildAndWrite(
+        wideEmb(emb(s, dir)).filter(col("vec_id") < IvfAppendSplit)
+          .select("vec_id", "embedding"),
+        path, dims = WideDims, numParts = 8)
+      path
+    })
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A14: IVF index build — per-cluster centroids, one shuffle on (label,dim)
     "ivf_build" -> ((s, dir) =>

@@ -448,6 +448,74 @@ object StreamingQueries {
         "sq_ivf_ingest", "append")
     }),
 
+    // C58d: the streaming IVF ingest at the REFERENCE width — the ingest
+    // side of the width story (the serve family is width-gated; a
+    // production stream also WRITES at the width the encoder emits):
+    // wide centroids from the wide batch base compile into the
+    // NearestCentroid kernel (10×2048 literal state), arriving rows
+    // widen INLINE (WidenVec) and assign in the same stateless narrow
+    // projection — no watermark, no state store. Stream ≡ the A30d
+    // batch assignment (the oracle IS knn_ivf_append_2048's).
+    "streaming_ivf_ingest_2048" -> ((s, dir) => {
+      val wBase = HybridQueries.wideEmbeddings(s, dir)
+        .join(Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+        .filter(col("vec_id") < HybridQueries.IvfAppendSplit)
+      val cent = Ivf.centroids(wBase)
+      runToTable(s,
+        Ivf.assignToNearest(
+          readStreamTable(s, dir, "embeddings")
+            .filter(col("vec_id") >= HybridQueries.IvfAppendSplit)
+            .select(col("vec_id"),
+              graft.functions.vectors.widen(col("embedding"), 64,
+                HybridQueries.WideDims).as("embedding")), cent)
+          .select(col("vec_id"), col("label").cast("long").as("label"), col("d")),
+        "sq_ivf_ingest_2048", "append")
+    }),
+
+    // C58e: the streaming PQ encode at width — the live tier writing the
+    // 16 B/row wide code table the width serves (C66e/C66f/C66g/C66h)
+    // scan: the wide seeded codebook (16×128) compiles into PqNearestCode,
+    // arriving rows widen INLINE and encode in one stateless narrow
+    // projection — every arriving 8 KB wide vector leaves as 16 bytes.
+    "streaming_pq_ingest_2048" -> ((s, dir) => {
+      val (numSub, subDim) = (16, 128)
+      val cbRows = Pq.seededCodebook(HybridQueries.wideEmbeddings(s, dir),
+        numSub = numSub, subDim = subDim, numCodes = 64).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      runToTable(s,
+        Pq.encodeFast(
+          readStreamTable(s, dir, "embeddings")
+            .filter(col("vec_id") >= HybridQueries.IvfAppendSplit)
+            .select(col("vec_id"),
+              graft.functions.vectors.widen(col("embedding"), 64,
+                HybridQueries.WideDims).cast("array<double>").as("v")),
+          cbRows, numSub = numSub, subDim = subDim),
+        "sq_pq_ingest_2048", "append")
+    }),
+
+    // C58f: the streaming HNSW append at width — stream-ingested wide
+    // delta + the persisted wide base ≡ a full fresh wide build ≡ exact
+    // at the saturating beam (the ascending-id append identity), so the
+    // wide brute-force oracle replays the answer. Self-hit included
+    // (query 6 is a base row).
+    "streaming_hnsw_append_2048" -> ((s, dir) => {
+      val basePath = HybridQueries.ensureHnswWideBase(s, dir)
+      val delta = runToTable(s,
+        readStreamTable(s, dir, "embeddings")
+          .filter(col("vec_id") >= HybridQueries.IvfAppendSplit)
+          .select(col("vec_id"),
+            graft.functions.vectors.widen(col("embedding"), 64,
+              HybridQueries.WideDims).as("embedding")),
+        "sq_hnsw_append_2048", "append")
+      val qRows = HybridQueries.wideEmbeddings(s, dir)
+        .filter(col("vec_id") === 6).select("embedding").collect()
+      require(qRows.nonEmpty,
+        "streaming_hnsw_append_2048: query id 6 absent from the corpus — " +
+          "the gate would pass vacuously on two empty frames")
+      val qv = qRows.head.getSeq[Float](0).toArray
+      Hnsw.searchAppended(s, basePath, delta, numParts = 8, qv, 10, ef = 0)
+    }),
+
     // C69c: the HLL cardinality cube MAINTAINED as a stream — C69's
     // mergeability claim made live: the complete-mode state IS the
     // per-(source, lang, bucket) register table (≤ G·256 rows forever —
@@ -1419,6 +1487,49 @@ object StreamingQueries {
            |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= $split)
            |SELECT vec_id, CAST(label AS BIGINT) AS label, d FROM a WHERE rn = 1""".stripMargin
       },
+
+      // C58d: stateless wide assignment stream ≡ the A30d batch
+      // assignment — the oracle IS knn_ivf_append_2048's (same arriving
+      // ids, same wide centroids, same scaled-L2 argmin)
+      "streaming_ivf_ingest_2048" -> HybridQueries.oracle("knn_ivf_append_2048"),
+
+      // C58e: the C58c encode replay at width — the wide cb/enc CTEs
+      // (pqFold, the binder-safe 128-dim form) restricted to arriving
+      // ids, pivoted to the kernel's (vec_id, code_0…code_15) layout
+      "streaming_pq_ingest_2048" -> {
+        val (numSub, subDim, numCodes) = (16, 128, 64)
+        val codeCols = (0 until numSub).map(m =>
+          s"  CAST(max(CASE WHEN m = $m THEN code END) AS BIGINT) AS code_$m")
+          .mkString(",\n")
+        s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+           |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+           |cb AS (SELECT m.m AS m, e.vec_id AS code,
+           |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS cw
+           |  FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id < $numCodes),
+           |body AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide
+           |         WHERE vec_id >= ${HybridQueries.IvfAppendSplit}),
+           |enc0 AS (SELECT b.vec_id, cb.m, cb.code,
+           |  CAST(floor(${FusionQueries.pqFold("b.v", "cb.cw", subDim, offset = true)} * 10000.0) AS BIGINT) AS d
+           |  FROM body b CROSS JOIN cb),
+           |dmin AS (SELECT vec_id, m, min(d) AS d0 FROM enc0 GROUP BY 1, 2),
+           |enc AS (SELECT e.vec_id, e.m, min(e.code) AS code
+           |        FROM enc0 e JOIN dmin ON e.vec_id = dmin.vec_id AND e.m = dmin.m AND e.d = dmin.d0
+           |        GROUP BY 1, 2)
+           |SELECT vec_id,
+           |$codeCols
+           |FROM enc GROUP BY vec_id""".stripMargin
+      },
+
+      // C58f: wide stream-ingested delta + persisted wide base == full
+      // fresh wide build == exact (saturating beam); self-hit included
+      "streaming_hnsw_append_2048" ->
+        s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+           |    ${HybridQueries.wideDuck} AS embedding FROM embeddings)
+           |SELECT e.vec_id,
+           |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]),
+           |    CAST(q.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
+           |FROM wide e CROSS JOIN (SELECT embedding FROM wide WHERE vec_id = 6) q
+           |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin,
 
       // batch sessionization minus each user's LAST session (the stream's
       // still-open tail) — same gap/window CTEs as events_sessionize

@@ -440,6 +440,61 @@ class StreamingQueriesSpec extends SparkSpec {
       "only arriving ids are encoded")
   }
 
+  test("streaming_pq_ingest_2048 equals the batch wide encode of the arriving ids") {
+    // C58e: the C58c pin at width — same wide codebook, same kernel,
+    // arriving rows widened inline in the stream projection
+    import graft.operators.Pq
+    val streamed = run("streaming_pq_ingest_2048").collect()
+      .map(r => (0 to 16).map(r.getLong).toList).toSet
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+    val cbRows = Pq.seededCodebook(w, 16, 128, 64).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val batch = Pq.encodeFast(
+      w.filter(col("vec_id") >= 400)
+        .selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
+      cbRows, 16, 128)
+      .collect().map(r => (0 to 16).map(r.getLong).toList).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.forall(_.head >= 400L),
+      "only arriving ids are encoded")
+  }
+
+  test("streaming_ivf_ingest_2048 equals the batch wide nearest-centroid assignment") {
+    // C58d: the C58 pin at width — wide base centroids, inline widen,
+    // one output row per arriving vector
+    val streamed = run("streaming_ivf_ingest_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+      .join(Tables(spark, dir, "embeddings").select("vec_id", "label"), "vec_id")
+    val cent = graft.operators.Ivf.centroids(w.filter(col("vec_id") < 400))
+    val batch = graft.operators.Ivf
+      .assignToNearest(w.filter(col("vec_id") >= 400).drop("label"), cent)
+      .select(col("vec_id"), col("label").cast("long"), col("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+    val arriving = w.filter(col("vec_id") >= 400).count()
+    assert(streamed.size.toLong == arriving)
+  }
+
+  test("streaming_hnsw_append_2048: streamed wide delta + persisted wide base equals exact") {
+    // C58f: the append ≡ fresh ≡ exact identity at width, saturating beam
+    val streamed = run("streaming_hnsw_append_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = w(6L)
+    def l2s(a: Array[Float], b: Array[Float]): Long = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      math.floor(math.sqrt(acc) * 10000 + 0.5).toLong
+    }
+    val expect = w.toSeq.map { case (id, v) => (id, l2s(v, qv)) }
+      .sortBy { case (id, s) => (s, id) }.take(10)
+    assert(streamed == expect)
+  }
+
   test("streaming_cascade_serve equals the batch Hamming stage-1 ranking") {
     import graft.operators.Cascade
     val streamed = run("streaming_cascade_serve").collect()
