@@ -250,6 +250,11 @@ object FusionQueries {
   // corpus (16 dims keeps only 4/10; 32/64 keeps 7/10 at sf0.001)
   private val MrlDims = 32
   private val MrlShortlist = 64
+  // A38b: the published MRL shape — an 8× truncation of the 2048-d frame
+  // (prefixes of MRL-trained embeddings are semantically ordered; the
+  // derived-wide prefix covers every base dim with its lowest multipliers,
+  // so cluster structure survives — spec-measured recall ≥ 6/10)
+  private val MrlDims2048 = 256
 
   /** A39 late interaction: tokens per passage vector, vector dims, and the
     * query document whose passage multi-vector scores the corpus. */
@@ -929,6 +934,30 @@ object FusionQueries {
     "knn_matryoshka" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
         graft.functions.vectors.quantize(expr(s"slice(embedding, 1, $MrlDims)")).as("p16"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("p16").as("q16"), col("embedding").as("q_vec"))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("d16", expr(graft.functions.sqDistLongSql("p16", "q16")))
+        .orderBy(col("d16").asc, col("vec_id").asc).limit(MrlShortlist)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "d16")
+    }),
+
+    // A38b: Matryoshka at the REFERENCE width — the published MRL trade
+    // (Kusupati et al. 2022: prefix-truncate for the shortlist scan,
+    // full-width exact rerank after) at its real shape: the 256-slot
+    // prefix of a 2048-d embedding is an 8× cut of the scan arithmetic
+    // and, with a prefix-ordered column layout, 8× the I/O — at d=64 the
+    // 32-dim prefix was a toy ratio. Same integer-exact quantized
+    // squared-L2 shortlist cut (engine-reproducible), exact wide cosine
+    // rerank.
+    "knn_matryoshka_2048" -> ((s, dir) => {
+      val e = HybridQueries.wideEmbeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.vectors.quantize(
+            expr(s"slice(embedding, 1, $MrlDims2048)")).as("p16"))
       val q = e.filter(col("vec_id") === 0)
         .select(col("p16").as("q16"), col("embedding").as("q_vec"))
       e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
@@ -2044,6 +2073,23 @@ object FusionQueries {
            |    CAST(qp.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) DESC, c.label ASC
            |  LIMIT 2),
            |""".stripMargin),
+
+    // A38b: the A38 replay over the wide CTE at the 256-slot prefix
+    "knn_matryoshka_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  ${DuckDialect.quantizeVec(s"embedding[1:$MrlDims2048]")} AS p16 FROM wide),
+         |q AS (SELECT p16 AS q16, v AS q_vec FROM b WHERE vec_id = 0),
+         |short AS (SELECT b.vec_id, b.v,
+         |    CAST(list_sum(list_transform(range(1, ${MrlDims2048 + 1}),
+         |      i -> (b.p16[i] - q.q16[i]) * (b.p16[i] - q.q16[i]))) AS BIGINT) AS d16
+         |  FROM b CROSS JOIN q WHERE b.vec_id <> 0
+         |  ORDER BY d16 ASC, b.vec_id ASC LIMIT $MrlShortlist)
+         |SELECT s.vec_id,
+         |  CAST(floor(list_cosine_similarity(s.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s.d16
+         |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
 
     "knn_matryoshka" ->
       s"""WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,

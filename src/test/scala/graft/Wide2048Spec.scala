@@ -876,6 +876,25 @@ class Wide2048Spec extends SparkSpec {
     assert(rows == graft.queries.HybridQueries.RecallBeam2048Floors)
   }
 
+  test("knn_matryoshka_2048 reranks with exact wide scores; 256-slot prefix keeps recall") {
+    // A38b: the FusionSpec A38 pin at width — reranked scores must be
+    // the exact wide cosine, and the 8×-truncated shortlist must keep
+    // most of the exact top-10
+    import org.apache.spark.sql.functions.col
+    val e = HybridQueries.wideEmbeddings(spark, dir)
+    val exact = graft.operators.Knn.topK(
+      e.filter(col("vec_id") =!= 0).select("vec_id", "embedding"),
+      e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec")),
+      10, graft.operators.Knn.Cosine).select("vec_id", "score")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mrl = graft.queries.FusionQueries.defs("knn_matryoshka_2048")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mrl.length == 10)
+    mrl.filter(p => exact.contains(p._1)).foreach { case (id, s) => assert(exact(id) == s) }
+    assert(mrl.map(_._1).toSet.intersect(exact.keySet).size >= 6,
+      "256-of-2048-slot shortlist should keep most of the exact top-10")
+  }
+
   test("knn_ivf_append_2048 equals the plain-Scala wide assignment reconstruction") {
     // A30d: base centroids (per-label mean over the wide doubles, one
     // float round per dim — the knn_ivfpq_2048 reconstruction) and the
