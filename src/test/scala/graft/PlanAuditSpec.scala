@@ -514,6 +514,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("Exchange"), p.take(2000))
   }
 
+  test("knn_matryoshka_2048: prefix shortlist and wide rerank both TakeOrdered, zero hash shuffle") {
+    // A38b: width must not change the plan class — the 256-slot prefix
+    // scan and the exact 2048-d rerank stay map-side k-heaps into
+    // TakeOrdered with no corpus shuffle, exactly the d=64 shape
+    val p = plan("knn_matryoshka_2048")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(3000))
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"the wide compressed scan must not shuffle:\n${p.take(3000)}")
+  }
+
+  test("wide ivf assignment kernel (streaming_ivf_ingest_2048 map side): narrow, no join/shuffle") {
+    import org.apache.spark.sql.functions.col
+    // C58d rests on the same stateless-narrow contract at width: the
+    // 10×2048 centroid literal compiles into NearestCentroid, so the
+    // widened assignment must plan with no join and no exchange (width
+    // grows the kernel literal, never the plan)
+    val w = graft.queries.HybridQueries.wideEmbeddings(spark, dir)
+      .join(Tables(spark, dir, "embeddings").select("vec_id", "label"), "vec_id")
+    val cent = graft.operators.Ivf.centroids(w)
+    val p = graft.operators.Ivf
+      .assignToNearest(
+        Tables(spark, dir, "embeddings").select(col("vec_id"),
+          graft.functions.vectors.widen(col("embedding"), 64,
+            graft.queries.HybridQueries.WideDims).as("embedding")), cent)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(2000))
+    assert(!p.contains("Exchange"), p.take(2000))
+  }
+
   test("knn_refine_rerank: coarse cut via TakeOrdered, refine joins broadcast") {
     // the refine contract: the coarse SQ8 scan is the ONLY full corpus
     // pass (TakeOrderedAndProject cut, no global Sort), and the exact
