@@ -162,8 +162,13 @@ object Ivf {
     * is invisible in the row schema once partition values are folded
     * back in. The sidecar records it: `_graft_meta` (underscore-prefixed,
     * so corpus readers listing `path` ignore it) holds one
-    * (schema_version, cluster_col) row written atomically after the
-    * layout. Any layout-convention change MUST bump this constant
+    * (schema_version, cluster_col) row written immediately after the
+    * layout — the two writes are separate parquet commits, NOT one atomic
+    * unit (ADVICE r16), so the contract is direction-safe instead: a
+    * layout whose sidecar is missing or unreadable is REFUSED by
+    * [[readProbed]], never served on a guessed convention. A crash
+    * between the two commits therefore yields a loud rebuild message,
+    * not a wrong pruning. Any layout-convention change MUST bump this constant
     * (PqExportContractSpec pins it) and readers refuse a mismatched
     * vintage or a foreign partition column loudly instead of pruning on
     * the wrong key. */
@@ -188,7 +193,37 @@ object Ivf {
     * row-level scan predicate) or prune wrongly. */
   def readProbed(spark: org.apache.spark.sql.SparkSession, path: String,
                  probedClusters: Seq[Int], clusterCol: String = "label"): DataFrame = {
-    val meta = spark.read.parquet(s"$path/_graft_meta").collect()
+    // a pre-contract layout has no sidecar at all and would otherwise
+    // surface as a raw path-does-not-exist AnalysisException (ADVICE
+    // r16) — rethrow with the contract's rebuild instruction instead
+    val metaDf =
+      try spark.read.parquet(s"$path/_graft_meta")
+      catch {
+        case e: org.apache.spark.sql.AnalysisException =>
+          throw new IllegalArgumentException(
+            s"ivf clustered read: layout at $path carries no readable " +
+              "_graft_meta sidecar — it predates the export contract (or " +
+              "the sidecar write was lost mid-rebuild); rebuild with " +
+              "writeClustered", e)
+      }
+    // pin the exact column set and read fields BY NAME (ADVICE r16: the
+    // positional getInt(0)/getString(1) form would misread — or throw an
+    // opaque ClassCastException on — a foreign or column-reordered meta
+    // file instead of refusing with the contract message)
+    require(metaDf.columns.sameElements(Array("schema_version", "cluster_col")),
+      s"ivf clustered read: _graft_meta at $path has columns " +
+        s"${metaDf.columns.mkString(",")}, the schema_version-$SchemaVersion " +
+        "contract writes schema_version,cluster_col — rebuild with " +
+        "writeClustered")
+    require(metaDf.schema("schema_version").dataType ==
+        org.apache.spark.sql.types.IntegerType &&
+      metaDf.schema("cluster_col").dataType ==
+        org.apache.spark.sql.types.StringType,
+      s"ivf clustered read: _graft_meta at $path has types " +
+        s"${metaDf.schema.map(_.dataType.simpleString).mkString(",")}, the " +
+        "contract writes (int, string) — a foreign sidecar cannot be " +
+        "trusted for pruning; rebuild with writeClustered")
+    val meta = metaDf.select(col("schema_version"), col("cluster_col")).collect()
     require(meta.length == 1,
       s"ivf clustered read: layout at $path carries ${meta.length} meta rows, " +
         "expected exactly one — rebuild with writeClustered")

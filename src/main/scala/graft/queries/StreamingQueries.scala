@@ -198,17 +198,25 @@ object StreamingQueries {
     * matches nothing would empty BOTH the sink table and its oracle, and
     * the hash gate would pass while checking nothing. The stream side
     * can't be collected before it runs, so the guard runs on the STATIC
-    * batch view of the same parquet source — one bounded limit(1).count()
-    * with the filter pushed to the scan, before the stream starts
-    * (mirroring requireQueriesPresent). Threaded through EVERY serving
-    * stream, not just the width entries the advice named. */
+    * batch view of the same parquet source — one bounded count with the
+    * filter pushed to the scan, before the stream starts. ADVICE r16
+    * upgrade, mirroring the batch-side requireQueriesPresent's
+    * exact-count contract: the serve families' query file is the FIXED
+    * 8-id set `vec_id < 8`, and a partially absent file (say 5 of 8
+    * qids) would silently shrink the gate on both entry and oracle
+    * sides, so the guard pins == 8, not merely non-empty. Threaded
+    * through EVERY serving stream. */
+  private val StreamServeQueryCount = 8L
   private def requireStreamQueriesPresent(s: SparkSession, dir: String,
-                                          who: String): Unit =
-    require(Tables(s, dir, "embeddings").filter(col("vec_id") < 8)
-        .limit(1).count() >= 1,
-      s"$who: no embeddings row matches the serve's vec_id < 8 query " +
-        "filter — the stream and its oracle would both be empty and the " +
-        "gate would pass vacuously")
+                                          who: String): Unit = {
+    val n = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") < StreamServeQueryCount).count()
+    require(n == StreamServeQueryCount,
+      s"$who: $n of $StreamServeQueryCount expected embeddings rows match " +
+        "the serve's vec_id < 8 query filter — a shrunken query file would " +
+        "gate fewer rows on both entry and oracle sides (empty would pass " +
+        "vacuously); regenerate the corpus")
+  }
 
   /** C71's streamed cascade stage-1 (static sign-code index, arriving
     * queries, complete-mode per-q_id heap) run to its sink table — shared

@@ -107,4 +107,41 @@ class PqExportContractSpec extends SparkSpec {
     assert(e2.getMessage.contains("schema_version"), e2.getMessage)
     assert(Ivf.SchemaVersion === 1)
   }
+
+  test("clustered sidecar refusals name the contract, not a raw IO error (ADVICE r16)") {
+    val emb = Tables(spark, dir, "embeddings")
+    val s2 = spark
+    import s2.implicits._
+    // (a) a pre-contract layout — clustered parquet, NO sidecar at all —
+    // must refuse with the rebuild instruction, not surface the reader's
+    // raw path-does-not-exist AnalysisException
+    val p1 = TmpDirs.wiped("ivf_contract_nosidecar")
+    emb.write.partitionBy("label").parquet(p1)
+    val e1 = intercept[IllegalArgumentException] {
+      Ivf.readProbed(spark, p1, Seq(3))
+    }
+    assert(e1.getMessage.contains("writeClustered"), e1.getMessage)
+    // (b) a column-reordered / foreign sidecar must hit the by-name
+    // column pin, never a positional ClassCastException or a silent
+    // misread of (cluster_col, schema_version) as (version, column)
+    val p2 = TmpDirs.wiped("ivf_contract_reordered")
+    Ivf.writeClustered(emb, p2)
+    Seq(("label", Ivf.SchemaVersion)).toDF("cluster_col", "schema_version")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p2/_graft_meta")
+    val e2 = intercept[IllegalArgumentException] {
+      Ivf.readProbed(spark, p2, Seq(3))
+    }
+    assert(e2.getMessage.contains("contract writes schema_version,cluster_col"),
+      e2.getMessage)
+    // (c) right names, foreign types (a string version from a hand-rolled
+    // sidecar) — refused by the type pin
+    val p3 = TmpDirs.wiped("ivf_contract_badtypes")
+    Ivf.writeClustered(emb, p3)
+    Seq(("1", "label")).toDF("schema_version", "cluster_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$p3/_graft_meta")
+    val e3 = intercept[IllegalArgumentException] {
+      Ivf.readProbed(spark, p3, Seq(3))
+    }
+    assert(e3.getMessage.contains("(int, string)"), e3.getMessage)
+  }
 }
