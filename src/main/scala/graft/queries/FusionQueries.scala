@@ -125,6 +125,29 @@ object FusionQueries {
       })
     }
 
+  /** A52: the CONSUMER-proven export hand-off (r16 verdict next #5 — the
+    * Pq SchemaVersion contract was producer-gated only: the engine's own
+    * restore path validated what the engine wrote, but nothing proved an
+    * EXTERNAL engine could serve from the artifacts). The artifacts
+    * persist at a FIXED path under target/ — NOT the per-process TmpDirs
+    * root, which is deleted at JVM exit: the DuckDB oracle (standing in
+    * for the external serving engine BASELINE.json's charter names) runs
+    * AFTER this JVM's Verify pass and `read_parquet`s the very files the
+    * engine wrote. Rebuilt whenever the (JVM, sfDir) pair changes so a
+    * scale switch never serves a stale corpus' artifacts; within one
+    * run the build happens once and every serve is restore-only. */
+  private[queries] val PqConsumerPath = "/root/repo/target/pq_consumer_2048/index"
+  private var pqConsumerBuiltFor: Option[String] = None
+  private def ensurePqConsumerExport(s: SparkSession, dir: String): String =
+    synchronized {
+      if (!pqConsumerBuiltFor.contains(dir)) {
+        Pq.buildAndWriteIndex(HybridQueries.wideEmbeddings(s, dir),
+          PqConsumerPath, numSub = 16, subDim = 128, numCodes = 64)
+        pqConsumerBuiltFor = Some(dir)
+      }
+      PqConsumerPath
+    }
+
   // A43c recall sweep: stage-1 widths of the funnel's recall/width curve
   private val CascWidths = Seq(25, 50, 100, 200)
 
@@ -530,6 +553,28 @@ object FusionQueries {
       val path = ensurePqWideIndex(s, dir)
       Pq.searchPersisted(s, path, HybridQueries.wideEmbeddings(s, dir),
         qid = 9, k = 10, numSub = 16, subDim = 128, shortlist = 100)
+    }),
+
+    // A52: the export contract proven FROM THE CONSUMER SIDE at the
+    // reference width. The engine builds + serves exactly as A21h
+    // (restore codebook, scan stored codes, rerank ≤100 raw rows) — but
+    // from the FIXED export path, and the ORACLE is the consumer: DuckDB
+    // `read_parquet`s the persisted codebook and code table directly (no
+    // re-encode, no replayed training — the artifacts ARE its inputs),
+    // derives the query's ADC table from the STORED codewords, ranks the
+    // STORED codes, and reranks over the corpus. Scope is honest and
+    // deliberate: artifact CORRECTNESS (stored ≡ freshly-trained) is
+    // A21h's fresh-pipeline oracle; THIS oracle pins that the on-disk
+    // layout alone suffices for an external engine to reproduce the
+    // serve bit-for-bit — the hand-off BASELINE.json's charter names.
+    // The oracle's cb CTE is vintage-GATED (schema_version must match on
+    // every row): tampered or foreign-vintage artifacts empty the
+    // consumer's codebook, the serve returns zero rows, and the gate
+    // goes RED — refusal on the consumer path is observable, not silent.
+    "knn_pq_consumer_restore_2048" -> ((s, dir) => {
+      val path = ensurePqConsumerExport(s, dir)
+      Pq.searchPersisted(s, path, HybridQueries.wideEmbeddings(s, dir),
+        qid = 7, k = 10, numSub = 16, subDim = 128, shortlist = 100)
     }),
 
     // A21i: incremental ADD to the persisted WIDE index — the add_items
@@ -1586,6 +1631,41 @@ object FusionQueries {
     // pipeline at query id 9 replays build+store+restore+serve verbatim
     // (longs and the FLOAT wide vectors round-trip parquet exactly)
     "knn_pq_persisted_2048" -> pqOracleSql2048(qid = 9),
+
+    // A52: the CONSUMER oracle — DuckDB restores the persisted artifacts
+    // themselves (read_parquet over the fixed export path; written by
+    // this Verify pass before any oracle runs) instead of replaying
+    // training: cb is the stored codebook vintage-gated on
+    // schema_version, enc unpivots the stored 16-bytes-per-row code
+    // table, and only the ADC table + rerank are computed. A tampered
+    // vintage empties cb → zero rows → red gate (observable refusal).
+    "knn_pq_consumer_restore_2048" -> {
+      val (numSub, subDim, qid) = (16, 128, 7)
+      val fold = pqFold("q.qsub", "cb.cw", subDim, offset = false)
+      val codeCase = (0 until numSub).map(m => s"WHEN $m THEN code_$m").mkString(" ")
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |cbf AS (SELECT * FROM read_parquet('$PqConsumerPath/codebook/*.parquet')),
+         |cb AS MATERIALIZED (SELECT m, code, cw FROM cbf
+         |  WHERE (SELECT count(*) FROM cbf WHERE schema_version <> ${graft.operators.Pq.SchemaVersion}) = 0),
+         |enc AS (SELECT vec_id, m.m AS m, CASE m.m $codeCase END AS code
+         |  FROM read_parquet('$PqConsumerPath/codes/*.parquet'),
+         |       (SELECT unnest(range($numSub)) AS m) m
+         |  WHERE vec_id <> $qid),
+         |q AS (SELECT m.m AS m,
+         |    (CAST(e.embedding AS DOUBLE[]))[m.m*$subDim+1 : m.m*$subDim+$subDim] AS qsub
+         |      FROM wide e, (SELECT unnest(range($numSub)) AS m) m WHERE e.vec_id = $qid),
+         |adc AS (SELECT cb.m, cb.code,
+         |  CAST(floor($fold * 10000.0) AS BIGINT) AS td
+         |  FROM cb JOIN q ON cb.m = q.m),
+         |short AS (SELECT enc.vec_id FROM enc JOIN adc ON enc.m = adc.m AND enc.code = adc.code
+         |          GROUP BY enc.vec_id ORDER BY sum(adc.td) ASC, enc.vec_id ASC LIMIT 100)
+         |SELECT e.vec_id,
+         |  CAST(floor(list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q2.embedding AS DOUBLE[])) * 10000 + 0.5) AS BIGINT) AS score
+         |FROM wide e JOIN short USING (vec_id)
+         |CROSS JOIN (SELECT embedding FROM wide WHERE vec_id = $qid) q2
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 10""".stripMargin
+    },
 
     // A24d / A42e: the batch replays at the reference width — per-query
     // probe windows over the wide centroids, union-pruned bodies,

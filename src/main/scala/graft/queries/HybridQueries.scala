@@ -127,6 +127,18 @@ object HybridQueries {
                           pred: org.apache.spark.sql.Column, exclId: Long): DataFrame =
     passBitFrom(wideEmb(emb(s, dir)), s, dir, pred, exclId)
 
+  /** The wide frame re-joined with its cluster column — the Spark twin of
+    * the oracle-side `wideLabeledCtes` `wl` CTE: every IVF-family width
+    * gate (probe/centroid arithmetic at d=2048) reads
+    * (vec_id, 2048-slot embedding, label). The cluster ASSIGNMENT is data
+    * (the corpus's label column), not derived from the wide vectors, so
+    * the join is a narrow broadcast-free id join against the base scan. */
+  private def wideLabeled(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    wideEmb(e).join(e.select("vec_id", "label"), "vec_id")
+      .select("vec_id", "embedding", "label")
+  }
+
   /** The r13 vacuous-gate rule as ONE helper (r14 review: the guard was
     * hand-inlined into a single entry while its twins stayed unguarded):
     * a qid-parameterized entry whose query frame comes back empty would
@@ -178,51 +190,81 @@ object HybridQueries {
         Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L)),
       ("c3", MetaPredicate("n_chars" -> ("leq", 300)),
         Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L)))
-    val rows = classes.flatMap { case (cls, pred, qids) =>
-      // query vectors are driver-side model state (clustered_probe
-      // contract); queries stay IN the corpus — rank 1 is the self-hit
-      // on both sides, the persisted-serving convention
-      val qs = frame.filter(col("vec_id").isin(qids: _*))
-        .select(col("vec_id"), col("embedding")).collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
-        .sortBy(_._1)
+      .map { case (cls, pred, qids) =>
+        (cls, docs(s, dir).filter(pred).select(col("doc_id").as("vec_id")), qids)
+      }
+    recallCells(s, frame, path, classes, floors,
+      Seq("beam", "acorn", "post"), "recall_beam_matrix")
+  }
+
+  /** The per-(class, strategy) recall-floor cell body the evaluation
+    * matrices share (r17: recallBeamMatrix hardcoded its classes as
+    * docs-predicate pass sets, so the PIPELINE matrix — pass sets from
+    * the PARSED listing attributes, A50d — would have duplicated ~50
+    * lines): each class brings its own `passing` relation and query-id
+    * file; each requested strategy contributes one
+    * (cls, strategy, least(n_hit, floor)) row at the reference's real
+    * constants (ef=200, largeK=200, metaSearch=100 — acorn.py:150–162).
+    * Ground truths are lazy so a matrix that skips `beam` never pays the
+    * unfiltered exact pass; `acorn` and `post` share one filtered
+    * ground truth per class. Queries stay IN the corpus — rank 1 is the
+    * self-hit on both sides, the persisted-serving convention — and the
+    * collected query file is exact-count guarded (query vectors are
+    * driver-side model state, the clustered_probe contract). */
+  private def recallCells(s: SparkSession, frame: DataFrame, path: String,
+                          classes: Seq[(String, DataFrame, Seq[Long])],
+                          floors: Map[(String, String), Long],
+                          strategies: Seq[String], who: String): DataFrame = {
+    val rows = classes.flatMap { case (cls, passing, qids) =>
+      val qs = requireQueriesPresent(
+        frame.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+          .sortBy(_._1),
+        qids.length, s"$who class $cls")
       val qDf = frame.filter(col("vec_id").isin(qids: _*))
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val exactU = Knn.batchKnn(frame.select("vec_id", "embedding"), qDf, 10,
+      lazy val exactU = Knn.batchKnn(frame.select("vec_id", "embedding"), qDf, 10,
           Knn.L2, excludeSelf = false)
         .select("q_id", "vec_id").localCheckpoint(true)
-      val beamRow = Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
-        .select("q_id", "vec_id")
-        .join(exactU, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_hit"))
-        .select(lit(cls).as("cls"), lit("beam").as("strategy"),
-          least(col("n_hit"), lit(floors((cls, "beam")))).as("n_hit_floor"))
-      val passing = docs(s, dir).filter(pred).select(col("doc_id").as("vec_id"))
-      val exactF = Knn.batchKnn(
+      lazy val exactF = Knn.batchKnn(
           frame.select("vec_id", "embedding").join(passing, "vec_id"),
           qDf, 10, Knn.L2, excludeSelf = false)
         .select("q_id", "vec_id").localCheckpoint(true)
-      val acornRow = Hnsw.searchFilteredPersistedBatch(s, path, passing,
-          numParts = 8, qs, 10, metaSearch = 100, ef = 200, largeK = 200)
-        .select("q_id", "vec_id")
-        .join(exactF, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_hit"))
-        .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
-          least(col("n_hit"), lit(floors((cls, "acorn")))).as("n_hit_floor"))
-      // post-filter baseline (post-filter.py): unfiltered top-largeK
-      // beam, predicate applied afterwards, best 10 survivors per query
-      val postRow = Hnsw.searchPersistedBatch(s, path, qs, 200, ef = 200)
-        .join(passing, Seq("vec_id"))
-        .groupBy("q_id")
-        .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
-          asc = true).as("hits"))
-        .select(col("q_id"), explode(col("hits")).as("hit"))
-        .select(col("q_id"), col("hit.id").as("vec_id"))
-        .join(exactF, Seq("q_id", "vec_id"))
-        .agg(count(lit(1)).as("n_hit"))
-        .select(lit(cls).as("cls"), lit("post").as("strategy"),
-          least(col("n_hit"), lit(floors((cls, "post")))).as("n_hit_floor"))
-      Seq(beamRow, acornRow, postRow)
+      strategies.map {
+        case "beam" =>
+          Hnsw.searchPersistedBatch(s, path, qs, 10, ef = 200)
+            .select("q_id", "vec_id")
+            .join(exactU, Seq("q_id", "vec_id"))
+            .agg(count(lit(1)).as("n_hit"))
+            .select(lit(cls).as("cls"), lit("beam").as("strategy"),
+              least(col("n_hit"), lit(floors((cls, "beam")))).as("n_hit_floor"))
+        case "acorn" =>
+          Hnsw.searchFilteredPersistedBatch(s, path, passing,
+              numParts = 8, qs, 10, metaSearch = 100, ef = 200, largeK = 200)
+            .select("q_id", "vec_id")
+            .join(exactF, Seq("q_id", "vec_id"))
+            .agg(count(lit(1)).as("n_hit"))
+            .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
+              least(col("n_hit"), lit(floors((cls, "acorn")))).as("n_hit_floor"))
+        // post-filter baseline (post-filter.py): unfiltered top-largeK
+        // beam, predicate applied afterwards, best 10 survivors per query
+        case "post" =>
+          Hnsw.searchPersistedBatch(s, path, qs, 200, ef = 200)
+            .join(passing, Seq("vec_id"))
+            .groupBy("q_id")
+            .agg(graft.functions.aggs.topK(col("score"), col("vec_id"), 10,
+              asc = true).as("hits"))
+            .select(col("q_id"), explode(col("hits")).as("hit"))
+            .select(col("q_id"), col("hit.id").as("vec_id"))
+            .join(exactF, Seq("q_id", "vec_id"))
+            .agg(count(lit(1)).as("n_hit"))
+            .select(lit(cls).as("cls"), lit("post").as("strategy"),
+              least(col("n_hit"), lit(floors((cls, "post")))).as("n_hit_floor"))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$who: unknown recall-matrix strategy '$other'")
+      }
     }
     rows.reduce(_ union _)
   }
@@ -412,6 +454,35 @@ object HybridQueries {
     * oracle VALUES independent. */
   private[graft] val PipelineRecallFloors: Map[String, Long] = Map(
     "c1" -> 48L, "c2" -> 58L, "c3" -> 55L)
+
+  /** The pipeline evaluation's per-class query files — ONE copy shared by
+    * acorn_pipeline_recall (A50b) and the A50d strategy matrix so the
+    * acorn cells of both entries stay the SAME measurement (and the A50b
+    * floors stay valid for both). */
+  private[graft] val PipelineRecallQids: Seq[(String, Seq[Long])] = Seq(
+    "c1" -> Seq(3L, 7L, 13L, 17L, 23L, 29L, 31L, 37L),
+    "c2" -> Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L),
+    "c3" -> Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L))
+
+  /** A50d floors — the README §3 table THROUGH the parsed pipeline:
+    * acorn cells reuse the A50b measurement (same index, pass sets,
+    * queries, constants — [[PipelineRecallFloors]], one copy); post
+    * cells measured tri-scale over the parsed-attr pass sets (§8t:
+    * c1 73/77/74, c2 80/80/80, c3 80/80/80 — the post-filter dip bites
+    * only on the selective class-1 brand predicate, and its measured
+    * values COINCIDE with the A48 post row's c1 because the parsed
+    * brand attribute equals `source` wherever it is present — the
+    * parse-composition consistency the matrix is meant to pin). Floors
+    * sit under the tri-scale min with the A48 margins (c1 68, c2/c3 76
+    * — deliberately the same constants as RecallBeam2048Floors' post
+    * row); the oracle VALUES stays an independent replica by design. */
+  private[graft] val PipelineMatrixFloors: Map[(String, String), Long] = Map(
+    ("c1", "acorn") -> PipelineRecallFloors("c1"),
+    ("c2", "acorn") -> PipelineRecallFloors("c2"),
+    ("c3", "acorn") -> PipelineRecallFloors("c3"),
+    ("c1", "post") -> 68L,
+    ("c2", "post") -> 76L,
+    ("c3", "post") -> 76L)
 
   /** The A15b ABO-shaped JSONL synthesis (nested value-structs, optional
     * brand, optional other_image_id), deterministic from `documents` —
@@ -1272,11 +1343,7 @@ object HybridQueries {
       val attrs = parsedListingAttrs(s, dir)
       val path = ensureHnswWideIndex(s, dir)
       val w = wideEmb(emb(s, dir))
-      val classes = Seq(
-        ("c1", Seq(3L, 7L, 13L, 17L, 23L, 29L, 31L, 37L)),
-        ("c2", Seq(41L, 43L, 47L, 53L, 59L, 61L, 67L, 71L)),
-        ("c3", Seq(73L, 79L, 83L, 89L, 97L, 101L, 103L, 107L)))
-      classes.map { case (cls, qids) =>
+      PipelineRecallQids.map { case (cls, qids) =>
         val passing = attrs.filter(pipelineClassPred(cls)).select("vec_id")
         require(passing.limit(1).count() >= 1,
           s"acorn_pipeline_recall: class $cls predicate matches no parsed " +
@@ -1301,6 +1368,82 @@ object HybridQueries {
           .select(lit(cls).as("cls"),
             least(col("n_hit"), lit(PipelineRecallFloors(cls))).as("n_hit_floor"))
       }.reduce(_ union _)
+    }),
+
+    // A50c: the capstone's STRATEGY MATRIX (r16 verdict next #2 — the
+    // reference's entire headline experiment is parse → embed → index →
+    // {pre, post, ACORN} per selectivity class, README §3's table +
+    // acorn.py `__main__`; A50 gated the composed pipeline's ACORN arm
+    // only). Per parsed-attribute class: `pre` = exact prefilter top-10
+    // over the passing set (the ground-truth strategy, computed by the
+    // ENGINE through the parse→attr→filter→scan composition and replayed
+    // independently by the oracle from raw documents); `acorn` = the
+    // saturated filtered walk over the ONE persisted wide index (exact ⇒
+    // must land on the SAME rows — the walk≡scan identity per class is
+    // itself the gate); `post` = the unfiltered wide top-50 filtered
+    // afterwards (post-filter.py), deterministic and replayed verbatim —
+    // on the selective classes it visibly returns the collapsed tail.
+    // All three at d=2048 over the parsed pass sets; queries stay in the
+    // corpus (the A50 convention).
+    "acorn_pipeline_e2e_2048" -> ((s, dir) => {
+      val attrs = parsedListingAttrs(s, dir)
+      val path = ensureHnswWideIndex(s, dir)
+      val w = wideEmb(emb(s, dir))
+      val classes = Seq(
+        ("c1", pipelineClassPred("c1"), 3L),
+        ("c2", pipelineClassPred("c2"), 11L),
+        ("c3", pipelineClassPred("c3"), 17L))
+      classes.map { case (cls, pred, qid) =>
+        val qRows = requireQueryPresent(w.filter(col("vec_id") === qid),
+          s"acorn_pipeline_e2e_2048 class $cls")
+        val qv = qRows.select("embedding").collect().head.getSeq[Float](0).toArray
+        val qDf = w.filter(col("vec_id") === qid).select(col("embedding").as("q_vec"))
+        val passing = attrs.filter(pred).select("vec_id")
+        require(passing.limit(1).count() >= 1,
+          s"acorn_pipeline_e2e_2048: class $cls predicate matches no parsed " +
+            "listings — its cells would gate vacuously")
+        val pre = Knn.topK(w.select("vec_id", "embedding").join(passing, "vec_id"),
+            qDf, 10, Knn.L2)
+          .select(lit(cls).as("cls"), lit("pre").as("strategy"),
+            col("vec_id"), col("score"))
+        val acorn = Hnsw.searchFilteredPersisted(s, path, passing, numParts = 8,
+            qv, 10, metaSearch = 0)
+          .select(lit(cls).as("cls"), lit("acorn").as("strategy"),
+            col("vec_id"), col("score"))
+        val post = Knn.topK(w.select("vec_id", "embedding"), qDf, 50, Knn.L2)
+          .join(passing, "vec_id")
+          .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+          .select(lit(cls).as("cls"), lit("post").as("strategy"),
+            col("vec_id"), col("score"))
+        pre.union(acorn).union(post)
+      }.reduce(_ union _)
+    }),
+
+    // A50d: the capstone recall TABLE at the realistic budget — README
+    // §3's per-class recall@10 numbers for BOTH approximate strategies
+    // THROUGH the parsed pipeline (r16 verdict next #2's "per-class
+    // recall@10" completes here: A50b gated the ACORN arm's floors; this
+    // adds the post-filter.py baseline over the SAME parsed pass sets,
+    // persisted wide index, query files, and real constants, so the
+    // reference's central claim — post collapses on the selective class
+    // while ACORN holds — is floor-pinned through the composition). The
+    // acorn cells are the SAME measurement as A50b (shared
+    // PipelineRecallQids + PipelineRecallFloors); `pre` is the ground
+    // truth itself (recall ≡ 80 by construction) and is deliberately not
+    // emitted as a row — asserting it would gate nothing.
+    "acorn_pipeline_recall_2048" -> ((s, dir) => {
+      val attrs = parsedListingAttrs(s, dir)
+      val path = ensureHnswWideIndex(s, dir)
+      val w = wideEmb(emb(s, dir))
+      val classes = PipelineRecallQids.map { case (cls, qids) =>
+        val passing = attrs.filter(pipelineClassPred(cls)).select("vec_id")
+        require(passing.limit(1).count() >= 1,
+          s"acorn_pipeline_recall_2048: class $cls predicate matches no " +
+            "parsed listings — its cells would gate vacuously")
+        (cls, passing, qids)
+      }
+      recallCells(s, w, path, classes, PipelineMatrixFloors,
+        Seq("acorn", "post"), "acorn_pipeline_recall_2048")
     }),
 
     // A15: JSONL metadata ingest — typed from_json (parse-json.py analogue)
@@ -1674,6 +1817,136 @@ object HybridQueries {
           .agg(count(lit(1)).as("n_ret"), count(col("_hit")).as("n_hit"))
           .select(lit(strat).as("strategy"), col("n_ret"), col("n_hit"))
       }.reduce(_ union _)
+    }),
+
+    // A13d: the README §3 recall-collapse table AT THE REFERENCE WIDTH
+    // (r16 verdict next #3 — the reference's central empirical claim is
+    // measured at the d=2048 it builds, README.md:229–232; A13b gated the
+    // post-vs-hybrid collapse only over the 64-d frame): per selectivity
+    // class, post-filter and IVF-hybrid recall vs the exact PRE-FILTER
+    // ground truth, every distance/centroid/probe at d=2048 over the
+    // wide labeled frame. Both strategies are fully deterministic, so
+    // n_ret/n_hit are COMPUTED on both sides (no floors) — the expected
+    // shape (post collapses on the selective class, hybrid holds) is
+    // hash-gated via the honest counts.
+    "recall_filtered_2048" -> ((s, dir) => {
+      val all = wideLabeled(s, dir)
+      val e = all.filter(col("vec_id") =!= 11)
+      val q = requireQueryPresent(all.filter(col("vec_id") === 11),
+          "recall_filtered_2048")
+        .select(col("embedding").as("q_vec"))
+      val d = docs(s, dir)
+      val classes = Seq(
+        ("class1_selective",
+          MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))),
+        ("class2_mid", MetaPredicate("lang" -> ("exact", "zh"))),
+        ("class3_broad", MetaPredicate("n_chars" -> ("leq", 400))))
+      // the wide centroid table is class-independent: ONE wide per-label
+      // mean pass (the A13b shape at 32× the vector bytes), materialized
+      val cent = Ivf.centroids(e).localCheckpoint(true)
+      classes.map { case (cls, pred) =>
+        val exact = Knn.prefilterKnn(e, d, pred, q, 10, Knn.Cosine).select("vec_id")
+          .localCheckpoint(true)
+        val strategies = Seq(
+          "post" -> Knn.postfilterKnn(e, d, pred, q, 10, 50, Knn.Cosine).select("vec_id"),
+          "hybrid" -> Ivf.searchProbed(cent, e, d, pred, q, 10, 2, Knn.Cosine,
+            "vec_id", "doc_id", "embedding", "label").select("vec_id"))
+        strategies.map { case (strat, approx) =>
+          approx.join(exact.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+            .agg(count(lit(1)).as("n_ret"), count(col("_hit")).as("n_hit"))
+            .select(lit(cls).as("cls"), lit(strat).as("strategy"),
+              col("n_ret"), col("n_hit"))
+        }.reduce(_ union _)
+      }.reduce(_ union _)
+    }),
+
+    // A13e: the graph-native collapse row at width (A13c × d=2048): the
+    // saturated ACORN walk over the wide pass-bit corpus vs the
+    // post-filter baseline on the class-1 selective predicate, both
+    // scored against the exact wide pre-filter ground truth. The walk's
+    // beam/visit arithmetic pays 2048-term distances per hop — the d=64
+    // gate never exercises the wide walk's scoring path through the
+    // recall comparison.
+    "recall_hnsw_filtered_2048" -> ((s, dir) => {
+      val w = wideEmb(emb(s, dir))
+      val d = docs(s, dir)
+      val all = w.filter(col("vec_id") =!= 11).select("vec_id", "embedding")
+      val qRows = requireQueryPresent(w.filter(col("vec_id") === 11),
+        "recall_hnsw_filtered_2048")
+      val qDf = qRows.select(col("embedding").as("q_vec"))
+      val qv = qRows.select("embedding").collect().head.getSeq[Float](0).toArray
+      val pred = MetaPredicate("lang" -> ("exact", "zh"), "n_chars" -> ("<", 150))
+      val exact = Knn.prefilterKnn(all, d, pred, qDf, 10, Knn.L2).select("vec_id")
+        .localCheckpoint(true)
+      val strategies = Seq(
+        "acorn" -> Hnsw.searchFilteredPerPartition(widePassBit(s, dir, pred, 11),
+          qv, 10, metaSearch = 0).select("vec_id"),
+        "post" -> Knn.postfilterKnn(all, d, pred, qDf, 10, 50, Knn.L2).select("vec_id"))
+      strategies.map { case (strat, approx) =>
+        approx.join(exact.withColumn("_hit", lit(1)), Seq("vec_id"), "left")
+          .agg(count(lit(1)).as("n_ret"), count(col("_hit")).as("n_hit"))
+          .select(lit(strat).as("strategy"), col("n_ret"), col("n_hit"))
+      }.reduce(_ union _)
+    }),
+
+    // A11c: the attribute-restricted clustered index at width
+    // (acorn_attribute_specific.py:48–78 builds its attribute-specific
+    // index at d=2048): the index is built ONLY over attribute-present
+    // rows — membership is itself a filter — and probe/centroid/search
+    // arithmetic all run over the wide labeled sub-frame.
+    "attr_specific_knn_2048" -> ((s, dir) => {
+      val sub = wideLabeled(s, dir)
+        .join(docs(s, dir).filter(MetaPredicate("lang" -> ("exact", "zh"))),
+          col("vec_id") === col("doc_id"))
+        .select("vec_id", "embedding", "label")
+      val q = requireQueryPresent(
+          wideEmb(emb(s, dir)).filter(col("vec_id") === 7),
+          "attr_specific_knn_2048")
+        .select(col("embedding").as("q_vec"))
+      Ivf.hybridKnn(sub, docs(s, dir), col("doc_id") =!= 7, q, k = 5, nProbe = 2)
+        .select("vec_id", "score")
+    }),
+
+    // A11d: the graph-native attribute-specific form at width — the wide
+    // graph indexes ONLY attribute-present rows (n_chars present, the
+    // reference's model_year-subset convention) and the query-time
+    // class-3 predicate runs as the saturated ACORN walk over that
+    // narrower wide graph; k=3 like acorn_attribute_specific.py's
+    // query_metadata_class_3.
+    "attr_specific_knn_hnsw_2048" -> ((s, dir) => {
+      val w = wideEmb(emb(s, dir))
+      val qv = requireQueryPresent(w.filter(col("vec_id") === 9),
+          "attr_specific_knn_hnsw_2048")
+        .select("embedding").collect().head.getSeq[Float](0).toArray
+      val pred = MetaPredicate("n_chars" -> ("leq", 400), "lang" -> ("substring", "e"))
+      val corpus = w.filter(col("vec_id") =!= 9).select("vec_id", "embedding")
+        .join(docs(s, dir).filter(col("n_chars").isNotNull)
+            .select(col("doc_id"), pred.as("p0")),
+          col("vec_id") === col("doc_id"))
+        .select(col("vec_id"), col("embedding"),
+          coalesce(col("p0"), lit(false)).as("pass"))
+        .repartition(8, col("vec_id"))
+      Hnsw.searchFilteredPerPartition(corpus, qv, 3, metaSearch = 0)
+    }),
+
+    // A10c: the reference's adaptive widening loop AT THE REFERENCE WIDTH
+    // (r16 verdict next #6 — acorn.py:162's `while visits <= meta_search`
+    // doubling runs against the d=2048 index it builds; the loop's
+    // survivor counts, probe ranking, and final scoring are all
+    // width-dependent). Probe-1 genuinely fails on lang='fr' and the
+    // driver-side log2(C)-bounded loop widens until ≥ k survivors; the
+    // oracle replays the min-sufficient-probe choice over the wide
+    // centroid ranking, so the LOOP'S DECISION is hash-gated at width,
+    // not just the final rows.
+    "hybrid_knn_adaptive_2048" -> ((s, dir) => {
+      val all = wideLabeled(s, dir)
+      val q = requireQueryPresent(all.filter(col("vec_id") === 3),
+          "hybrid_knn_adaptive_2048")
+        .select(col("embedding").as("q_vec"))
+      Ivf.adaptiveHybridKnn(all, docs(s, dir),
+        MetaPredicate("lang" -> ("exact", "fr")) && (col("doc_id") =!= 3),
+        q, k = 10)
+        .select("vec_id", "score")
     })
   )
 
@@ -1946,6 +2219,48 @@ object HybridQueries {
          |${clsSql("c2", 11L, "a.color IS NOT NULL AND a.color = 'zh'")},
          |${clsSql("c3", 17L, "a.model_year IS NOT NULL AND a.model_year <= 2010")}
          |SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3""".stripMargin
+    },
+
+    // A50c: the composition replay per (class, strategy) — `pre` is the
+    // exact prefilter top-10 from raw documents (attribute derivation +
+    // predicate + wide vectors); `acorn` asserts the SAME rows (the
+    // saturated persisted walk is exact — walk ≡ scan is the gate);
+    // `post` replays the deterministic top-50-then-filter funnel
+    "acorn_pipeline_e2e_2048" -> {
+      val classes = Seq(
+        ("c1", 3L, "a.brand IS NOT NULL AND a.brand = 'src1'"),
+        ("c2", 11L, "a.color IS NOT NULL AND a.color = 'zh'"),
+        ("c3", 17L, "a.model_year IS NOT NULL AND a.model_year <= 2010"))
+      val classCtes = classes.map { case (cls, qid, pred) =>
+        s"""pre_$cls AS (SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+           |  FROM wide e JOIN attrs a USING (vec_id)
+           |  CROSS JOIN (SELECT w FROM wide WHERE vec_id = $qid) q
+           |  WHERE $pred
+           |  ORDER BY score ASC, e.vec_id ASC LIMIT 10),
+           |cand_$cls AS (SELECT e.vec_id, ${l2Sql("e.w", "q.w")} AS score
+           |  FROM wide e CROSS JOIN (SELECT w FROM wide WHERE vec_id = $qid) q
+           |  ORDER BY score ASC, e.vec_id ASC LIMIT 50),
+           |post_$cls AS (SELECT c.vec_id, c.score FROM cand_$cls c
+           |  JOIN attrs a USING (vec_id)
+           |  WHERE $pred
+           |  ORDER BY c.score ASC, c.vec_id ASC LIMIT 10)""".stripMargin
+      }.mkString(",\n")
+      val rows = classes.map { case (cls, _, _) =>
+        s"""SELECT '$cls' AS cls, 'pre' AS strategy, vec_id, score FROM pre_$cls
+           |UNION ALL
+           |SELECT '$cls' AS cls, 'acorn' AS strategy, vec_id, score FROM pre_$cls
+           |UNION ALL
+           |SELECT '$cls' AS cls, 'post' AS strategy, vec_id, score FROM post_$cls"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS w FROM embeddings),
+         |attrs AS (SELECT doc_id AS vec_id,
+         |  CASE WHEN doc_id % 5 <> 0 THEN coalesce(source, 'unknown') END AS brand,
+         |  coalesce(lang, 'und') AS color,
+         |  2000 + doc_id % 25 AS model_year
+         |  FROM documents),
+         |$classCtes
+         |$rows""".stripMargin
     },
 
     "recall_eval" ->
@@ -2542,6 +2857,17 @@ object HybridQueries {
         |FROM (VALUES ('c1', 48), ('c2', 58), ('c3', 55)
         |) t(cls, n_hit_floor)""".stripMargin,
 
+    // A50d: the pipeline matrix's literal floors — acorn cells are the
+    // A50b measurement (same configuration); post cells measured
+    // tri-scale over the parsed pass sets (§8t)
+    "acorn_pipeline_recall_2048" ->
+      """SELECT cls, strategy, CAST(n_hit_floor AS BIGINT) AS n_hit_floor
+        |FROM (VALUES
+        |  ('c1', 'acorn', 48), ('c1', 'post', 68),
+        |  ('c2', 'acorn', 58), ('c2', 'post', 76),
+        |  ('c3', 'acorn', 55), ('c3', 'post', 76)
+        |) t(cls, strategy, n_hit_floor)""".stripMargin,
+
     // attribute-specific graph: membership (attr present) AND the
     // query-time predicate both apply; saturated walk == exact
     "attr_specific_knn_hnsw" ->
@@ -2596,6 +2922,140 @@ object HybridQueries {
          |  (SELECT count(*) FROM exact) AS n_hit
          |UNION ALL
          |SELECT 'post' AS strategy, (SELECT count(*) FROM post) AS n_ret,
-         |  (SELECT count(*) FROM post JOIN exact USING (vec_id)) AS n_hit""".stripMargin
+         |  (SELECT count(*) FROM post JOIN exact USING (vec_id)) AS n_hit""".stripMargin,
+
+    // A13d: the A13b replay with every CTE at width — wide labeled frame,
+    // top-50 candidates by wide cosine, per-label 2048-slot centroids,
+    // probe-2 by wide cosine; per class the exact/post/hybrid counts are
+    // computed honestly on both sides
+    "recall_filtered_2048" -> {
+      val preds = Seq(
+        ("class1_selective",
+          "d.lang IS NOT NULL AND d.lang = 'zh' AND d.n_chars IS NOT NULL AND d.n_chars < 150"),
+        ("class2_mid", "d.lang IS NOT NULL AND d.lang = 'zh'"),
+        ("class3_broad", "d.n_chars IS NOT NULL AND d.n_chars <= 400"))
+      val classCtes = preds.zipWithIndex.map { case ((_, p), i) =>
+        s"""exact$i AS (
+           |  SELECT e.vec_id FROM e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+           |  WHERE $p ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id ASC LIMIT 10),
+           |post$i AS (
+           |  SELECT c.vec_id FROM cand c JOIN documents d ON d.doc_id = c.vec_id
+           |  WHERE $p ORDER BY c.score DESC, c.vec_id ASC LIMIT 10),
+           |hyb$i AS (
+           |  SELECT e.vec_id FROM e JOIN probes pr ON e.label = pr.label
+           |  JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+           |  WHERE $p ORDER BY ${cosSql("e.embedding", "q.embedding")} DESC, e.vec_id ASC LIMIT 10)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = preds.zipWithIndex.flatMap { case ((cls, _), i) =>
+        Seq(
+          s"""SELECT '$cls' AS cls, 'post' AS strategy,
+             |  (SELECT count(*) FROM post$i) AS n_ret,
+             |  (SELECT count(*) FROM post$i JOIN exact$i USING (vec_id)) AS n_hit""".stripMargin,
+          s"""SELECT '$cls' AS cls, 'hybrid' AS strategy,
+             |  (SELECT count(*) FROM hyb$i) AS n_ret,
+             |  (SELECT count(*) FROM hyb$i JOIN exact$i USING (vec_id)) AS n_hit""".stripMargin)
+      }.mkString("\nUNION ALL\n")
+      s"""WITH ${wideLabeledCtes}q AS (SELECT embedding FROM wide WHERE vec_id = 11),
+         |e AS MATERIALIZED (SELECT vec_id, embedding, label FROM wl WHERE vec_id <> 11),
+         |cand AS (
+         |  SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |  FROM e CROSS JOIN q ORDER BY score DESC, e.vec_id ASC LIMIT 50),
+         |cent AS (${DuckDialect.centSql("e", WideDims)}),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2),
+         |$classCtes
+         |$rows""".stripMargin
+    },
+
+    // A13e: the A13c replay at width — the 'acorn' row ASSERTS perfect
+    // filtered recall over the wide vectors (the saturated wide walk is
+    // exact); the 'post' row is computed honestly and collapses
+    "recall_hnsw_filtered_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings),
+         |q AS (SELECT embedding FROM wide WHERE vec_id = 11),
+         |e AS (SELECT vec_id, embedding FROM wide WHERE vec_id <> 11),
+         |exact AS (
+         |  SELECT e.vec_id FROM e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+         |  WHERE d.lang IS NOT NULL AND d.lang = 'zh'
+         |    AND d.n_chars IS NOT NULL AND d.n_chars < 150
+         |  ORDER BY ${l2Sql("e.embedding", "q.embedding")} ASC, e.vec_id ASC LIMIT 10),
+         |cand AS (
+         |  SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |  FROM e CROSS JOIN q ORDER BY score ASC, e.vec_id ASC LIMIT 50),
+         |post AS (
+         |  SELECT c.vec_id FROM cand c JOIN documents d ON d.doc_id = c.vec_id
+         |  WHERE d.lang IS NOT NULL AND d.lang = 'zh'
+         |    AND d.n_chars IS NOT NULL AND d.n_chars < 150
+         |  ORDER BY c.score ASC, c.vec_id ASC LIMIT 10)
+         |SELECT 'acorn' AS strategy, (SELECT count(*) FROM exact) AS n_ret,
+         |  (SELECT count(*) FROM exact) AS n_hit
+         |UNION ALL
+         |SELECT 'post' AS strategy, (SELECT count(*) FROM post) AS n_ret,
+         |  (SELECT count(*) FROM post JOIN exact USING (vec_id)) AS n_hit""".stripMargin,
+
+    // A11c: the attr_specific_knn replay at width — membership restricts
+    // the sub-frame, centroids/probes/scoring all over the 2048 slots
+    "attr_specific_knn_2048" ->
+      s"""WITH ${wideLabeledCtes}sub AS MATERIALIZED (
+         |  SELECT w.vec_id, w.embedding, w.label FROM wl w
+         |  JOIN documents d ON d.doc_id = w.vec_id
+         |  WHERE d.lang IS NOT NULL AND d.lang = 'zh'),
+         |cent AS (${DuckDialect.centSql("sub", WideDims)}),
+         |q AS (SELECT embedding FROM wide WHERE vec_id = 7),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2)
+         |SELECT s.vec_id, ${cosSql("s.embedding", "q.embedding")} AS score
+         |FROM sub s JOIN probes p ON s.label = p.label CROSS JOIN q
+         |WHERE s.vec_id <> 7
+         |ORDER BY score DESC, s.vec_id ASC LIMIT 5""".stripMargin,
+
+    // A11d: attribute-specific wide graph — membership (attr present) AND
+    // the query-time predicate both apply; the saturated wide walk == exact
+    "attr_specific_knn_hnsw_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id, $wideDuck AS embedding FROM embeddings)
+         |SELECT e.vec_id, ${l2Sql("e.embedding", "q.embedding")} AS score
+         |FROM wide e
+         |JOIN documents d ON d.doc_id = e.vec_id
+         |CROSS JOIN (SELECT embedding FROM wide WHERE vec_id = 9) q
+         |WHERE e.vec_id <> 9
+         |  AND d.n_chars IS NOT NULL
+         |  AND d.n_chars <= 400
+         |  AND d.lang IS NOT NULL AND position('e' IN d.lang) > 0
+         |ORDER BY score ASC, e.vec_id ASC LIMIT 3""".stripMargin,
+
+    // A10c: the adaptive-widening replay at width — the probe ranking,
+    // the per-level survivor counts, the min-sufficient-probe choice, and
+    // the final scoring all over the wide labeled frame; the chosen CTE
+    // hash-gates the LOOP'S DECISION at d=2048
+    "hybrid_knn_adaptive_2048" ->
+      s"""WITH ${wideLabeledCtes}q AS (SELECT embedding FROM wide WHERE vec_id = 3),
+         |cent AS (${DuckDialect.centSql("wl", WideDims)}),
+         |ranked AS (
+         |  SELECT c.label AS label, row_number() OVER (
+         |    ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC) AS pr
+         |  FROM cent c CROSS JOIN q),
+         |nc AS (SELECT count(*) AS n FROM cent),
+         |nps AS (
+         |  SELECT DISTINCT LEAST(p.v, nc.n) AS np
+         |  FROM (SELECT unnest([1,2,4,8,16,32,64,128,256,512,1024,2048,4096,
+         |                       8192,16384,32768,65536]) AS v) p CROSS JOIN nc),
+         |surv AS (
+         |  SELECT n.np AS np, count(*) AS cnt
+         |  FROM nps n JOIN ranked r ON r.pr <= n.np
+         |  JOIN wl e ON e.label = r.label
+         |  JOIN documents d ON d.doc_id = e.vec_id
+         |  WHERE d.lang IS NOT NULL AND d.lang = 'fr' AND d.doc_id <> 3
+         |  GROUP BY n.np),
+         |chosen AS (
+         |  SELECT COALESCE((SELECT min(np) FROM surv WHERE cnt >= 10),
+         |                  (SELECT max(np) FROM nps)) AS np)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM wl e JOIN ranked r ON e.label = r.label CROSS JOIN chosen ch
+         |JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+         |WHERE r.pr <= ch.np AND d.lang IS NOT NULL AND d.lang = 'fr' AND d.doc_id <> 3
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin
   )
 }
