@@ -76,6 +76,54 @@ class PqExportContractSpec extends SparkSpec {
     assert(e.getMessage.contains("schema_version"), e.getMessage)
   }
 
+  test("a consumer reproduces a serve from the artifacts alone — no graft restore path, no re-encode") {
+    // the A52 contract from the consumer side, in-process: plain
+    // spark.read.parquet over the two artifacts (exactly what an external
+    // engine sees), the documented consumer recipe — vintage-gate the
+    // codebook, derive the query's ADC table from the STORED codewords,
+    // rank the STORED codes, rerank the shortlist — must land on
+    // searchPersisted's rows bit-for-bit
+    val emb = Tables(spark, dir, "embeddings")
+    val qid = 9L
+    val expected = Pq.searchPersisted(spark, path, emb, qid = 9, k = 10,
+        numSub = 8, subDim = 8, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val cb = spark.read.parquet(s"$path/codebook")
+    // consumer-side vintage gate: every row must carry the expected version
+    assert(cb.filter(col("schema_version") =!= Pq.SchemaVersion).count() === 0L)
+    val codes = spark.read.parquet(s"$path/codes")
+    val qv = emb.filter(col("vec_id") === qid)
+      .selectExpr("CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    // ADC table from the STORED codewords (m, code, cw) × the query
+    val td = cb.crossJoin(qv).selectExpr("m", "code",
+      """CAST(floor(aggregate(
+        |  zip_with(slice(qv, m * 8 + 1, 8), cw, (a, b) -> (a - b) * (a - b)),
+        |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) * 10000.0) AS BIGINT) AS td"""
+        .stripMargin)
+    // unpivot the stored code table and rank by summed ADC — never
+    // touching raw vectors until the rerank page-in
+    val stackCols = (0 until 8).map(m => s"$m, code_$m").mkString(", ")
+    val short = codes.filter(col("vec_id") =!= qid)
+      .selectExpr("vec_id", s"stack(8, $stackCols) AS (m, code)")
+      .join(td, Seq("m", "code"))
+      .groupBy("vec_id").agg(sum("td").as("adist"))
+      .orderBy(col("adist").asc, col("vec_id").asc).limit(100)
+      .select("vec_id")
+    val consumer = emb.join(short, "vec_id").crossJoin(qv)
+      .selectExpr("vec_id",
+        """CAST(floor(sqrt(aggregate(
+          |  zip_with(CAST(embedding AS ARRAY<DOUBLE>), qv, (a, b) -> (a - b) * (a - b)),
+          |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)) * 10000 + 0.5) AS BIGINT) AS score"""
+          .stripMargin)
+      .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(consumer === expected)
+    // tampered vintage: the consumer's gate DETECTS it (the refusal path
+    // an engine without graft code still has)
+    val tampered = cb.withColumn("schema_version", lit(99))
+    assert(tampered.filter(col("schema_version") =!= Pq.SchemaVersion).count() > 0L)
+  }
+
   test("clustered layout writes the sidecar meta; readers validate version and column") {
     val emb = Tables(spark, dir, "embeddings")
     val p = TmpDirs.wiped("ivf_contract_spec")
