@@ -264,6 +264,55 @@ object FusionQueries {
        |  FROM f$tag)""".stripMargin
   }
 
+  /** A40/A40b shared body over any (vec_id, embedding) frame: top-MmrR
+    * relevance shortlist (TakeOrdered), R² pairwise sim via a broadcast
+    * self-join, then the greedy λ-tradeoff loop over collected R + R²
+    * integer model state (MMR is sequential by definition — each pick
+    * conditions on the last; the distributed part is the shortlist and
+    * the sim matrix). The exact-count guard refuses an absent query id
+    * or a shortlist the corpus cannot fill — either would empty both
+    * entry and oracle and the hash gate would pass vacuously. */
+  private def mmrDiversified(s: SparkSession, frame: DataFrame,
+                             who: String): DataFrame = {
+    val q = frame.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
+    val sl = frame.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("rel", graft.functions.scaled(
+        graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+      .orderBy(col("rel").desc, col("vec_id").asc).limit(MmrR)
+      .select("vec_id", "embedding", "rel")
+    val a = sl.select(col("vec_id").as("ai"), col("embedding").as("ea"))
+    val b = sl.select(col("vec_id").as("bi"), col("embedding").as("eb"))
+    val simRows = a.join(broadcast(b), col("ai") =!= col("bi"))
+      .withColumn("s", graft.functions.scaled(
+        graft.functions.vectors.cosine(col("ea"), col("eb")), Knn.ScoreDigits))
+      .select("ai", "bi", "s")
+    val rel = sl.select("vec_id", "rel").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    require(rel.size == MmrR,
+      s"$who: relevance shortlist holds ${rel.size} of $MmrR expected rows " +
+        "— an absent query id (or an under-filled corpus) would empty both " +
+        "entry and oracle and the gate would pass vacuously")
+    val sim = simRows.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    var selected = Vector.empty[(Long, Long)] // (vec_id, mmr)
+    var remaining = rel.keySet
+    for (_ <- 1 to MmrK if remaining.nonEmpty) {
+      val pick = remaining.toSeq.map { c =>
+        val maxSim =
+          if (selected.isEmpty) 0L
+          else selected.map(sv => sim((c, sv._1))).max
+        (c, MmrLambda * rel(c) - (10000L - MmrLambda) * maxSim)
+      }.minBy { case (c, m) => (-m, c) }
+      selected :+= pick
+      remaining -= pick._1
+    }
+    import s.implicits._
+    selected.zipWithIndex
+      .map { case ((id, m), i) => ((i + 1).toLong, id, m) }
+      .toDF("rank", "vec_id", "mmr")
+  }
+
   // A40 MMR: relevance shortlist size, diversified picks, λ ×10⁴
   // (λ = 5000 weighs relevance and redundancy equally)
   private val MmrR = 20
@@ -401,42 +450,16 @@ object FusionQueries {
     // KMeans/PQ model-state contract), k·R integer ops. Every sim is the
     // scaled cosine, so the oracle's unrolled 5-pick CTE chain reproduces
     // the selection bit-exactly.
-    "knn_mmr" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_vec"))
-      val sl = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(q))
-        .withColumn("rel", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
-        .orderBy(col("rel").desc, col("vec_id").asc).limit(MmrR)
-        .select("vec_id", "embedding", "rel")
-      val a = sl.select(col("vec_id").as("ai"), col("embedding").as("ea"))
-      val b = sl.select(col("vec_id").as("bi"), col("embedding").as("eb"))
-      val simRows = a.join(broadcast(b), col("ai") =!= col("bi"))
-        .withColumn("s", graft.functions.scaled(
-          graft.functions.vectors.cosine(col("ea"), col("eb")), Knn.ScoreDigits))
-        .select("ai", "bi", "s")
-      val rel = sl.select("vec_id", "rel").collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val sim = simRows.collect()
-        .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
-      var selected = Vector.empty[(Long, Long)] // (vec_id, mmr)
-      var remaining = rel.keySet
-      for (_ <- 1 to MmrK if remaining.nonEmpty) {
-        val pick = remaining.toSeq.map { c =>
-          val maxSim =
-            if (selected.isEmpty) 0L
-            else selected.map(sv => sim((c, sv._1))).max
-          (c, MmrLambda * rel(c) - (10000L - MmrLambda) * maxSim)
-        }.minBy { case (c, m) => (-m, c) }
-        selected :+= pick
-        remaining -= pick._1
-      }
-      import s.implicits._
-      selected.zipWithIndex
-        .map { case ((id, m), i) => ((i + 1).toLong, id, m) }
-        .toDF("rank", "vec_id", "mmr")
-    }),
+    "knn_mmr" -> ((s, dir) =>
+      mmrDiversified(s, Tables(s, dir, "embeddings"), "knn_mmr")),
+
+    // A40b: MMR at the REFERENCE width — the R² pairwise sim matrix and
+    // the relevance shortlist both pay 2048-term cosines (the greedy
+    // driver loop itself is width-independent integer arithmetic on the
+    // collected R + R² model state); same unrolled-CTE oracle shape with
+    // every cosine over the wide frame.
+    "knn_mmr_2048" -> ((s, dir) =>
+      mmrDiversified(s, HybridQueries.wideEmbeddings(s, dir), "knn_mmr_2048")),
 
     // A19: reciprocal-rank fusion of the keyword and vector rankings
     "hybrid_rrf" -> ((s, dir) => {
@@ -965,6 +988,32 @@ object FusionQueries {
         .select("vec_id", "score", "ham")
     }),
 
+    // A37b: binary quantization at the REFERENCE width — the 64× story
+    // at its real shape: a 2048-d float vector (8 KB) becomes a 64-long
+    // packed code (512 B) via the BqPackVec codegen kernel (the two
+    // 32-bit-half SQL form is the d=64 special case; at width the code
+    // is an array and Hamming is the HammingDistLong kernel — the
+    // streaming wide cascade's proven pack/distance pair, here as the
+    // standalone quantized-family member). 4× oversampled Hamming
+    // shortlist, exact wide cosine rerank.
+    "knn_bq_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val e = w.select(col("vec_id"), col("embedding"),
+        graft.functions.vectors.bqPack(col("embedding"), 64).as("p"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("p").as("qp"), col("embedding").as("q_vec"))
+      require(q.limit(1).count() == 1,
+        "knn_bq_2048: query id 0 absent from the corpus — the gate would " +
+          "pass vacuously on two empty frames")
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("ham", graft.functions.vectors.hammingLong(col("p"), col("qp")))
+        .orderBy(col("ham").asc, col("vec_id").asc).limit(BqShortlist)
+        .withColumn("score", graft.functions.scaled(
+          graft.functions.vectors.cosine(col("embedding"), col("q_vec")), Knn.ScoreDigits))
+        .orderBy(col("score").desc, col("vec_id").asc).limit(10)
+        .select("vec_id", "score", "ham")
+    }),
+
     // A38: Matryoshka / truncated-dimension progressive search — the
     // DIMENSION member of the compression family (A37 cuts bits/component,
     // PQ cuts the basis, this cuts dimensions): shortlist on the first
@@ -1451,6 +1500,38 @@ object FusionQueries {
         .selectExpr("vec_id", "coarse",
           graft.functions.sqDistLongSql("q", "qq") + " AS score")
         .orderBy(col("score").asc, col("vec_id").asc).limit(10)
+    }),
+
+    // A41c: the coarse-then-refine composition at the REFERENCE width —
+    // the 4× story at its real shape: the SQ8 coarse pass scans
+    // 2 KB/vec of codes where the corpus stores 8 KB of floats, and only
+    // RefineR=50 ids page the full-precision wide vectors back in for
+    // the integer-exact rerank. Kernel pipeline end to end (Sq8Quantize →
+    // SqDistLong both ways); the refine cost stays independent of corpus
+    // size at any width.
+    "knn_refine_rerank_2048" -> ((s, dir) => {
+      val w = HybridQueries.wideEmbeddings(s, dir)
+      val ed = w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val stats = Cascade.calibrationStats(ed)
+      val q = ed.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      require(q.limit(1).count() == 1,
+        "knn_refine_rerank_2048: query id 0 absent from the corpus — the " +
+          "gate would pass vacuously on two empty frames")
+      val coarse = ed.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(q)).crossJoin(broadcast(stats))
+        .select(col("vec_id"),
+          graft.functions.vectors.sq8(col("v"), col("mn"), col("mx")).as("ca"),
+          graft.functions.vectors.sq8(col("qv"), col("mn"), col("mx")).as("cb"))
+        .select(col("vec_id"),
+          graft.functions.vectors.sqDistLong(col("ca"), col("cb")).as("coarse"))
+        .orderBy(col("coarse").asc, col("vec_id").asc).limit(RefineR)
+      val qz = Pq.quantized(w)
+      val qvec = qz.filter(col("vec_id") === 0).select(col("q").as("qq"))
+      qz.join(broadcast(coarse), "vec_id")
+        .crossJoin(broadcast(qvec))
+        .select(col("vec_id"), col("coarse"),
+          graft.functions.vectors.sqDistLong(col("q"), col("qq")).as("score"))
+        .orderBy(col("score").asc, col("vec_id").asc).limit(10)
     })
   )
 
@@ -1563,6 +1644,40 @@ object FusionQueries {
          |  FROM embeddings e, q WHERE e.vec_id <> 0
          |  ORDER BY rel DESC, e.vec_id LIMIT $MmrR),
          |sim AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |    ${cosf("a.embedding", "b.embedding")} AS s
+         |  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
+         |sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false),
+         |$steps
+         |$out""".stripMargin
+    },
+
+    // A40b: the same unrolled greedy chain with every cosine (relevance
+    // shortlist + R² sim matrix) over the wide frame
+    "knn_mmr_2048" -> {
+      def cosf(a: String, b: String) =
+        s"CAST(floor(list_cosine_similarity(CAST($a AS DOUBLE[]), CAST($b AS DOUBLE[])) * 10000 + 0.5) AS BIGINT)"
+      val dl = 10000L - MmrLambda
+      val steps = (1 to MmrK).map { t =>
+        s"""p$t AS (SELECT sl.vec_id,
+           |    $MmrLambda * sl.rel - $dl * COALESCE((SELECT max(s) FROM sim
+           |      JOIN sel${t - 1} sv ON sim.bi = sv.vec_id
+           |      WHERE sim.ai = sl.vec_id), 0) AS mmr
+           |  FROM sl WHERE sl.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+           |  ORDER BY mmr DESC, sl.vec_id LIMIT 1),
+           |sel$t AS (SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM p$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      val out = (1 to MmrK)
+        .map(t => s"SELECT CAST($t AS BIGINT) AS rank, vec_id, mmr FROM p$t")
+        .mkString("\n UNION ALL ")
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |q AS (SELECT embedding FROM wide WHERE vec_id = 0),
+         |sl AS MATERIALIZED (SELECT e.vec_id, e.embedding,
+         |    ${cosf("e.embedding", "q.embedding")} AS rel
+         |  FROM wide e, q WHERE e.vec_id <> 0
+         |  ORDER BY rel DESC, e.vec_id LIMIT $MmrR),
+         |sim AS MATERIALIZED (SELECT a.vec_id AS ai, b.vec_id AS bi,
          |    ${cosf("a.embedding", "b.embedding")} AS s
          |  FROM sl a JOIN sl b ON a.vec_id <> b.vec_id),
          |sel0 AS (SELECT CAST(NULL AS BIGINT) AS vec_id WHERE false),
@@ -2199,6 +2314,29 @@ object FusionQueries {
          |  s.ham
          |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
 
+    // A37b: the wide pack replay — the cascBaseDuckWide 64-word bit-order
+    // fold (float > 0.0 sign test, bit j of word g ⟵ component g·32+j)
+    // mirrors BqPackVec exactly; Hamming is the 64-term bit_count sum
+    "knn_bq_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |b AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         |  list_transform(range(0, 64), g ->
+         |    list_reduce(list_transform(range(0, 32), j ->
+         |      CASE WHEN embedding[g*32 + j + 1] > 0.0 THEN CAST(1 AS BIGINT) << j
+         |           ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y)) AS p
+         |  FROM wide),
+         |q AS (SELECT p AS q_p, v AS q_vec FROM b WHERE vec_id = 0),
+         |short AS (SELECT b.vec_id, b.v,
+         |    CAST(list_sum(list_transform(range(1, 65),
+         |      i -> bit_count(xor(b.p[i], q.q_p[i])))) AS BIGINT) AS ham
+         |  FROM b CROSS JOIN q WHERE b.vec_id <> 0
+         |  ORDER BY ham ASC, b.vec_id ASC LIMIT $BqShortlist)
+         |SELECT s.vec_id,
+         |  CAST(floor(list_cosine_similarity(s.v, q.q_vec) * 10000 + 0.5) AS BIGINT) AS score,
+         |  s.ham
+         |FROM short s CROSS JOIN q ORDER BY score DESC, s.vec_id ASC LIMIT 10""".stripMargin,
+
     "knn_sq8" ->
       s"""WITH st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
          |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),
@@ -2467,6 +2605,32 @@ object FusionQueries {
          |ex AS (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS eq FROM embeddings),
          |eq0 AS (SELECT ${DuckDialect.quantizeVec("embedding")} AS qq
          |  FROM embeddings WHERE vec_id = 0)
+         |SELECT c.vec_id, c.coarse,
+         |  CAST(list_sum(list_transform(range(1, len(e.eq) + 1),
+         |    i -> (e.eq[i] - q.qq[i]) * (e.eq[i] - q.qq[i]))) AS BIGINT) AS score
+         |FROM coarse c JOIN ex e USING (vec_id) CROSS JOIN eq0 q
+         |ORDER BY score ASC, c.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A41c: the refine replay over the wide frame — SQ8 calibration from
+    // the wide min/max, 2048-term integer sums via list_transform folds
+    "knn_refine_rerank_2048" ->
+      s"""WITH wide AS MATERIALIZED (SELECT vec_id,
+         |    ${HybridQueries.wideDuck} AS embedding FROM embeddings),
+         |st AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,
+         |                   max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM wide),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM wide WHERE vec_id = 0),
+         |b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM wide WHERE vec_id <> 0),
+         |qz AS (SELECT vec_id,
+         |  list_transform(v,  x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS ca,
+         |  list_transform(qv, x -> CAST(floor(((x - st.mn) * 255.0) / (st.mx - st.mn)) AS BIGINT)) AS cb
+         |  FROM b CROSS JOIN q CROSS JOIN st),
+         |coarse AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(1, len(ca) + 1),
+         |    i -> (ca[i] - cb[i]) * (ca[i] - cb[i]))) AS BIGINT) AS coarse
+         |  FROM qz ORDER BY coarse ASC, vec_id ASC LIMIT $RefineR),
+         |ex AS (SELECT vec_id, ${DuckDialect.quantizeVec("embedding")} AS eq FROM wide),
+         |eq0 AS (SELECT ${DuckDialect.quantizeVec("embedding")} AS qq
+         |  FROM wide WHERE vec_id = 0)
          |SELECT c.vec_id, c.coarse,
          |  CAST(list_sum(list_transform(range(1, len(e.eq) + 1),
          |    i -> (e.eq[i] - q.qq[i]) * (e.eq[i] - q.qq[i]))) AS BIGINT) AS score
