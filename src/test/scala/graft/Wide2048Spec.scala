@@ -1018,4 +1018,198 @@ class Wide2048Spec extends SparkSpec {
     assert(got == expect)
     assert(got.size == 30, "three classes x top-10")
   }
+
+  // --- round-17 additions: the strategy matrix, the pipeline recall
+  // table, and the remaining width cells ---
+
+  /** The A50 parsed-attr reconstruction shared by the r17 pipeline
+    * tests: plain-Scala attributes straight from documents. */
+  private def pipelineAttrs(): Map[Long, (String, String, Long)] =
+    Tables(spark, dir, "documents")
+      .select("doc_id", "source", "lang").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val source = if (r.isNullAt(1)) null else r.getString(1)
+        val lang = if (r.isNullAt(2)) null else r.getString(2)
+        id -> (
+          (if (id % 5 != 0) Option(source).getOrElse("unknown") else null),
+          Option(lang).getOrElse("und"),
+          2000L + id % 25)
+      }.toMap
+
+  private val PipelineClasses = Seq(
+    ("c1", 3L, (a: (String, String, Long)) => a._1 != null && a._1 == "src1"),
+    ("c2", 11L, (a: (String, String, Long)) => a._2 == "zh"),
+    ("c3", 17L, (a: (String, String, Long)) => a._3 <= 2010L))
+
+  test("acorn_pipeline_e2e_2048: pre equals the reconstruction, acorn equals pre, post equals the top-50 funnel") {
+    val w = wideCorpus()
+    val attrs = pipelineAttrs()
+    val rows = SparkEntry.queries("acorn_pipeline_e2e_2048")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    for ((cls, qid, pred) <- PipelineClasses) {
+      val qv = w(qid)
+      val scored = w.toSeq.map { case (id, v) => (id, l2Scaled(v, qv)) }
+      val passIds = attrs.filter { case (id, a) => pred(a) }.keySet
+      val pre = scored.filter(t => passIds(t._1))
+        .sortBy { case (id, s) => (s, id) }.take(10)
+      val got = (strat: String) =>
+        rows.filter(r => r._1 == cls && r._2 == strat).map(r => (r._3, r._4))
+          .sortBy { case (id, s) => (s, id) }.toSeq
+      assert(got("pre") == pre, s"$cls pre")
+      // the saturated persisted walk must land on the SAME rows — the
+      // walk ≡ scan identity per class IS the strategy matrix's gate
+      assert(got("acorn") == pre, s"$cls acorn ≡ pre")
+      val post = scored.sortBy { case (id, s) => (s, id) }.take(50)
+        .filter(t => passIds(t._1)).take(10)
+      assert(got("post") == post, s"$cls post")
+      // the collapse is visible where the reconstruction says it is:
+      // post ⊆ the unfiltered top-50, so on a selective class it may
+      // return fewer than 10 rows — both sides agree exactly
+      assert(post.size <= 10)
+    }
+  }
+
+  test("acorn_pipeline_recall_2048: cells sit at or above every floor; acorn cells share the A50b measurement") {
+    val rows = SparkEntry.queries("acorn_pipeline_recall_2048")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(rows == graft.queries.HybridQueries.PipelineMatrixFloors)
+    // shared-constant discipline: the matrix's acorn floors ARE the A50b
+    // floors (same index, pass sets, query files, constants) — a drifted
+    // copy would let the two entries gate different knees silently
+    val a50b = graft.queries.HybridQueries.PipelineRecallFloors
+    for (cls <- Seq("c1", "c2", "c3"))
+      assert(graft.queries.HybridQueries.PipelineMatrixFloors((cls, "acorn"))
+        == a50b(cls))
+  }
+
+  test("recall_filtered_2048: hybrid recall dominates post on the selective class; counts are honest") {
+    val rows = SparkEntry.queries("recall_filtered_2048")(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    // README §3's direction at width: the predicate-aware probe must not
+    // trail the post-filter baseline on class 1
+    val (_, postHit) = rows(("class1_selective", "post"))
+    val (_, hybHit) = rows(("class1_selective", "hybrid"))
+    assert(hybHit >= postHit)
+    rows.values.foreach { case (nRet, nHit) =>
+      assert(nRet <= 10 && nHit <= nRet)
+    }
+  }
+
+  test("attr_specific_knn_hnsw_2048 equals the plain-Scala membership+predicate reconstruction") {
+    val w = wideCorpus()
+    val docRows = Tables(spark, dir, "documents")
+      .select("doc_id", "n_chars", "lang").collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getString(2))))
+    // membership: n_chars present; predicate: n_chars ≤ 400 AND lang ∋ 'e'
+    val pass = docRows.filter { case (_, nc, lg) =>
+      nc.isDefined && nc.get <= 400 && lg.exists(_.contains("e"))
+    }.map(_._1).toSet
+    val qv = w(9L)
+    val expect = w.toSeq.filter { case (id, _) => id != 9L && pass(id) }
+      .map { case (id, v) => (id, l2Scaled(v, qv)) }
+      .sortBy { case (id, s) => (s, id) }.take(3)
+    val got = q("attr_specific_knn_hnsw_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == expect)
+  }
+
+  test("hybrid_knn_adaptive_2048: the widening loop reaches k filter-passing survivors at width") {
+    val rows = q("hybrid_knn_adaptive_2048").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 10, "the loop must widen until >= k survivors")
+    val fr = Tables(spark, dir, "documents")
+      .select("doc_id", "lang").collect()
+      .filter(r => !r.isNullAt(1) && r.getString(1) == "fr")
+      .map(_.getLong(0)).toSet
+    rows.foreach { case (id, _) => assert(fr(id) && id != 3L) }
+  }
+
+  test("knn_bq_2048: shortlist comes from the packed-code Hamming ranking; rerank scores are exact") {
+    val w = wideCorpus()
+    val qv = w(0L)
+    def pack(v: Array[Float]): Array[Long] =
+      Array.tabulate(64) { g =>
+        var acc = 0L
+        var j = 0
+        while (j < 32) { if (v(g * 32 + j) > 0.0f) acc |= (1L << j); j += 1 }
+        acc
+      }
+    def cosScaled(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+    }
+    val qp = pack(qv)
+    val expect = w.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val p = pack(v)
+        val ham = (0 until 64).map(g => java.lang.Long.bitCount(p(g) ^ qp(g))).sum.toLong
+        (id, ham, v)
+      }
+      .sortBy { case (id, ham, _) => (ham, id) }.take(40)
+      .map { case (id, ham, v) => (id, cosScaled(v, qv), ham) }
+      .sortBy { case (id, s, _) => (-s, id) }.take(10)
+    val got = SparkEntry.queries("knn_bq_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expect)
+  }
+
+  test("knn_mmr_2048: first pick is the top-relevance row; picks are distinct shortlist members") {
+    val rows = SparkEntry.queries("knn_mmr_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1) == (1L to 5L))
+    assert(rows.map(_._2).distinct.length == 5)
+    // rank-1 MMR reduces to pure relevance (empty selected set), so the
+    // first pick must be the wide-cosine top-1 of the corpus minus self
+    val w = wideCorpus()
+    val qv = w(0L)
+    def cosScaled(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 10000 + 0.5).toLong
+    }
+    val top1 = w.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cosScaled(v, qv)) }
+      .maxBy { case (id, s) => (s, -id) }
+    assert(rows.head._2 == top1._1)
+  }
+
+  test("knn_refine_rerank_2048: every result comes from the SQ8 coarse shortlist, scores integer-exact") {
+    val rows = SparkEntry.queries("knn_refine_rerank_2048")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.length == 10)
+    val w = wideCorpus()
+    // calibration runs over the FULL frame (query included) — the
+    // entry's stats pass and the oracle's st CTE both read every row
+    val all = w.toSeq.map(_._2)
+    val mn = all.map(_.map(_.toDouble).min).min
+    val mx = all.map(_.map(_.toDouble).max).max
+    def sq8(v: Array[Float]): Array[Long] =
+      v.map(x => math.floor((x.toDouble - mn) * 255.0 / (mx - mn)).toLong)
+    val qv = w(0L)
+    val q8 = sq8(qv)
+    val shortlist = w.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val c = sq8(v)
+        var acc = 0L; var i = 0
+        while (i < c.length) { val d = c(i) - q8(i); acc += d * d; i += 1 }
+        (id, acc)
+      }
+      .sortBy { case (id, d) => (d, id) }.take(50)
+    val shortIds = shortlist.map(_._1).toSet
+    val coarseById = shortlist.toMap
+    rows.foreach { case (id, coarse, _) =>
+      assert(shortIds(id), s"$id not in the coarse shortlist")
+      assert(coarse == coarseById(id))
+    }
+  }
 }
