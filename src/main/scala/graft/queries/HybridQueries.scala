@@ -537,6 +537,23 @@ object HybridQueries {
       case "c3" => col("model_year").isNotNull && col("model_year") <= 2010
     }
 
+  /** A14h: the clustered-layout export at a FIXED path (the A52
+    * convention — the DuckDB oracle read_parquets the layout itself, so
+    * the path must be static in the oracle SQL and must outlive this
+    * JVM, ruling out TmpDirs). Rebuilt whenever the (JVM, sfDir) pair
+    * changes so a scale switch never serves a stale corpus' layout. */
+  private[queries] val ClusteredConsumerPath =
+    "/root/repo/target/ivf_consumer/layout"
+  private var clusteredConsumerBuiltFor: Option[String] = None
+  private def ensureClusteredConsumerExport(s: SparkSession, dir: String): String =
+    synchronized {
+      if (!clusteredConsumerBuiltFor.contains(dir)) {
+        Ivf.writeClustered(emb(s, dir), ClusteredConsumerPath)
+        clusteredConsumerBuiltFor = Some(dir)
+      }
+      ClusteredConsumerPath
+    }
+
   // base-half index for the append entry (first IvfAppendSplit ids only)
   private val hnswBaseFor = scala.collection.mutable.Map.empty[String, String]
   private[queries] def ensureHnswBase(s: SparkSession, dir: String): String = synchronized {
@@ -1159,6 +1176,30 @@ object HybridQueries {
       // buildAndRegisterIndex), not a data collect
       val probed = Ivf.probe(Ivf.centroids(e), q, 2).collect().map(_.getInt(0)).toSeq
       val pruned = Ivf.readProbed(s, path, probed).filter(col("vec_id") =!= 4)
+      Knn.topK(pruned.select("vec_id", "embedding"), q, 10, Knn.Cosine)
+        .select("vec_id", "score")
+    }),
+
+    // A14h: the clustered layout's export contract proven FROM THE
+    // CONSUMER SIDE (the A52 symmetry for the second persisted-artifact
+    // family): the engine writes the partitioned layout + `_graft_meta`
+    // sidecar to the fixed export path and serves through readProbed
+    // (producer-side validation); the ORACLE is the consumer — DuckDB
+    // read_parquets the layout itself (hive partitioning recovers the
+    // cluster column from the directory names — the on-disk convention
+    // the sidecar records), validates the sidecar's (schema_version,
+    // cluster_col) row, replays the probe ranking from the LAYOUT's own
+    // rows, and serves the probed clusters. A missing/foreign/mis-keyed
+    // sidecar empties the oracle's gate CTE → zero rows → red gate:
+    // refusal on the consumer path is observable for this family too.
+    "clustered_probe_consumer" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val path = ensureClusteredConsumerExport(s, dir)
+      val q = requireQueryPresent(e.filter(col("vec_id") === 6),
+          "clustered_probe_consumer")
+        .select(col("embedding").as("q_vec"))
+      val probed = Ivf.probe(Ivf.centroids(e), q, 2).collect().map(_.getInt(0)).toSeq
+      val pruned = Ivf.readProbed(s, path, probed).filter(col("vec_id") =!= 6)
       Knn.topK(pruned.select("vec_id", "embedding"), q, 10, Knn.Cosine)
         .select("vec_id", "score")
     }),
@@ -2585,6 +2626,38 @@ object HybridQueries {
          |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
          |FROM embeddings e JOIN probes p ON e.label = p.label CROSS JOIN q
          |WHERE e.vec_id <> 4
+         |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
+
+    // A14h: the CONSUMER oracle for the clustered layout — every CTE
+    // reads the persisted artifacts, not the source table: `lay` is the
+    // hive-partitioned layout itself (the directory names ARE the
+    // cluster column), `meta` the sidecar, `ok` the consumer's contract
+    // gate (exactly one row, the expected vintage, the expected
+    // partition column — a bad sidecar empties it and the serve returns
+    // zero rows), and the probe ranking replays from the layout's rows
+    "clustered_probe_consumer" ->
+      s"""WITH lay AS MATERIALIZED (
+         |  SELECT CAST(label AS BIGINT) AS label, vec_id, embedding
+         |  FROM read_parquet('$ClusteredConsumerPath/label=*/*.parquet',
+         |                    hive_partitioning = 1)),
+         |meta AS (SELECT * FROM read_parquet('$ClusteredConsumerPath/_graft_meta/*.parquet')),
+         |ok AS (SELECT 1 AS ok WHERE (SELECT count(*) FROM meta) = 1
+         |  AND (SELECT count(*) FROM meta
+         |       WHERE schema_version = ${Ivf.SchemaVersion}
+         |         AND cluster_col = 'label') = 1),
+         |q AS (SELECT embedding FROM lay WHERE vec_id = 6),
+         |cent AS (SELECT label, CAST(list(cv ORDER BY dim) AS FLOAT[]) AS cent FROM (
+         |    SELECT l.label AS label, d.dim AS dim,
+         |           avg(CAST(l.embedding[d.dim + 1] AS DOUBLE)) AS cv
+         |    FROM lay l CROSS JOIN range(64) d(dim)
+         |    GROUP BY l.label, d.dim)
+         |  GROUP BY label),
+         |probes AS (
+         |  SELECT c.label FROM cent c CROSS JOIN q
+         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2)
+         |SELECT e.vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |FROM lay e JOIN probes p ON e.label = p.label CROSS JOIN q CROSS JOIN ok
+         |WHERE e.vec_id <> 6
          |ORDER BY score DESC, e.vec_id ASC LIMIT 10""".stripMargin,
 
     "hybrid_knn_adaptive" ->
