@@ -1242,6 +1242,31 @@ object HybridQueries {
       }.reduce(_ union _)
     }),
 
+    // A28b: the selectivity DISPATCH at the REFERENCE width (the r16
+    // verdict's #6 named adaptive-or-auto; adaptive landed first, this
+    // closes the other arm so no A-row BEHAVIOR gates only at d=64):
+    // the routing decision itself is metadata-side (width-independent
+    // counts), but every strategy BODY it dispatches into — prefilter
+    // scan, probed hybrid, post-filter funnel — scores at d=2048 over
+    // the wide labeled frame. The oracle recomputes the per-mille
+    // selectivity and guards each strategy branch with it, so a wrong
+    // routing decision hash-fails at width exactly as at d=64.
+    "knn_auto_2048" -> ((s, dir) => {
+      val all = wideLabeled(s, dir)
+      val d = docs(s, dir)
+      val corpus = all.filter(col("vec_id") =!= 5)
+      val q = requireQueryPresent(all.filter(col("vec_id") === 5), "knn_auto_2048")
+        .select(col("embedding").as("q_vec"))
+      val cases = Seq(
+        ("c1", MetaPredicate("source" -> ("exact", "src1"))),
+        ("c2", MetaPredicate("lang" -> ("exact", "zh"))),
+        ("c3", MetaPredicate("n_chars" -> ("leq", 300))))
+      cases.map { case (cls, pred) =>
+        Ivf.autoKnn(corpus, d, pred, q, k = 5)
+          .select(lit(cls).as("cls"), col("strategy"), col("vec_id"), col("score"))
+      }.reduce(_ union _)
+    }),
+
     // A17: the whole kNN expressed in plain SQL against the registered
     // vec_cosine function — proves the SQL surface is first-class
     "sql_knn" -> ((s, dir) => {
@@ -1991,6 +2016,65 @@ object HybridQueries {
     })
   )
 
+  /** A28/A28b: the dispatch-guarded auto-kNN replay, width-parametric —
+    * ONE composer for both oracles (the d=64 text is unchanged modulo
+    * the corp/q/cent prelude): each class's three strategy CTEs are
+    * guarded by the SAME per-mille selectivity the Spark dispatch
+    * computes, so the ROUTING DECISION hash-fails, not just the rows. */
+  private def autoKnnOracleSql(wide: Boolean): String = {
+    val preds = Seq(
+      ("c1", "d.source IS NOT NULL AND d.source = 'src1'"),
+      ("c2", "d.lang IS NOT NULL AND d.lang = 'zh'"),
+      ("c3", "d.n_chars IS NOT NULL AND d.n_chars <= 300"))
+    val branches = preds.map { case (cls, p) =>
+      s"""${cls}sel AS (SELECT (SELECT count(*) FROM documents d WHERE $p) * 1000
+         |  // (SELECT count(*) FROM documents) AS s),
+         |${cls}pre AS (
+         |  SELECT 'c_' AS cls, 'prefilter' AS strategy, vec_id, score FROM (
+         |    SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |    FROM corp e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+         |    WHERE $p ORDER BY score DESC, e.vec_id ASC LIMIT 5)
+         |  WHERE (SELECT s FROM ${cls}sel) < 100),
+         |${cls}hyb AS (
+         |  SELECT 'c_' AS cls, 'hybrid' AS strategy, vec_id, score FROM (
+         |    SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+         |    FROM corp e JOIN probes pr ON e.label = pr.label
+         |    JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
+         |    WHERE $p ORDER BY score DESC, e.vec_id ASC LIMIT 5)
+         |  WHERE (SELECT s FROM ${cls}sel) >= 100 AND (SELECT s FROM ${cls}sel) < 300),
+         |${cls}post AS (
+         |  SELECT 'c_' AS cls, 'postfilter' AS strategy, vec_id, score FROM (
+         |    SELECT c.vec_id AS vec_id, c.score AS score FROM cand c
+         |    JOIN documents d ON d.doc_id = c.vec_id
+         |    WHERE $p ORDER BY c.score DESC, c.vec_id ASC LIMIT 5)
+         |  WHERE (SELECT s FROM ${cls}sel) >= 300)""".stripMargin
+        .replace("'c_'", s"'$cls'")
+    }
+    val selects = preds.map { case (cls, _) =>
+      s"SELECT * FROM ${cls}pre UNION ALL SELECT * FROM ${cls}hyb UNION ALL SELECT * FROM ${cls}post"
+    }.mkString("\nUNION ALL\n")
+    val prelude =
+      if (wide)
+        s"""${wideLabeledCtes}corp AS MATERIALIZED (
+           |  SELECT vec_id, embedding, label FROM wl WHERE vec_id <> 5),
+           |q AS (SELECT embedding FROM wide WHERE vec_id = 5),
+           |cent AS (${DuckDialect.centSql("corp", WideDims)}),""".stripMargin
+      else
+        s"""corp AS (SELECT * FROM embeddings WHERE vec_id <> 5),
+           |q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
+           |cent AS (${centSql("corp")}),""".stripMargin
+    s"""WITH $prelude
+       |probes AS (
+       |  SELECT c.label FROM cent c CROSS JOIN q
+       |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2),
+       |cand AS (
+       |  SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
+       |  FROM corp e CROSS JOIN q
+       |  ORDER BY score DESC, e.vec_id ASC LIMIT 50),
+       |${branches.mkString(",\n")}
+       |$selects""".stripMargin
+  }
+
   /** The wide frame JOINED with its cluster column, as oracle CTEs —
     * shared by every wide replay whose arithmetic needs
     * (vec_id, label, 2048-slot embedding) (A30c / A30d). */
@@ -2098,51 +2182,12 @@ object HybridQueries {
 
     // every strategy branch is guarded by the SAME per-mille selectivity
     // the Spark dispatch computes — a wrong routing decision hash-fails
-    "knn_auto" -> {
-      val preds = Seq(
-        ("c1", "d.source IS NOT NULL AND d.source = 'src1'"),
-        ("c2", "d.lang IS NOT NULL AND d.lang = 'zh'"),
-        ("c3", "d.n_chars IS NOT NULL AND d.n_chars <= 300"))
-      val branches = preds.map { case (cls, p) =>
-        s"""${cls}sel AS (SELECT (SELECT count(*) FROM documents d WHERE $p) * 1000
-           |  // (SELECT count(*) FROM documents) AS s),
-           |${cls}pre AS (
-           |  SELECT 'c_' AS cls, 'prefilter' AS strategy, vec_id, score FROM (
-           |    SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
-           |    FROM corp e JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
-           |    WHERE $p ORDER BY score DESC, e.vec_id ASC LIMIT 5)
-           |  WHERE (SELECT s FROM ${cls}sel) < 100),
-           |${cls}hyb AS (
-           |  SELECT 'c_' AS cls, 'hybrid' AS strategy, vec_id, score FROM (
-           |    SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
-           |    FROM corp e JOIN probes pr ON e.label = pr.label
-           |    JOIN documents d ON d.doc_id = e.vec_id CROSS JOIN q
-           |    WHERE $p ORDER BY score DESC, e.vec_id ASC LIMIT 5)
-           |  WHERE (SELECT s FROM ${cls}sel) >= 100 AND (SELECT s FROM ${cls}sel) < 300),
-           |${cls}post AS (
-           |  SELECT 'c_' AS cls, 'postfilter' AS strategy, vec_id, score FROM (
-           |    SELECT c.vec_id AS vec_id, c.score AS score FROM cand c
-           |    JOIN documents d ON d.doc_id = c.vec_id
-           |    WHERE $p ORDER BY c.score DESC, c.vec_id ASC LIMIT 5)
-           |  WHERE (SELECT s FROM ${cls}sel) >= 300)""".stripMargin
-          .replace("'c_'", s"'$cls'")
-      }
-      val selects = preds.map { case (cls, _) =>
-        s"SELECT * FROM ${cls}pre UNION ALL SELECT * FROM ${cls}hyb UNION ALL SELECT * FROM ${cls}post"
-      }.mkString("\nUNION ALL\n")
-      s"""WITH corp AS (SELECT * FROM embeddings WHERE vec_id <> 5),
-         |q AS (SELECT embedding FROM embeddings WHERE vec_id = 5),
-         |cent AS (${centSql("corp")}),
-         |probes AS (
-         |  SELECT c.label FROM cent c CROSS JOIN q
-         |  ORDER BY ${cosSql("c.cent", "q.embedding")} DESC, c.label ASC LIMIT 2),
-         |cand AS (
-         |  SELECT e.vec_id AS vec_id, ${cosSql("e.embedding", "q.embedding")} AS score
-         |  FROM corp e CROSS JOIN q
-         |  ORDER BY score DESC, e.vec_id ASC LIMIT 50),
-         |${branches.mkString(",\n")}
-         |$selects""".stripMargin
-    },
+    "knn_auto" -> autoKnnOracleSql(wide = false),
+
+    // A28b: the same dispatch-guarded replay with every strategy body's
+    // scoring (prefilter scan, probed hybrid, post-filter candidates)
+    // and the centroid/probe prelude over the wide labeled frame
+    "knn_auto_2048" -> autoKnnOracleSql(wide = true),
 
     "hybrid_knn_batch" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS q_vec FROM embeddings WHERE vec_id <= 4),
