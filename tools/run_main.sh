@@ -1,0 +1,20 @@
+#!/bin/bash
+# Run a graft main directly on the compiled classes (no sbt lock, no sbt
+# startup): tools/run_main.sh graft.Bench [args...]. Compile first with
+# `sbt compile`. Mirrors build.sbt's fork settings (JDK17 add-opens, UI
+# off, UTC, SPARK_DRIVER_MEM heap).
+set -e
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -Xmx"${SPARK_DRIVER_MEM:-8g}" \
+  -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
+  "$MAIN" "$@"
