@@ -33,7 +33,16 @@ object EntryProbe {
     @volatile var stages = 0
     @volatile var tasks = 0
     @volatile var taskTimeNs = 0L
-    override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+    private val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+    val jobWall = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double)]()
+    override def onJobStart(j: SparkListenerJobStart): Unit = {
+      jobs += 1
+      jobStart.put(j.jobId, j.time)
+    }
+    override def onJobEnd(j: SparkListenerJobEnd): Unit = {
+      val t0 = jobStart.get(j.jobId)
+      if (t0 > 0) jobWall.add((j.jobId, (j.time - t0) / 1e3))
+    }
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages += 1
       tasks += s.stageInfo.numTasks
@@ -94,7 +103,10 @@ object EntryProbe {
       spark.sparkContext.removeSparkListener(c)
       val (jobs, stages, tasks, tt) = c.snapshot
       spark.catalog.clearCache()
-      val line = s""""$name":{"build_sec":${f3((t1 - t0) / 1e9)}""" +
+      import scala.jdk.CollectionConverters._
+      val topJobs = c.jobWall.asScala.toSeq.sortBy(-_._2).take(8)
+        .map { case (id, s) => s"[$id,${f3(s)}]" }.mkString("[", ",", "]")
+      val line = s""""$name":{"top_jobs":$topJobs,"build_sec":${f3((t1 - t0) / 1e9)}""" +
         s""","exec_sec":${f3((t3 - t2) / 1e9)}""" +
         s""","jobs_build":$jobsB,"jobs_total":$jobs""" +
         s""","stages_build":$stagesB,"stages_total":$stages""" +

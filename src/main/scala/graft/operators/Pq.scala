@@ -398,11 +398,28 @@ object Pq {
   def ivfpqResidualBatchWide(emb: DataFrame, qids: Seq[Long], k: Int,
                              numSub: Int, subDim: Int, numCodes: Int,
                              nProbe: Int, shortlist: Int): DataFrame = {
-    import org.apache.spark.sql.functions.posexplode
-    import org.apache.spark.sql.expressions.Window
     requireWideQids(qids, "ivfpqResidualBatchWide")
+    val st = residualBatchState(emb, qids, numSub, subDim, numCodes, nProbe,
+      "ivfpqResidualBatchWide")
+    exactRerankIntBatch(st.qe,
+      residualShortlist(st.codes, st.adcRel, numSub, shortlist), qids, k)
+  }
+
+  /** The query-file-wide residual serving state — quantized labeled
+    * corpus, trained residual model, the materialized per-(query, probed
+    * cluster) ADC relation (with the absent-id guard), and the ONE
+    * residual-encoded code table over the file's probed-cluster union.
+    * All of it is pass-invariant, so the sharded driver builds it once
+    * and every chunk reuses it (r17 optimization, guide §1.2). */
+  private final case class ResidualBatchState(qe: DataFrame, adcRel: DataFrame,
+                                              codes: DataFrame)
+
+  private def residualBatchState(emb: DataFrame, qids: Seq[Long], numSub: Int,
+                                 subDim: Int, numCodes: Int, nProbe: Int,
+                                 who: String): ResidualBatchState = {
+    import org.apache.spark.sql.expressions.Window
     val qe = quantizedLabeled(emb)
-    val model = residualModel(qe, numSub, subDim, numCodes, "ivfpqResidualBatchWide")
+    val model = residualModel(qe, numSub, subDim, numCodes, who)
     val spark = emb.sparkSession
     import spark.implicits._
     val cbDf = model.cb.map { case (m, c, cw) => (m, c, cw.toSeq) }
@@ -435,13 +452,22 @@ object Pq {
     val presentQ = adcRel.select("q_id").distinct().collect()
       .map(_.getLong(0)).toSet
     require(qids.forall(presentQ),
-      s"ivfpqResidualBatchWide: query ids absent from the corpus: " +
+      s"$who: query ids absent from the corpus: " +
         qids.filterNot(presentQ).mkString(", "))
     val unionLabels = adcRel.select("label").distinct().collect()
       .map(_.getLong(0)).toSeq
     val codes = Dedup.materialize(residualCodes(qe, model, unionLabels,
       numSub, subDim, carry = Seq("vec_id", "label")))
-    val short = codes
+    ResidualBatchState(qe, adcRel, codes)
+  }
+
+  /** The residual ADC shortlist tail over a (possibly chunk-sliced)
+    * broadcastable ADC relation — shared by the single-pass form and the
+    * sharded driver. */
+  private def residualShortlist(codes: DataFrame, adcRel: DataFrame,
+                                numSub: Int, shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    codes
       .join(broadcast(adcRel), "label")
       .filter(col("vec_id") =!= col("q_id"))
       .selectExpr("q_id", "vec_id",
@@ -451,7 +477,6 @@ object Pq {
         asc = true).as("hits"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("q_id"), col("hit.id").as("vec_id"))
-    exactRerankIntBatch(qe, short, qids, k)
   }
 
   /** (m, code, cw): K seed codewords per subspace from the lowest-id vectors. */
@@ -843,6 +868,25 @@ object Pq {
     rel
   }
 
+  /** [[adcRelation]] for a SHARDED driver's whole query file: same
+    * duplicate/absent-id guards, but no per-pass |Q| cap — the relation
+    * is materialized once for every chunk and only per-chunk SLICES
+    * (≤ cap rows each) are ever broadcast, so the broadcast ceiling the
+    * cap protects still binds per pass. One materialize + one guard
+    * collect for the whole file instead of one per chunk. */
+  private def adcRelationSharded(emb: DataFrame, qids: Seq[Long],
+                                 cbRows: Array[(Int, Long, Array[Double])],
+                                 subDim: Int): DataFrame = {
+    val qvs = emb.filter(col("vec_id").isin(qids: _*))
+      .selectExpr("vec_id AS q_id", "CAST(embedding AS ARRAY<DOUBLE>) AS qv")
+    val rel = adcRelationOf(qvs, cbRows, subDim)
+    val present = rel.select("q_id").collect().map(_.getLong(0)).toSet
+    val missing = qids.filterNot(present)
+    require(missing.isEmpty,
+      s"joined-ADC batch: query ids absent from the corpus: ${missing.mkString(", ")}")
+    rel
+  }
+
   /** The shared joined-ADC pipeline over a resolved (q_id, qv DOUBLE[])
     * frame — [[adcRelation]] (query-by-indexed-item) and
     * [[adcRelationFromQueries]] (external query frame) differ only in how
@@ -925,8 +969,22 @@ object Pq {
     // the corpus pays the encode — the batch-family convention
     val adc = adcRelation(emb, qids, cbRows, subDim)
     val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
-    val short = codes.crossJoin(broadcast(adc))
-      .filter(col("vec_id") =!= col("q_id"))
+    exactRerankBatch(emb,
+      wideAdcShortlist(codes, adc, numSub, shortlist, excludeSelf = true),
+      qids, k)
+  }
+
+  /** The wide-batch ADC shortlist tail over an (already materialized)
+    * code table and a broadcastable (q_id, tds) relation — one
+    * construction site shared by the single-pass forms and the sharded
+    * drivers (which reuse ONE code table across every chunk). */
+  private def wideAdcShortlist(codes: DataFrame, adc: DataFrame, numSub: Int,
+                               shortlist: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    val crossed = codes.crossJoin(broadcast(adc))
+    val body = if (excludeSelf) crossed.filter(col("vec_id") =!= col("q_id"))
+               else crossed
+    body
       .selectExpr("q_id", "vec_id",
         s"CAST(${wideAdistExpr(numSub)} AS BIGINT) AS adist")
       .groupBy("q_id")
@@ -934,7 +992,6 @@ object Pq {
         asc = true).as("hits"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("q_id"), col("hit.id").as("vec_id"))
-    exactRerankBatch(emb, short, qids, k)
   }
 
   /** EXTERNAL-query wide-batch PQ search (r11 verdict next #5): every
@@ -955,28 +1012,25 @@ object Pq {
                                     k: Int, numSub: Int, subDim: Int,
                                     numCodes: Int, shortlist: Int,
                                     keep: Option[DataFrame] = None,
-                                    cb: Option[Array[(Int, Long, Array[Double])]] = None): DataFrame = {
+                                    cb: Option[Array[(Int, Long, Array[Double])]] = None,
+                                    codes0: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
-    val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
-    val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
-    // `cb` lets a sharded driver thread ONE codebook collection across
-    // every pass (the r12 sharded-cascade convention: shards share model
-    // state instead of re-scanning for it); absent, build it here
+    // `cb`/`codes0` let a sharded driver thread ONE codebook collection
+    // and ONE materialized code table across every pass (shards share
+    // model state instead of re-deriving it); absent, build them here
     val cbRows = cb.getOrElse(seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray)))
     // ADC relation FIRST (it carries the duplicate/empty/cap guards):
     // refuse before the corpus pays the encode — the batch-family
     // convention
     val adc = adcRelationFromQueries(queries, cbRows, subDim)
-    val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
-    val short = codes.crossJoin(broadcast(adc))
-      .selectExpr("q_id", "vec_id",
-        s"CAST(${wideAdistExpr(numSub)} AS BIGINT) AS adist")
-      .groupBy("q_id")
-      .agg(graft.functions.aggs.topK(col("adist"), col("vec_id"), shortlist,
-        asc = true).as("hits"))
-      .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
-      .select(col("q_id"), col("hit.id").as("vec_id"))
+    val codes = codes0.getOrElse {
+      val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
+      Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
+    }
+    val short = wideAdcShortlist(codes, adc, numSub, shortlist,
+      excludeSelf = false)
     val qfull = queries.selectExpr("q_id", "CAST(q_vec AS ARRAY<FLOAT>) AS q_vec")
     emb.select("vec_id", "embedding")
       .join(broadcast(short), "vec_id")
@@ -1082,8 +1136,12 @@ object Pq {
     * CROSS-shard duplicates (each shard's own guard only sees its chunk —
     * a duplicate split across shards would double-answer in the union),
     * then runs one wide pass per ≤cap chunk. */
-  private[operators] def shardedWide(qids: Seq[Long], cap: Int, who: String)
-                         (pass: Seq[Long] => DataFrame): DataFrame = {
+  /** The sharded drivers' whole-file input guards, runnable BEFORE any
+    * shared-state job (r17 optimization: the sharded drivers now hoist
+    * pass-invariant model state — codebook, encoded code table, probe
+    * relation — above the chunk loop, and the cheap input validation must
+    * still fire before that work starts). */
+  private def validateShardInput(qids: Seq[Long], cap: Int, who: String): Unit = {
     require(cap >= 1 && cap <= WideBatchCap,
       s"$who: cap=$cap must be in [1, $WideBatchCap] " +
         "— the broadcast ADC relation ceiling binds per pass")
@@ -1091,6 +1149,11 @@ object Pq {
     val dups = qids.diff(qids.distinct).distinct
     require(dups.isEmpty,
       s"$who: duplicate query ids: ${dups.mkString(", ")}")
+  }
+
+  private[operators] def shardedWide(qids: Seq[Long], cap: Int, who: String)
+                         (pass: Seq[Long] => DataFrame): DataFrame = {
+    validateShardInput(qids, cap, who)
     qids.grouped(cap).map(pass).reduce(_.union(_))
   }
 
@@ -1100,18 +1163,37 @@ object Pq {
     * passes, each ONE corpus scan serving ≤ cap queries, results
     * unioned. Every q_id lands in exactly one shard, so per-query
     * results are IDENTICAL to a single wide pass (spec-pinned with a
-    * small cap); shards share nothing but the (deterministic, seeded)
-    * codebook, which each pass rebuilds from the same model-state rows.
-    * `cap` is parameterized for testability and bounded by
-    * [[WideBatchCap]] — the broadcast-size ceiling still binds per pass. */
+    * small cap); shards share the pass-INVARIANT model state — the
+    * (deterministic, seeded) codebook, the materialized all-queries ADC
+    * relation, and the ONE encoded code table (encode is query-
+    * independent, so re-encoding per chunk multiplied the corpus's
+    * dominant per-row kernel by the shard count for bit-identical
+    * output — r17 optimization, guide §1.2). Only per-chunk ADC slices
+    * (≤ cap rows) are broadcast, so the ceiling the cap protects still
+    * binds per pass. `cap` is parameterized for testability and bounded
+    * by [[WideBatchCap]]. */
   def searchRerankBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
                                    numSub: Int, subDim: Int, numCodes: Int,
                                    shortlist: Int,
                                    keep: Option[DataFrame] = None,
-                                   cap: Int = WideBatchCap): DataFrame =
-    shardedWide(qids, cap, "searchRerankBatchShardedWide")(chunk =>
-      searchRerankBatchWide(emb, chunk, k, numSub, subDim, numCodes,
-        shortlist, keep))
+                                   cap: Int = WideBatchCap): DataFrame = {
+    val who = "searchRerankBatchShardedWide"
+    validateShardInput(qids, cap, who)
+    val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cast = keep.fold(cast0)(ids => cast0.join(ids, "vec_id"))
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ADC relation FIRST (it carries the absent-id guard): refuse before
+    // the corpus pays the encode — the batch-family convention
+    val adcAll = adcRelationSharded(emb, qids, cbRows, subDim)
+    val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
+    shardedWide(qids, cap, who) { chunk =>
+      val adc = adcAll.filter(col("q_id").isin(chunk: _*))
+      exactRerankBatch(emb,
+        wideAdcShortlist(codes, adc, numSub, shortlist, excludeSelf = true),
+        chunk, k)
+    }
+  }
 
   /** Sharded wide EXTERNAL-query PQ (r12 verdict next #6 — the external ×
     * sharded composition): every sharded driver above takes INDEXED qids;
@@ -1145,36 +1227,78 @@ object Pq {
         "a duplicate split across shards would double-answer in the union")
     val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // the code table is query-independent too: encode ONCE for the whole
+    // frame and let every pass scan the same materialized relation (r17
+    // optimization, guide §1.2 — per-pass re-encode multiplied the
+    // corpus's dominant kernel by the shard count for identical output)
+    val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val cast = keep.fold(cast0)(ids2 => cast0.join(ids2, "vec_id"))
+    val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
     ids.sorted.grouped(cap).map { chunk =>
       searchRerankBatchWideExternal(emb,
         queries.filter(col("q_id").isin(chunk: _*)), k, numSub, subDim,
-        numCodes, shortlist, keep, Some(cbRows))
+        numCodes, shortlist, keep, Some(cbRows), Some(codes))
     }.reduce(_.union(_))
   }
 
   /** Sharded wide IVF×PQ — [[ivfpqBatchWide]] past [[WideBatchCap]]:
     * per-query probes are independent, so sharding the query file shards
-    * the probe set with it; each pass scans only ITS chunk's probed-
-    * cluster union (a sharded pass can read FEWER clusters than the
-    * whole-file pass would — cost, not semantics). */
+    * the probe set with it. Pass-invariant model state is hoisted above
+    * the chunk loop (r17 optimization, guide §1.2): ONE codebook
+    * collection, ONE all-queries probe relation, ONE all-queries ADC
+    * relation, and ONE code table over the whole file's probed-cluster
+    * union — per-chunk shortlists join against their own probe slice, so
+    * a code row from a label the chunk never probes simply never joins
+    * (results identical to the per-chunk-encode form, spec-pinned). Only
+    * per-chunk slices (≤ cap·nProbe rows) are ever broadcast. */
   def ivfpqBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
                             numSub: Int, subDim: Int, numCodes: Int,
                             nProbe: Int, shortlist: Int,
-                            cap: Int = WideBatchCap): DataFrame =
-    shardedWide(qids, cap, "ivfpqBatchShardedWide")(chunk =>
-      ivfpqBatchWide(emb, chunk, k, numSub, subDim, numCodes, nProbe,
-        shortlist))
+                            cap: Int = WideBatchCap): DataFrame = {
+    val who = "ivfpqBatchShardedWide"
+    validateShardInput(qids, cap, who)
+    val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    // ADC relation FIRST — carries the absent-query-id guard
+    val adcAll = adcRelationSharded(emb, qids, cbRows, subDim)
+    val qsAll = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val probesAll = Dedup.materialize(
+      Ivf.probeBatch(Ivf.centroids(emb), qsAll, nProbe))
+    val body = emb.join(broadcast(probesAll.select("label").distinct()), "label")
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+    val codes = Dedup.materialize(
+      encodeFast(body, cbRows, numSub, subDim, carry = Seq("vec_id", "label")))
+    shardedWide(qids, cap, who) { chunk =>
+      val probes = probesAll.filter(col("q_id").isin(chunk: _*))
+      val adc = adcAll.filter(col("q_id").isin(chunk: _*))
+      exactRerankBatch(emb,
+        ivfpqShortlist(codes, probes, adc, numSub, shortlist), chunk, k)
+    }
+  }
 
   /** Sharded wide residual IVF-PQ — [[ivfpqResidualBatchWide]] past the
     * cap; rows encode against their OWN centroid, so the encode is
-    * chunk-independent too. */
+    * chunk-independent — and therefore HOISTED: the residual model (two
+    * training collects), the all-queries ADC relation, and the one
+    * residual code table over the file's probed-cluster union build once
+    * and every chunk joins against its own ADC slice (r17 optimization,
+    * guide §1.2; per-chunk state rebuilt the model and re-encoded the
+    * union for bit-identical output). Only ≤ cap·nProbe ADC rows are
+    * broadcast per pass. */
   def ivfpqResidualBatchShardedWide(emb: DataFrame, qids: Seq[Long], k: Int,
                                     numSub: Int, subDim: Int, numCodes: Int,
                                     nProbe: Int, shortlist: Int,
-                                    cap: Int = WideBatchCap): DataFrame =
-    shardedWide(qids, cap, "ivfpqResidualBatchShardedWide")(chunk =>
-      ivfpqResidualBatchWide(emb, chunk, k, numSub, subDim, numCodes,
-        nProbe, shortlist))
+                                    cap: Int = WideBatchCap): DataFrame = {
+    val who = "ivfpqResidualBatchShardedWide"
+    validateShardInput(qids, cap, who)
+    val st = residualBatchState(emb, qids, numSub, subDim, numCodes, nProbe, who)
+    shardedWide(qids, cap, who) { chunk =>
+      val adc = st.adcRel.filter(col("q_id").isin(chunk: _*))
+      exactRerankIntBatch(st.qe,
+        residualShortlist(st.codes, adc, numSub, shortlist), chunk, k)
+    }
+  }
 
   /** All queries' ADC tables in ONE Spark job (|Q|·K·M rows of model
     * state), keyed (q_id, m, code) → td. Computed BY Spark (not the
@@ -1310,7 +1434,19 @@ object Pq {
       .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     val codes = Dedup.materialize(
       encodeFast(body, cbRows, numSub, subDim, carry = Seq("vec_id", "label")))
-    val short = codes
+    exactRerankBatch(emb,
+      ivfpqShortlist(codes, probes, adc, numSub, shortlist), qids, k)
+  }
+
+  /** The label-pruned wide ADC shortlist tail — shared by
+    * [[ivfpqBatchWide]] and the sharded driver (whose chunks reuse ONE
+    * code table over the whole file's probed-cluster union: a row from a
+    * label no chunk query probes simply never joins). */
+  private def ivfpqShortlist(codes: DataFrame, probes: DataFrame,
+                             adc: DataFrame, numSub: Int,
+                             shortlist: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
+    codes
       // both sides of the inner membership×ADC join are model state — hint
       // the inner side too, or the stats-blind localCheckpoint relations
       // plan a SortMergeJoin for the |Q|·nProbe-row join
@@ -1323,6 +1459,5 @@ object Pq {
         asc = true).as("hits"))
       .select(col("q_id"), posexplode(col("hits")).as(Seq("pos", "hit")))
       .select(col("q_id"), col("hit.id").as("vec_id"))
-    exactRerankBatch(emb, short, qids, k)
   }
 }

@@ -215,7 +215,12 @@ object HybridQueries {
                           classes: Seq[(String, DataFrame, Seq[Long])],
                           floors: Map[(String, String), Long],
                           strategies: Seq[String], who: String): DataFrame = {
-    val rows = classes.flatMap { case (cls, passing, qids) =>
+    // classes are independent measurement cells: build them CONCURRENTLY
+    // (guide §2.6) — each class's construction blocks on a query-file
+    // collect plus up to two eager ground-truth localCheckpoints, and the
+    // sequential form left the executors idle between those small jobs.
+    // The union order below is the input order, so results are identical.
+    val rows = graft.Par.ordered(classes) { case (cls, passing, qids) =>
       val qs = requireQueriesPresent(
         frame.filter(col("vec_id").isin(qids: _*))
           .select(col("vec_id"), col("embedding")).collect()
@@ -266,7 +271,7 @@ object HybridQueries {
             s"$who: unknown recall-matrix strategy '$other'")
       }
     }
-    rows.reduce(_ union _)
+    rows.flatten.reduce(_ union _)
   }
 
   /** A48 floor matrix — ONE copy shared by the entry and Wide2048Spec
@@ -1236,7 +1241,10 @@ object HybridQueries {
         ("c1", MetaPredicate("source" -> ("exact", "src1"))),
         ("c2", MetaPredicate("lang" -> ("exact", "zh"))),
         ("c3", MetaPredicate("n_chars" -> ("leq", 300))))
-      cases.map { case (cls, pred) =>
+      // each case's dispatch runs two selectivity counts at construction:
+      // build the independent cases concurrently (guide §2.6), union in
+      // input order
+      graft.Par.ordered(cases) { case (cls, pred) =>
         Ivf.autoKnn(corpus, d, pred, q, k = 5)
           .select(lit(cls).as("cls"), col("strategy"), col("vec_id"), col("score"))
       }.reduce(_ union _)
@@ -1261,7 +1269,10 @@ object HybridQueries {
         ("c1", MetaPredicate("source" -> ("exact", "src1"))),
         ("c2", MetaPredicate("lang" -> ("exact", "zh"))),
         ("c3", MetaPredicate("n_chars" -> ("leq", 300))))
-      cases.map { case (cls, pred) =>
+      // each case's dispatch runs two selectivity counts at construction:
+      // build the independent cases concurrently (guide §2.6), union in
+      // input order
+      graft.Par.ordered(cases) { case (cls, pred) =>
         Ivf.autoKnn(corpus, d, pred, q, k = 5)
           .select(lit(cls).as("cls"), col("strategy"), col("vec_id"), col("score"))
       }.reduce(_ union _)
@@ -1377,7 +1388,9 @@ object HybridQueries {
         ("c1", pipelineClassPred("c1"), 3L),
         ("c2", pipelineClassPred("c2"), 11L),
         ("c3", pipelineClassPred("c3"), 17L))
-      classes.map { case (cls, pred, qid) =>
+      // independent per-class cells: construct concurrently (guide §2.6,
+      // the recallCells convention) — union order is the input order
+      graft.Par.ordered(classes) { case (cls, pred, qid) =>
         val qv = w.filter(col("vec_id") === qid).select("embedding")
           .collect().head.getSeq[Float](0).toArray
         val passing = attrs.filter(pred).select("vec_id")
@@ -1409,7 +1422,9 @@ object HybridQueries {
       val attrs = parsedListingAttrs(s, dir)
       val path = ensureHnswWideIndex(s, dir)
       val w = wideEmb(emb(s, dir))
-      PipelineRecallQids.map { case (cls, qids) =>
+      // independent per-class cells: construct concurrently (guide §2.6,
+      // the recallCells convention) — union order is the input order
+      graft.Par.ordered(PipelineRecallQids) { case (cls, qids) =>
         val passing = attrs.filter(pipelineClassPred(cls)).select("vec_id")
         require(passing.limit(1).count() >= 1,
           s"acorn_pipeline_recall: class $cls predicate matches no parsed " +
@@ -1459,7 +1474,9 @@ object HybridQueries {
         ("c1", pipelineClassPred("c1"), 3L),
         ("c2", pipelineClassPred("c2"), 11L),
         ("c3", pipelineClassPred("c3"), 17L))
-      classes.map { case (cls, pred, qid) =>
+      // independent per-class cells: construct concurrently (guide §2.6,
+      // the recallCells convention) — union order is the input order
+      graft.Par.ordered(classes) { case (cls, pred, qid) =>
         val qRows = requireQueryPresent(w.filter(col("vec_id") === qid),
           s"acorn_pipeline_e2e_2048 class $cls")
         val qv = qRows.select("embedding").collect().head.getSeq[Float](0).toArray

@@ -720,6 +720,29 @@ class FusionSpec extends SparkSpec {
       s"cross-shard duplicates must fail the WHOLE-file check: ${dup.getMessage}")
   }
 
+  test("sharded wide pass with a keep filter ≡ one filtered wide pass " +
+    "(shared code table is keep-pruned once)") {
+    // r17 optimization: the sharded driver now encodes ONCE for all
+    // chunks; the keep pruning moved with it — this pins that the shared
+    // table is the PRUNED one, not the full corpus
+    import graft.operators.Pq
+    import org.apache.spark.sql.functions.col
+    val e = Tables(spark, dir, "embeddings")
+    val keep = Tables(spark, dir, "documents")
+      .filter(col("lang").isNotNull && col("lang") === "en")
+      .select(col("doc_id").as("vec_id"))
+    val qids = (0L until 6L)
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._3)).toSeq
+    assert(sorted(Pq.searchRerankBatchShardedWide(e, qids, k = 5,
+      numSub = 8, subDim = 8, numCodes = 64, shortlist = 50,
+      keep = Some(keep), cap = 2)) ===
+      sorted(Pq.searchRerankBatchWide(e, qids, k = 5, numSub = 8,
+        subDim = 8, numCodes = 64, shortlist = 50, keep = Some(keep))),
+      "keep-filtered sharded union must equal the single filtered pass")
+  }
+
   test("ivfpq and residual sharded-wide forms ≡ their single wide pass") {
     import graft.operators.Pq
     val e = Tables(spark, dir, "embeddings")
