@@ -43,9 +43,15 @@ object EntryProbe {
       val t0 = jobStart.get(j.jobId)
       if (t0 > 0) jobWall.add((j.jobId, (j.time - t0) / 1e3))
     }
+    val stageInfo = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Int, Double, String)]()
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       stages += 1
       tasks += s.stageInfo.numTasks
+      val wall = (for {
+        a <- s.stageInfo.completionTime; b <- s.stageInfo.submissionTime
+      } yield (a - b) / 1e3).getOrElse(-1.0)
+      stageInfo.add((s.stageInfo.stageId, s.stageInfo.numTasks, wall,
+        s.stageInfo.name.takeWhile(_ != '\n').take(60)))
     }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
@@ -106,7 +112,10 @@ object EntryProbe {
       import scala.jdk.CollectionConverters._
       val topJobs = c.jobWall.asScala.toSeq.sortBy(-_._2).take(8)
         .map { case (id, s) => s"[$id,${f3(s)}]" }.mkString("[", ",", "]")
-      val line = s""""$name":{"top_jobs":$topJobs,"build_sec":${f3((t1 - t0) / 1e9)}""" +
+      val topStages = c.stageInfo.asScala.toSeq.sortBy(-_._3).take(8)
+        .map { case (id, n, w, nm) => s"""[$id,$n,${f3(w)},"$nm"]""" }
+        .mkString("[", ",", "]")
+      val line = s""""$name":{"top_jobs":$topJobs,"top_stages":$topStages,"build_sec":${f3((t1 - t0) / 1e9)}""" +
         s""","exec_sec":${f3((t3 - t2) / 1e9)}""" +
         s""","jobs_build":$jobsB,"jobs_total":$jobs""" +
         s""","stages_build":$stagesB,"stages_total":$stages""" +

