@@ -595,7 +595,7 @@ object Pq {
     * never affects results: every consumer aggregates by key or through
     * order-insensitive k-heaps. */
   private[operators] val SpreadMinOpsPerRow = 16384L
-  private[operators] def spreadHeavyKernel(body: DataFrame, opsPerRow: Long): DataFrame = {
+  private[graft] def spreadHeavyKernel(body: DataFrame, opsPerRow: Long): DataFrame = {
     if (body.isStreaming || opsPerRow < SpreadMinOpsPerRow) body
     else {
       val target = body.sparkSession.sparkContext.defaultParallelism

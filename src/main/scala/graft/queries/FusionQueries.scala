@@ -341,7 +341,13 @@ object FusionQueries {
     * ColBERT-style encoder drops into this projection; everything
     * downstream (MaxSim, shuffles, oracle) is encoder-agnostic. */
   private def mvPassages(s: SparkSession, dir: String): DataFrame =
-    docs(s, dir).selectExpr("doc_id", s"$sTok AS tk")
+    // spread the passage featurization (r17 optimization, guide §2.5):
+    // every passage component is an md5-derived integer, so the
+    // projection is the entry's dominant CPU and the one-row-group gate
+    // corpus would run it on a single task; spreadHeavyKernel moves the
+    // raw doc rows once and is a no-op when the scan is already parallel
+    Pq.spreadHeavyKernel(docs(s, dir), opsPerRow = 1 << 20)
+      .selectExpr("doc_id", s"$sTok AS tk")
       .filter(size(col("tk")) > 0)
       .selectExpr("doc_id",
         s"""transform(sequence(0, (size(tk) - 1) div $MvChunk),

@@ -77,10 +77,19 @@ object StreamingQueries {
     val cbRows = Pq.seededCodebook(emb, numSub = numSub, subDim = subDim,
       numCodes = 64).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-    val codes = Pq.encodeFast(
+    // materialize the WIDE static code table BEFORE the stream starts
+    // (r17 optimization): the broadcast side is otherwise re-evaluated
+    // inside the micro-batch, where the d=2048 encode measured ~1.4 s of
+    // per-task interpreter time — as a batch materialize it runs the
+    // spread parallel encode once, and the stream broadcasts stored
+    // rows. The d=64 encode is cheap enough in-stream that the extra
+    // materialize job costs more than it saves (measured), so it stays
+    // lazy below the width threshold.
+    val codes0 = Pq.encodeFast(
       emb.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
       cbRows, numSub = numSub, subDim = subDim)
       .join(emb.selectExpr("vec_id", "CAST(label AS BIGINT) AS label"), "vec_id")
+    val codes = if (numSub * subDim >= 1024) Dedup.materialize(codes0) else codes0
     val cents = Ivf.centroids(emb).collect()
       .map(r => (r.getAs[Number](0).longValue, r.getSeq[Float](1)))
       .sortBy(_._1)
@@ -624,9 +633,9 @@ object StreamingQueries {
       val cbRows = Pq.seededCodebook(w, numSub = numSub, subDim = subDim,
         numCodes = 64).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      val codes = Pq.encodeFast(
+      val codes = Dedup.materialize(Pq.encodeFast(
         w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
-        cbRows, numSub = numSub, subDim = subDim)
+        cbRows, numSub = numSub, subDim = subDim))
       val qStream = readStreamTable(s, dir, "embeddings")
         .filter(col("vec_id") < 8)
         .select(col("vec_id").as("q_id"),
@@ -707,9 +716,9 @@ object StreamingQueries {
       val cbRows = Pq.seededCodebook(w, numSub = numSub, subDim = subDim,
         numCodes = 64).collect()
         .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
-      val codes = Pq.encodeFast(
+      val codes = Dedup.materialize(Pq.encodeFast(
         w.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"),
-        cbRows, numSub = numSub, subDim = subDim)
+        cbRows, numSub = numSub, subDim = subDim))
       val qStream = readStreamTable(s, dir, "embeddings")
         .filter(col("vec_id") < 8)
         .select((col("vec_id") + 1000).as("q_id"),
