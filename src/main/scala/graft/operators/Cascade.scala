@@ -173,10 +173,15 @@ object Cascade {
     * runs it — which also validates every qid is indexed. */
   def searchBatch(raw: DataFrame, qids: Seq[Long], stage1: Int, stage2: Int,
                   k: Int, keep: Option[DataFrame] = None,
-                  stats0: Option[DataFrame] = None): DataFrame = {
-    val e = raw.selectExpr("vec_id", "embedding",
+                  stats0: Option[DataFrame] = None,
+                  e0: Option[DataFrame] = None): DataFrame = {
+    // `e0` lets the sharded driver thread ONE materialized packed frame
+    // (vec, v, lo/hi sign codes) across every pass — the pack projection
+    // is query-independent, so per-pass re-derivation only multiplied it
+    // by the shard count (r17 optimization, the Pq sharded convention)
+    val e = e0.getOrElse(raw.selectExpr("vec_id", "embedding",
       "CAST(embedding AS ARRAY<DOUBLE>) AS v",
-      s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+      s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"))
     val stats = stats0.getOrElse(calibrationAndPresence(e, qids))
     val qs = e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
@@ -233,10 +238,15 @@ object Cascade {
                          cap: Int = Pq.WideBatchCap): DataFrame = {
     // ONE calibration/presence pass for the whole qid set, threaded into
     // every chunk (r11 ADVICE: recomputing per chunk re-scanned the corpus
-    // ⌈|Q|/cap⌉ times for a value that is index-build state)
-    val stats = calibrationAndPresence(
-      raw.selectExpr("vec_id", "CAST(embedding AS ARRAY<DOUBLE>) AS v"), qids)
+    // ⌈|Q|/cap⌉ times for a value that is index-build state) — and ONE
+    // materialized packed frame shared the same way (r17: the sign-code /
+    // double-cast projection is query-independent too)
+    val e = graft.operators.Dedup.materialize(
+      raw.selectExpr("vec_id", "embedding",
+        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"))
+    val stats = calibrationAndPresence(e, qids)
     Pq.shardedWide(qids, cap, "cascadeSearchBatchSharded")(chunk =>
-      searchBatch(raw, chunk, stage1, stage2, k, keep, Some(stats)))
+      searchBatch(raw, chunk, stage1, stage2, k, keep, Some(stats), Some(e)))
   }
 }
