@@ -210,6 +210,19 @@ object Bench {
       s"""{"runs":$full,"medians":${fmtQ(med)},"rss_delta_mb_entries":$rssJson,"summary":$line}""")
     catch { case _: Throwable => () }
     println(line)
+    // parse insurance (r17 verdict #4): the full line above grows with the
+    // entry count (~12 KB at 283 entries) and r16's round-over-round
+    // comparison was lost when a stdout-tail window cut off its FRONT. A
+    // second COMPACT line — totals + classes, no per-query map — printed
+    // AFTER it always survives tail truncation whole. Additions-only: the
+    // full line keeps its exact format and position, and the compact line
+    // uses a distinct metric name so any "metric":"total" matcher is
+    // untouched; the complete per-pass record is in SPARK_GRAFT_BENCH_FILE.
+    println(s"""{"metric":"total_compact","value":${f3(total)},"unit":"sec"""" +
+      s""","classes":$classes,"n_runs":$nRuns,"total_min":${f3(totalMin)}""" +
+      s""","stalled":$stalledJson,"rss_mb":$rssMb,"vmhwm_mb":$vmHwmMb""" +
+      s""","loadavg":[${f3(loadBefore)},${f3(loadAfter)}],"sf":"$sfDir"""" +
+      s""","bench_file":"$outFile"}""")
     spark.stop()
   }
 }

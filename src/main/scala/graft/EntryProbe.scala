@@ -81,11 +81,14 @@ object EntryProbe {
     val results = names.map { name =>
       val fn = SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown entry: $name"))
-      // warm-up at the smallest SF mirrors Bench (JIT + codegen caches)
-      val warmDir = "/root/testdata/sf0.001"
+      // warm-up at the smallest SF mirrors Bench (JIT + codegen caches);
+      // NonFatal only + a logged failure (ADVICE r17: a silently failed
+      // warm-up skews the probe with no signal), dir overridable
+      val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
       if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[EntryProbe] warm-up failed for $name: $e") }
         spark.catalog.clearCache()
       }
       val c = new Counts

@@ -23,9 +23,16 @@ object Par {
         pool.submit(new java.util.concurrent.Callable[B] {
           override def call(): B = f(a)
         }))
-      futures.map { fut =>
+      futures.zipWithIndex.map { case (fut, i) =>
         try fut.get()
         catch { case e: java.util.concurrent.ExecutionException =>
+          // first failure BY POSITION propagates (deterministic guards);
+          // cancel the rest so in-flight cells' eager Spark jobs don't
+          // keep running on non-daemon threads after the unwind (ADVICE
+          // r17) — interrupt + shutdownNow, then a bounded drain
+          futures.drop(i + 1).foreach(_.cancel(true))
+          pool.shutdownNow()
+          pool.awaitTermination(10, java.util.concurrent.TimeUnit.SECONDS)
           throw e.getCause }
       }
     } finally pool.shutdown()

@@ -48,21 +48,19 @@ object Graph {
     // partition by the join key once; every iteration's join reuses it
     val eo = e.join(out, "src").repartition(col("src")).cache()
     val nodes = e.select(col("src").as("node")).distinct().cache()
+    // SHUFFLE_HASH on the rank side (r17 optimization, guide §3.1): the
+    // default sort-merge join re-SORTS the cached 2-columns-per-edge
+    // table every iteration, while SHJ builds the |nodes|/P-row hash per
+    // partition and probes the edges unsorted. (r18: a per-iteration
+    // broadcast(ranks) was A/B-measured and REJECTED — the per-iteration
+    // broadcast build job costs more than the |nodes|-row shuffle it
+    // saves: 5.2–5.8 s vs 4.8 s at sf0.1.)
     var ranks = nodes.withColumn("r", lit(1000000L))
-    for (_ <- 1 to iters) {
-      // SHUFFLE_HASH on the rank side (r17 optimization, guide §3.1): the
-      // default sort-merge join re-SORTS the cached 2-columns-per-edge
-      // table every iteration (the cache preserves partitioning, not
-      // order) — k iterations pay k full edge-table sorts for a join
-      // whose per-partition rank side is tiny. A shuffled-hash join
-      // builds the |nodes|/P-row hash table per partition and probes the
-      // edges unsorted; same rows out, measured −1 s/entry at sf0.1 and
-      // the same argument holds at 100 TB (|nodes| ≪ |edges| and the
-      // rank table is the side that fits per-partition memory).
+    for (it <- 1 to iters) {
       val contrib = eo.join(ranks.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), expr("r div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("s"))
-      ranks =
+      val next =
         if (symmetric)
           contrib.select(col("node"),
             expr("CAST(150000 + (85 * s) div 100 AS BIGINT)").as("r"))
@@ -70,6 +68,17 @@ object Graph {
           nodes.join(contrib, Seq("node"), "left")
             .select(col("node"),
               expr("CAST(150000 + (85 * coalesce(s, 0)) div 100 AS BIGINT)").as("r"))
+      // Per-iteration materialization of the rank table (r18, r17 verdict
+      // #5): the one-lazy-plan form nested every iteration's subtree
+      // inside the next — at k=5 the final plan re-analyzed and re-planned
+      // a 5-deep join chain, and EntryProbe measured 748 tasks /
+      // ~130 s summed task time for a 1.2M-edge graph (plan-depth
+      // overhead, not compute). Checkpointing RANKS ONLY (|nodes| rows,
+      // the tiny side) caps plan depth at one join per action; the edge
+      // table stays cached, never checkpointed. Values are unchanged —
+      // materialization is placement-only. The last iteration stays lazy:
+      // the caller's action materializes it.
+      ranks = if (it < iters) Dedup.materialize(next) else next
     }
     ranks
   }
@@ -98,22 +107,32 @@ object Graph {
     * no global sort — is ever needed.
     *
     * Fast path: when the ORIENTED half-edge set is small enough to ship,
-    * both probe sides broadcast and the count becomes one shuffle-free
-    * scan + a tiny aggregate. The engine decides from its own exact count
-    * of the cached set (better stats than AQE's estimates); the shuffle
-    * shape above remains the default the moment the edge set outgrows the
-    * broadcast budget.
+    * the wedge enumeration + closure probe collapse into ONE
+    * compressed-adjacency (CSR) mapPartitions kernel over a broadcast of
+    * the oriented edges (r18 optimization, guide §4.2 "do the heavy
+    * lifting in native code" / §8 "use what you know the optimizer does
+    * not"): the join form materializes every wedge as a row and hashes it
+    * against a HashedRelation — O(m^{3/2}) row objects, two probe
+    * relations resident (~480 MB at 1.2M edges, r5 measurement) — while
+    * the kernel walks int-indexed sorted neighbor arrays with a
+    * two-pointer intersection per oriented edge: the SAME O(m^{3/2})
+    * pointer steps but zero row materialization, zero hashing, and a
+    * broadcast footprint of 4·(n+m) bytes (~25 MB at the 4M-edge cap vs
+    * ~1.6 GB for the two relations). Each task counts into a private
+    * long[n] and emits its non-zero (node, c) partials; one tiny final
+    * aggregate sums them. Triangle identity is unchanged: edge (x,y) of
+    * triangle x≺y≺z finds exactly z = N⁺(x) ∩ N⁺(y) (both closing edges
+    * are oriented away from x and y), so every count matches the wedge
+    * join bit-for-bit — pinned by GraphSpec and the driver oracle. The
+    * engine decides from its own exact count of the cached set (better
+    * stats than AQE's estimates); the shuffle shape above remains the
+    * default the moment the edge set outgrows the broadcast budget.
     *
-    * Budget honesty (ADVICE r5): the resident cost is NOT the 24 raw
-    * column bytes/row — each probe side becomes a HashedRelation
-    * (~150–250 bytes/row with the hash map + UnsafeRow overhead), and the
-    * two joins key differently (wedge on `a`, closure on `(a, b)`), so
-    * they CANNOT share one relation — two copies live on the driver and
-    * every executor. The default therefore sizes against the actual heap:
-    * ~7.5% of Runtime.maxMemory across both relations at 400 B/row (an
-    * 8 GiB heap → ~1.6M edges, which keeps the sf0.1 co-purchase graph's
-    * 1.2M oriented edges — measured ~480 MB resident for both relations,
-    * r5 — on the fast path). Pass an explicit cap to pin behavior.
+    * Budget honesty (ADVICE r5, re-sized r18): the kernel broadcast is
+    * offsets int[n+1] + neighbors int[m] + ids long[n] (≤ ~60 MB at the
+    * 4M cap), plus one long[n] count array per RUNNING task (≤ 64 MB at
+    * the cap's worst case, bounded by executor cores). Pass an explicit
+    * cap to pin behavior.
     *
     * The heap term is measured on the JVM that PLANS the query — the
     * driver — but the relations live on every EXECUTOR too (ADVICE r6):
@@ -150,18 +169,102 @@ object Graph {
       .cache()
     // the cache is materialized by this count, which is then FREE stats
     val small = o.count() <= maxEdges
-    def probe(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    if (small) return triangleCountsKernel(o)
     // wedges from the orientation-least corner; b1 ≺ b2 in the SAME
     // (deg, id) order so the closing edge (b1 → b2) is oriented if present
-    val wedges = o.as("x").join(probe(o.as("y")), col("x.a") === col("y.a") &&
+    val wedges = o.as("x").join(o.as("y"), col("x.a") === col("y.a") &&
         (col("x.degb") < col("y.degb") ||
           (col("x.degb") === col("y.degb") && col("x.b") < col("y.b"))))
       .select(col("x.a").as("a"), col("x.b").as("b1"), col("y.b").as("b2"))
-    val tris = wedges.as("w").join(probe(o.as("z")),
+    val tris = wedges.as("w").join(o.as("z"),
         col("w.b1") === col("z.a") && col("w.b2") === col("z.b"))
       .select(col("w.a").as("a"), col("w.b1").as("b1"), col("w.b2").as("b2"))
     tris
       .select(explode(array(col("a"), col("b1"), col("b2"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** CSR triangle kernel over a broadcast of the MATERIALIZED oriented
+    * edge set `o` (a, b) — see [[triangleCounts]] for the algorithm and
+    * budget argument. The collect here is broadcast-building (the same
+    * driver budget the previous probe-side `broadcast(o)` paid through
+    * BroadcastExchange, minus the HashedRelation overhead); everything is
+    * re-derived from the parquet inputs on every invocation. */
+  private def triangleCountsKernel(o: DataFrame): DataFrame = {
+    val spark = o.sparkSession
+    import spark.implicits._
+    val nodeType = o.schema("a").dataType
+    val rows = o.select(col("a").cast("long"), col("b").cast("long")).collect()
+    val m = rows.length
+    val srcIds = new Array[Long](m); val dstIds = new Array[Long](m)
+    var i = 0
+    while (i < m) { srcIds(i) = rows(i).getLong(0); dstIds(i) = rows(i).getLong(1); i += 1 }
+    // dense index over every endpoint: sorted ids + binary search
+    val ids = (srcIds ++ dstIds).distinct.sorted
+    val n = ids.length
+    @inline def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
+    // CSR: out-neighbor int indices, sorted within each node's slice so
+    // the per-edge intersection is a two-pointer merge
+    val off = new Array[Int](n + 1)
+    i = 0; while (i < m) { off(idx(srcIds(i)) + 1) += 1; i += 1 }
+    i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val nbr = new Array[Int](m)
+    val fill = java.util.Arrays.copyOf(off, n)
+    i = 0
+    while (i < m) { val u = idx(srcIds(i)); nbr(fill(u)) = idx(dstIds(i)); fill(u) += 1; i += 1 }
+    i = 0; while (i < n) { java.util.Arrays.sort(nbr, off(i), off(i + 1)); i += 1 }
+    // work-balanced node chunks: the per-edge intersection walks
+    // |N⁺(u)| + |N⁺(v)| pointer steps, so chunk on that prefix sum — the
+    // straggler guard the join form got from AQE (guide §2.5/§2.6)
+    val work = new Array[Long](n + 1)
+    i = 0
+    while (i < n) {
+      var w = 0L; var j = off(i); val du = (off(i + 1) - off(i)).toLong
+      while (j < off(i + 1)) { val v = nbr(j); w += du + (off(v + 1) - off(v)); j += 1 }
+      work(i + 1) = work(i) + w; i += 1
+    }
+    val chunks = math.max(1, math.min(math.max(n, 1),
+      spark.sparkContext.defaultParallelism * 2))
+    val bounds = new Array[Int](chunks + 1)
+    var p = 0; var ci = 1
+    while (ci < chunks) {
+      if (work(n) > 0) {
+        val target = work(n) / chunks * ci
+        while (p < n && work(p) < target) p += 1
+      } else p = math.min(n, (n.toLong * ci / chunks).toInt)
+      bounds(ci) = p; ci += 1
+    }
+    bounds(chunks) = n
+    val bc = spark.sparkContext.broadcast((off, nbr, ids, bounds))
+    val partials = spark.range(0, chunks.toLong, 1L, chunks).mapPartitions { it =>
+      val (off, nbr, ids, bounds) = bc.value
+      val cnt = new Array[Long](ids.length)
+      var any = false
+      it.foreach { ciL =>
+        val c = ciL.toInt
+        var u = bounds(c)
+        while (u < bounds(c + 1)) {
+          var j = off(u); val uEnd = off(u + 1)
+          while (j < uEnd) {
+            val v = nbr(j)
+            // common out-neighbors of u and v = this edge's triangles
+            var p1 = off(u); var p2 = off(v); val e2 = off(v + 1)
+            while (p1 < uEnd && p2 < e2) {
+              val x = nbr(p1); val y = nbr(p2)
+              if (x < y) p1 += 1
+              else if (x > y) p2 += 1
+              else { cnt(u) += 1; cnt(v) += 1; cnt(x) += 1; any = true; p1 += 1; p2 += 1 }
+            }
+            j += 1
+          }
+          u += 1
+        }
+      }
+      if (!any) Iterator.empty
+      else ids.indices.iterator.filter(cnt(_) > 0L).map(i => (ids(i), cnt(i)))
+    }
+    partials.toDF("node", "c")
+      .groupBy("node").agg(sum("c").as("n_tri"))
+      .select(col("node").cast(nodeType).as("node"), col("n_tri"))
   }
 }

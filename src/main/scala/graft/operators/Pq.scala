@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Column, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.{exchange, FileSourceScanExec, RDDScanExec, SparkPlan}
 import graft.functions.{pq, scaled, vectors}
 
 /** Product quantization (IVF-PQ style) — the canonical 100 TB vector-
@@ -596,12 +597,64 @@ object Pq {
     * order-insensitive k-heaps. */
   private[operators] val SpreadMinOpsPerRow = 16384L
   private[graft] def spreadHeavyKernel(body: DataFrame, opsPerRow: Long): DataFrame = {
-    if (body.isStreaming || opsPerRow < SpreadMinOpsPerRow) body
-    else {
-      val target = body.sparkSession.sparkContext.defaultParallelism
-      val current = body.rdd.getNumPartitions
-      if (current >= target) body else body.repartition(target)
+    if (body.isStreaming || opsPerRow < SpreadMinOpsPerRow) return body
+    // Plan-side parallelism probe (ADVICE r17, replaces
+    // body.rdd.getNumPartitions): under AQE, Dataset.rdd FINALIZES the
+    // adaptive plan — it eagerly executes every intermediate exchange
+    // (broadcast builds, shuffle map stages) of the body's plan and then
+    // discards them, so join-shaped bodies (the keep-pruned and
+    // probe-joined encodes) paid their stages twice per construction.
+    // sparkPlan is the planned pre-AQE physical tree: inspecting it runs
+    // no job.
+    val plan = body.queryExecution.sparkPlan
+    // Only the STREAMED spine drives the body's output partitioning:
+    // broadcast subtrees ship whole (their internal shuffles — e.g. a
+    // distinct() under a broadcast hint — neither spread nor constrain
+    // the probe side), so both walks skip them entirely.
+    def streamedLeaves(p: SparkPlan): Seq[SparkPlan] = p match {
+      case _: exchange.BroadcastExchangeLike => Nil
+      case l if l.children.isEmpty => Seq(l)
+      case other => other.children.flatMap(streamedLeaves)
     }
+    def streamedHasShuffle(p: SparkPlan): Boolean = p match {
+      case _: exchange.BroadcastExchangeLike => false
+      case _: exchange.ShuffleExchangeLike => true
+      case other => other.children.exists(streamedHasShuffle)
+    }
+    val leaves = streamedLeaves(plan)
+    // FileScanRDD / checkpoint-RDD partition counts and file sizes are
+    // driver-side metadata — reading them runs nothing
+    val leafParts = leaves.map {
+      case f: FileSourceScanExec => f.inputRDDs().map(_.getNumPartitions).sum
+      case r: RDDScanExec => r.rdd.getNumPartitions
+      case _ => 1 // unknown leaf (cached relation, local rows): treat as
+                  // degenerate — same spread decision as before r18
+    }.sum.max(1)
+    val spark = body.sparkSession
+    val current =
+      if (!streamedHasShuffle(plan)) leafParts
+      else {
+        // A streamed-side shuffle re-spreads the rows, but under AQE its
+        // RUNTIME partition count is coalesced to ~outputBytes/advisory —
+        // at gate scale that is 1 partition, and the old .rdd probe
+        // (which executed the plan) saw exactly that and re-spread.
+        // Estimate the coalesced count from the streamed leaf bytes (a
+        // narrow projection's shuffle output is bounded by its input's
+        // order of magnitude) instead of executing: tiny input → ~1,
+        // 100 TB input → ≥ shuffle.partitions → no-op.
+        val advisory = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+          spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB"))
+        val fileBytes = leaves.collect {
+          case f: FileSourceScanExec => f.relation.location.sizeInBytes
+        }.sum
+        val shufflePartitions =
+          spark.conf.get("spark.sql.shuffle.partitions", "200").toInt
+        if (fileBytes <= 0) leafParts // RDD-leaf spine: keep its placement
+        else math.min(shufflePartitions.toLong,
+          math.max(1L, fileBytes / math.max(1L, advisory))).toInt
+      }
+    val target = spark.sparkContext.defaultParallelism
+    if (current >= target) body else body.repartition(target)
   }
 
   /** Materialize (spread) a derived vector frame BEFORE a heavy consumer

@@ -89,6 +89,21 @@ class GraphSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("triangle CSR kernel ≡ wedge-join path on the sf0.001 graph") {
+    // broadcastMaxEdges = 0 forces the at-scale join shape; the default
+    // takes the r18 compressed-adjacency kernel — both must agree exactly
+    val dir = "/root/testdata/sf0.001"
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_partkey")
+    val e = li.as("a").join(li.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" =!= $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst")).distinct()
+    val kernel = Graph.triangleCounts(e).as[(Long, Long)].collect().toMap
+    val joins = Graph.triangleCounts(e, broadcastMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(kernel == joins)
+    assert(kernel.nonEmpty)
+  }
+
   test("parts_pagerank is deterministic and covers every co-purchased part") {
     val dir = "/root/testdata/sf0.001"
     val a = AnalyticsQueries.defs("parts_pagerank")(spark, dir)

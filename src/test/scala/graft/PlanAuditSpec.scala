@@ -32,13 +32,17 @@ class PlanAuditSpec extends SparkSpec {
       s"histogram plan rescans the base table: $scans scans, $reused reused\n${p.take(3000)}")
   }
 
-  test("parts_triangles: small oriented edge set broadcasts both probes") {
-    // the stats-guarded fast path: under the broadcast budget the wedge
-    // and closure joins must both be BroadcastHashJoin (shuffle-free
-    // count); the shuffle SMJ shape is reserved for over-budget edge sets
+  test("parts_triangles: small oriented edge set takes the CSR kernel, no joins") {
+    // the stats-guarded fast path (r18): under the broadcast budget the
+    // wedge enumeration + closure probe collapse into the
+    // compressed-adjacency mapPartitions kernel — the final plan is the
+    // kernel partials + one tiny aggregate, with NO join anywhere; the
+    // shuffle SMJ join shape is reserved for over-budget edge sets
     val p = plan("parts_triangles")
-    val n = "BroadcastHashJoin".r.findAllIn(p).length
-    assert(n >= 2, s"expected both probe joins broadcast, found $n\n${p.take(3000)}")
+    assert(p.contains("MapPartitions"),
+      s"expected the CSR triangle kernel in the plan\n${p.take(3000)}")
+    assert(!p.contains("Join"),
+      s"fast path must not join — the kernel replaced both probes\n${p.take(3000)}")
   }
 
   test("prefilter_knn: predicate pushed to the scan, top-k via TakeOrdered") {
@@ -451,13 +455,21 @@ class PlanAuditSpec extends SparkSpec {
       p.take(3000))
   }
 
-  test("parts_pagerank: cached edge table reused across all five iterations") {
-    // fixed-k PageRank is ONE lazy plan: the (edges ⋈ outdeg) table is
-    // partitioned + cached once and every unrolled iteration must read it
-    // from memory, never recompute the lineitem self-join five times
+  test("parts_pagerank: final plan is ONE shallow iteration over cache + checkpoint") {
+    // r18: ranks materialize per iteration, so the FINAL plan is just the
+    // last iteration — the cached (edges ⋈ outdeg) table joined with the
+    // checkpointed rank table (Scan ExistingRDD), never the 5-deep nested
+    // chain (which re-planned every iteration's subtree inside the next)
+    // and never a recompute of the lineitem self-join
     val p = plan("parts_pagerank")
-    assert("InMemoryTableScan".r.findAllIn(p).size >= 5,
-      "each iteration must reuse the cached edges:\n" + p.take(3000))
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 1,
+      "the last iteration must reuse the cached edges:\n" + p.take(3000))
+    assert(p.contains("Scan ExistingRDD"),
+      "the last iteration must read the checkpointed ranks:\n" + p.take(3000))
+    // (the cached edge relation's STORED build plan prints inline — its
+    // broadcast joins are display text, so count only shuffle-side joins)
+    assert("ShuffledHashJoin|SortMergeJoin".r.findAllIn(p).size <= 2,
+      "plan depth must be one iteration, not the unrolled chain:\n" + p.take(3000))
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
