@@ -120,6 +120,10 @@ object Dedup {
         .filter(col("_df") > cap).select("g")
       all.join(hot, Seq("g"), "left_anti")
     }
+    // cache, not materialize (r18 A/B: checkpointing this cheap-to-derive
+    // shingle table measured 2.2 → 2.6 s — the eager write outweighs the
+    // shallow consumer plans; the minhash SIGNATURE tables, expensive to
+    // recompute, go the other way)
     val exploded = kept.cache()
     val sizes = exploded.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = exploded.as("a")
@@ -264,8 +268,14 @@ object Dedup {
   def minhashEstimate(docs: DataFrame, numHashes: Int, bands: Int,
                       maxBucket: Option[Int] = None,
                       oneBit: Boolean = false): DataFrame = {
-    val sigs = minhashSignatures(docs, numHashes).cache()
-    val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
+    // materialize (not cache) the two shared frames (r18): sigs feeds the
+    // banding AND both per-pair signature joins, cand feeds the estimate
+    // join AND the exact-verify restriction — with lazy caches every
+    // consumer subtree re-enters the cached plan through AQE's stage
+    // machinery; checkpointed RDD scans keep the downstream plans shallow
+    val sigs = materialize(minhashSignatures(docs, numHashes))
+    val cand = materialize(
+      pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket))
 
     val matchSum = (0 until numHashes)
       .map(j => s"(CASE WHEN sa.m$j = sb.m$j THEN 1 ELSE 0 END)").mkString(" + ")
@@ -344,8 +354,10 @@ object Dedup {
         s"b > $maxB overflows the debias numerator numHashes·10⁶·2^b " +
         s"(numHashes=$numHashes) and Spark wraps silently, and " +
         "duplicates collide on the est_<b> column names")
-    val sigs = minhashSignatures(docs, numHashes).cache()
-    val cand = pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket).cache()
+    // materialize, not cache — same sharing argument as minhashEstimate
+    val sigs = materialize(minhashSignatures(docs, numHashes))
+    val cand = materialize(
+      pairsFromBanded(bandedFromSigs(sigs, numHashes, bands), maxBucket))
     def estB(b: Int): String = {
       val p = 1L << b
       val m = (0 until numHashes)
@@ -411,16 +423,24 @@ object Dedup {
       .selectExpr("doc_id", s"${hashExpr("g")} AS g")
     val sets = all.groupBy("doc_id")
       .agg(sort_array(collect_set("g")).as("set"), count(lit(1)).as("n"))
+    // (r18: materializing the 5 allocations' candidate sets concurrently
+    // via Par.ordered was A/B-measured and REJECTED — 3.4 → 4.0 s at
+    // sf0.1: the eager per-cell checkpoints cost more than the lazy
+    // union's AQE stage serialization they replaced)
     val cands = bandsList.map { b =>
       pairsFromBanded(bandedFromSigs(sigs, numHashes, b), Some(maxBucket))
         .withColumn("bands", lit(b.toLong))
     }.reduce(_ unionAll _)
     val uniq = cands.select("a_id", "b_id").distinct()
-    val jac = uniq
+    val jac0 = uniq
       .join(sets.select(col("doc_id").as("a_id"), col("set").as("sa"), col("n").as("na")), "a_id")
       .join(sets.select(col("doc_id").as("b_id"), col("set").as("sb"), col("n").as("nb")), "b_id")
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
       .selectExpr("a_id", "b_id", "(inter * 1000000) div (na + nb - inter) AS jac")
+    // the exact-verify table feeds TWO subtrees (the frontier denominator
+    // and the per-allocation stats join) — materialize it once (r18)
+    // instead of re-paying the shingle-set joins per consumer
+    val jac = materialize(jac0)
     val denom = jac.filter(col("jac") >= tauScaled)
       .agg(count(lit(1)).as("n_union_pos"))
     val stats = cands.join(jac, Seq("a_id", "b_id"))

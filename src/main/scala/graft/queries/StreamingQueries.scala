@@ -153,6 +153,15 @@ object StreamingQueries {
     * inside this method, unlike lazy batch frames). */
   private val StreamShufflePartitions =
     sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8")
+  /** Stream-STREAM joins maintain FOUR state stores per partition (each
+    * side × keyToNumValues/keyWithIndexToValue) — 4× the per-partition
+    * state machinery of a single-store aggregation — so their overhead
+    * floor sits lower: r18 A/B at sf0.1 measured 4 parts at 2.5/2.6 s vs
+    * 8 parts at 2.9/3.1 s for the inner/outer join entries. Same
+    * env-parameterized contract as [[StreamShufflePartitions]]: at 100 TB
+    * the knob goes UP with the join-key cardinality. */
+  private val StreamJoinShufflePartitions =
+    sys.env.getOrElse("SPARK_GRAFT_STREAM_JOIN_PARTS", "4")
   // per-process temp root: concurrent harness JVMs must not share
   // sink/checkpoint dirs (mode-overwrite clobbers files mid-read)
   private def wiped(sub: String): String = graft.TmpDirs.wiped(sub)
@@ -171,10 +180,11 @@ object StreamingQueries {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   private def runToTable(s: SparkSession, out: DataFrame, name: String,
-                         mode: String): DataFrame = {
+                         mode: String,
+                         parts: String = StreamShufflePartitions): DataFrame = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)
-    s.conf.set(key, StreamShufflePartitions)
+    s.conf.set(key, parts)
     val ssKey = "spark.sql.streaming.stateStore.providerClass"
     val prevSs = s.conf.getOption(ssKey)
     val wantRocks = sys.env.get("SPARK_GRAFT_STREAM_STATESTORE")
@@ -425,7 +435,7 @@ object StreamingQueries {
         .filter(col("event_type") === "purchase")
       runToTable(s,
         JoinStream.clickPurchase(clicks, purchases, NoEvictDelay),
-        "sq_join", "append")
+        "sq_join", "append", StreamJoinShufflePartitions)
     }),
 
     // C47: the LEFT OUTER stream-stream join — conversion AND abandonment
@@ -441,7 +451,7 @@ object StreamingQueries {
         .filter(col("event_type") === "purchase")
       runToTable(s,
         JoinStream.clickPurchaseOuter(clicks, purchases, "1 minute"),
-        "sq_join_outer", "append")
+        "sq_join_outer", "append", StreamJoinShufflePartitions)
     }),
 
     // C58: STREAMING vector ingest — A30's FAISS-add() path as a live
