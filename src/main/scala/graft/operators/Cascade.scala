@@ -174,11 +174,17 @@ object Cascade {
   def searchBatch(raw: DataFrame, qids: Seq[Long], stage1: Int, stage2: Int,
                   k: Int, keep: Option[DataFrame] = None,
                   stats0: Option[DataFrame] = None,
-                  e0: Option[DataFrame] = None): DataFrame = {
-    // `e0` lets the sharded driver thread ONE materialized packed frame
-    // (vec, v, lo/hi sign codes) across every pass — the pack projection
-    // is query-independent, so per-pass re-derivation only multiplied it
-    // by the shard count (r17 optimization, the Pq sharded convention)
+                  e0: Option[DataFrame] = None,
+                  codes0: Option[DataFrame] = None): DataFrame = {
+    // `e0` lets the sharded driver thread ONE packed frame (vec, v, lo/hi
+    // sign codes) across every pass — the pack projection is
+    // query-independent, so per-pass re-derivation only multiplied it by
+    // the shard count (r17 optimization, the Pq sharded convention).
+    // `codes0` (r18, ADVICE r17) is the MATERIALIZED narrow (vec_id, lo,
+    // hi) stage-1 table: only those 17 bytes/row are stored — the
+    // embedding/v columns stay lazy and the rerank re-derives them for
+    // its ≤shortlist join, so the sharded driver's executor-storage
+    // footprint is index-sized, never 3× corpus bytes.
     val e = e0.getOrElse(raw.selectExpr("vec_id", "embedding",
       "CAST(embedding AS ARRAY<DOUBLE>) AS v",
       s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"))
@@ -186,7 +192,7 @@ object Cascade {
     val qs = e.filter(col("vec_id").isin(qids: _*))
       .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"),
         col("embedding").as("q_vec"), col("v").as("qd"))
-    val body0 = e.select("vec_id", "lo", "hi")
+    val body0 = codes0.getOrElse(e.select("vec_id", "lo", "hi"))
     val body = keep.fold(body0)(ids => body0.join(ids, "vec_id"))
     val short1 = body.crossJoin(broadcast(qs.select("q_id", "q_lo", "q_hi")))
       .filter(col("vec_id") =!= col("q_id"))
@@ -233,20 +239,46 @@ object Cascade {
     * (spec-pinned at cap=4); the whole-file duplicate guard lives in the
     * shared skeleton. Linear in shard count by design — the price of the
     * >cap path. */
+  /** Byte budget under which the sharded driver materializes the FULL
+    * packed frame (embedding + v + sign codes, ~3× corpus bytes in
+    * executor storage) instead of only the narrow stage-1 code table —
+    * sized so any corpus that plausibly fits executor storage whole takes
+    * the faster r17 shape, and a 100 TB corpus never does. Non-file
+    * inputs (tests) report 0 bytes and take the full-pack shape. */
+  val PackMaterializeMaxBytes: Long = 4L << 30
+
   def searchBatchSharded(raw: DataFrame, qids: Seq[Long], stage1: Int,
                          stage2: Int, k: Int, keep: Option[DataFrame] = None,
                          cap: Int = Pq.WideBatchCap): DataFrame = {
     // ONE calibration/presence pass for the whole qid set, threaded into
     // every chunk (r11 ADVICE: recomputing per chunk re-scanned the corpus
     // ⌈|Q|/cap⌉ times for a value that is index-build state) — and ONE
-    // materialized packed frame shared the same way (r17: the sign-code /
-    // double-cast projection is query-independent too)
-    val e = graft.operators.Dedup.materialize(
-      raw.selectExpr("vec_id", "embedding",
-        "CAST(embedding AS ARRAY<DOUBLE>) AS v",
-        s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi"))
-    val stats = calibrationAndPresence(e, qids)
-    Pq.shardedWide(qids, cap, "cascadeSearchBatchSharded")(chunk =>
-      searchBatch(raw, chunk, stage1, stage2, k, keep, Some(stats), Some(e)))
+    // shared pack, SIZE-GATED r18 (ADVICE r17): below the byte budget the
+    // whole packed frame materializes (the r17 shape — A/B-measured: the
+    // narrow-only split re-derived the embedding/v columns per pass and
+    // DOUBLED the sharded entry at gate scale, 1.4 → 2.6 s); past the
+    // budget only the narrow (vec_id, lo, hi) stage-1 code table is
+    // stored (17 bytes/row — index-sized, the column a store keeps
+    // resident at 100 TB) and each pass's tiny qs filter / ≤shortlist
+    // rerank join re-derives the wide columns lazily, so the executor
+    // storage footprint never grows to 3× corpus bytes.
+    val packed = raw.selectExpr("vec_id", "embedding",
+      "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+      s"${bqHalf("embedding", 0)} AS lo", s"${bqHalf("embedding", 32)} AS hi")
+    val bytes = Pq.fileScanBytes(raw)
+    val fullPack = bytes >= 0 && bytes <= PackMaterializeMaxBytes
+    if (fullPack) {
+      val e = graft.operators.Dedup.materialize(packed)
+      val stats = calibrationAndPresence(e, qids)
+      Pq.shardedWide(qids, cap, "cascadeSearchBatchSharded")(chunk =>
+        searchBatch(raw, chunk, stage1, stage2, k, keep, Some(stats), Some(e)))
+    } else {
+      val codes = graft.operators.Dedup.materialize(
+        packed.select("vec_id", "lo", "hi"))
+      val stats = calibrationAndPresence(packed, qids)
+      Pq.shardedWide(qids, cap, "cascadeSearchBatchSharded")(chunk =>
+        searchBatch(raw, chunk, stage1, stage2, k, keep, Some(stats),
+          Some(packed), Some(codes)))
+    }
   }
 }

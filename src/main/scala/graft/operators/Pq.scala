@@ -595,6 +595,15 @@ object Pq {
     * the scan is naturally parallel and this is a no-op). Row placement
     * never affects results: every consumer aggregates by key or through
     * order-insensitive k-heaps. */
+  /** Total file-scan bytes under `df`'s planned physical tree — driver
+    * metadata only, no job (the [[spreadHeavyKernel]] probe's byte leg,
+    * shared by size-gated materialization decisions). 0 for non-file
+    * inputs. */
+  private[graft] def fileScanBytes(df: DataFrame): Long =
+    df.queryExecution.sparkPlan.collectLeaves().collect {
+      case f: FileSourceScanExec => f.relation.location.sizeInBytes
+    }.sum
+
   private[operators] val SpreadMinOpsPerRow = 16384L
   private[graft] def spreadHeavyKernel(body: DataFrame, opsPerRow: Long): DataFrame = {
     if (body.isStreaming || opsPerRow < SpreadMinOpsPerRow) return body

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Graph}
+import graft.operators.{Dedup, Graph, Pq}
 
 /** §2.C21–C24 — point-in-time as-of join, pivot, exact median, and a
   * deterministic HyperLogLog distinct sketch.
@@ -569,6 +569,9 @@ object AnalyticsQueries {
     // At 100 TB the sketches are the only thing that moves — the hash
     // scan never pairs.
     "kmv_jaccard_est" -> ((s, dir) => {
+      // (r18: a cms_topk_est-style scan spread was A/B-measured here and
+      // REJECTED — 1.3 -> 2.1 s: `h` feeds FOUR consumer subtrees, each of
+      // which re-paid the added exchange, unlike cms' two)
       val h = events(s, dir)
         .selectExpr("event_type",
           s"${Dedup.hashExpr("concat('kmv', CAST(user_id AS STRING))")} AS h")
@@ -706,7 +709,11 @@ object AnalyticsQueries {
     // construction; at 100 TB the 1024-cell sketch replaces a full
     // per-key count for "is anything hot" monitoring.
     "cms_topk_est" -> ((s, dir) => {
-      val ev = events(s, dir)
+      // r18: the 4x-per-event md5 cell hashing measured as a 1.1 s
+      // single-task stage over the one-row-group events scan — spread it
+      // (the multivector_maxsim convention); both aggregates are
+      // placement-independent
+      val ev = Pq.spreadHeavyKernel(events(s, dir), opsPerRow = 1 << 20)
       def cellOf(r: org.apache.spark.sql.Column, user: org.apache.spark.sql.Column) =
         pmod(graft.functions.md5Hash60(
           concat(lit("cms"), r.cast("string"), lit("_"), user.cast("string"))), lit(256L))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.aggs
-import graft.operators.Dedup
+import graft.operators.{Dedup, Pq}
 
 /** §2.B13–B15 — corpus-curation operators a 100 TB training-data pipeline
   * runs between dedup and training: vocabulary extraction, deterministic
@@ -263,7 +263,11 @@ object CurationQueries {
       val d = docs(s, dir)
       val bench = Dedup.shingledExploded(d.filter(col("source") === BenchmarkSource))
         .selectExpr(s"${sH("g")} AS g").distinct()
-      val train = Dedup.shingledExploded(d.filter(col("source") =!= BenchmarkSource))
+      // r18: the train-side shingle+hash kernel measured as a 1.1 s
+      // single-task stage — spread the filtered scan before shingling
+      val train = Dedup.shingledExploded(
+        Pq.spreadHeavyKernel(d.filter(col("source") =!= BenchmarkSource),
+          opsPerRow = 1 << 20))
         .selectExpr("doc_id", s"${sH("g")} AS g")
       train.join(broadcast(bench), "g")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

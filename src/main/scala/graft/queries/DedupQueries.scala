@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.Dedup
+import graft.operators.{Dedup, Pq}
 
 /** §2.B1–B5 — deduplication for LLM-training-data pipelines.
   *
@@ -129,7 +129,12 @@ object DedupQueries {
     // B4: 64-bit SimHash near-dup, hamming ≤ 1 — cost-based: all-pairs on
     // small corpora, byte-banded LSH (pigeonhole-EXACT, same oracle) at scale
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairsAuto(docs(s, dir), SimhashMaxHamming)),
+      // r18: the per-token md5 signature kernel measured as a ~1 s
+      // single-task stage over the one-row-group docs scan — spread it;
+      // the 64 bit-sums aggregate by doc_id regardless of placement
+      Dedup.simhashPairsAuto(
+        Pq.spreadHeavyKernel(docs(s, dir), opsPerRow = 1 << 20),
+        SimhashMaxHamming)),
 
     // B5: embedding-cosine near-dup pairs — exact all-pairs below the
     // dispatch threshold, LSH-bucketed above (the oracle mirrors the
@@ -184,7 +189,10 @@ object DedupQueries {
     // join back + per-doc aggregate. No all-pairs anywhere — cost is
     // O(corpus grams), the same shape at 100 TB.
     "dedup_span_coverage" -> ((s, dir) => {
-      val g = docs(s, dir)
+      // spread the per-doc tokenize+shingle+md5 kernel off the single
+      // scan task (r18; the multivector_maxsim convention — EntryProbe
+      // measured the gram derivation as a 1.2 s single-task stage)
+      val g = Pq.spreadHeavyKernel(docs(s, dir), opsPerRow = 1 << 20)
         .select(col("doc_id"),
           graft.functions.text.shingles(expr(Dedup.TokExpr), SpanGram).as("sh"))
         .filter(size(col("sh")) > 0)
@@ -224,6 +232,11 @@ object DedupQueries {
     // B25: passage-level duplication — sub-document boilerplate detection
     // at 4-token chunk granularity (chunked approximation of exact
     // substring dedup; see operators.Dedup.passageDups scale notes)
+    // (r18: a span_coverage-style scan-task spread was A/B-measured here
+    // and REJECTED — 2.0 → 2.2 s: the non-overlapping 4-token CHUNK
+    // kernel is ~4× lighter than the sliding-gram one, so the extra
+    // exchange plus lost single-partition agg locality costs more than
+    // the parallel hashing buys)
     "dedup_passages" -> ((s, dir) => Dedup.passageDups(docs(s, dir), PassageChunk)),
 
     // B19: normalized exact dedup + canonical keep-best selection

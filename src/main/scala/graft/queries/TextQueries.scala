@@ -289,6 +289,8 @@ object TextQueries {
     // the scoring join degrades to a token-keyed shuffle when V outgrows
     // the broadcast threshold — the stream is never collected.
     "text_bigram_lm" -> ((s, dir) => {
+      // (r18: a scan spread was A/B-measured here and REJECTED — flat at
+      // ~1.45 s: the broadcast model joins dominate, not the explode)
       val bg = docs(s, dir)
         .selectExpr("doc_id", s"$sTok AS tk")
         .filter(org.apache.spark.sql.functions.size(

@@ -762,4 +762,28 @@ class FusionSpec extends SparkSpec {
         subDim = 8, numCodes = 16, nProbe = 2, shortlist = 100)),
       "sharded residual IVF-PQ must union to the single wide pass")
   }
+
+  test("cascade narrow-pack (at-scale) branch ≡ the full-pack batch") {
+    // r18: past PackMaterializeMaxBytes the sharded driver stores only
+    // the narrow (vec_id, lo, hi) code table and re-derives embedding/v
+    // lazily — same rows as the default full-pack searchBatch, pinned
+    // here because the gate corpora never take that branch
+    import graft.operators.{Cascade, Dedup}
+    val raw = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val qids = (0L until 5L)
+    val packed = raw.selectExpr("vec_id", "embedding",
+      "CAST(embedding AS ARRAY<DOUBLE>) AS v",
+      s"${Cascade.bqHalf("embedding", 0)} AS lo",
+      s"${Cascade.bqHalf("embedding", 32)} AS hi")
+    val codes = Dedup.materialize(packed.select("vec_id", "lo", "hi"))
+    def sorted(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val narrow = Cascade.searchBatch(raw, qids, stage1 = 50, stage2 = 20,
+      k = 10, e0 = Some(packed), codes0 = Some(codes))
+      .select("q_id", "vec_id", "score")
+    val full = Cascade.searchBatch(raw, qids, stage1 = 50, stage2 = 20, k = 10)
+      .select("q_id", "vec_id", "score")
+    assert(sorted(narrow) === sorted(full))
+  }
 }
