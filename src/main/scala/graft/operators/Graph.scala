@@ -152,7 +152,15 @@ object Graph {
                      broadcastMaxEdges: Long = -1L): DataFrame = {
     val maxEdges =
       if (broadcastMaxEdges >= 0) broadcastMaxEdges else defaultBroadcastMaxEdges
-    val e = edges.select("src", "dst")
+    // Cache + count the SYMMETRIC set first (r18): the smallness decision
+    // only needs |e| = 2·|oriented|, and on the kernel path the degree
+    // joins, the orientation filter and the oriented-edge cache all
+    // disappear — degrees and orientation are O(m) array work the kernel
+    // does while building its CSR, so the cluster-side cost of the fast
+    // path is exactly one distinct-edge derivation + one collect.
+    val e = edges.select("src", "dst").cache()
+    val small = e.count() <= 2 * maxEdges
+    if (small) return triangleCountsKernel(e)
     val deg = e.groupBy(col("src").as("n")).agg(count(lit(1)).as("deg"))
     // orient each undirected edge once: (deg, id)-smaller endpoint first
     val o = e
@@ -164,12 +172,9 @@ object Graph {
         col("ddst").as("degb"))
       // o feeds THREE scans (both wedge sides + the closure probe):
       // materialize the oriented half-edges once — the upstream edge
-      // build (fact self-join + distinct + two degree joins) is the
-      // expensive part and must not run three times
+      // build (fact self-join + distinct) is the expensive part and must
+      // not run three times
       .cache()
-    // the cache is materialized by this count, which is then FREE stats
-    val small = o.count() <= maxEdges
-    if (small) return triangleCountsKernel(o)
     // wedges from the orientation-least corner; b1 ≺ b2 in the SAME
     // (deg, id) order so the closing edge (b1 → b2) is oriented if present
     val wedges = o.as("x").join(o.as("y"), col("x.a") === col("y.a") &&
@@ -184,34 +189,55 @@ object Graph {
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
   }
 
-  /** CSR triangle kernel over a broadcast of the MATERIALIZED oriented
-    * edge set `o` (a, b) — see [[triangleCounts]] for the algorithm and
-    * budget argument. The collect here is broadcast-building (the same
-    * driver budget the previous probe-side `broadcast(o)` paid through
+  /** CSR triangle kernel over a broadcast of the cached SYMMETRIC edge
+    * set `e` (src, dst) — see [[triangleCounts]] for the algorithm and
+    * budget argument. Degree computation and (deg, id) orientation happen
+    * HERE as O(m) array passes (the join path's two degree joins + filter,
+    * driver-side): each undirected edge appears in both directions and
+    * exactly one passes the orientation, so the CSR holds the identical
+    * oriented half-edge set. The collect is broadcast-building (the same
+    * driver budget the pre-r18 probe-side `broadcast(o)` paid through
     * BroadcastExchange, minus the HashedRelation overhead); everything is
     * re-derived from the parquet inputs on every invocation. */
-  private def triangleCountsKernel(o: DataFrame): DataFrame = {
-    val spark = o.sparkSession
+  private def triangleCountsKernel(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
     import spark.implicits._
-    val nodeType = o.schema("a").dataType
-    val rows = o.select(col("a").cast("long"), col("b").cast("long")).collect()
-    val m = rows.length
-    val srcIds = new Array[Long](m); val dstIds = new Array[Long](m)
+    val nodeType = e.schema("src").dataType
+    val rows = e.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    val mSym = rows.length
+    val srcIds = new Array[Long](mSym); val dstIds = new Array[Long](mSym)
     var i = 0
-    while (i < m) { srcIds(i) = rows(i).getLong(0); dstIds(i) = rows(i).getLong(1); i += 1 }
+    while (i < mSym) { srcIds(i) = rows(i).getLong(0); dstIds(i) = rows(i).getLong(1); i += 1 }
     // dense index over every endpoint: sorted ids + binary search
     val ids = (srcIds ++ dstIds).distinct.sorted
     val n = ids.length
     @inline def idx(v: Long): Int = java.util.Arrays.binarySearch(ids, v)
-    // CSR: out-neighbor int indices, sorted within each node's slice so
-    // the per-edge intersection is a two-pointer merge
+    // undirected degree = symmetric out-count per node
+    val deg = new Array[Int](n)
+    val su = new Array[Int](mSym); val sv = new Array[Int](mSym)
+    i = 0
+    while (i < mSym) {
+      val u = idx(srcIds(i)); su(i) = u; sv(i) = idx(dstIds(i)); deg(u) += 1
+      i += 1
+    }
+    // oriented u → v iff (deg, id) of u precedes v (dense index order is
+    // id order, so the tie-break matches the SQL form's src < dst)
+    @inline def oriented(u: Int, v: Int): Boolean =
+      deg(u) < deg(v) || (deg(u) == deg(v) && u < v)
+    // CSR over the ORIENTED half-edges: out-neighbor int indices, sorted
+    // within each node's slice so the per-edge intersection is a
+    // two-pointer merge
     val off = new Array[Int](n + 1)
-    i = 0; while (i < m) { off(idx(srcIds(i)) + 1) += 1; i += 1 }
+    i = 0; while (i < mSym) { if (oriented(su(i), sv(i))) off(su(i) + 1) += 1; i += 1 }
     i = 0; while (i < n) { off(i + 1) += off(i); i += 1 }
+    val m = off(n)
     val nbr = new Array[Int](m)
     val fill = java.util.Arrays.copyOf(off, n)
     i = 0
-    while (i < m) { val u = idx(srcIds(i)); nbr(fill(u)) = idx(dstIds(i)); fill(u) += 1; i += 1 }
+    while (i < mSym) {
+      if (oriented(su(i), sv(i))) { nbr(fill(su(i))) = sv(i); fill(su(i)) += 1 }
+      i += 1
+    }
     i = 0; while (i < n) { java.util.Arrays.sort(nbr, off(i), off(i + 1)); i += 1 }
     // work-balanced node chunks: the per-edge intersection walks
     // |N⁺(u)| + |N⁺(v)| pointer steps, so chunk on that prefix sum — the

@@ -654,6 +654,15 @@ object StreamingQueries {
         .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
         .drop("qv")
         .withColumn("one", lit(1))
+        // r18: hash the arriving queries across the stream's shuffle
+        // partitions BEFORE the broadcast fan-out — the whole candidate
+        // scoring otherwise runs inside the single file-scan task while
+        // the heap agg's own exchange sits right after it; keying the
+        // exchange by q_id pre-satisfies the agg's distribution, so this
+        // MOVES the shuffle below the heavy projection rather than adding
+        // one (8 query rows cross the wire, the 16k scored rows no longer
+        // do)
+        .repartition(col("q_id"))
       val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
         .filter(col("vec_id") =!= col("q_id"))
         .drop("one")
@@ -740,6 +749,11 @@ object StreamingQueries {
         .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
         .drop("qv")
         .withColumn("one", lit(1))
+        // r18: key the arriving queries by q_id across the stream's
+        // shuffle partitions BEFORE the broadcast fan-out (see
+        // streaming_pq_serve_2048) — moves the heap agg's exchange below
+        // the heavy wide scoring projection instead of adding one
+        .repartition(col("q_id"))
       val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
         .drop("one")
         .withColumn("adist", expr(Pq.wideAdistSql(numSub)).cast("long"))
@@ -819,6 +833,11 @@ object StreamingQueries {
         .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
         .drop("parr", "qe", "qv")
         .withColumn("one", lit(1))
+        // r18: key the arriving queries by q_id across the stream's
+        // shuffle partitions BEFORE the broadcast fan-out (see
+        // streaming_pq_serve_2048) — moves the heap agg's exchange below
+        // the heavy wide scoring projection instead of adding one
+        .repartition(col("q_id"))
       val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
         .filter(col("vec_id") =!= col("q_id") &&
           array_contains(col("probes"), col("label")))
@@ -901,6 +920,11 @@ object StreamingQueries {
         .withColumn("tds", Pq.adcTableCol(cbRows, numSub, subDim))
         .drop("parr", "qe", "qv")
         .withColumn("one", lit(1))
+        // r18: key the arriving queries by q_id across the stream's
+        // shuffle partitions BEFORE the broadcast fan-out (see
+        // streaming_pq_serve_2048) — moves the heap agg's exchange below
+        // the heavy wide scoring projection instead of adding one
+        .repartition(col("q_id"))
       val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
         .filter(array_contains(col("probes"), col("label")))
         .drop("one")
@@ -953,6 +977,11 @@ object StreamingQueries {
             vecs.widen(col("embedding"), 64, HybridQueries.WideDims),
             groups).as("qp"))
         .withColumn("one", lit(1))
+        // r18: key the arriving queries by q_id across the stream's
+        // shuffle partitions BEFORE the broadcast fan-out (see
+        // streaming_pq_serve_2048) — moves the heap agg's exchange below
+        // the heavy wide scoring projection instead of adding one
+        .repartition(col("q_id"))
       val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
         .filter(col("vec_id") =!= col("q_id"))
         .drop("one")
@@ -1029,6 +1058,11 @@ object StreamingQueries {
             "x -> CAST(x - 0.25D AS FLOAT)) AS ARRAY<FLOAT>) AS qe")
         .select(col("q_id"), vecs.bqPack(col("qe"), groups).as("qp"))
         .withColumn("one", lit(1))
+        // r18: key the arriving queries by q_id across the stream's
+        // shuffle partitions BEFORE the broadcast fan-out (see
+        // streaming_pq_serve_2048) — moves the heap agg's exchange below
+        // the heavy wide scoring projection instead of adding one
+        .repartition(col("q_id"))
       val scored = qStream.join(broadcast(codes.withColumn("one", lit(1))), "one")
         .drop("one")
         .withColumn("ham", vecs.hammingLong(col("p"), col("qp")))
